@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall times.
+
+Each query is executed to completion (count() forces the full plan; the
+driver-facing result sets are small aggregates, so count ≈ full execution
+cost without collect-to-driver noise).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "a1_windowed_analytics",
+    "a2_daily_analytics",
+    "a4_vehicle_analytics",
+    "a5_quality_histogram",
+    "a9_vehicle_topk",
+    "o1_filtered_scan_paginated",
+    "m15_alerts",
+    "j1_pricing_summary",
+    "j3_shipping_priority",
+    "j10_order_rollup",
+    "j13_events_enriched",
+    "w1_top_orders_per_customer",
+    "d2_exact_dedup_keep_first",
+    "d3_jaccard_pairs",
+    "d4_minhash_lsh_dedup",
+    "s1_knn_bruteforce",
+    "t1_token_stats",
+    "t2_doc_quality",
+    "t4_fingerprints",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from iot_big_data_engineering_spark.registry import queries
+    from iot_big_data_engineering_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = queries()
+
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

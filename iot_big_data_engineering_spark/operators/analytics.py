@@ -1,0 +1,461 @@
+"""Batch aggregation suite — SURVEY.md §2.3 A1-A9 + views A15/A16.
+
+Each query is a Spark DataFrame function over the quality-checked sensor view
+(events mapping, ``sources/sensor_view.py``) registered together with its
+DuckDB oracle SQL. Reference anchors:
+
+- A1 windowed analytics      SensorDataProcessor.scala:160-169
+- A2 daily analytics         SensorDataAnalytics.scala:101-114
+- A3 per-type measurements   SensorDataAnalytics.scala:119-153
+- A4 vehicle analytics       SensorDataAnalytics.scala:158-172
+- A5 quality histogram       SensorDataAnalytics.scala:177-193
+- A6 anomaly analytics       SensorDataAnalytics.scala:198-210
+- A7 summary report          SensorDataAnalytics.scala:264-276
+- A8 sensor-type report      SensorDataAnalytics.scala:284-295
+- A9 vehicle top-k           src/api/sensor_api.py:323-335
+- A15/A16 serving views      docker/init-db.sql:62-85
+
+Scale notes: every aggregation here is a single hash-aggregate over keys of
+low-to-moderate cardinality (date × sensor_type ≤ a few thousand groups;
+date × vehicle_id ~ |vehicles| × days). Spark plans partial (map-side)
+aggregation before the exchange, so the shuffle carries only group rows, not
+input rows — this holds at 100 TB. The exact ``countDistinct`` columns are
+the one scale hazard (they force the agg to carry distinct sets); A1/A2
+therefore have ``approx_`` twin queries using HLL sketches, the form you
+would run at 100 TB.
+
+Conditional-aggregate form: the reference writes ``when(cond, avg(x))``
+(valid only because sensor_type is a grouping key); we use the idiomatic
+``avg(when(cond, x))`` (SURVEY §7.4.7) — equivalent here, safe everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..sources.sensor_view import SENSOR_ORACLE_CTE, quality_checked
+
+_R = 6  # rounding for floating aggregates, applied identically in oracle SQL
+
+
+def _with_date(df: DataFrame) -> DataFrame:
+    return df.withColumn("processing_date", F.to_date("ts"))
+
+
+# ---------------------------------------------------------------------------
+# A1 — 1-minute tumbling-window analytics (batch form of the streaming agg)
+# ---------------------------------------------------------------------------
+@register(
+    "a1_windowed_analytics",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT date_trunc('minute', ts) AS window_start,
+       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+       sensor_type,
+       count(*) AS record_count,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       count(DISTINCT sensor_id) AS unique_sensors,
+       round(avg(quality_score), {_R}) AS avg_quality_score
+FROM sensor_quality_checked
+GROUP BY 1, 2, 3
+""",
+    doc="A1: tumbling 1-min window × sensor_type aggregate",
+)
+def a1_windowed_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_checked(spark, sf_dir)
+    w = F.window("ts", "1 minute")
+    return (
+        q.groupBy(w.alias("w"), "sensor_type")
+        .agg(
+            F.count("*").alias("record_count"),
+            F.countDistinct("vehicle_id").alias("unique_vehicles"),
+            F.countDistinct("sensor_id").alias("unique_sensors"),
+            F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sensor_type",
+            "record_count",
+            "unique_vehicles",
+            "unique_sensors",
+            "avg_quality_score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — daily analytics (the flagship query; entry() runs this)
+# ---------------------------------------------------------------------------
+A2_ORACLE = (
+    SENSOR_ORACLE_CTE
+    + f"""
+SELECT CAST(ts AS DATE) AS processing_date,
+       sensor_type,
+       count(*) AS record_count,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       count(DISTINCT sensor_id) AS unique_sensors,
+       min(ts) AS first_reading,
+       max(ts) AS last_reading,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       round(coalesce(stddev(quality_score), 0.0), {_R}) AS stddev_quality_score
+FROM sensor_quality_checked
+GROUP BY 1, 2
+"""
+)
+
+
+@register("a2_daily_analytics", oracle=A2_ORACLE, doc="A2: daily × sensor_type analytics")
+def a2_daily_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _with_date(quality_checked(spark, sf_dir))
+    return q.groupBy("processing_date", "sensor_type").agg(
+        F.count("*").alias("record_count"),
+        F.countDistinct("vehicle_id").alias("unique_vehicles"),
+        F.countDistinct("sensor_id").alias("unique_sensors"),
+        F.min("ts").alias("first_reading"),
+        F.max("ts").alias("last_reading"),
+        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+        F.round(F.coalesce(F.stddev("quality_score"), F.lit(0.0)), _R).alias(
+            "stddev_quality_score"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — per-sensor-type conditional measurement aggregates
+# ---------------------------------------------------------------------------
+@register(
+    "a3_sensor_type_measurements",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT CAST(ts AS DATE) AS processing_date,
+       sensor_type,
+       count(*) AS record_count,
+       round(avg(CASE WHEN sensor_type = 'error' THEN value END), {_R}) AS avg_error_value,
+       round(max(CASE WHEN sensor_type = 'error' THEN value END), {_R}) AS max_error_value,
+       round(min(CASE WHEN sensor_type = 'error' THEN value END), {_R}) AS min_error_value,
+       round(avg(CASE WHEN sensor_type = 'click' THEN k END), {_R}) AS avg_click_k,
+       max(CASE WHEN sensor_type = 'click' THEN k END) AS max_click_k,
+       round(avg(CASE WHEN sensor_type = 'purchase' THEN value END), {_R}) AS avg_purchase_value,
+       round(max(CASE WHEN sensor_type = 'purchase' THEN value END), {_R}) AS max_purchase_value,
+       round(avg(CASE WHEN sensor_type = 'view' THEN k END), {_R}) AS avg_view_k
+FROM sensor_quality_checked
+GROUP BY 1, 2
+""",
+    doc="A3: conditional aggregates on type-specific measurements",
+)
+def a3_sensor_type_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _with_date(quality_checked(spark, sf_dir))
+
+    def cond_agg(agg, stype: str, col: str):
+        return agg(F.when(F.col("sensor_type") == stype, F.col(col)))
+
+    return q.groupBy("processing_date", "sensor_type").agg(
+        F.count("*").alias("record_count"),
+        F.round(cond_agg(F.avg, "error", "value"), _R).alias("avg_error_value"),
+        F.round(cond_agg(F.max, "error", "value"), _R).alias("max_error_value"),
+        F.round(cond_agg(F.min, "error", "value"), _R).alias("min_error_value"),
+        F.round(cond_agg(F.avg, "click", "k"), _R).alias("avg_click_k"),
+        cond_agg(F.max, "click", "k").alias("max_click_k"),
+        F.round(cond_agg(F.avg, "purchase", "value"), _R).alias("avg_purchase_value"),
+        F.round(cond_agg(F.max, "purchase", "value"), _R).alias("max_purchase_value"),
+        F.round(cond_agg(F.avg, "view", "k"), _R).alias("avg_view_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — per-vehicle analytics with time coverage
+# ---------------------------------------------------------------------------
+@register(
+    "a4_vehicle_analytics",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT CAST(ts AS DATE) AS processing_date,
+       vehicle_id,
+       count(*) AS total_readings,
+       count(DISTINCT sensor_type) AS sensor_types_used,
+       count(DISTINCT sensor_id) AS unique_sensors,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       min(ts) AS first_reading,
+       max(ts) AS last_reading,
+       round(CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 1000000.0, {_R})
+         AS coverage_seconds
+FROM sensor_quality_checked
+GROUP BY 1, 2
+""",
+    doc="A4: daily × vehicle analytics + coverage window",
+)
+def a4_vehicle_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _with_date(quality_checked(spark, sf_dir))
+    return q.groupBy("processing_date", "vehicle_id").agg(
+        F.count("*").alias("total_readings"),
+        F.countDistinct("sensor_type").alias("sensor_types_used"),
+        F.countDistinct("sensor_id").alias("unique_sensors"),
+        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+        F.min("ts").alias("first_reading"),
+        F.max("ts").alias("last_reading"),
+        F.round(
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1000000.0, _R
+        ).alias("coverage_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — quality histogram with banded conditional counts
+# ---------------------------------------------------------------------------
+@register(
+    "a5_quality_histogram",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT CAST(ts AS DATE) AS processing_date,
+       count(*) AS total_records,
+       count(CASE WHEN quality_score >= 0.8 THEN 1 END) AS high_quality_count,
+       count(CASE WHEN quality_score >= 0.6 AND quality_score < 0.8 THEN 1 END)
+         AS medium_quality_count,
+       count(CASE WHEN quality_score < 0.6 THEN 1 END) AS low_quality_count,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       round(min(quality_score), {_R}) AS min_quality_score,
+       round(max(quality_score), {_R}) AS max_quality_score,
+       round(coalesce(stddev(quality_score), 0.0), {_R}) AS stddev_quality_score,
+       CAST(count(CASE WHEN quality_score >= 0.8 THEN 1 END) * 100.0 / count(*)
+            AS DECIMAL(5,2)) AS quality_percentage
+FROM sensor_quality_checked
+GROUP BY 1
+""",
+    doc="A5: daily quality bands + DECIMAL(5,2) percentage",
+)
+def a5_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _with_date(quality_checked(spark, sf_dir))
+    qs = F.col("quality_score")
+    high = F.count(F.when(qs >= 0.8, 1))
+    return q.groupBy("processing_date").agg(
+        F.count("*").alias("total_records"),
+        high.alias("high_quality_count"),
+        F.count(F.when((qs >= 0.6) & (qs < 0.8), 1)).alias("medium_quality_count"),
+        F.count(F.when(qs < 0.6, 1)).alias("low_quality_count"),
+        F.round(F.avg(qs), _R).alias("avg_quality_score"),
+        F.round(F.min(qs), _R).alias("min_quality_score"),
+        F.round(F.max(qs), _R).alias("max_quality_score"),
+        F.round(F.coalesce(F.stddev(qs), F.lit(0.0)), _R).alias("stddev_quality_score"),
+        (high * 100.0 / F.count("*")).cast("decimal(5,2)").alias("quality_percentage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — anomaly analytics
+# ---------------------------------------------------------------------------
+@register(
+    "a6_anomaly_analytics",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT CAST(ts AS DATE) AS processing_date,
+       sensor_type,
+       count(*) AS anomaly_count,
+       round(avg(anomaly_score), {_R}) AS avg_anomaly_score,
+       round(max(anomaly_score), {_R}) AS max_anomaly_score,
+       count(DISTINCT vehicle_id) AS affected_vehicles,
+       count(DISTINCT sensor_id) AS affected_sensors
+FROM sensor_quality_checked
+WHERE anomaly_score > 0
+GROUP BY 1, 2
+""",
+    doc="A6: filter(anomaly) → daily × sensor_type aggregate",
+)
+def a6_anomaly_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _with_date(quality_checked(spark, sf_dir))
+    return (
+        q.filter(F.col("anomaly_score") > 0)
+        .groupBy("processing_date", "sensor_type")
+        .agg(
+            F.count("*").alias("anomaly_count"),
+            F.round(F.avg("anomaly_score"), _R).alias("avg_anomaly_score"),
+            F.round(F.max("anomaly_score"), _R).alias("max_anomaly_score"),
+            F.countDistinct("vehicle_id").alias("affected_vehicles"),
+            F.countDistinct("sensor_id").alias("affected_sensors"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — global summary report (no groupBy)
+# ---------------------------------------------------------------------------
+@register(
+    "a7_summary_report",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT count(*) AS total_records,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       count(DISTINCT sensor_id) AS unique_sensors,
+       count(DISTINCT sensor_type) AS unique_sensor_types,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       count(CASE WHEN anomaly_score > 0 THEN 1 END) AS anomaly_count
+FROM sensor_quality_checked
+""",
+    doc="A7: whole-table summary aggregation",
+)
+def a7_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_checked(spark, sf_dir)
+    return q.agg(
+        F.count("*").alias("total_records"),
+        F.countDistinct("vehicle_id").alias("unique_vehicles"),
+        F.countDistinct("sensor_id").alias("unique_sensors"),
+        F.countDistinct("sensor_type").alias("unique_sensor_types"),
+        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+        F.count(F.when(F.col("anomaly_score") > 0, 1)).alias("anomaly_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — sensor-type report (groupBy + orderBy)
+# ---------------------------------------------------------------------------
+@register(
+    "a8_sensor_type_report",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT sensor_type,
+       count(*) AS record_count,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       round(avg(value), {_R}) AS avg_value
+FROM sensor_quality_checked
+GROUP BY sensor_type
+ORDER BY record_count DESC, sensor_type
+""",
+    doc="A8: per-sensor-type report sorted by volume",
+)
+def a8_sensor_type_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_checked(spark, sf_dir)
+    return (
+        q.groupBy("sensor_type")
+        .agg(
+            F.count("*").alias("record_count"),
+            F.countDistinct("vehicle_id").alias("unique_vehicles"),
+            F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+            F.round(F.avg("value"), _R).alias("avg_value"),
+        )
+        .orderBy(F.col("record_count").desc(), F.col("sensor_type"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — vehicle top-k (TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+@register(
+    "a9_vehicle_topk",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT vehicle_id,
+       count(*) AS total_readings,
+       count(DISTINCT sensor_type) AS sensor_types_used,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       round(CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 3600000000.0, {_R})
+         AS coverage_hours
+FROM sensor_quality_checked
+GROUP BY vehicle_id
+ORDER BY total_readings DESC, vehicle_id
+LIMIT 10
+""",
+    doc="A9: top-10 vehicles by reading volume (deterministic tiebreak)",
+)
+def a9_vehicle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_checked(spark, sf_dir)
+    return (
+        q.groupBy("vehicle_id")
+        .agg(
+            F.count("*").alias("total_readings"),
+            F.countDistinct("sensor_type").alias("sensor_types_used"),
+            F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+            F.round(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                / 3600000000.0,
+                _R,
+            ).alias("coverage_hours"),
+        )
+        .orderBy(F.col("total_readings").desc(), F.col("vehicle_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15 / A16 — serving views
+# ---------------------------------------------------------------------------
+@register(
+    "a15_daily_sensor_summary",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT CAST(ts AS DATE) AS date,
+       sensor_type,
+       count(*) AS total_records,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       count(DISTINCT sensor_id) AS unique_sensors,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       count(CASE WHEN anomaly_score > 0 THEN 1 END) AS anomaly_count
+FROM sensor_quality_checked
+GROUP BY 1, 2
+""",
+    doc="A15: daily_sensor_summary view",
+)
+def a15_daily_sensor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_checked(spark, sf_dir)
+    return q.groupBy(
+        F.to_date("ts").alias("date"), F.col("sensor_type")
+    ).agg(
+        F.count("*").alias("total_records"),
+        F.countDistinct("vehicle_id").alias("unique_vehicles"),
+        F.countDistinct("sensor_id").alias("unique_sensors"),
+        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+        F.count(F.when(F.col("anomaly_score") > 0, 1)).alias("anomaly_count"),
+    )
+
+
+@register(
+    "a16_vehicle_daily_summary",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT CAST(ts AS DATE) AS date,
+       vehicle_id,
+       count(*) AS total_readings,
+       count(DISTINCT sensor_type) AS sensor_types_used,
+       count(DISTINCT sensor_id) AS unique_sensors,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       min(ts) AS first_reading,
+       max(ts) AS last_reading
+FROM sensor_quality_checked
+GROUP BY 1, 2
+""",
+    doc="A16: vehicle_daily_summary view",
+)
+def a16_vehicle_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_checked(spark, sf_dir)
+    return q.groupBy(
+        F.to_date("ts").alias("date"), F.col("vehicle_id")
+    ).agg(
+        F.count("*").alias("total_readings"),
+        F.countDistinct("sensor_type").alias("sensor_types_used"),
+        F.countDistinct("sensor_id").alias("unique_sensors"),
+        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+        F.min("ts").alias("first_reading"),
+        F.max("ts").alias("last_reading"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale twins — approx distinct (HLL) variants of A2, the form to run at
+# 100 TB where exact countDistinct would carry per-group distinct sets
+# through the shuffle. rows-only checked (approx values have no SQL oracle;
+# DuckDB's approx_count_distinct uses a different sketch).
+# ---------------------------------------------------------------------------
+@register(
+    "a2_daily_analytics_approx",
+    oracle=None,
+    doc="A2 scale twin: approx_count_distinct (HLL) instead of exact",
+)
+def a2_daily_analytics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _with_date(quality_checked(spark, sf_dir))
+    return q.groupBy("processing_date", "sensor_type").agg(
+        F.count("*").alias("record_count"),
+        F.approx_count_distinct("vehicle_id", 0.01).alias("unique_vehicles"),
+        F.approx_count_distinct("sensor_id", 0.01).alias("unique_sensors"),
+        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+    )

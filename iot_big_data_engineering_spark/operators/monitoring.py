@@ -1,0 +1,330 @@
+"""Monitoring aggregations + alert evaluation — SURVEY.md §2.3 A10-A14.
+
+The reference (src/monitoring/alerting.py:55-308) runs five SQL aggregations
+over sliding wall-clock windows (`NOW() - INTERVAL ...`) every 300 s and
+fans out alerts. Wall-clock `NOW()` is nondeterministic, so per SURVEY
+§7.4.5 the anchor is injectable and defaults to ``max(ts)`` of the dataset —
+both the Spark form and the DuckDB oracle compute the same anchor, making
+every monitoring query hash-comparable.
+
+The alert fan-out (Slack/SMTP in the reference) becomes a DataFrame of alert
+rows (m15) — thresholds from BASELINE.md; sinks are out of scope for the
+query surface (an `alerts` table append covers reference S12).
+
+Scale notes: each check is filter + global aggregate over a short recent
+window. At 100 TB the win comes from partition pruning: data written
+partitioned by date/hour means `ts >= now - 1h` scans only the newest
+partitions. These queries express the predicate on `ts` directly so
+Catalyst prunes when the layout provides it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..sources.sensor_view import SENSOR_ORACLE_CTE, quality_checked
+
+_R = 6
+
+# Thresholds — BASELINE.md / reference alerting.py:55-64.
+THRESHOLDS = {
+    "min_quality_score": 0.8,
+    "max_low_quality_rate": 0.10,
+    "max_latency_seconds": 30.0,
+    "min_throughput_per_min": 1000,
+    "max_anomaly_rate": 0.05,
+}
+
+# DuckDB CTE computing the anchor ("now" = max ts over the dataset).
+_NOW_CTE = ", anchor AS (SELECT max(ts) AS now FROM sensor_quality_checked)"
+
+
+def _with_now(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    q = quality_checked(spark, sf_dir)
+    now = q.agg(F.max("ts").alias("now"))
+    return q, now
+
+
+# ---------------------------------------------------------------------------
+# A10 — hourly data-quality check
+# ---------------------------------------------------------------------------
+@register(
+    "m10_hourly_quality",
+    oracle=SENSOR_ORACLE_CTE
+    + _NOW_CTE
+    + f"""
+SELECT round(avg(quality_score), {_R}) AS avg_quality,
+       count(*) AS total_records,
+       count(CASE WHEN quality_score < 0.6 THEN 1 END) AS low_quality_count,
+       round(CAST(count(CASE WHEN quality_score < 0.6 THEN 1 END) AS DOUBLE)
+             / count(*), {_R}) AS low_quality_rate
+FROM sensor_quality_checked, anchor
+WHERE ts >= anchor.now - INTERVAL 1 HOUR
+""",
+    doc="A10: quality stats over the trailing hour (anchor = max(ts))",
+)
+def m10_hourly_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, now = _with_now(spark, sf_dir)
+    low = F.count(F.when(F.col("quality_score") < 0.6, 1))
+    return (
+        q.crossJoin(F.broadcast(now))
+        .filter(F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR"))
+        .agg(
+            F.round(F.avg("quality_score"), _R).alias("avg_quality"),
+            F.count("*").alias("total_records"),
+            low.alias("low_quality_count"),
+            F.round(low * 1.0 / F.count("*"), _R).alias("low_quality_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — liveness (any data in last 5 minutes?)
+# ---------------------------------------------------------------------------
+@register(
+    "m11_liveness",
+    oracle=SENSOR_ORACLE_CTE
+    + _NOW_CTE
+    + """
+SELECT count(*) AS recent_records,
+       count(*) > 0 AS is_alive
+FROM sensor_quality_checked, anchor
+WHERE ts >= anchor.now - INTERVAL 5 MINUTE
+""",
+    doc="A11: liveness count over trailing 5 minutes",
+)
+def m11_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, now = _with_now(spark, sf_dir)
+    return (
+        q.crossJoin(F.broadcast(now))
+        .filter(F.col("ts") >= F.col("now") - F.expr("INTERVAL 5 MINUTES"))
+        .agg(
+            F.count("*").alias("recent_records"),
+            (F.count("*") > 0).alias("is_alive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — processing latency
+# ---------------------------------------------------------------------------
+@register(
+    "m12_latency",
+    oracle=SENSOR_ORACLE_CTE
+    + _NOW_CTE
+    + f"""
+SELECT round(avg(CAST(epoch_us(processing_timestamp) - epoch_us(ts) AS DOUBLE) / 1000000.0),
+             {_R}) AS avg_latency_seconds,
+       round(max(CAST(epoch_us(processing_timestamp) - epoch_us(ts) AS DOUBLE) / 1000000.0),
+             {_R}) AS max_latency_seconds
+FROM sensor_quality_checked, anchor
+WHERE ts >= anchor.now - INTERVAL 1 HOUR
+""",
+    doc="A12: event→processed latency over trailing hour",
+)
+def m12_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, now = _with_now(spark, sf_dir)
+    lat = (
+        F.unix_micros("processing_timestamp") - F.unix_micros("ts")
+    ) / 1000000.0
+    return (
+        q.crossJoin(F.broadcast(now))
+        .filter(F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR"))
+        .agg(
+            F.round(F.avg(lat), _R).alias("avg_latency_seconds"),
+            F.round(F.max(lat), _R).alias("max_latency_seconds"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13 — throughput (records in last minute)
+# ---------------------------------------------------------------------------
+@register(
+    "m13_throughput",
+    oracle=SENSOR_ORACLE_CTE
+    + _NOW_CTE
+    + f"""
+SELECT count(*) AS records_last_minute,
+       count(*) >= {THRESHOLDS["min_throughput_per_min"]} AS meets_threshold
+FROM sensor_quality_checked, anchor
+WHERE ts >= anchor.now - INTERVAL 1 MINUTE
+""",
+    doc="A13: trailing-minute ingest throughput vs threshold",
+)
+def m13_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, now = _with_now(spark, sf_dir)
+    return (
+        q.crossJoin(F.broadcast(now))
+        .filter(F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 MINUTE"))
+        .agg(
+            F.count("*").alias("records_last_minute"),
+            (F.count("*") >= THRESHOLDS["min_throughput_per_min"]).alias(
+                "meets_threshold"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14 — anomaly rate
+# ---------------------------------------------------------------------------
+@register(
+    "m14_anomaly_rate",
+    oracle=SENSOR_ORACLE_CTE
+    + _NOW_CTE
+    + f"""
+SELECT count(*) AS total_records,
+       count(CASE WHEN anomaly_score > 0 THEN 1 END) AS anomaly_count,
+       round(CAST(count(CASE WHEN anomaly_score > 0 THEN 1 END) AS DOUBLE) / count(*),
+             {_R}) AS anomaly_rate
+FROM sensor_quality_checked, anchor
+WHERE ts >= anchor.now - INTERVAL 1 HOUR
+""",
+    doc="A14: trailing-hour anomaly rate",
+)
+def m14_anomaly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, now = _with_now(spark, sf_dir)
+    anom = F.count(F.when(F.col("anomaly_score") > 0, 1))
+    return (
+        q.crossJoin(F.broadcast(now))
+        .filter(F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR"))
+        .agg(
+            F.count("*").alias("total_records"),
+            anom.alias("anomaly_count"),
+            F.round(anom * 1.0 / F.count("*"), _R).alias("anomaly_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10-A14 combined → alert rows (reference run_monitoring_cycle + fan-out)
+# ---------------------------------------------------------------------------
+_T = THRESHOLDS
+
+
+@register(
+    "m15_alerts",
+    oracle=SENSOR_ORACLE_CTE
+    + _NOW_CTE
+    + f"""
+, win AS (
+  SELECT s.* FROM sensor_quality_checked s, anchor
+  WHERE s.ts >= anchor.now - INTERVAL 1 HOUR
+)
+SELECT 'low_avg_quality' AS alert_type,
+       round(avg(quality_score), {_R}) AS metric_value,
+       CAST({_T["min_quality_score"]} AS DOUBLE) AS threshold,
+       'WARNING' AS severity
+FROM win HAVING avg(quality_score) < {_T["min_quality_score"]}
+UNION ALL
+SELECT 'high_low_quality_rate',
+       round(CAST(count(CASE WHEN quality_score < 0.6 THEN 1 END) AS DOUBLE) / count(*), {_R}),
+       CAST({_T["max_low_quality_rate"]} AS DOUBLE), 'WARNING'
+FROM win
+HAVING CAST(count(CASE WHEN quality_score < 0.6 THEN 1 END) AS DOUBLE) / count(*)
+       > {_T["max_low_quality_rate"]}
+UNION ALL
+SELECT 'high_latency',
+       round(avg(CAST(epoch_us(processing_timestamp) - epoch_us(ts) AS DOUBLE) / 1000000.0), {_R}),
+       CAST({_T["max_latency_seconds"]} AS DOUBLE), 'CRITICAL'
+FROM win
+HAVING avg(CAST(epoch_us(processing_timestamp) - epoch_us(ts) AS DOUBLE) / 1000000.0)
+       > {_T["max_latency_seconds"]}
+UNION ALL
+SELECT 'low_throughput',
+       CAST(count(CASE WHEN ts >= (SELECT now FROM anchor) - INTERVAL 1 MINUTE
+                       THEN 1 END) AS DOUBLE),
+       CAST({_T["min_throughput_per_min"]} AS DOUBLE), 'WARNING'
+FROM win
+HAVING count(CASE WHEN ts >= (SELECT now FROM anchor) - INTERVAL 1 MINUTE
+             THEN 1 END) < {_T["min_throughput_per_min"]}
+UNION ALL
+SELECT 'high_anomaly_rate',
+       round(CAST(count(CASE WHEN anomaly_score > 0 THEN 1 END) AS DOUBLE) / count(*), {_R}),
+       CAST({_T["max_anomaly_rate"]} AS DOUBLE), 'CRITICAL'
+FROM win
+HAVING CAST(count(CASE WHEN anomaly_score > 0 THEN 1 END) AS DOUBLE) / count(*)
+       > {_T["max_anomaly_rate"]}
+""",
+    doc="A10-A14 → threshold checks emitting alert rows (union of checks)",
+)
+def m15_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, now = _with_now(spark, sf_dir)
+    win = q.crossJoin(F.broadcast(now)).filter(
+        F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR")
+    )
+    qs = F.col("quality_score")
+    lat = (F.unix_micros("processing_timestamp") - F.unix_micros("ts")) / 1000000.0
+
+    def check(name, metric, threshold, severity, violated):
+        return (
+            win.agg(
+                metric.alias("metric_value"), violated.alias("_violated")
+            )
+            .filter(F.col("_violated"))
+            .select(
+                F.lit(name).alias("alert_type"),
+                F.round("metric_value", _R).alias("metric_value"),
+                F.lit(threshold).alias("threshold"),
+                F.lit(severity).alias("severity"),
+            )
+        )
+
+    low_rate = F.count(F.when(qs < 0.6, 1)) * 1.0 / F.count("*")
+    anom_rate = F.count(F.when(F.col("anomaly_score") > 0, 1)) * 1.0 / F.count("*")
+    checks = [
+        check(
+            "low_avg_quality",
+            F.avg(qs),
+            _T["min_quality_score"],
+            "WARNING",
+            F.avg(qs) < _T["min_quality_score"],
+        ),
+        check(
+            "high_low_quality_rate",
+            low_rate,
+            _T["max_low_quality_rate"],
+            "WARNING",
+            low_rate > _T["max_low_quality_rate"],
+        ),
+        check(
+            "high_latency",
+            F.avg(lat),
+            _T["max_latency_seconds"],
+            "CRITICAL",
+            F.avg(lat) > _T["max_latency_seconds"],
+        ),
+        check(
+            "low_throughput",
+            F.count(
+                F.when(
+                    F.col("ts")
+                    >= F.col("now") - F.expr("INTERVAL 1 MINUTE"),
+                    1,
+                )
+            ).cast("double"),
+            float(_T["min_throughput_per_min"]),
+            "WARNING",
+            F.count(
+                F.when(
+                    F.col("ts")
+                    >= F.col("now") - F.expr("INTERVAL 1 MINUTE"),
+                    1,
+                )
+            )
+            < _T["min_throughput_per_min"],
+        ),
+        check(
+            "high_anomaly_rate",
+            anom_rate,
+            _T["max_anomaly_rate"],
+            "CRITICAL",
+            anom_rate > _T["max_anomaly_rate"],
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

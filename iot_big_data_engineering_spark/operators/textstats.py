@@ -1,0 +1,137 @@
+"""Text-analysis operators over the `documents` table (training-data
+pipeline extension — BASELINE.json north star).
+
+All implemented with built-in JVM expressions (split/transform/aggregate
+lambdas — whole-stage codegen, no Python in the hot path), each with a
+DuckDB oracle twin built from the SQL fragments in functions/text.py.
+
+Scale notes: every query is embarrassingly parallel per document (narrow
+transformations) followed by a low-cardinality aggregate — the ideal 100 TB
+shape. Token lists are never shuffled; only compact per-doc scalars are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import text as X
+from ..registry import register
+from ..sources.tables import load_table
+
+_R = 6
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# T1 — corpus token statistics per (lang, source)
+# ---------------------------------------------------------------------------
+@register(
+    "t1_token_stats",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, source, n_chars,
+         {X.sql_token_count("text")} AS token_count
+  FROM documents
+)
+SELECT lang, source,
+       count(*) AS doc_count,
+       sum(token_count) AS total_tokens,
+       round(avg(CAST(token_count AS DOUBLE)), {_R}) AS avg_tokens,
+       max(token_count) AS max_tokens,
+       min(token_count) AS min_tokens,
+       round(avg(CAST(n_chars AS DOUBLE)), {_R}) AS avg_chars
+FROM d
+GROUP BY lang, source
+""",
+    doc="T1: token counting + corpus stats per (lang, source)",
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumn("token_count", X.token_count("text"))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("token_count").alias("total_tokens"),
+        F.round(F.avg(F.col("token_count").cast("double")), _R).alias("avg_tokens"),
+        F.max("token_count").alias("max_tokens"),
+        F.min("token_count").alias("min_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), _R).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 — per-document quality scoring
+# ---------------------------------------------------------------------------
+@register(
+    "t2_doc_quality",
+    oracle=f"""
+SELECT doc_id,
+       {X.sql_token_count("text")} AS token_count,
+       {X.sql_stopword_count("text")} AS stopword_count,
+       round({X.sql_avg_token_length("text")}, {_R}) AS avg_token_len,
+       round({X.sql_quality_score("text")}, {_R}) AS quality_score
+FROM documents
+""",
+    doc="T2: length/stopword/word-length composite quality score per doc",
+)
+def t2_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("token_count"),
+        X.stopword_count("text").alias("stopword_count"),
+        F.round(X.avg_token_length("text"), _R).alias("avg_token_len"),
+        F.round(X.quality_score("text"), _R).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3 — language-ID heuristic (stopword-ratio n-gram proxy) vs labels
+# ---------------------------------------------------------------------------
+@register(
+    "t3_langid_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         CASE WHEN CAST({X.sql_stopword_count("text")} AS DOUBLE)
+                   / {X.sql_token_count("text")} >= 0.05
+              THEN 'en_like' ELSE 'unknown' END AS predicted_lang
+  FROM documents
+)
+SELECT lang, predicted_lang, count(*) AS doc_count
+FROM scored
+GROUP BY lang, predicted_lang
+""",
+    doc="T3: heuristic language-ID prediction × labeled-lang confusion counts",
+)
+def t3_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ratio = X.stopword_count("text").cast("double") / X.token_count("text")
+    return (
+        d.select(
+            "lang",
+            F.when(ratio >= 0.05, "en_like").otherwise("unknown").alias(
+                "predicted_lang"
+            ),
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("doc_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4 — document fingerprint (rolling polynomial hash)
+# ---------------------------------------------------------------------------
+@register(
+    "t4_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       {X.sql_fingerprint("text")} AS fingerprint
+FROM documents
+""",
+    doc="T4: rolling-hash fingerprint per document",
+)
+def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", X.fingerprint("text").alias("fingerprint"))
