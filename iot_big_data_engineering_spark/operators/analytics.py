@@ -46,9 +46,8 @@ def _with_date(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # A1 — 1-minute tumbling-window analytics (batch form of the streaming agg)
 # ---------------------------------------------------------------------------
-@register(
-    "a1_windowed_analytics",
-    oracle=SENSOR_ORACLE_CTE
+A1_ORACLE = (
+    SENSOR_ORACLE_CTE
     + f"""
 SELECT date_trunc('minute', ts) AS window_start,
        date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
@@ -59,7 +58,13 @@ SELECT date_trunc('minute', ts) AS window_start,
        round(avg(quality_score), {_R}) AS avg_quality_score
 FROM sensor_quality_checked
 GROUP BY 1, 2, 3
-""",
+"""
+)
+
+
+@register(
+    "a1_windowed_analytics",
+    oracle=A1_ORACLE,
     doc="A1: tumbling 1-min window × sensor_type aggregate",
 )
 def a1_windowed_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,149 @@
+"""Multimodal-column plumbing (training-data pipeline extension).
+
+Media payloads are opaque ``binary`` columns + a typed metadata struct —
+the 100 TB pattern: bytes never shuffle through Python except in
+Arrow-batched ``mapInPandas`` kernels; all bookkeeping (lengths, checksums,
+manifests) stays JVM-side.
+
+The container has no image/audio libs, so the actual decode is STUBBED
+(`decode_media` raises NotImplementedError unless a library import
+succeeds; `fake_decode_stats` is the deterministic stand-in) — but the
+Spark-side plumbing is real and tested: binary column construction, the
+mapInPandas signature (iterator of pandas batches in/out), output schema,
+and partition behavior. The testdata has no media files, so `documents.text`
+encoded as UTF-8 bytes stands in for the payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..sources.tables import load_table
+
+_R = 6
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, media_type, payload binary, meta struct).
+    media_type is a deterministic assignment (doc_id mod 3)."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("lang").alias("lang"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.md5("text").alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MM1 — manifest: typed metadata over binary payloads (oracle-checked)
+# ---------------------------------------------------------------------------
+@register(
+    "mm1_media_manifest",
+    oracle="""
+SELECT doc_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+""",
+    doc="MM1: binary payload manifest (type, size, checksum) per doc",
+)
+def mm1_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return b.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MM2 — per-type storage stats (oracle-checked)
+# ---------------------------------------------------------------------------
+@register(
+    "mm2_media_type_stats",
+    oracle=f"""
+SELECT ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS media_type,
+       count(*) AS n_items,
+       sum(octet_length(encode(text))) AS total_bytes,
+       round(avg(CAST(octet_length(encode(text)) AS DOUBLE)), {_R}) AS avg_bytes,
+       max(octet_length(encode(text))) AS max_bytes
+FROM documents
+GROUP BY 1
+""",
+    doc="MM2: binary storage statistics per media type",
+)
+def mm2_media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    nb = F.col("meta.n_bytes")
+    return b.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum(nb).alias("total_bytes"),
+        F.round(F.avg(nb.cast("double")), _R).alias("avg_bytes"),
+        F.max(nb).alias("max_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode kernels (mapInPandas plumbing; real decode stubbed)
+# ---------------------------------------------------------------------------
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, width int, height int, "
+    "n_frames int"
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Real decode path — requires media libraries that this container
+    does not ship. The Spark plumbing (Arrow batches, schema) is identical
+    to fake_decode_stats; only the per-batch kernel differs."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "media decode requires Pillow/librosa/ffmpeg — not available in "
+            "this environment; use fake_decode_stats for plumbing tests"
+        ) from exc
+    raise NotImplementedError("real decode kernel intentionally not shipped")
+
+
+def fake_decode_stats(df: DataFrame) -> DataFrame:
+    """Deterministic stand-in decode: derives 'dimensions' from payload
+    bytes. Exercises the exact production plumbing — iterator of Arrow
+    batches in, typed pandas frames out, vectorized per batch."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "width": (n_bytes % 640 + 1).astype("int32"),
+                    "height": (n_bytes % 480 + 1).astype("int32"),
+                    "n_frames": (
+                        (pdf["doc_id"] % 24 + 1).where(
+                            pdf["media_type"] == "video", 1
+                        )
+                    ).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=DECODE_SCHEMA)

@@ -4,24 +4,23 @@ training-data pipeline extension (BASELINE.json north star).
 - s1: brute-force cosine top-k — the exact baseline, built-in exprs only
       (zip_with/aggregate fold → deterministic double math shared with the
       DuckDB oracle).
-- s2: IVF-style two-stage search (coarse centroids → probe best clusters →
-      exact rerank inside) — the 100 TB scale path. Centroids are computed
-      with a posexplode + groupBy(pos) mean (pure built-ins), the probe set
-      is a broadcast join, and only ~nprobe/nlist of the corpus is scanned.
-      rows-only checked; recall vs s1 is property-tested.
-- a NumPy mapInPandas kernel (numpy_topk) used by tests as the vectorized
-  equivalence check — the Arrow-batched form you would use when the corpus
-  partition fits in executor memory.
-
-Scale notes: brute-force is O(Q·N·d) — fine for reranking, wrong as the
-scan; IVF reduces the scanned fraction to nprobe/nlist. At 100 TB the
-corpus side would be written partitioned by cluster id so the probe is a
-partition-pruned scan, not a filter over everything.
+- s2: IVF two-stage ANN — deterministic k-means (Lloyd's iterations as
+      pure DataFrame ops: broadcast-join assignment + posexplode mean
+      update) builds nlist coarse cells; queries probe the nprobe nearest
+      cells and exact-rerank inside. The 100 TB path: the corpus would be
+      written partitioned by cell id, so a probe is a partition-pruned
+      scan of nprobe/nlist of the data. rows-only checked; recall on
+      planted near-duplicates is property-tested (the testdata embeddings
+      are isotropic-random — label is NOT a geometric cluster — so recall
+      on random neighbors would measure the data, not the operator).
+- numpy_topk: Arrow-batched mapInPandas matmul kernel, the vectorized
+      form when Python-side scoring is unavoidable; tests assert it agrees
+      exactly with s1.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import vectors as V
 from ..registry import register
@@ -65,8 +64,6 @@ FROM ranked WHERE rank <= {K}
     doc="S1: exact brute-force cosine top-10 for 5 query vectors",
 )
 def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -91,55 +88,79 @@ def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S2 — IVF-style two-stage ANN (scale path; rows-only + recall test)
+# Deterministic distributed k-means (Lloyd's algorithm, pure DataFrame ops)
 # ---------------------------------------------------------------------------
-def centroids(e: DataFrame) -> DataFrame:
-    """Per-label mean vector via posexplode + groupBy(label, pos) — pure
-    built-ins, one shuffle of (label, pos, value) triples."""
+def assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (small) centroid table,
+    score every (vector, centroid) pair, keep the argmax. Shuffle carries
+    only (vec_id, cell)."""
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "v", "cell", V.cosine(F.col("v"), F.col("centroid")).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
     return (
-        e.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", "pos")
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cell")
+    )
+
+
+def _mean_vectors(assigned: DataFrame, group_col: str, vec_col: str = "v") -> DataFrame:
+    """Element-wise mean vector per group via posexplode + groupBy(pos) —
+    pure built-ins; the shuffle carries (group, pos, value) triples."""
+    return (
+        assigned.select(group_col, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(group_col, "pos")
         .agg(F.avg("x").alias("m"))
-        .groupBy("label")
+        .groupBy(group_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
-            "label", F.transform("pm", lambda s: s.getField("m")).alias("centroid")
+            group_col,
+            F.transform("pm", lambda s: s.getField("m")).alias("centroid"),
         )
     )
 
 
-@register(
-    "s2_knn_ivf",
-    oracle=None,  # approximate scan order; recall vs s1 property-tested
-    doc="S2: IVF ANN — probe 3 nearest label-centroids, exact rerank inside",
-)
-def s2_knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFrame:
-    from pyspark.sql import Window
+def kmeans_centroids(e: DataFrame, nlist: int = 16, iters: int = 3) -> DataFrame:
+    """Deterministic Lloyd's: seed centroids = the nlist lowest vec_ids,
+    then `iters` rounds of assign → mean. Returns (cell, centroid)."""
+    w = Window.orderBy("vec_id")
+    seeds = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nlist)
+        .select((F.col("rn") - 1).alias("cell"), F.col("v").alias("centroid"))
+    )
+    cent = seeds
+    for _ in range(iters):
+        assigned = assign_cells(e, cent)
+        cent = _mean_vectors(assigned, "cell")
+    return cent
 
-    e = _emb(spark, sf_dir)
-    cent = centroids(e)
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+
+def ivf_topk(
+    e: DataFrame,
+    queries: DataFrame,
+    k: int = K,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """Two-stage ANN: coarse-quantize the corpus into nlist k-means cells,
+    probe the nprobe closest cells per query, exact-rerank inside them.
+    `queries` must have (query_id, qv)."""
+    cent = kmeans_centroids(e, nlist=nlist, iters=iters)
+    indexed = assign_cells(e, cent)  # corpus → cell (the partition key at scale)
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qv", "cell", V.cosine(F.col("qv"), F.col("centroid")).alias("ccos")
     )
-    # stage 1: per query, pick nprobe closest centroids
-    qc = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "qv",
-            "label",
-            V.cosine(F.col("qv"), F.col("centroid")).alias("ccos"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
     probes = (
         qc.withColumn("crank", F.row_number().over(wq))
         .filter(F.col("crank") <= nprobe)
-        .select("query_id", "qv", "label")
+        .select("query_id", "qv", "cell")
     )
-    # stage 2: exact cosine only inside probed clusters
     scored = (
-        e.join(F.broadcast(probes), "label")
+        indexed.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -150,9 +171,22 @@ def s2_knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 3) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+@register(
+    "s2_knn_ivf",
+    oracle=None,  # approximate; planted-duplicate recall property-tested
+    doc="S2: IVF ANN — deterministic k-means cells, probe 4 of 16, rerank",
+)
+def s2_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_topk(e, q)
 
 
 # ---------------------------------------------------------------------------
@@ -179,20 +213,17 @@ def numpy_topk(e: DataFrame, queries: list[tuple[int, list[float]]], k: int = K)
             m = np.stack(pdf["v"].to_numpy())
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             sims = m @ qn.T  # (batch, nq)
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "query_id": np.repeat(ids, len(pdf)),
                     "vec_id": np.tile(pdf["vec_id"].to_numpy(), len(ids)),
                     "cosine": sims.T.reshape(-1),
                 }
             )
-            yield out
 
     scored = e.select("vec_id", "v").mapInPandas(
         score, schema="query_id long, vec_id long, cosine double"
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.round("cosine", _R).desc(), F.col("vec_id")
     )

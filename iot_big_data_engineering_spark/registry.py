@@ -75,6 +75,8 @@ def _ensure_loaded() -> None:
         dedup,
         similarity,
         textstats,
+        multimodal,
     )
+    from .streaming import pipeline  # noqa: F401
 
     _LOADED = True

@@ -43,9 +43,9 @@ _ANOMALY_DEFAULT_THRESHOLD = 195.0
 _ANOMALY_DEFAULT_SCORE = 0.5
 
 
-def sensor_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events mapped onto the canonical sensor-reading shape (pre-quality)."""
-    e = load_table(spark, sf_dir, "events")
+def map_events(e: DataFrame) -> DataFrame:
+    """Map an events-shaped DataFrame (batch OR streaming) onto the
+    canonical sensor-reading shape."""
     return e.select(
         F.col("ts"),
         F.concat(
@@ -57,6 +57,11 @@ def sensor_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").alias("measurements"),
         F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
     )
+
+
+def sensor_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events mapped onto the canonical sensor-reading shape (pre-quality)."""
+    return map_events(load_table(spark, sf_dir, "events"))
 
 
 def _quality_score_col() -> F.Column:
@@ -85,10 +90,10 @@ def _anomaly_score_col() -> F.Column:
     return expr.otherwise(F.lit(0.0))
 
 
-def quality_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1+P2+P3+P4 applied — the analog of table ``sensor_quality_checked``
+def apply_quality(s: DataFrame) -> DataFrame:
+    """P1+P2+P3+P4 applied to a sensor-reading DataFrame (batch OR
+    streaming) — the analog of table ``sensor_quality_checked``
     (reference docker/init-db.sql:5-18)."""
-    s = sensor_readings(spark, sf_dir)
     return (
         s.filter(
             F.col("ts").isNotNull()
@@ -102,6 +107,11 @@ def quality_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "processing_timestamp", F.col("ts") + F.expr("INTERVAL 5 SECONDS")
         )
     )
+
+
+def quality_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch convenience: events table → sensor mapping → quality stage."""
+    return apply_quality(sensor_readings(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

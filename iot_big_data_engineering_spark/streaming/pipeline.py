@@ -1,0 +1,221 @@
+"""Structured Streaming pipeline — the rebuild of the reference's DStream
+job (src/spark/streaming/SensorDataProcessor.scala:22-230), SURVEY.md §2.7.
+
+Reference shape: Kafka → per-10s micro-batch → parse → quality checks →
+1-minute windowed analytics → anomaly detection → three Hive sinks.
+Rebuild shape (Spark-first):
+
+    readStream (file/rate/kafka) → map to sensor schema → apply_quality
+      → foreachBatch(epoch):
+          quality rows   → parquet append  (sensor_quality_checked)
+          A1 window agg  → parquet append  (sensor_analytics)
+          anomaly rows   → parquet append  (sensor_anomalies)
+
+Two window semantics, both provided (SURVEY §7.4.3):
+- ``run_microbatch_pipeline`` reproduces the reference's per-batch windows
+  (window() applied inside each micro-batch; windows never span batches —
+  observable-output parity with the reference);
+- ``windowed_analytics_stream`` is the idiomatic cross-batch form:
+  ``withWatermark`` + tumbling window + late-data tolerance. Distinct
+  counts use ``approx_count_distinct`` (exact distinct is unsupported in
+  true streaming aggregation — SURVEY §7.4.4).
+
+Deliberately NOT copied from the reference (SURVEY §4 anti-patterns):
+no ``count() > 0`` guards before writes (each is an extra job per batch),
+no per-record parser allocation, no schema inference.
+
+Scale notes: at production scale the three sinks become partitioned tables
+(partitionBy(date)); foreachBatch + epoch-keyed overwrite gives exactly-once
+into an idempotent sink; checkpointLocation carries source offsets.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..schema import TESTDATA_SCHEMAS
+from ..sources.sensor_view import apply_quality, map_events
+
+# raw (pre-conversion) schema of the events parquet: ts is int64 nanoseconds
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_file_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Bounded file-stream over events parquet (the test/CI stand-in for
+    the Kafka source; same downstream pipeline)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def sensor_stream(spark: SparkSession, path: str, **kw) -> DataFrame:
+    """events stream → canonical sensor readings → quality stage."""
+    return apply_quality(map_events(events_file_stream(spark, path, **kw)))
+
+
+def batch_windowed_analytics(df: DataFrame) -> DataFrame:
+    """A1 aggregation applied to one micro-batch (reference
+    SensorDataProcessor.scala:160-169 — exact countDistinct is fine here
+    because each micro-batch is a plain batch DataFrame)."""
+    w = F.window("ts", "1 minute")
+    return (
+        df.groupBy(w.alias("w"), "sensor_type")
+        .agg(
+            F.count("*").alias("record_count"),
+            F.countDistinct("vehicle_id").alias("unique_vehicles"),
+            F.countDistinct("sensor_id").alias("unique_sensors"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality_score"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sensor_type",
+            "record_count",
+            "unique_vehicles",
+            "unique_sensors",
+            "avg_quality_score",
+        )
+    )
+
+
+def run_microbatch_pipeline(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    glob: str | None = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Reference-parity pipeline: quality → per-batch windowed analytics →
+    anomalies, each appended to a parquet sink per micro-batch. Runs the
+    bounded stream to completion and returns the sink paths."""
+    quality_path = os.path.join(out_dir, "sensor_quality_checked")
+    analytics_path = os.path.join(out_dir, "sensor_analytics")
+    anomalies_path = os.path.join(out_dir, "sensor_anomalies")
+    checkpoint = os.path.join(out_dir, "_checkpoint")
+
+    stream = sensor_stream(
+        spark, source_path, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(quality_path)
+            batch_windowed_analytics(batch_df).withColumn(
+                "epoch_id", F.lit(epoch_id)
+            ).write.mode("append").parquet(analytics_path)
+            batch_df.filter(F.col("anomaly_score") > 0).write.mode(
+                "append"
+            ).parquet(anomalies_path)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        "quality": quality_path,
+        "analytics": analytics_path,
+        "anomalies": anomalies_path,
+    }
+
+
+def windowed_analytics_stream(
+    stream: DataFrame, watermark: str = "2 minutes"
+) -> DataFrame:
+    """Idiomatic cross-batch tumbling windows with late-data handling.
+    approx_count_distinct replaces exact distinct (unsupported in streaming
+    aggregates); rsd=0.01 keeps the HLL sketch small enough to ship in
+    state-store rows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "sensor_type")
+        .agg(
+            F.count("*").alias("record_count"),
+            F.approx_count_distinct("vehicle_id", 0.01).alias("unique_vehicles"),
+            F.approx_count_distinct("sensor_id", 0.01).alias("unique_sensors"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality_score"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sensor_type",
+            "record_count",
+            "unique_vehicles",
+            "unique_sensors",
+            "avg_quality_score",
+        )
+    )
+
+
+def run_windowed_stream_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    name: str = "windowed_out",
+    glob: str | None = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Run the watermarked windowed aggregation over a bounded stream into
+    an in-memory sink (append mode: only watermark-closed windows emit)."""
+    stream = sensor_stream(
+        spark, source_path, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    q = (
+        windowed_analytics_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming query: the full micro-batch pipeline over the events
+# file (bounded stream), returning the accumulated sensor_analytics sink.
+# With availableNow over a single parquet file the stream is one micro-batch,
+# so the accumulated output equals batch A1 exactly → shares A1's oracle.
+# ---------------------------------------------------------------------------
+from ..operators.analytics import A1_ORACLE  # noqa: E402
+from ..registry import register  # noqa: E402
+
+
+@register(
+    "st1_streaming_microbatch_analytics",
+    oracle=A1_ORACLE,
+    doc="S1-S6 streaming pipeline: foreachBatch fan-out, analytics sink",
+)
+def st1_streaming_microbatch_analytics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out_dir = tempfile.mkdtemp(prefix="iotx_stream_")
+    paths = run_microbatch_pipeline(spark, sf_dir, out_dir)
+    return spark.read.parquet(paths["analytics"]).drop("epoch_id")

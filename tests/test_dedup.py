@@ -1,0 +1,92 @@
+"""Property tests for the approximate dedup operators (no SQL oracle):
+MinHash-LSH recall against the exact-Jaccard anchor, signature sanity,
+SimHash bit-level properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_big_data_engineering_spark.operators.dedup import (
+    N_PERM,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from iot_big_data_engineering_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_minhash_signature_shape(spark, docs):
+    sigs = minhash_signatures(docs)
+    row = sigs.select(F.size("sig").alias("n")).distinct().collect()
+    assert [r.n for r in row] == [N_PERM]
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    """A duplicated doc must produce an identical signature (minhash is a
+    pure function of the shingle set)."""
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    sigs = minhash_signatures(docs.limit(5).unionAll(dup))
+    pairs = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            F.col("a.doc_id") + 100000 == F.col("b.doc_id"),
+        )
+        .select((F.col("a.sig") == F.col("b.sig")).alias("eq"))
+        .collect()
+    )
+    assert pairs and all(r.eq for r in pairs)
+
+
+def test_lsh_recall_on_planted_duplicates(spark, docs):
+    """Plant exact + near duplicates; LSH candidate generation must
+    recover them (identical docs collide in every band; near-identical in
+    at least one with overwhelming probability)."""
+    base = docs.limit(20)
+    exact_dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    near_dup = base.withColumn("doc_id", F.col("doc_id") + 200000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tail token"))
+    )
+    corpus = docs.unionAll(exact_dup).unionAll(near_dup)
+    cands = lsh_candidate_pairs(minhash_signatures(corpus))
+    cand_set = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    exact_found = sum(1 for i in range(20) if (i, i + 100000) in cand_set)
+    near_found = sum(1 for i in range(20) if (i, i + 200000) in cand_set)
+    assert exact_found == 20, f"exact dups missed: {20 - exact_found}"
+    assert near_found >= 16, f"near-dup recall too low: {near_found}/20"
+
+
+def test_simhash_duplicate_distance_zero(spark, docs):
+    from iot_big_data_engineering_spark.functions import text as X
+    from iot_big_data_engineering_spark.operators.dedup import simhash_col
+
+    base = docs.limit(10)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    sims = (
+        base.unionAll(dup)
+        .select(
+            "doc_id",
+            F.transform(
+                X.distinct_tokens("text"), lambda t: F.xxhash64(t)
+            ).alias("th"),
+        )
+        .withColumn("simhash", simhash_col())
+    )
+    a, b = sims.alias("a"), sims.alias("b")
+    rows = (
+        a.join(b, F.col("a.doc_id") + 100000 == F.col("b.doc_id"))
+        .select(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming")
+        )
+        .collect()
+    )
+    assert rows and all(r.hamming == 0 for r in rows)

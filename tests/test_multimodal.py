@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: binary payload construction, the
+mapInPandas decode kernel's schema/batch behavior, and the stub gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_big_data_engineering_spark.operators.multimodal import (
+    decode_media,
+    fake_decode_stats,
+    with_binary_payload,
+)
+from iot_big_data_engineering_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_binary_payload_roundtrip(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    b = with_binary_payload(docs)
+    row = (
+        b.join(docs, "doc_id")
+        .select(F.decode("payload", "UTF-8").alias("back"), "text")
+        .limit(20)
+        .collect()
+    )
+    assert row and all(r.back == r.text for r in row)
+    assert dict(b.dtypes)["payload"] == "binary"
+
+
+def test_fake_decode_plumbing(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    b = with_binary_payload(docs).repartition(4)  # force multiple Arrow batches
+    out = fake_decode_stats(b)
+    assert out.columns == [
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+    ]
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:50]:
+        assert r.n_bytes > 0
+        assert 1 <= r.width <= 640 and 1 <= r.height <= 480
+        assert (r.n_frames == 1) or (r.media_type == "video" and r.n_frames > 1)
+    # determinism across runs
+    again = {(r.doc_id, r.width, r.height) for r in fake_decode_stats(b).collect()}
+    assert {(r.doc_id, r.width, r.height) for r in rows} == again
+
+
+def test_real_decode_is_gated(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    b = with_binary_payload(docs)
+    with pytest.raises(NotImplementedError):
+        decode_media(b)

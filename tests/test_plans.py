@@ -1,0 +1,78 @@
+"""Physical-plan regression tests — the mechanical form of "would this
+survive a 100× scale-up": filters push to parquet scans, projections
+prune columns, dimension joins broadcast, no accidental cartesian
+products, hot aggregations stay in whole-stage codegen."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_big_data_engineering_spark.operators.joins import (
+    j3_shipping_priority,
+    j5_region_supplier_volume,
+    j11_brand_revenue,
+    j13_events_enriched,
+)
+from iot_big_data_engineering_spark.operators.serving import p7_vehicle_scan
+from iot_big_data_engineering_spark.operators.analytics import a2_daily_analytics
+from iot_big_data_engineering_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    assert_whole_stage_codegen,
+    plan_str,
+)
+from iot_big_data_engineering_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_dimension_joins_broadcast(spark):
+    for q in (j3_shipping_priority, j5_region_supplier_volume, j11_brand_revenue, j13_events_enriched):
+        df = q(spark, SF_SMOKE)
+        assert_broadcast_join(df)
+        assert_no_cartesian(df)
+
+
+def test_filter_pushdown_to_parquet(spark):
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    df = l.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    assert_pushed_filter(df, "l_quantity")
+
+
+def test_column_pruning(spark):
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    df = l.select("l_orderkey", "l_quantity")
+    assert_read_schema_only(
+        df, "lineitem.parquet", {"l_orderkey", "l_quantity"}
+    )
+
+
+def test_serving_scan_prunes_and_pushes(spark):
+    # vehicle filter applies post-projection (format_string), but the
+    # events scan must still prune to the used columns only
+    df = p7_vehicle_scan(spark, SF_SMOKE)
+    assert_read_schema_only(
+        df,
+        "events.parquet",
+        {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    )
+
+
+def test_aggregations_codegen(spark):
+    # AQE wraps the plan in AdaptiveSparkPlan before execution, hiding the
+    # codegen stage markers — toggle it off just for the plan inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert_whole_stage_codegen(a2_daily_analytics(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """The daily analytics agg must plan partial (map-side) aggregation —
+    at 100 TB the shuffle carries group rows, not input rows."""
+    p = plan_str(a2_daily_analytics(spark, SF_SMOKE), mode="simple")
+    assert p.count("HashAggregate") >= 2, p  # partial + final

@@ -1,0 +1,77 @@
+"""Similarity-search tests: the NumPy mapInPandas kernel must agree with
+the built-in-expression brute force (s1), and the IVF two-stage search
+must achieve high recall against it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_big_data_engineering_spark.operators.similarity import (
+    _emb,
+    numpy_topk,
+    s1_knn_bruteforce,
+    s2_knn_ivf,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_numpy_kernel_matches_expression_bruteforce(spark):
+    exact = {
+        (r.query_id, r.vec_id) for r in s1_knn_bruteforce(spark, SF_SMOKE).collect()
+    }
+    e = _emb(spark, SF_SMOKE)
+    queries = [
+        (r.vec_id, r.v) for r in e.filter(F.col("vec_id") < 5).collect()
+    ]
+    vec = {(r.query_id, r.vec_id) for r in numpy_topk(e, queries).collect()}
+    assert exact == vec
+
+
+def test_ivf_planted_duplicate_recall(spark):
+    """The testdata embeddings are isotropic-random (no geometric
+    clusters), so recall on random neighbors measures the data, not the
+    operator. Plant near-duplicates (scaled copies, cosine ≈ 1) of the
+    query vectors into the corpus: IVF must place each planted vector in
+    the same k-means cell as its query and return it as the #1 hit."""
+    from iot_big_data_engineering_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, SF_SMOKE)
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform("v", lambda x: x * 2.0).alias("v"),
+    )
+    corpus = e.unionAll(planted)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    top = ivf_topk(corpus, q)
+    rank1 = {r.query_id: r.vec_id for r in top.collect() if r.rank == 1}
+    assert rank1 == {i: i + 100000 for i in range(5)}, rank1
+
+
+def test_ivf_runs_on_raw_corpus(spark):
+    rows = s2_knn_ivf(spark, SF_SMOKE).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert len(by_query) == 5
+    for rs in by_query.values():
+        assert len(rs) == 10
+
+
+def test_bruteforce_rank_properties(spark):
+    rows = s1_knn_bruteforce(spark, SF_SMOKE).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert len(by_query) == 5
+    for q, rs in by_query.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, 11))
+        sims = [r.cosine for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+        assert all(r.vec_id != q for r in rs)  # self excluded

@@ -1,0 +1,124 @@
+"""Streaming semantics tests (SURVEY.md §2.7): the foreachBatch pipeline's
+accumulated output is validated against the batch pipeline on identical
+input — including a MULTI-batch run (maxFilesPerTrigger=1 over a split
+copy of events) where per-batch windows must still sum to the batch totals
+and cross-batch watermarked windows must equal the batch windows exactly."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_big_data_engineering_spark.sources.sensor_view import quality_checked
+from iot_big_data_engineering_spark.streaming.pipeline import (
+    run_microbatch_pipeline,
+    run_windowed_stream_to_memory,
+    sensor_stream,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, tmp_path_factory):
+    """events split into 4 parquet files → 4 micro-batches with
+    maxFilesPerTrigger=1."""
+    out = str(tmp_path_factory.mktemp("events_split"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    raw.repartition(4).write.mode("overwrite").parquet(out)
+    # drop _SUCCESS etc so the glob picks only data files
+    return out
+
+
+def test_single_batch_pipeline_matches_batch(spark, tmp_path):
+    out = str(tmp_path / "stream_out")
+    paths = run_microbatch_pipeline(spark, SF_SMOKE, out)
+    got_quality = spark.read.parquet(paths["quality"])
+    want_quality = quality_checked(spark, SF_SMOKE)
+    assert got_quality.count() == want_quality.count()
+    # anomaly sink = filtered subset
+    got_anom = spark.read.parquet(paths["anomalies"])
+    assert got_anom.count() == want_quality.filter(F.col("anomaly_score") > 0).count()
+
+
+def test_multibatch_quality_rows_match_batch(spark, split_events_dir, tmp_path):
+    out = str(tmp_path / "stream_out_mb")
+    paths = run_microbatch_pipeline(
+        spark, split_events_dir, out, glob="part-*.parquet", max_files_per_trigger=1
+    )
+    got = spark.read.parquet(paths["quality"])
+    want = quality_checked(spark, SF_SMOKE)
+    assert got.count() == want.count()
+    # row-level equality (order-insensitive): anti-joins empty both ways
+    cols = ["ts", "sensor_id", "vehicle_id", "sensor_type", "value"]
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+    # multiple epochs actually ran
+    epochs = (
+        spark.read.parquet(paths["analytics"]).select("epoch_id").distinct().count()
+    )
+    assert epochs >= 2
+
+
+def test_multibatch_per_batch_windows_sum_to_batch_totals(
+    spark, split_events_dir, tmp_path
+):
+    """Per-batch windows (reference semantics) emit partial rows per epoch;
+    their record_count must SUM to the true per-window totals."""
+    out = str(tmp_path / "stream_out_sum")
+    paths = run_microbatch_pipeline(
+        spark, split_events_dir, out, glob="part-*.parquet", max_files_per_trigger=1
+    )
+    got = (
+        spark.read.parquet(paths["analytics"])
+        .groupBy("window_start", "window_end", "sensor_type")
+        .agg(F.sum("record_count").alias("record_count"))
+    )
+    want = (
+        quality_checked(spark, SF_SMOKE)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "sensor_type")
+        .agg(F.count("*").alias("record_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sensor_type",
+            "record_count",
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_watermarked_windows_match_batch_counts(spark, split_events_dir):
+    """Cross-batch watermarked tumbling windows: every window the stream
+    emits must carry exactly the batch count for that window (append mode
+    withholds windows the watermark hasn't closed; emitted ones are final)."""
+    got = run_windowed_stream_to_memory(
+        spark,
+        split_events_dir,
+        name="wm_out",
+        glob="part-*.parquet",
+        max_files_per_trigger=1,
+    ).select("window_start", "window_end", "sensor_type", "record_count")
+    want = (
+        quality_checked(spark, SF_SMOKE)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "sensor_type")
+        .agg(F.count("*").alias("record_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sensor_type",
+            "record_count",
+        )
+    )
+    assert got.count() > 0
+    # every emitted window is final and equals the batch aggregation
+    assert got.exceptAll(want).count() == 0
+
+
+def test_stream_is_streaming(spark):
+    assert sensor_stream(spark, SF_SMOKE).isStreaming
