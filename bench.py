@@ -34,9 +34,14 @@ HEADLINE = [
     "d3_jaccard_pairs",
     "d4_minhash_lsh_dedup",
     "s1_knn_bruteforce",
+    "s2_knn_ivf",
     "t1_token_stats",
     "t2_doc_quality",
     "t4_fingerprints",
+    "adv1_sessionize",
+    "adv2_asof_join",
+    "adv6_percentiles",
+    "mm2_media_type_stats",
 ]
 
 

@@ -108,12 +108,16 @@ def sql_tokens(col: str = "text") -> str:
 
 
 def sql_token_count(col: str = "text") -> str:
-    return f"len({sql_tokens(col)})"
+    # CAST to INTEGER: DuckDB len() is BIGINT, Spark size() is int
+    return f"CAST(len({sql_tokens(col)}) AS INTEGER)"
 
 
 def sql_stopword_count(col: str = "text") -> str:
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
-    return f"len(list_filter({sql_tokens(col)}, t -> t IN ({stoplist})))"
+    return (
+        f"CAST(len(list_filter({sql_tokens(col)}, t -> t IN ({stoplist})))"
+        " AS INTEGER)"
+    )
 
 
 def sql_avg_token_length(col: str = "text") -> str:

@@ -1,0 +1,248 @@
+"""Advanced relational operators (beyond-reference engine capabilities):
+sessionization, as-of join, pivot, percentiles, histograms, and the
+salted-aggregation skew pattern. All oracle-checked.
+
+Scale notes per operator are inline; the common thread: every one is
+expressed so the expensive part is a single keyed shuffle (window or
+aggregate), with the skew-prone cases given an explicit mitigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.rounding import fround
+from ..registry import register
+from ..sources.tables import load_table
+
+_R = 6
+SESSION_GAP_MIN = 30
+
+
+# ---------------------------------------------------------------------------
+# ADV1 — sessionization: gap > 30 min starts a new session per user.
+# lag + cumulative-sum over an event-time window; one shuffle on user_id.
+# At 100 TB the same query runs per day-partition with session stitching
+# at boundaries, or as session_window() in streaming.
+# ---------------------------------------------------------------------------
+@register(
+    "adv1_sessionize",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+FROM s
+GROUP BY user_id, CAST(session_id AS BIGINT)
+""",
+    doc="ADV1: gap-based sessionization (lag + cumsum window)",
+)
+def adv1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    s = e.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        fround(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADV2 — as-of join: each event matched to the latest order (of the same
+# customer) at-or-before the event time. Spark lacks a native ASOF JOIN;
+# expressed as candidate equi-join + per-event row_number. At 100 TB the
+# candidate join is bounded by bucketing the time axis (join on
+# (customer, time_bucket) for buckets ∈ {t, t-1, ...}) — here customer
+# order counts are small, so the plain candidate set is the right plan.
+# Orders are pre-deduped to one per (custkey, orderdate) so the match is
+# unique and both engines tie-break identically.
+# ---------------------------------------------------------------------------
+@register(
+    "adv2_asof_join",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+    doc="ADV2: as-of join (latest order at-or-before each event)",
+)
+def adv2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    cand = e.join(
+        o,
+        (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADV3 — pivot: daily event counts, one column per event type.
+# Explicit pivot values keep the plan single-pass (no distinct-scan).
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "adv3_pivot_daily_counts",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS d,
+       {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+""",
+    doc="ADV3: pivot event_type → columns of daily counts",
+)
+def adv3_pivot_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("d"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADV4 — salted aggregation: the two-stage skew pattern. Stage 1 aggregates
+# on (key, salt) — a hot key's rows spread over 8 reducers — stage 2 merges
+# the partials. Result is identical to the direct aggregation (the oracle
+# IS the direct form), which is the point: a pure-plan mitigation.
+# ---------------------------------------------------------------------------
+_N_SALT = 8
+
+
+@register(
+    "adv4_salted_agg",
+    oracle=f"""
+SELECT event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value,
+       max(value) AS max_value
+FROM events
+GROUP BY event_type
+""",
+    doc="ADV4: two-stage salted aggregation ≡ direct groupBy (skew pattern)",
+)
+def adv4_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALT)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("psum"),
+            F.max("value").alias("pmax"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        fround(F.sum("psum").cast("double"), 2).alias("total_value"),
+        F.max("pmax").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADV5 — histogram / binning: fixed-width value buckets per event type.
+# ---------------------------------------------------------------------------
+@register(
+    "adv5_value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(floor(value / 20.0) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM events
+GROUP BY event_type, bucket
+""",
+    doc="ADV5: fixed-width histogram of value per event type",
+)
+def adv5_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 20.0).cast("bigint").alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# ADV6 — exact percentiles (interpolated), per event type. Spark
+# `percentile` and DuckDB `quantile_cont` both use linear interpolation
+# over the sorted values → identical doubles (rounded defensively).
+# At 100 TB swap for approx_percentile (t-digest) — provided as the
+# rows-only twin adv6b.
+# ---------------------------------------------------------------------------
+@register(
+    "adv6_percentiles",
+    oracle=f"""
+SELECT event_type,
+       round(quantile_cont(value, 0.25), {_R}) AS p25,
+       round(quantile_cont(value, 0.50), {_R}) AS p50,
+       round(quantile_cont(value, 0.75), {_R}) AS p75,
+       round(quantile_cont(value, 0.95), {_R}) AS p95
+FROM events
+GROUP BY event_type
+""",
+    doc="ADV6: exact interpolated percentiles per event type",
+)
+def adv6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        fround(F.percentile("value", 0.25), _R).alias("p25"),
+        fround(F.percentile("value", 0.50), _R).alias("p50"),
+        fround(F.percentile("value", 0.75), _R).alias("p75"),
+        fround(F.percentile("value", 0.95), _R).alias("p95"),
+    )
+
+
+@register(
+    "adv6b_approx_percentiles",
+    oracle=None,  # sketch-based; the 100 TB form of adv6
+    doc="ADV6 scale twin: approx_percentile sketch",
+)
+def adv6b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    )

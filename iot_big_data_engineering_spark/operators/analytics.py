@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.rounding import fround
 from ..registry import register
 from ..sources.sensor_view import SENSOR_ORACLE_CTE, quality_checked
 
@@ -76,7 +77,7 @@ def a1_windowed_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("record_count"),
             F.countDistinct("vehicle_id").alias("unique_vehicles"),
             F.countDistinct("sensor_id").alias("unique_sensors"),
-            F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+            fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -120,8 +121,8 @@ def a2_daily_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sensor_id").alias("unique_sensors"),
         F.min("ts").alias("first_reading"),
         F.max("ts").alias("last_reading"),
-        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
-        F.round(F.coalesce(F.stddev("quality_score"), F.lit(0.0)), _R).alias(
+        fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
+        fround(F.coalesce(F.stddev("quality_score"), F.lit(0.0)), _R).alias(
             "stddev_quality_score"
         ),
     )
@@ -137,12 +138,14 @@ def a2_daily_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(ts AS DATE) AS processing_date,
        sensor_type,
        count(*) AS record_count,
-       round(avg(CASE WHEN sensor_type = 'error' THEN value END), {_R}) AS avg_error_value,
+       round(CAST(sum(CASE WHEN sensor_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+             / count(CASE WHEN sensor_type = 'error' THEN value END), {_R}) AS avg_error_value,
        round(max(CASE WHEN sensor_type = 'error' THEN value END), {_R}) AS max_error_value,
        round(min(CASE WHEN sensor_type = 'error' THEN value END), {_R}) AS min_error_value,
        round(avg(CASE WHEN sensor_type = 'click' THEN k END), {_R}) AS avg_click_k,
        max(CASE WHEN sensor_type = 'click' THEN k END) AS max_click_k,
-       round(avg(CASE WHEN sensor_type = 'purchase' THEN value END), {_R}) AS avg_purchase_value,
+       round(CAST(sum(CASE WHEN sensor_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+             / count(CASE WHEN sensor_type = 'purchase' THEN value END), {_R}) AS avg_purchase_value,
        round(max(CASE WHEN sensor_type = 'purchase' THEN value END), {_R}) AS max_purchase_value,
        round(avg(CASE WHEN sensor_type = 'view' THEN k END), {_R}) AS avg_view_k
 FROM sensor_quality_checked
@@ -156,16 +159,22 @@ def a3_sensor_type_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cond_agg(agg, stype: str, col: str):
         return agg(F.when(F.col("sensor_type") == stype, F.col(col)))
 
+    def dec_avg(stype: str, col: str):
+        cond = F.col("sensor_type") == stype
+        return F.sum(
+            F.when(cond, F.col(col).cast("decimal(12,2)"))
+        ).cast("double") / F.count(F.when(cond, F.col(col)))
+
     return q.groupBy("processing_date", "sensor_type").agg(
         F.count("*").alias("record_count"),
-        F.round(cond_agg(F.avg, "error", "value"), _R).alias("avg_error_value"),
-        F.round(cond_agg(F.max, "error", "value"), _R).alias("max_error_value"),
-        F.round(cond_agg(F.min, "error", "value"), _R).alias("min_error_value"),
-        F.round(cond_agg(F.avg, "click", "k"), _R).alias("avg_click_k"),
+        fround(dec_avg("error", "value"), _R).alias("avg_error_value"),
+        fround(cond_agg(F.max, "error", "value"), _R).alias("max_error_value"),
+        fround(cond_agg(F.min, "error", "value"), _R).alias("min_error_value"),
+        fround(cond_agg(F.avg, "click", "k"), _R).alias("avg_click_k"),
         cond_agg(F.max, "click", "k").alias("max_click_k"),
-        F.round(cond_agg(F.avg, "purchase", "value"), _R).alias("avg_purchase_value"),
-        F.round(cond_agg(F.max, "purchase", "value"), _R).alias("max_purchase_value"),
-        F.round(cond_agg(F.avg, "view", "k"), _R).alias("avg_view_k"),
+        fround(dec_avg("purchase", "value"), _R).alias("avg_purchase_value"),
+        fround(cond_agg(F.max, "purchase", "value"), _R).alias("max_purchase_value"),
+        fround(cond_agg(F.avg, "view", "k"), _R).alias("avg_view_k"),
     )
 
 
@@ -197,10 +206,10 @@ def a4_vehicle_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_readings"),
         F.countDistinct("sensor_type").alias("sensor_types_used"),
         F.countDistinct("sensor_id").alias("unique_sensors"),
-        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+        fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
         F.min("ts").alias("first_reading"),
         F.max("ts").alias("last_reading"),
-        F.round(
+        fround(
             (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1000000.0, _R
         ).alias("coverage_seconds"),
     )
@@ -239,10 +248,10 @@ def a5_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         high.alias("high_quality_count"),
         F.count(F.when((qs >= 0.6) & (qs < 0.8), 1)).alias("medium_quality_count"),
         F.count(F.when(qs < 0.6, 1)).alias("low_quality_count"),
-        F.round(F.avg(qs), _R).alias("avg_quality_score"),
-        F.round(F.min(qs), _R).alias("min_quality_score"),
-        F.round(F.max(qs), _R).alias("max_quality_score"),
-        F.round(F.coalesce(F.stddev(qs), F.lit(0.0)), _R).alias("stddev_quality_score"),
+        fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
+        fround(F.min(qs), _R).alias("min_quality_score"),
+        fround(F.max(qs), _R).alias("max_quality_score"),
+        fround(F.coalesce(F.stddev(qs), F.lit(0.0)), _R).alias("stddev_quality_score"),
         (high * 100.0 / F.count("*")).cast("decimal(5,2)").alias("quality_percentage"),
     )
 
@@ -274,8 +283,8 @@ def a6_anomaly_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("processing_date", "sensor_type")
         .agg(
             F.count("*").alias("anomaly_count"),
-            F.round(F.avg("anomaly_score"), _R).alias("avg_anomaly_score"),
-            F.round(F.max("anomaly_score"), _R).alias("max_anomaly_score"),
+            fround(F.avg("anomaly_score"), _R).alias("avg_anomaly_score"),
+            fround(F.max("anomaly_score"), _R).alias("max_anomaly_score"),
             F.countDistinct("vehicle_id").alias("affected_vehicles"),
             F.countDistinct("sensor_id").alias("affected_sensors"),
         )
@@ -306,7 +315,7 @@ def a7_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("vehicle_id").alias("unique_vehicles"),
         F.countDistinct("sensor_id").alias("unique_sensors"),
         F.countDistinct("sensor_type").alias("unique_sensor_types"),
-        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+        fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
         F.count(F.when(F.col("anomaly_score") > 0, 1)).alias("anomaly_count"),
     )
 
@@ -322,7 +331,8 @@ SELECT sensor_type,
        count(*) AS record_count,
        count(DISTINCT vehicle_id) AS unique_vehicles,
        round(avg(quality_score), {_R}) AS avg_quality_score,
-       round(avg(value), {_R}) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value), {_R})
+         AS avg_value
 FROM sensor_quality_checked
 GROUP BY sensor_type
 ORDER BY record_count DESC, sensor_type
@@ -336,8 +346,12 @@ def a8_sensor_type_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("record_count"),
             F.countDistinct("vehicle_id").alias("unique_vehicles"),
-            F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
-            F.round(F.avg("value"), _R).alias("avg_value"),
+            fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
+            fround(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("value"),
+                _R,
+            ).alias("avg_value"),
         )
         .orderBy(F.col("record_count").desc(), F.col("sensor_type"))
     )
@@ -370,8 +384,8 @@ def a9_vehicle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("total_readings"),
             F.countDistinct("sensor_type").alias("sensor_types_used"),
-            F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
-            F.round(
+            fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
+            fround(
                 (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
                 / 3600000000.0,
                 _R,
@@ -409,7 +423,7 @@ def a15_daily_sensor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_records"),
         F.countDistinct("vehicle_id").alias("unique_vehicles"),
         F.countDistinct("sensor_id").alias("unique_sensors"),
-        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+        fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
         F.count(F.when(F.col("anomaly_score") > 0, 1)).alias("anomaly_count"),
     )
 
@@ -439,7 +453,7 @@ def a16_vehicle_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_readings"),
         F.countDistinct("sensor_type").alias("sensor_types_used"),
         F.countDistinct("sensor_id").alias("unique_sensors"),
-        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+        fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
         F.min("ts").alias("first_reading"),
         F.max("ts").alias("last_reading"),
     )
@@ -462,5 +476,5 @@ def a2_daily_analytics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("record_count"),
         F.approx_count_distinct("vehicle_id", 0.01).alias("unique_vehicles"),
         F.approx_count_distinct("sensor_id", 0.01).alias("unique_sensors"),
-        F.round(F.avg("quality_score"), _R).alias("avg_quality_score"),
+        fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
     )

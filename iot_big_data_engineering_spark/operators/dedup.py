@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as X
 from ..functions import vectors as V
+from ..functions.rounding import fround
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -136,7 +137,7 @@ def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             "doc_a",
             "doc_b",
-            F.round(
+            fround(
                 F.col("inter_size").cast("double")
                 / (F.col("size_sum") - F.col("inter_size")),
                 _R,
@@ -246,7 +247,7 @@ def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.select(
             "doc_a",
             "doc_b",
-            F.round(inter.cast("double") / union, _R).alias("jaccard"),
+            fround(inter.cast("double") / union, _R).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
@@ -342,7 +343,7 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, _R).alias("cosine"),
+            fround(cos, _R).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
         .limit(50)

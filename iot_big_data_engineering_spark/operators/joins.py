@@ -17,16 +17,46 @@ Join strategy for 100 TB:
   (`write.bucketBy(N, "o_orderkey")`); AQE handles skew splitting;
 - aggregations sit above the joins so Catalyst pushes filters beneath the
   join (verified in tests/test_plans.py).
+
+Determinism: money aggregates run through exact DECIMAL arithmetic
+(prices/discounts/taxes are 2-dp values), then convert to DOUBLE once —
+double summation is order-dependent across partitions, and Spark's and
+DuckDB's orders differ, so a double-summed revenue can land on a rounding
+boundary. Decimal sums are exact and associative → bit-identical across
+engines.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from ..functions.rounding import fround
 from ..registry import register
 from ..sources.tables import load_table
 
-_R = 6
+
+def _dec2(col: str) -> Column:
+    return F.col(col).cast("decimal(12,2)")
+
+
+# decimal forms of the classic revenue expressions
+def _disc_price() -> Column:
+    return _dec2("l_extendedprice") * (F.lit(1) - _dec2("l_discount"))
+
+
+def _charge() -> Column:
+    return _disc_price() * (F.lit(1) + _dec2("l_tax"))
+
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+)
+_SQL_CHARGE = _SQL_DISC_PRICE + " * (1 + CAST(l_tax AS DECIMAL(12,2)))"
+
+
+def _sum_dbl(c: Column) -> Column:
+    return F.sum(c).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -37,35 +67,39 @@ _R = 6
     oracle=f"""
 SELECT l_returnflag,
        l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), {_R}) AS avg_qty,
-       round(avg(l_extendedprice), {_R}) AS avg_price,
-       round(avg(l_discount), {_R}) AS avg_disc,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS sum_base_price,
+       round(CAST(sum({_SQL_DISC_PRICE}) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum({_SQL_CHARGE}) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """,
-    doc="J1: TPC-H Q1 pricing summary over lineitem",
+    doc="J1: TPC-H Q1 pricing summary over lineitem (decimal-exact sums)",
 )
 def j1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), _R).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), _R).alias("avg_price"),
-            F.round(F.avg("l_discount"), _R).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            fround(_sum_dbl(_dec2("l_quantity")), 2).alias("sum_qty"),
+            fround(_sum_dbl(_dec2("l_extendedprice")), 2).alias("sum_base_price"),
+            fround(_sum_dbl(_disc_price()), 2).alias("sum_disc_price"),
+            fround(_sum_dbl(_charge()), 2).alias("sum_charge"),
+            fround(_sum_dbl(_dec2("l_quantity")) / n, 6).alias("avg_qty"),
+            fround(_sum_dbl(_dec2("l_extendedprice")) / n, 6).alias("avg_price"),
+            fround(_sum_dbl(_dec2("l_discount")) / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -75,9 +109,9 @@ def j1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "j3_shipping_priority",
-    oracle="""
+    oracle=f"""
 SELECT l.l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(CAST(sum({_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE), 2) AS revenue,
        o.o_orderdate,
        o.o_orderpriority
 FROM customer c
@@ -108,11 +142,7 @@ def j3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(fround(_sum_dbl(_disc_price()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -124,9 +154,9 @@ def j3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "j5_region_supplier_volume",
-    oracle="""
+    oracle=f"""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(CAST(sum({_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE), 2) AS revenue,
        count(*) AS lineitem_count
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -153,9 +183,7 @@ def j5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            fround(_sum_dbl(_disc_price()), 2).alias("revenue"),
             F.count("*").alias("lineitem_count"),
         )
         .select("n_name", "revenue", "lineitem_count")
@@ -168,12 +196,13 @@ def j5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "j10_order_rollup",
-    oracle="""
+    oracle=f"""
 SELECT o.o_orderstatus,
        o.o_orderpriority,
        count(DISTINCT o.o_orderkey) AS order_count,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       round(avg(l.l_quantity), 6) AS avg_qty
+       round(CAST(sum({_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE), 2) AS revenue,
+       round(CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS avg_qty
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus, o.o_orderpriority
@@ -188,10 +217,10 @@ def j10_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", "o_orderpriority")
         .agg(
             F.countDistinct("o_orderkey").alias("order_count"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            fround(_sum_dbl(_disc_price()), 2).alias("revenue"),
+            fround(_sum_dbl(_dec2("l_quantity")) / F.count(F.lit(1)), 6).alias(
+                "avg_qty"
+            ),
         )
     )
 
@@ -201,11 +230,12 @@ def j10_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "j11_brand_revenue",
-    oracle="""
+    oracle=f"""
 SELECT p.p_brand,
        count(*) AS lineitem_count,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-       round(avg(p.p_retailprice), 6) AS avg_retail_price
+       round(CAST(sum({_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE), 2) AS revenue,
+       round(CAST(sum(CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 6) AS avg_retail_price
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
@@ -221,10 +251,10 @@ def j11_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("lineitem_count"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.round(F.avg("p_retailprice"), 6).alias("avg_retail_price"),
+            fround(_sum_dbl(_disc_price()), 2).alias("revenue"),
+            fround(
+                _sum_dbl(_dec2("p_retailprice")) / F.count(F.lit(1)), 6
+            ).alias("avg_retail_price"),
         )
         .orderBy(F.col("revenue").desc(), F.col("p_brand"))
     )
@@ -270,8 +300,9 @@ SELECT n.n_name,
        c.c_mktsegment,
        e.event_type,
        count(*) AS event_count,
-       round(sum(e.value), 2) AS total_value,
-       round(avg(e.value), 6) AS avg_value
+       round(CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value,
+       round(CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6)
+         AS avg_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -291,8 +322,10 @@ def j13_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "c_mktsegment", "event_type")
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            fround(_sum_dbl(_dec2("value")), 2).alias("total_value"),
+            fround(_sum_dbl(_dec2("value")) / F.count(F.lit(1)), 6).alias(
+                "avg_value"
+            ),
         )
     )
 
@@ -304,7 +337,8 @@ def j13_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w1_top_orders_per_customer",
     oracle="""
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(rn AS INTEGER) AS rn
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -329,7 +363,7 @@ def w1_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
+            fround("o_totalprice", 2).alias("o_totalprice"),
             "rn",
         )
     )
@@ -337,6 +371,8 @@ def w1_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # W2 — cumulative / moving aggregates over event time per user
+# (window-ordered cumulative sums are order-deterministic in both engines,
+# so plain double arithmetic is cross-engine safe here)
 # ---------------------------------------------------------------------------
 @register(
     "w2_user_running_value",
@@ -363,13 +399,13 @@ def w2_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "ts",
-            F.round(
+            fround(
                 F.sum("value").over(
                     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 ),
                 2,
             ).alias("running_value"),
-            F.round(F.col("value") - F.lag("value").over(w), 2).alias(
+            fround(F.col("value") - F.lag("value").over(w), 2).alias(
                 "delta_from_prev"
             ),
         )
@@ -385,7 +421,8 @@ def w2_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
        coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        count(*) AS order_count,
-       round(sum(o_totalprice), 2) AS total_price
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+         AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
@@ -397,7 +434,10 @@ def g1_rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            fround(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"),
+                2,
+            ).alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.rounding import fround
 from ..registry import register
 from ..sources.sensor_view import SENSOR_ORACLE_CTE, quality_checked
 
@@ -71,10 +72,10 @@ def m10_hourly_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(now))
         .filter(F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR"))
         .agg(
-            F.round(F.avg("quality_score"), _R).alias("avg_quality"),
+            fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality"),
             F.count("*").alias("total_records"),
             low.alias("low_quality_count"),
-            F.round(low * 1.0 / F.count("*"), _R).alias("low_quality_rate"),
+            fround(low * 1.0 / F.count("*"), _R).alias("low_quality_rate"),
         )
     )
 
@@ -132,8 +133,8 @@ def m12_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(now))
         .filter(F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR"))
         .agg(
-            F.round(F.avg(lat), _R).alias("avg_latency_seconds"),
-            F.round(F.max(lat), _R).alias("max_latency_seconds"),
+            fround(F.avg(lat), _R).alias("avg_latency_seconds"),
+            fround(F.max(lat), _R).alias("max_latency_seconds"),
         )
     )
 
@@ -193,7 +194,7 @@ def m14_anomaly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("total_records"),
             anom.alias("anomaly_count"),
-            F.round(anom * 1.0 / F.count("*"), _R).alias("anomaly_rate"),
+            fround(anom * 1.0 / F.count("*"), _R).alias("anomaly_rate"),
         )
     )
 
@@ -266,7 +267,7 @@ def m15_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_violated"))
             .select(
                 F.lit(name).alias("alert_type"),
-                F.round("metric_value", _R).alias("metric_value"),
+                fround("metric_value", _R).alias("metric_value"),
                 F.lit(threshold).alias("threshold"),
                 F.lit(severity).alias("severity"),
             )
@@ -277,10 +278,10 @@ def m15_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks = [
         check(
             "low_avg_quality",
-            F.avg(qs),
+            (F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))),
             _T["min_quality_score"],
             "WARNING",
-            F.avg(qs) < _T["min_quality_score"],
+            (F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))) < _T["min_quality_score"],
         ),
         check(
             "high_low_quality_rate",

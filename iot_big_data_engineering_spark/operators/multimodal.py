@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.rounding import fround
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -53,7 +54,7 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     oracle="""
 SELECT doc_id,
        ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS media_type,
-       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
        md5(text) AS checksum
 FROM documents
 """,
@@ -77,9 +78,9 @@ def mm1_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS media_type,
        count(*) AS n_items,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        round(avg(CAST(octet_length(encode(text)) AS DOUBLE)), {_R}) AS avg_bytes,
-       max(octet_length(encode(text))) AS max_bytes
+       CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
 FROM documents
 GROUP BY 1
 """,
@@ -91,7 +92,7 @@ def mm2_media_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("media_type").agg(
         F.count("*").alias("n_items"),
         F.sum(nb).alias("total_bytes"),
-        F.round(F.avg(nb.cast("double")), _R).alias("avg_bytes"),
+        fround(F.avg(nb.cast("double")), _R).alias("avg_bytes"),
         F.max(nb).alias("max_bytes"),
     )
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.rounding import fround
 from ..registry import register
 from ..sources.sensor_view import SENSOR_ORACLE_CTE, quality_checked
 
@@ -60,7 +61,7 @@ def o1_filtered_scan_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vehicle_id",
             "sensor_type",
             "value",
-            F.round("quality_score", 6).alias("quality_score"),
+            fround("quality_score", 6).alias("quality_score"),
         )
         .orderBy(F.col("ts").desc(), F.col("sensor_id"))
         .offset(50)
@@ -128,7 +129,8 @@ def p7_vehicle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT sensor_type,
        count(*) AS record_count,
-       round(avg(value), 6) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value), 6)
+         AS avg_value
 FROM sensor_quality_checked
 WHERE CAST(ts AS DATE) = DATE '2024-01-02'
 GROUP BY sensor_type
@@ -142,7 +144,11 @@ def p8_date_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sensor_type")
         .agg(
             F.count("*").alias("record_count"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            fround(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("avg_value"),
         )
     )
 
@@ -168,7 +174,7 @@ def p10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k is get_json_object(measurements, '$.k')::int — see sensor_view.py
     q = quality_checked(spark, sf_dir)
     return q.groupBy("sensor_type").agg(
-        F.round(F.avg("k"), 6).alias("avg_k"),
+        fround(F.avg("k"), 6).alias("avg_k"),
         F.max("k").alias("max_k"),
         F.min("k").alias("min_k"),
         F.count(F.when(F.col("k") >= 50, 1)).alias("high_k_count"),
@@ -201,7 +207,7 @@ def o4_anomaly_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vehicle_id",
             "sensor_type",
             "value",
-            F.round("anomaly_score", 6).alias("anomaly_score"),
+            fround("anomaly_score", 6).alias("anomaly_score"),
         )
         .orderBy(
             F.col("anomaly_score").desc(), F.col("ts").desc(), F.col("sensor_id")

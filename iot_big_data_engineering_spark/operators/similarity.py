@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import vectors as V
+from ..functions.rounding import fround
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -58,7 +59,7 @@ ranked AS (
                             ORDER BY cosine DESC, vec_id) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, cosine, rank
+SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {K}
 """,
     doc="S1: exact brute-force cosine top-10 for 5 query vectors",
@@ -74,7 +75,7 @@ def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
+            fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -165,7 +166,7 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
+            fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -225,11 +226,11 @@ def numpy_topk(e: DataFrame, queries: list[tuple[int, list[float]]], k: int = K)
         score, schema="query_id long, vec_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.round("cosine", _R).desc(), F.col("vec_id")
+        fround("cosine", _R).desc(), F.col("vec_id")
     )
     return (
         scored.filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("cosine", _R).alias("cosine"), "rank")
+        .select("query_id", "vec_id", fround("cosine", _R).alias("cosine"), "rank")
     )

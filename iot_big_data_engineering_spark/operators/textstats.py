@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as X
+from ..functions.rounding import fround
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -38,7 +39,7 @@ WITH d AS (
 )
 SELECT lang, source,
        count(*) AS doc_count,
-       sum(token_count) AS total_tokens,
+       CAST(sum(token_count) AS BIGINT) AS total_tokens,
        round(avg(CAST(token_count AS DOUBLE)), {_R}) AS avg_tokens,
        max(token_count) AS max_tokens,
        min(token_count) AS min_tokens,
@@ -53,10 +54,10 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("doc_count"),
         F.sum("token_count").alias("total_tokens"),
-        F.round(F.avg(F.col("token_count").cast("double")), _R).alias("avg_tokens"),
+        fround(F.avg(F.col("token_count").cast("double")), _R).alias("avg_tokens"),
         F.max("token_count").alias("max_tokens"),
         F.min("token_count").alias("min_tokens"),
-        F.round(F.avg(F.col("n_chars").cast("double")), _R).alias("avg_chars"),
+        fround(F.avg(F.col("n_chars").cast("double")), _R).alias("avg_chars"),
     )
 
 
@@ -81,8 +82,8 @@ def t2_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         X.token_count("text").alias("token_count"),
         X.stopword_count("text").alias("stopword_count"),
-        F.round(X.avg_token_length("text"), _R).alias("avg_token_len"),
-        F.round(X.quality_score("text"), _R).alias("quality_score"),
+        fround(X.avg_token_length("text"), _R).alias("avg_token_len"),
+        fround(X.quality_score("text"), _R).alias("quality_score"),
     )
 
 

@@ -34,8 +34,64 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 
+def _rewrite_rounds(sql: str) -> str:
+    """Rewrite every ``round(expr, n)`` in oracle SQL into the shared
+    floor-based formula (functions/rounding.py): Spark's round() rounds the
+    double's shortest decimal string while DuckDB rounds the binary value,
+    so they disagree on boundary values like 0.5183125; floor(x·10ⁿ+0.5)/10ⁿ
+    evaluated in double is bit-identical across engines. The Spark side
+    uses functions.rounding.fround, the exact same arithmetic."""
+    out = []
+    i = 0
+    low = sql.lower()
+    while True:
+        j = low.find("round(", i)
+        # skip matches inside identifiers (e.g. "around(") — require a
+        # non-word char before
+        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            j = low.find("round(", j + 1)
+        if j == -1:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        depth = 0
+        k = j + len("round(")
+        start = k
+        last_comma = -1
+        while True:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                last_comma = k
+            k += 1
+        if last_comma == -1:
+            # round(x) with no scale — leave untouched
+            out.append(sql[j : k + 1])
+        else:
+            expr = sql[start:last_comma]
+            n = int(sql[last_comma + 1 : k].strip())
+            p = float(10**n)
+            out.append(f"(floor(({expr}) * {p} + 0.5) / {p})")
+        i = k + 1
+    return "".join(out)
+
+
+# avg(quality_score) over many rows is order-sensitive double summation
+# (scores are binary-inexact multiples of 0.2); both sides aggregate the
+# exact integer completeness count q_int instead and divide once.
+_AVG_QUALITY_SQL = "avg(quality_score)"
+_AVG_QUALITY_INT_SQL = "(CAST(sum(q_int) AS DOUBLE) / (5.0 * count(*)))"
+
+
 def register(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator: register a query callable under ``name``."""
+    if oracle is not None:
+        oracle = _rewrite_rounds(oracle.replace(_AVG_QUALITY_SQL, _AVG_QUALITY_INT_SQL))
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
@@ -76,6 +132,7 @@ def _ensure_loaded() -> None:
         similarity,
         textstats,
         multimodal,
+        advanced,
     )
     from .streaming import pipeline  # noqa: F401
 

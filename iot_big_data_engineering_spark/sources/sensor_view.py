@@ -64,17 +64,19 @@ def sensor_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_events(load_table(spark, sf_dir, "events"))
 
 
-def _quality_score_col() -> F.Column:
-    """P2 — completeness score, five when-terms summed then /5 (reference
-    SensorDataProcessor.scala:148-154, normalized per SURVEY §7.4.2)."""
+def _q_int_col() -> F.Column:
+    """P2 core — integer completeness count 0..5 (reference
+    SensorDataProcessor.scala:148-154). Kept as an exact integer so that
+    aggregated quality averages are order-independent (sum of ints), then
+    normalized to [0,1] once (SURVEY §7.4.2)."""
     terms = [
-        F.when(F.col(c).isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+        F.when(F.col(c).isNotNull(), F.lit(1)).otherwise(F.lit(0))
         for c in ["ts", "sensor_id", "vehicle_id", "sensor_type", "value"]
     ]
     total = terms[0]
     for t in terms[1:]:
         total = total + t
-    return total / F.lit(5.0)
+    return total
 
 
 def _anomaly_score_col() -> F.Column:
@@ -101,7 +103,8 @@ def apply_quality(s: DataFrame) -> DataFrame:
             & F.col("vehicle_id").isNotNull()
             & F.col("sensor_type").isNotNull()
         )
-        .withColumn("quality_score", _quality_score_col())
+        .withColumn("q_int", _q_int_col())
+        .withColumn("quality_score", F.col("q_int") / F.lit(5.0))
         .withColumn("anomaly_score", _anomaly_score_col())
         .withColumn(
             "processing_timestamp", F.col("ts") + F.expr("INTERVAL 5 SECONDS")
@@ -136,11 +139,16 @@ WITH sensor_readings AS (
 ),
 sensor_quality_checked AS (
   SELECT *,
-    ((CASE WHEN ts IS NOT NULL THEN 1.0 ELSE 0.0 END)
-     + (CASE WHEN sensor_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
-     + (CASE WHEN vehicle_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
-     + (CASE WHEN sensor_type IS NOT NULL THEN 1.0 ELSE 0.0 END)
-     + (CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END)) / 5.0
+    ((CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN sensor_id IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN vehicle_id IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN sensor_type IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)) AS q_int,
+    ((CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN sensor_id IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN vehicle_id IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN sensor_type IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)) / 5.0
       AS quality_score,
     CASE
         {_anomaly_whens}

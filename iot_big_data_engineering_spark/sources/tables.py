@@ -43,6 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     field.name
                 )
             )
+        elif isinstance(field.dataType, T.TimestampType) and isinstance(
+            actual[field.name], T.TimestampNTZType
+        ):
+            # some testdata files store TIMESTAMP_NTZ micros directly;
+            # normalize to TimestampType (UTC session → identical values)
+            cols.append(F.col(field.name).cast("timestamp").alias(field.name))
         else:
             cols.append(F.col(field.name))
     return df.select(*cols)

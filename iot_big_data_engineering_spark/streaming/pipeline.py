@@ -86,7 +86,7 @@ def batch_windowed_analytics(df: DataFrame) -> DataFrame:
             F.count("*").alias("record_count"),
             F.countDistinct("vehicle_id").alias("unique_vehicles"),
             F.countDistinct("sensor_id").alias("unique_sensors"),
-            F.round(F.avg("quality_score"), 6).alias("avg_quality_score"),
+            fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), 6).alias("avg_quality_score"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -160,7 +160,7 @@ def windowed_analytics_stream(
             F.count("*").alias("record_count"),
             F.approx_count_distinct("vehicle_id", 0.01).alias("unique_vehicles"),
             F.approx_count_distinct("sensor_id", 0.01).alias("unique_sensors"),
-            F.round(F.avg("quality_score"), 6).alias("avg_quality_score"),
+            fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), 6).alias("avg_quality_score"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -205,6 +205,7 @@ def run_windowed_stream_to_memory(
 # so the accumulated output equals batch A1 exactly → shares A1's oracle.
 # ---------------------------------------------------------------------------
 from ..operators.analytics import A1_ORACLE  # noqa: E402
+from ..functions.rounding import fround
 from ..registry import register  # noqa: E402
 
 

@@ -1,0 +1,93 @@
+"""IO layer tests: partitioned layout round-trip + partition pruning in
+the plan, Kafka wire-format encode/decode round-trip (broker-free),
+corrupt-record handling, dynamic partition overwrite idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iot_big_data_engineering_spark.plans.checks import plan_str
+from iot_big_data_engineering_spark.sources.generator import (
+    synthetic_sensor_readings,
+)
+from iot_big_data_engineering_spark.sources.io import (
+    from_kafka_wire,
+    kafka_reader_options,
+    kafka_writer_options,
+    read_partitioned,
+    to_kafka_wire,
+    write_partitioned,
+)
+from iot_big_data_engineering_spark.sources.sensor_view import quality_checked
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def part_path(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("partitioned"))
+    q = quality_checked(spark, SF_SMOKE)
+    write_partitioned(q, out, mode="overwrite")
+    return out
+
+
+def test_partition_layout_roundtrip(spark, part_path):
+    q = quality_checked(spark, SF_SMOKE)
+    back = read_partitioned(spark, part_path)
+    assert back.count() == q.count()
+    # layout columns exist and reconstruct the date
+    r = back.select("year", "month", "day", "ts").first()
+    assert (r.year, r.month, r.day) == (r.ts.year, r.ts.month, r.ts.day)
+
+
+def test_partition_pruning_in_plan(spark, part_path):
+    df = read_partitioned(spark, part_path, year=2024, month=1, day=2)
+    p = plan_str(df)
+    assert "PartitionFilters" in p
+    # the partition predicate must appear as a partition filter, not a data filter
+    pf_lines = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert any("day" in ln for ln in pf_lines), pf_lines
+    # and it returns exactly that day's rows
+    got = df.select(F.countDistinct(F.to_date("ts")).alias("n")).first().n
+    assert got == 1
+
+
+def test_dynamic_overwrite_is_idempotent(spark, part_path):
+    q = quality_checked(spark, SF_SMOKE)
+    n_before = read_partitioned(spark, part_path).count()
+    # re-write the same data with overwrite: counts must not change
+    write_partitioned(q, part_path, mode="overwrite")
+    assert read_partitioned(spark, part_path).count() == n_before
+
+
+def test_kafka_wire_roundtrip(spark):
+    readings = synthetic_sensor_readings(spark, n=500, seed=5).filter(
+        F.col("ts").isNotNull()
+        & F.col("sensor_id").isNotNull()
+        & F.col("vehicle_id").isNotNull()
+        & F.col("sensor_type").isNotNull()
+    )
+    wire = to_kafka_wire(readings)
+    row = wire.first()
+    assert "_" in row.key and row.value.startswith("{")
+    back = from_kafka_wire(wire)
+    assert back.count() == readings.count()
+    cols = ["sensor_id", "vehicle_id", "sensor_type", "latitude", "longitude", "measurements"]
+    assert readings.select(cols).exceptAll(back.select(cols)).count() == 0
+
+
+def test_kafka_wire_drops_corrupt_records(spark):
+    wire = spark.createDataFrame(
+        [("k1", "{not json"), ("k2", None), ("k3", '{"timestamp": null}')],
+        ["key", "value"],
+    )
+    assert from_kafka_wire(wire).count() == 0
+
+
+def test_kafka_option_builders():
+    r = kafka_reader_options("broker:9092")
+    w = kafka_writer_options("broker:9092")
+    assert r["subscribe"] == "sensor-data"
+    assert w["kafka.enable.idempotence"] == "true"
+    assert w["kafka.compression.type"] == "snappy"

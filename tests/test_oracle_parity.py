@@ -23,8 +23,8 @@ _ORACLED = [q for q in all_queries().values() if q.oracle is not None]
 @pytest.mark.parametrize("query", _ORACLED, ids=[q.name for q in _ORACLED])
 def test_oracle_parity(spark, query):
     df = query.fn(spark, SF)
-    cols, rows = run_oracle(query.oracle, SF)
-    compare(df, cols, rows)
+    cols, types, rows = run_oracle(query.oracle, SF)
+    compare(df, cols, types, rows)
 
 
 def test_rows_only_queries_run(spark):
