@@ -168,21 +168,20 @@ _PERM_A = [(2 * i + 1) * 2654435761 % _HASH_MOD | 1 for i in range(N_PERM)]
 _PERM_B = [(i * 40503 + 12345) % _HASH_MOD for i in range(N_PERM)]
 
 
-def _minhash_sig() -> F.Column:
-    """array<bigint> length N_PERM: min over shingles of (a·h+b) mod 2^32
-    applied to the PRE-hashed shingle array ``hs`` (xxhash64 runs once per
-    shingle, not once per shingle×permutation — 32× fewer hash calls)."""
-    def perm_min(a: int, b: int):
-        return F.array_min(
-            F.transform(F.col("hs"), lambda h: (h * a + b) % F.lit(_PERM_MOD))
-        )
-
-    return F.array(*[perm_min(a, b) for a, b in zip(_PERM_A, _PERM_B)])
-
-
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id, lang, sh (shingles), sig (minhash signature)."""
-    return (
+    """doc_id, lang, sh (shingles), sig (minhash signature).
+
+    Shingle hashing stays JVM-side (xxhash64, codegen — once per shingle,
+    not per shingle×permutation). The 32-permutation min-fold is an
+    Arrow-batched numpy kernel: one `minimum.reduceat` sweep per
+    permutation over the concatenated hash array — measured ~10× faster
+    than the equivalent 32 interpreted `array_min(transform(...))` Column
+    folds, and it's pure map-side (no shuffle) so it scales with input
+    splits."""
+    import numpy as np
+    import pandas as pd
+
+    base = (
         docs.withColumn("toks", X.tokens("text"))
         .select("doc_id", "lang", X.shingles_from_tokens(F.col("toks"), 3).alias("sh"))
         .filter(F.size("sh") > 0)
@@ -192,8 +191,30 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
                 F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_MOD))
             ),
         )
-        .withColumn("sig", _minhash_sig())
-        .drop("hs")
+    )
+    A = np.asarray(_PERM_A, dtype=np.uint64)
+    B = np.asarray(_PERM_B, dtype=np.uint64)
+    mod = np.uint64(_PERM_MOD)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hs = pdf["hs"].to_numpy()
+            lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
+            H = np.concatenate(hs).astype(np.uint64)  # h < 2^31: a·h+b < 2^62, no wrap
+            offs = np.zeros(len(hs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            sigs = np.empty((len(hs), N_PERM), dtype=np.uint64)
+            for i in range(N_PERM):
+                v = (H * A[i] + B[i]) % mod
+                sigs[:, i] = np.minimum.reduceat(v, offs)
+            out = pdf[["doc_id", "lang", "sh"]].copy()
+            out["sig"] = [row.astype(np.int64).tolist() for row in sigs]
+            yield out
+
+    return base.mapInPandas(
+        kernel, schema="doc_id bigint, lang string, sh array<string>, sig array<bigint>"
     )
 
 
@@ -241,7 +262,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 )
 def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_par(spark, sf_dir)
-    sigs = minhash_signatures(d)
+    # the plan references the signatures 3× (banding + both verify sides);
+    # without persist the tokenize→shingle→minhash pipeline runs 3× (at
+    # scale: write sigs to a table once, then band/verify read it)
+    sigs = minhash_signatures(d).persist()
     cands = lsh_candidate_pairs(sigs)
     sh = sigs.select("doc_id", "sh")
     verified = (

@@ -5,14 +5,15 @@ training-data pipeline extension (BASELINE.json north star).
       (zip_with/aggregate fold → deterministic double math shared with the
       DuckDB oracle).
 - s2: IVF two-stage ANN — deterministic k-means (Lloyd's iterations as
-      pure DataFrame ops: broadcast-join assignment + posexplode mean
-      update) builds nlist coarse cells; queries probe the nprobe nearest
-      cells and exact-rerank inside. The 100 TB path: the corpus would be
-      written partitioned by cell id, so a probe is a partition-pruned
-      scan of nprobe/nlist of the data. rows-only checked; recall on
-      planted near-duplicates is property-tested (the testdata embeddings
-      are isotropic-random — label is NOT a geometric cluster — so recall
-      on random neighbors would measure the data, not the operator).
+      map-only Arrow kernel jobs: per-partition partial sums per cell,
+      driver-side nlist·dim reduce; zero shuffles) builds nlist coarse
+      cells; queries probe the nprobe nearest cells and exact-rerank
+      inside. The 100 TB path: the corpus would be written partitioned by
+      cell id, so a probe is a partition-pruned scan of nprobe/nlist of
+      the data. rows-only checked; recall on planted near-duplicates is
+      property-tested (the testdata embeddings are isotropic-random —
+      label is NOT a geometric cluster — so recall on random neighbors
+      would measure the data, not the operator).
 - numpy_topk: Arrow-batched mapInPandas matmul kernel, the vectorized
       form when Python-side scoring is unavoidable; tests assert it agrees
       exactly with s1.
@@ -96,93 +97,118 @@ def s1_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Deterministic distributed k-means (Lloyd's algorithm, pure DataFrame ops)
+# Deterministic distributed k-means (Lloyd's algorithm, Arrow kernels)
+#
+# Assignment (corpus × nlist centroids dot-product argmax) is dense linear
+# algebra — exactly the case where an Arrow-batched numpy matmul beats
+# interpreted higher-order Column folds by orders of magnitude (measured:
+# the fold/shuffle formulation of one Lloyd iteration took 9.5 s on 2k×64;
+# the kernel version runs the whole IVF in ~2 s). Each iteration is ONE
+# map-only job: mapInPandas emits per-partition partial (cell, sum, count)
+# — a map-side combine — and the nlist·dim final reduce happens on the
+# driver. No shuffle at any point; at 100 TB each executor streams its
+# parquet splits through the kernel once per iteration.
 # ---------------------------------------------------------------------------
-def _normalize(v: Column) -> Column:
-    n = V.norm(v)
-    return F.transform(v, lambda x: x / n)
+def _np():
+    import numpy as np
+
+    return np
 
 
-def assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (spherical k-means): vectors and
-    centroids are pre-normalized (`vn`/`centroid` unit-length), so the
-    score is a single dot-product fold instead of a full cosine (3 folds);
-    argmax via groupBy + max_by (cheaper than a window sort — no per-key
-    ordering shuffle). Deterministic tiebreak: (score, -cell) struct max."""
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "label",
-        "v",
-        "vn",
-        "cell",
-        V.dot(F.col("vn"), F.col("centroid")).alias("ccos"),
-    )
-    return scored.groupBy("vec_id").agg(
-        F.any_value("label").alias("label"),
-        F.any_value("v").alias("v"),
-        F.any_value("vn").alias("vn"),
-        F.max_by("cell", F.struct(F.col("ccos"), -F.col("cell"))).alias("cell"),
-    )
+def _normalize_rows(m):
+    np = _np()
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return m / n
 
 
-def _mean_vectors(assigned: DataFrame, group_col: str, vec_col: str = "v") -> DataFrame:
-    """Element-wise mean vector per group via posexplode + groupBy(pos) —
-    pure built-ins; the shuffle carries (group, pos, value) triples."""
-    return (
-        assigned.select(group_col, F.posexplode(vec_col).alias("pos", "x"))
-        .groupBy(group_col, "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy(group_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            group_col,
-            F.transform("pm", lambda s: s.getField("m")).alias("centroid"),
-        )
-    )
+def _seed_centroids(e: DataFrame, nlist: int):
+    """Seeds = the nlist lowest vec_ids (deterministic). orderBy+limit plans
+    as TakeOrderedAndProject — a per-partition top-k + driver merge, NOT the
+    single-partition global-window sort it replaces."""
+    np = _np()
+    rows = e.orderBy("vec_id").limit(nlist).select("v").collect()
+    return _normalize_rows(np.asarray([r.v for r in rows], dtype=np.float64))
 
 
-def kmeans_centroids(e: DataFrame, nlist: int = 16, iters: int = 1) -> DataFrame:
-    """Deterministic Lloyd's: seed centroids = the nlist lowest vec_ids,
-    then `iters` rounds of assign → mean. Returns (cell, centroid).
+def kmeans_centroids(e: DataFrame, nlist: int = 16, iters: int = 1):
+    """Deterministic spherical Lloyd's over (vec_id, v) rows. Returns the
+    (nlist, dim) unit-row centroid matrix (numpy, driver-side — nlist·dim
+    doubles, tiny at any corpus scale).
 
-    Centroids are COLLECTED to the driver between iterations (nlist·dim
-    doubles — tiny) and re-emitted as a literal DataFrame: without the
-    barrier each iteration's plan embeds the previous iterations' full
-    lineage and Spark re-executes the whole history every round
-    (measured 3-4× blowup at 3 iterations). This is the standard
-    iterate-with-materialization shape for ML-style loops on Spark.
-    """
+    Per iteration: broadcast centroids → one map-only Spark job computing
+    per-partition partial sums per cell → driver combine + renormalize.
+    Ties (equal dot) break to the lowest cell id (np.argmax first-max)."""
+    import pandas as pd
+
+    np = _np()
     spark = e.sparkSession
-    en = e.withColumn("vn", _normalize(F.col("v")))
-    return _kmeans_from_norm(en, nlist=nlist, iters=iters)
-
-
-def _kmeans_from_norm(en: DataFrame, nlist: int, iters: int) -> DataFrame:
-    """Lloyd's loop over a corpus that already carries unit vectors `vn`.
-    Materialize `en` (localCheckpoint / persist) before calling when the
-    loop will re-execute its lineage per collect."""
-    spark = en.sparkSession
-    w = Window.orderBy("vec_id")
-    cent = (
-        en.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nlist)
-        .select((F.col("rn") - 1).cast("long").alias("cell"), F.col("vn").alias("centroid"))
-    )
+    cent = _seed_centroids(e, nlist)
+    dim = cent.shape[1]
     for _ in range(iters):
-        assigned = assign_cells(en, cent)
-        rows = _mean_vectors(assigned, "cell", vec_col="vn").collect()
+        bc = spark.sparkContext.broadcast(cent)
 
-        def _unit(vec):
-            import math
+        def partial(batches):
+            c = bc.value
+            sums = np.zeros((c.shape[0], c.shape[1]))
+            cnts = np.zeros(c.shape[0], dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = _normalize_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+                cells = np.argmax(m @ c.T, axis=1)
+                np.add.at(sums, cells, m)
+                np.add.at(cnts, cells, 1)
+            nz = np.nonzero(cnts)[0]
+            if len(nz):  # empty partition → yield nothing (empty pdf gets
+                # float64 dtypes Arrow can't cast to list<double>)
+                yield pd.DataFrame(
+                    {"cell": nz, "s": [row.tolist() for row in sums[nz]], "n": cnts[nz]}
+                )
 
-            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
-            return [x / nrm for x in vec]
-
-        cent = spark.createDataFrame(
-            [(r.cell, _unit(r.centroid)) for r in rows],
-            "cell long, centroid array<double>",
-        )
+        parts = e.select("v").mapInPandas(
+            partial, schema="cell long, s array<double>, n long"
+        ).collect()
+        sums = np.zeros((nlist, dim))
+        cnts = np.zeros(nlist, dtype=np.int64)
+        for r in parts:
+            sums[r.cell] += np.asarray(r.s)
+            cnts[r.cell] += r.n
+        # empty cells keep their previous centroid
+        nz = cnts > 0
+        cent = cent.copy()
+        cent[nz] = _normalize_rows(sums[nz] / cnts[nz, None])
+        bc.destroy()
     return cent
+
+
+def assign_cells(e: DataFrame, cent) -> DataFrame:
+    """Adds `cell` = argmax_centroid(dot(normalize(v), centroid)) via an
+    Arrow-batched kernel against the broadcast (nlist, dim) matrix. Pure
+    map-side — no shuffle; at scale this column becomes the storage
+    partition key so probes are partition-pruned scans."""
+    import pandas as pd
+
+    np = _np()
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bc = e.sparkSession.sparkContext.broadcast(cent)
+    # fresh StructType — StructType.add would MUTATE the df's cached schema
+    out_schema = StructType(
+        list(e.schema.fields) + [StructField("cell", LongType())]
+    )
+
+    def kernel(batches):
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmax(m @ c.T, axis=1)
+            yield pdf
+
+    return e.mapInPandas(kernel, schema=out_schema)
 
 
 def ivf_topk(
@@ -195,21 +221,30 @@ def ivf_topk(
 ) -> DataFrame:
     """Two-stage ANN: coarse-quantize the corpus into nlist k-means cells,
     probe the nprobe closest cells per query, exact-rerank inside them.
-    `queries` must have (query_id, qv)."""
-    # materialize the normalized corpus once: the k-means collects and the
-    # final assignment would otherwise re-execute scan+normalize per job
-    # (persist()/checkpoint at real scale — same decision)
-    en = e.withColumn("vn", _normalize(F.col("v"))).localCheckpoint()
-    cent = _kmeans_from_norm(en, nlist=nlist, iters=iters)
-    indexed = assign_cells(en, cent).drop("vn")  # corpus → cell (partition key at scale)
-    qc = queries.crossJoin(F.broadcast(cent)).select(
-        "query_id", "qv", "cell", V.cosine(F.col("qv"), F.col("centroid")).alias("ccos")
+    `queries` must have (query_id, qv).
+
+    The query set is collected to the driver (ANN queries are small by
+    construction; the corpus never is) so probe selection is a driver-side
+    (nq × nlist) matmul; the candidate scan is then a broadcast join on
+    `cell` — at real scale, a partition-pruned read of nprobe/nlist of the
+    corpus."""
+    np = _np()
+    spark = e.sparkSession
+    e = e.persist()
+    cent = kmeans_centroids(e, nlist=nlist, iters=iters)
+    indexed = assign_cells(e, cent)
+    qrows = queries.collect()
+    qn = _normalize_rows(
+        np.asarray([r.qv for r in qrows], dtype=np.float64)
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
-    probes = (
-        qc.withColumn("crank", F.row_number().over(wq))
-        .filter(F.col("crank") <= nprobe)
-        .select("query_id", "qv", "cell")
+    order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")  # ties → lowest cell
+    probes = spark.createDataFrame(
+        [
+            (r.query_id, list(r.qv), int(c))
+            for r, row in zip(qrows, order)
+            for c in row[:nprobe]
+        ],
+        "query_id long, qv array<double>, cell long",
     )
     scored = (
         indexed.join(F.broadcast(probes), "cell")
@@ -234,7 +269,13 @@ def ivf_topk(
     doc="S2: IVF ANN — deterministic k-means cells, probe 4 of 16, rerank",
 )
 def s2_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
+    # no repartition (unlike s1): the Arrow kernels do trivial per-row work,
+    # so task count should track input splits — 1 split locally; at 100 TB
+    # the parquet arrives in ~128 MB splits and parallelism is free. Forcing
+    # 32 tasks here just pays 32× Python-worker spin-up for a tiny corpus.
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.to_double("embedding").alias("v")
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
