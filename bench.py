@@ -27,9 +27,12 @@ HEADLINE = [
     "m15_alerts",
     "j1_pricing_summary",
     "j3_shipping_priority",
+    "j6_forecast_revenue",
     "j10_order_rollup",
     "j13_events_enriched",
+    "j18_large_orders",
     "w1_top_orders_per_customer",
+    "t5_top_terms",
     "d2_exact_dedup_keep_first",
     "d3_jaccard_pairs",
     "d4_minhash_lsh_dedup",

@@ -246,3 +246,86 @@ def adv6b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W3 — reporting-gap detection (the lag/lead family; the reference's
+# liveness monitor A11 generalized per-entity). Epoch seconds carry the
+# microsecond fraction on both engines (Spark cast(ts as double) == DuckDB
+# EXTRACT(EPOCH FROM ts)), so deltas are bit-comparable after rounding.
+# ---------------------------------------------------------------------------
+@register(
+    "w3_event_gaps",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         EXTRACT(EPOCH FROM ts)
+           - lag(EXTRACT(EPOCH FROM ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events WHERE user_id < 50
+)
+SELECT user_id,
+       count(gap_s) AS gap_count,
+       round(max(gap_s), 6) AS max_gap_s,
+       round(CAST(sum(gap_s) AS DOUBLE) / count(gap_s), 6) AS avg_gap_s,
+       CAST(count(CASE WHEN gap_s > 3600 THEN 1 END) AS BIGINT) AS gaps_over_1h
+FROM g
+WHERE gap_s IS NOT NULL
+GROUP BY user_id
+""",
+    doc="W3: per-entity reporting gaps via lag() over event time",
+)
+def w3_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    g = e.select(
+        "user_id",
+        (epoch - F.lag(epoch).over(w)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_s").alias("gap_count"),
+        fround(F.max("gap_s"), 6).alias("max_gap_s"),
+        fround(F.sum("gap_s").cast("double") / F.count("gap_s"), 6).alias("avg_gap_s"),
+        F.count(F.when(F.col("gap_s") > 3600, 1)).alias("gaps_over_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADV8 — deterministic hash sampling. TABLESAMPLE is non-deterministic
+# across engines/seeds, so the portable form is a multiplicative-hash
+# predicate on the key: keeps ~p% of rows, identical rows on every engine,
+# and pushes down to the scan like any filter. At 100 TB this is the
+# cheap-profiling primitive: stats on a 1% slice without a full pass.
+# (o_orderkey·K stays < 2^62 for orderkeys < ~3.5e9 — no int64 overflow
+# at any SF this engine targets; ANSI mode would error, not wrap.)
+# ---------------------------------------------------------------------------
+_SAMPLE_K = 2654435761  # Knuth multiplicative constant
+@register(
+    "adv8_hash_sample_stats",
+    oracle=f"""
+SELECT count(*) AS sample_rows,
+       count(*) * 10 AS estimated_total_rows,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*), 6) AS avg_totalprice,
+       count(DISTINCT o_custkey) AS sample_customers
+FROM orders
+WHERE (o_orderkey * {_SAMPLE_K}) % 100 < 10
+""",
+    doc="ADV8: deterministic 10% hash sample + scale-up estimate",
+)
+def adv8_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.pmod(F.col("o_orderkey") * _SAMPLE_K, 100) < 10)
+        .agg(
+            F.count("*").alias("sample_rows"),
+            (F.count("*") * 10).alias("estimated_total_rows"),
+            fround(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_totalprice"),
+            F.countDistinct("o_custkey").alias("sample_customers"),
+        )
+    )

@@ -470,3 +470,345 @@ def u1_active_keys_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = e.filter(F.col("value") > 150).select(F.col("user_id").alias("custkey"))
     return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# J2 — argmin-per-group decorrelation (TPC-H Q2 shape, adapted: the testdata
+# has no partsupp table, so the "minimum-cost supplier" becomes the
+# minimum-price lineitem per brand). The correlated `WHERE price = (SELECT
+# min(...))` subquery decorrelates into aggregate + join-back — the plan
+# Catalyst itself produces for scalar subqueries; writing it explicitly
+# keeps both engines on the identical two-phase shape. Ties on price break
+# to the lowest (l_orderkey, l_linenumber) via struct-min.
+# ---------------------------------------------------------------------------
+@register(
+    "j2_min_price_per_brand",
+    oracle="""
+WITH lp AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_extendedprice, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+m AS (
+  SELECT p_brand, min(l_extendedprice) AS min_price FROM lp GROUP BY p_brand
+),
+w AS (
+  SELECT lp.p_brand, lp.l_extendedprice, lp.l_orderkey, lp.l_linenumber, lp.l_suppkey,
+         row_number() OVER (PARTITION BY lp.p_brand
+                            ORDER BY lp.l_orderkey, lp.l_linenumber) AS rn
+  FROM lp JOIN m ON lp.p_brand = m.p_brand AND lp.l_extendedprice = m.min_price
+)
+SELECT w.p_brand,
+       round(w.l_extendedprice, 2) AS min_price,
+       w.l_orderkey,
+       w.l_linenumber,
+       s.s_name
+FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+WHERE rn = 1
+""",
+    doc="J2: correlated-min subquery decorrelated to agg + join-back",
+)
+def j2_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice", "p_brand"
+    )
+    m = lp.groupBy("p_brand").agg(F.min("l_extendedprice").alias("min_price"))
+    winner = (
+        lp.join(
+            F.broadcast(m),
+            (lp.p_brand == m.p_brand)
+            & (lp.l_extendedprice == m.min_price),
+        )
+        .drop(m.p_brand)
+        .groupBy("p_brand")
+        .agg(
+            F.min(
+                F.struct("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice")
+            ).alias("w")
+        )
+        .select(
+            "p_brand",
+            fround("w.l_extendedprice", 2).alias("min_price"),
+            F.col("w.l_orderkey").alias("l_orderkey"),
+            F.col("w.l_linenumber").alias("l_linenumber"),
+            F.col("w.l_suppkey").alias("l_suppkey"),
+        )
+    )
+    return winner.join(F.broadcast(s), winner.l_suppkey == s.s_suppkey).select(
+        "p_brand", "min_price", "l_orderkey", "l_linenumber", "s_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — order-priority check (TPC-H Q4 shape): EXISTS with a correlated
+# inequality → left-semi join with a composite condition. The semi join
+# shuffles only the join keys, never duplicates orders rows.
+# ---------------------------------------------------------------------------
+@register(
+    "j4_priority_late_ship",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority
+""",
+    doc="J4: EXISTS semi-join, orders shipped >30 days after order date",
+)
+def j4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — forecast revenue change (TPC-H Q6): the pure pushdown query. All
+# three predicates reach the parquet scan (PushedFilters), the projection
+# reads 3 columns, and the whole plan is scan → partial agg → final agg
+# with no shuffle beyond the single-row exchange.
+# ---------------------------------------------------------------------------
+@register(
+    "j6_forecast_revenue",
+    oracle="""
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), 2) AS revenue,
+       count(*) AS qualifying_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+""",
+    doc="J6: TPC-H Q6 filter-heavy scan (full predicate pushdown)",
+)
+def j6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            fround(
+                _sum_dbl(_dec2("l_extendedprice") * _dec2("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").alias("qualifying_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J14 — promo revenue share (TPC-H Q14 shape): conditional aggregate over a
+# broadcast join, reported per ship-month.
+# ---------------------------------------------------------------------------
+@register(
+    "j14_promo_revenue",
+    oracle=f"""
+SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+       round(CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN {_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}
+                              ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE), 6) AS promo_pct,
+       round(CAST(sum({_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE), 2) AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP)
+""",
+    doc="J14: promo revenue share per ship-month (conditional agg over join)",
+)
+def j14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0))
+    ).cast("double")
+    total = _sum_dbl(_disc_price())
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            fround(F.lit(100.0) * promo / total, 6).alias("promo_pct"),
+            fround(total, 2).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J18 — large-volume orders (TPC-H Q18 shape): groupBy-HAVING subquery
+# feeding a join back against orders + customer.
+# ---------------------------------------------------------------------------
+@register(
+    "j18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 350
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(big.total_qty, 2) AS total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    doc="J18: HAVING-filtered rollup joined back to orders/customer",
+)
+def j18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 350)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            fround("o_totalprice", 2).alias("o_totalprice"),
+            fround("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J19 — disjunctive multi-bracket predicate (TPC-H Q19 shape): OR-of-ANDs
+# across join columns. Catalyst extracts the common l_partkey=p_partkey
+# conjunct so the join stays a broadcast-hash join with the disjunction
+# evaluated as a post-join filter.
+# ---------------------------------------------------------------------------
+@register(
+    "j19_bracket_revenue",
+    oracle=f"""
+SELECT round(CAST(sum({_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE), 2) AS revenue,
+       count(*) AS matched_lineitems
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+""",
+    doc="J19: OR-of-ANDs bracket predicate over lineitem ⋈ part",
+)
+def j19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            fround(_sum_dbl(_disc_price()), 2).alias("revenue"),
+            F.count("*").alias("matched_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 — INTERSECT / EXCEPT (completing the set-operation family with U1)
+# ---------------------------------------------------------------------------
+@register(
+    "u2_key_overlap",
+    oracle="""
+SELECT 'in_both' AS bucket, count(*) AS key_count FROM (
+  SELECT o_custkey FROM orders INTERSECT SELECT user_id FROM events
+) a
+UNION ALL
+SELECT 'orders_only', count(*) FROM (
+  SELECT o_custkey FROM orders EXCEPT SELECT user_id FROM events
+) b
+UNION ALL
+SELECT 'events_only', count(*) FROM (
+  SELECT user_id FROM events EXCEPT SELECT o_custkey FROM orders
+) c
+""",
+    doc="U2: INTERSECT / EXCEPT key-overlap buckets between fact tables",
+)
+def u2_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    e = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+
+    def bucket(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("key_count")).select(
+            F.lit(name).alias("bucket"), "key_count"
+        )
+
+    # subtract == SQL EXCEPT (distinct); exceptAll+distinct would WRONGLY
+    # keep keys that merely appear more often in A than in B
+    return (
+        bucket(o.intersect(e), "in_both")
+        .unionAll(bucket(o.subtract(e), "orders_only"))
+        .unionAll(bucket(e.subtract(o), "events_only"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2 — CUBE (all grouping-set combinations; completes G1's ROLLUP)
+# ---------------------------------------------------------------------------
+@register(
+    "g2_cube_event_stats",
+    oracle="""
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(year(ts) AS INTEGER), -1) AS event_year,
+       count(*) AS event_count,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(year(ts) AS INTEGER))
+""",
+    doc="G2: CUBE over (event_type, year) — all grouping-set combinations",
+)
+def g2_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.cube("event_type", F.year("ts").alias("event_year"))
+        .agg(
+            F.count("*").alias("event_count"),
+            fround(_sum_dbl(_dec2("value")), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("event_year", F.lit(-1)).alias("event_year"),
+            "event_count",
+            "total_value",
+        )
+    )

@@ -136,3 +136,53 @@ FROM documents
 def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select("doc_id", X.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# T5 — top terms per language by document frequency: the classic
+# explode → groupBy(lang, token) → per-lang top-k text-corpus sweep. The
+# heavy shuffle carries (lang, token) pairs; the window top-k runs on the
+# already-aggregated (small) term table, not the exploded tokens.
+# ---------------------------------------------------------------------------
+@register(
+    "t5_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({X.sql_tokens("text")}) AS token FROM documents
+),
+term AS (
+  SELECT lang, token,
+         count(DISTINCT doc_id) AS doc_freq,
+         count(*) AS term_freq
+  FROM tok WHERE token <> '' GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, doc_freq, term_freq,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY doc_freq DESC, term_freq DESC, token) AS rn
+  FROM term
+)
+SELECT lang, token, doc_freq, term_freq, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 20
+""",
+    doc="T5: top-20 terms per language by document frequency",
+)
+def t5_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", "lang", F.explode(X.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    term = tok.groupBy("lang", "token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count("*").alias("term_freq"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("doc_freq").desc(), F.col("term_freq").desc(), F.col("token")
+    )
+    return (
+        term.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "token", "doc_freq", "term_freq", "rn")
+    )

@@ -76,3 +76,33 @@ def test_partial_aggregation_before_shuffle(spark):
     at 100 TB the shuffle carries group rows, not input rows."""
     p = plan_str(a2_daily_analytics(spark, SF_SMOKE), mode="simple")
     assert p.count("HashAggregate") >= 2, p  # partial + final
+
+
+def test_new_join_queries_broadcast_and_no_cartesian(spark):
+    from iot_big_data_engineering_spark.operators.joins import (
+        j2_min_price_per_brand,
+        j14_promo_revenue,
+        j18_large_orders,
+        j19_bracket_revenue,
+    )
+
+    for q in (j2_min_price_per_brand, j14_promo_revenue, j19_bracket_revenue):
+        df = q(spark, SF_SMOKE)
+        assert_broadcast_join(df)
+        assert_no_cartesian(df)
+    assert_no_cartesian(j18_large_orders(spark, SF_SMOKE))
+
+
+def test_j6_full_predicate_pushdown(spark):
+    """TPC-H Q6 is the pushdown litmus: all three predicates must reach
+    the parquet scan and the read schema must shrink to the 4 used cols."""
+    from iot_big_data_engineering_spark.operators.joins import j6_forecast_revenue
+
+    df = j6_forecast_revenue(spark, SF_SMOKE)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert_pushed_filter(df, col)
+    assert_read_schema_only(
+        df,
+        "lineitem.parquet",
+        {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
+    )
