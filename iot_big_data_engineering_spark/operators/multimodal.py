@@ -148,3 +148,45 @@ def fake_decode_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, schema=DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MM3 — frame sampling (video → every-k-th-frame manifest). The explode
+# stays JVM-side (`sequence` + `explode`); at scale the per-frame decode
+# would be a mapInPandas kernel over this manifest joined back to the
+# payload — frames fan out rows, bytes stay put until the kernel needs
+# them. Oracle-checked because the stub decode is deterministic
+# (n_frames = doc_id % 24 + 1 for videos).
+# ---------------------------------------------------------------------------
+_FRAME_STEP = 6
+
+
+@register(
+    "mm3_frame_sample",
+    oracle=f"""
+WITH v AS (
+  SELECT doc_id, CAST(doc_id % 24 + 1 AS INTEGER) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       n_frames,
+       CAST(unnest(range(0, n_frames, {_FRAME_STEP})) AS INTEGER) AS frame_idx
+FROM v
+""",
+    doc="MM3: every-6th-frame sampling manifest for video payloads",
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    decoded = fake_decode_stats(b)
+    return (
+        decoded.filter(F.col("media_type") == "video")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(_FRAME_STEP)
+                )
+            ).alias("frame_idx"),
+        )
+    )

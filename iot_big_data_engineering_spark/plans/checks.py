@@ -74,3 +74,10 @@ def assert_read_schema_only(df: DataFrame, table_file: str, allowed: set[str]) -
 def assert_whole_stage_codegen(df: DataFrame) -> None:
     p = plan_str(df, mode="simple")
     assert "*(" in p, f"no WholeStageCodegen stages in plan:\n{p}"
+
+
+def assert_no_exchange(df: DataFrame) -> None:
+    """The co-located-join check: a join of two identically-bucketed tables
+    must plan with zero shuffle (Exchange) operators."""
+    p = plan_str(df)
+    assert "Exchange" not in p, f"unexpected shuffle Exchange in plan:\n{p}"

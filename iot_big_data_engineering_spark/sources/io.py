@@ -170,3 +170,44 @@ def write_stream_to_kafka(df: DataFrame, bootstrap_servers: str, topic: str, che
     for k, v in kafka_writer_options(bootstrap_servers, topic).items():
         writer = writer.option(k, v)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located layout — the 100 TB answer for the one genuinely
+# large-large join in the schema (orders ⋈ lineitem on orderkey; SURVEY.md
+# §2.5 join strategy). `bucketBy(N, key)` + `sortBy(key)` writes each side
+# pre-hash-partitioned into the same N buckets, so the join plans as a
+# sort-merge join with ZERO Exchange on either side — the shuffle happens
+# once at write time and every subsequent join of the two tables is free.
+# At 100 TB: N sized so a bucket of the big fact fits an executor core's
+# working set (e.g. 4096 buckets for ~25 GB each of raw lineitem).
+# ---------------------------------------------------------------------------
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed+sorted managed table (bucket layout only
+    applies to `saveAsTable` — plain `.parquet(path)` ignores bucketBy)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, left_key: str, right_key: str
+) -> DataFrame:
+    """Join two identically-bucketed tables; with matching bucket counts
+    Spark elides both shuffles (assert via plans.checks.assert_no_exchange).
+    The merge hint pins the sort-merge strategy that exploits the bucket
+    layout — otherwise a small side can flip to broadcast-hash (fine, but
+    then the bucketing buys nothing and at scale both sides are big)."""
+    lt = spark.table(left_table).hint("merge")
+    rt = spark.table(right_table)
+    return lt.join(rt, lt[left_key] == rt[right_key])

@@ -91,3 +91,36 @@ def test_kafka_option_builders():
     assert r["subscribe"] == "sensor-data"
     assert w["kafka.enable.idempotence"] == "true"
     assert w["kafka.compression.type"] == "snappy"
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """The 100 TB design proof for the one large-large join: orders and
+    lineitem written bucketed+sorted on orderkey join with ZERO Exchange —
+    the shuffle was paid once at write time (SURVEY.md §2.5)."""
+    import shutil
+
+    from iot_big_data_engineering_spark.plans.checks import assert_no_exchange
+    from iot_big_data_engineering_spark.sources.io import (
+        colocated_join,
+        write_bucketed,
+    )
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+    write_bucketed(
+        load_table(spark, SF_SMOKE, "orders"), "b_orders", "o_orderkey"
+    )
+    write_bucketed(
+        load_table(spark, SF_SMOKE, "lineitem"), "b_lineitem", "l_orderkey"
+    )
+    j = colocated_join(spark, "b_orders", "b_lineitem", "o_orderkey", "l_orderkey")
+    agg = j.groupBy("o_orderstatus").count()
+    assert_no_exchange(j)
+    # and the row count matches the unbucketed join
+    o = load_table(spark, SF_SMOKE, "orders")
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    assert j.count() == o.join(l, o.o_orderkey == l.l_orderkey).count()
