@@ -58,8 +58,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = queries()
 
-    # warm the JVM + parquet footers with one cheap action
+    # warm the JVM + parquet footers with one cheap action, and the Arrow
+    # Python-worker pool with one trivial kernel (workers are reused across
+    # jobs, so this moves one-time process spin-up out of the first
+    # kernel-based query's measurement — same reason the JVM gets a warmup)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
