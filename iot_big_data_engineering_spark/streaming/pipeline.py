@@ -220,3 +220,28 @@ def st1_streaming_microbatch_analytics(
     out_dir = tempfile.mkdtemp(prefix="iotx_stream_")
     paths = run_microbatch_pipeline(spark, sf_dir, out_dir)
     return spark.read.parquet(paths["analytics"]).drop("epoch_id")
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment + streaming dedup (SURVEY §2.5 / §2.7 extensions)
+# ---------------------------------------------------------------------------
+def enrich_stream(stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static broadcast join: the static dimension is re-resolved
+    per micro-batch (dim updates are picked up batch-to-batch) and ships
+    as a broadcast, so the stream side never shuffles — the streaming
+    analog of the batch dimension-enrichment joins (j13)."""
+    return stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], "left")
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop duplicate keys arriving
+    within the watermark horizon. State is bounded by the watermark (keys
+    older than it are evicted), which is what makes this viable at 100 TB —
+    an unbounded dropDuplicates would grow state forever."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

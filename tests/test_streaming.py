@@ -122,3 +122,70 @@ def test_watermarked_windows_match_batch_counts(spark, split_events_dir):
 
 def test_stream_is_streaming(spark):
     assert sensor_stream(spark, SF_SMOKE).isStreaming
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
+    """Stream-static broadcast join: streamed events enriched against the
+    static customer dim must produce exactly the batch join's rows."""
+    from iot_big_data_engineering_spark.sources.tables import load_table
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        enrich_stream,
+        events_file_stream,
+    )
+
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = events_file_stream(spark, SF_SMOKE)
+    enriched = enrich_stream(stream, dim, "user_id", "c_custkey")
+    assert enriched.isStreaming
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("enriched_out")
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    want_matched = e.join(dim, e.user_id == dim.c_custkey, "inner").count()
+    assert got.count() == e.count()  # left join keeps all events
+    assert got.filter(F.col("c_mktsegment").isNotNull()).count() == want_matched
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Feed the SAME events file twice as two micro-batches: the
+    watermarked dedup must emit each event_id exactly once."""
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        dedup_stream,
+        events_file_stream,
+    )
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet").coalesce(1)
+    raw.write.mode("overwrite").parquet(str(tmp_path / "one"))
+    data_file = [
+        f for f in os.listdir(str(tmp_path / "one")) if f.endswith(".parquet")
+    ][0]
+    shutil.copy(f"{tmp_path}/one/{data_file}", f"{src}/a.parquet")
+    shutil.copy(f"{tmp_path}/one/{data_file}", f"{src}/b.parquet")
+
+    stream = events_file_stream(
+        spark, src, glob="*.parquet", max_files_per_trigger=1
+    )
+    deduped = dedup_stream(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_out")
+    n_events = raw.count()
+    assert got.count() == n_events, (got.count(), n_events)
+    assert got.select("event_id").distinct().count() == n_events
