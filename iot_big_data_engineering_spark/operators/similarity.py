@@ -128,6 +128,8 @@ def _seed_centroids(e: DataFrame, nlist: int):
     single-partition global-window sort it replaces."""
     np = _np()
     rows = e.orderBy("vec_id").limit(nlist).select("v").collect()
+    if not rows:  # empty corpus → zero cells (callers degrade gracefully)
+        return np.zeros((0, 0))
     return _normalize_rows(np.asarray([r.v for r in rows], dtype=np.float64))
 
 
@@ -144,7 +146,11 @@ def kmeans_centroids(e: DataFrame, nlist: int = 16, iters: int = 1):
     np = _np()
     spark = e.sparkSession
     cent = _seed_centroids(e, nlist)
-    dim = cent.shape[1]
+    # a corpus smaller than nlist seeds fewer cells; all sizing below
+    # follows the actual seed count
+    n_cells, dim = cent.shape
+    if n_cells == 0:
+        return cent
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(cent)
 
@@ -169,8 +175,8 @@ def kmeans_centroids(e: DataFrame, nlist: int = 16, iters: int = 1):
         parts = e.select("v").mapInPandas(
             partial, schema="cell long, s array<double>, n long"
         ).collect()
-        sums = np.zeros((nlist, dim))
-        cnts = np.zeros(nlist, dtype=np.int64)
+        sums = np.zeros((n_cells, dim))
+        cnts = np.zeros(n_cells, dtype=np.int64)
         for r in parts:
             sums[r.cell] += np.asarray(r.s)
             cnts[r.cell] += r.n
@@ -232,6 +238,10 @@ def ivf_topk(
     spark = e.sparkSession
     e = e.persist()
     cent = kmeans_centroids(e, nlist=nlist, iters=iters)
+    if cent.shape[0] == 0:  # empty corpus → empty result, stable schema
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rank int"
+        )
     indexed = assign_cells(e, cent)
     qrows = queries.collect()
     qn = _normalize_rows(
