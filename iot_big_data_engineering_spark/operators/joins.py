@@ -812,3 +812,131 @@ def g2_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J15 — top supplier(s) by period revenue (TPC-H Q15 shape): aggregate
+# view + scalar MAX subquery. The revenue rollup computes once and feeds
+# both the max and the final filter (Spark: a self-referenced local
+# DataFrame; the tiny max row broadcasts).
+# ---------------------------------------------------------------------------
+@register(
+    "j15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum({_SQL_DISC_PRICE}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    doc="J15: revenue view + scalar MAX subquery (top supplier of quarter)",
+)
+def j15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price()).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(
+            F.broadcast(top),
+            revenue.total_revenue == top.max_revenue,
+        )
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            fround(F.col("total_revenue").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J17 — small-quantity revenue (TPC-H Q17 shape): scalar CORRELATED
+# subquery (per-part average) decorrelated into a per-part aggregate
+# broadcast back onto lineitem. At scale the per-part avg table is tiny
+# relative to lineitem — the decorrelated form turns a per-row subquery
+# into one broadcast join.
+# ---------------------------------------------------------------------------
+@register(
+    "j17_small_quantity_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly,
+       count(*) AS small_qty_lineitems
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < pa.half_avg_qty
+""",
+    doc="J17: correlated per-part avg subquery, decorrelated + broadcast",
+)
+def j17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    pa = l.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(pa.withColumnRenamed("l_partkey", "pa_partkey")),
+               l.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            fround(_sum_dbl(_dec2("l_extendedprice")) / 7.0, 6).alias("avg_yearly"),
+            F.count("*").alias("small_qty_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J22 — dormant high-balance customers (TPC-H Q22 shape): scalar aggregate
+# subquery (global avg positive balance) + NOT EXISTS anti join, grouped
+# by market segment.
+# ---------------------------------------------------------------------------
+@register(
+    "j22_dormant_customers",
+    oracle="""
+WITH cutoff AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       count(*) AS numcust,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal
+FROM customer c, cutoff
+WHERE c.c_acctbal > cutoff.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY c.c_mktsegment
+""",
+    doc="J22: scalar avg subquery + NOT EXISTS anti join per segment",
+)
+def j22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    cutoff = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(e, c.c_custkey == e.user_id, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            fround(_sum_dbl(_dec2("c_acctbal")), 2).alias("totacctbal"),
+        )
+    )
