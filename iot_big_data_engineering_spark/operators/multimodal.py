@@ -190,3 +190,89 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MM4 — resize + feature-extract kernels. Real image ops need libs this
+# container lacks; the kernels below run the exact production plumbing
+# (binary in → fixed-size binary out; binary in → float feature vector
+# out) with deterministic byte-level stand-ins, so schema, batch shape,
+# and partition behavior are tested end-to-end.
+# ---------------------------------------------------------------------------
+THUMB_BYTES = 256
+N_FEATURES = 8
+
+
+def resize_payloads(df: DataFrame, thumb_bytes: int = THUMB_BYTES) -> DataFrame:
+    """payload → fixed-size 'thumbnail' (truncate/cycle-pad to N bytes —
+    the stand-in for a WxH resize; output schema is what a real resize
+    kernel would ship)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            thumbs = [
+                bytes(
+                    (p * (thumb_bytes // max(len(p), 1) + 1))[:thumb_bytes]
+                )
+                if len(p)
+                else bytes(thumb_bytes)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "thumb": thumbs,
+                }
+            )
+
+    return df.mapInPandas(
+        kernel, schema="doc_id long, media_type string, thumb binary"
+    )
+
+
+def extract_features(df: DataFrame, n_features: int = N_FEATURES) -> DataFrame:
+    """payload → float feature vector (per-bucket byte histogram, L1
+    normalized — the stand-in for a vision/audio embedding model). NumPy
+    bincount per Arrow batch; output feeds the similarity operators (s1/s2
+    run unchanged on any array<double> column)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                if not len(arr):
+                    feats.append([0.0] * n_features)
+                    continue
+                hist = np.bincount(arr // (256 // n_features), minlength=n_features)
+                feats.append((hist / hist.sum()).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.mapInPandas(kernel, schema="doc_id long, features array<double>")
+
+
+@register(
+    "mm4_payload_features",
+    oracle=None,  # byte-level stand-in kernel; plumbing property-tested
+    doc="MM4: resize + byte-histogram feature extraction kernels",
+)
+def mm4_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(b)
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("n_features"),
+        fround(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "l1_norm"
+        ),
+    )

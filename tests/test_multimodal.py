@@ -57,3 +57,47 @@ def test_real_decode_is_gated(spark):
     b = with_binary_payload(docs)
     with pytest.raises(NotImplementedError):
         decode_media(b)
+
+
+def test_resize_kernel_fixed_output_size(spark):
+    from iot_big_data_engineering_spark.operators.multimodal import (
+        THUMB_BYTES,
+        resize_payloads,
+        with_binary_payload,
+    )
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    b = with_binary_payload(load_table(spark, SF_SMOKE, "documents").limit(50))
+    rows = resize_payloads(b).collect()
+    assert len(rows) == 50
+    assert all(len(r.thumb) == THUMB_BYTES for r in rows)
+
+
+def test_feature_extraction_feeds_similarity(spark):
+    """Extracted features are a valid array<double> embedding column:
+    L1-normalized, fixed width, consumable by the ANN operators."""
+    from iot_big_data_engineering_spark.operators.multimodal import (
+        N_FEATURES,
+        extract_features,
+        with_binary_payload,
+    )
+    from iot_big_data_engineering_spark.operators.similarity import ivf_topk
+    from iot_big_data_engineering_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    b = with_binary_payload(load_table(spark, SF_SMOKE, "documents").limit(100))
+    feats = extract_features(b)
+    rows = feats.collect()
+    assert all(len(r.features) == N_FEATURES for r in rows)
+    assert all(abs(sum(r.features) - 1.0) < 1e-9 for r in rows)
+
+    corpus = feats.select(
+        F.col("doc_id").alias("vec_id"),
+        F.lit("x").alias("label"),
+        F.col("features").alias("v"),
+    )
+    q = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    top = ivf_topk(corpus, q, k=3, nlist=4, nprobe=2)
+    assert top.count() > 0
