@@ -186,3 +186,76 @@ def t5_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "token", "doc_freq", "term_freq", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# T6 — TF-IDF top terms per document. Two aggregation passes over the
+# exploded token table (term frequency per doc; document frequency per
+# term) joined back — the standard distributed tf-idf shape: both passes
+# are partial+final hash aggregates on (doc, token) / (token) keys, and
+# the df table (≤ vocabulary size) broadcasts.
+# Cross-engine note: idf uses ln(N/df) computed as log(x) of an exact
+# integer ratio in DOUBLE on both engines; scores round to 6 dp before
+# ranking, and rank ties break on the token string, so an ULP divergence
+# in libm's log cannot change the compared output.
+# ---------------------------------------------------------------------------
+@register(
+    "t6_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({X.sql_tokens("text")}) AS token
+  FROM documents WHERE doc_id < 200
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 5
+""",
+    doc="T6: tf-idf top-5 terms per document (two-pass agg + broadcast df)",
+)
+def t6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            fround(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tfidf", "rn")
+    )
