@@ -211,3 +211,57 @@ def colocated_join(
     lt = spark.table(left_table).hint("merge")
     rt = spark.table(right_table)
     return lt.join(rt, lt[left_key] == rt[right_key])
+
+
+# ---------------------------------------------------------------------------
+# Compaction + stats-friendly layout — the two chronic 100 TB hygiene
+# problems: (a) streaming/append sinks accumulate small files (every file
+# is a task + a namenode entry; 10^6 tiny files kill a scan); (b) parquet
+# row-group min/max stats only prune when values are clustered, which an
+# unsorted write destroys.
+# ---------------------------------------------------------------------------
+def write_compacted(
+    df: DataFrame, path: str, n_files: int, sort_col: str | None = None
+) -> None:
+    """Rewrite a dataset into exactly n_files parquet files, optionally
+    range-clustered on sort_col. `repartitionByRange(sort_col)` +
+    `sortWithinPartitions` gives globally-range-clustered files whose
+    row-group min/max stats are disjoint → a predicate on sort_col skips
+    whole files/row-groups at scan time. At cluster scale n_files is
+    sized from bytes/128 MB; AQE's rebalance does the same for shuffle
+    outputs."""
+    if sort_col:
+        out = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(path)
+
+
+def parquet_file_stats(path: str, column: str) -> list[tuple]:
+    """(file, min, max) of a column across the parquet files at path —
+    the evidence that range-clustering produced pruning-friendly stats."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    stats = []
+    for fname in sorted(_os.listdir(path)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(_os.path.join(path, fname)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col_md = None
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == column:
+                    col_md = c
+                    break
+            if col_md is not None and col_md.statistics is not None:
+                mins.append(col_md.statistics.min)
+                maxs.append(col_md.statistics.max)
+        if mins:
+            stats.append((fname, min(mins), max(maxs)))
+    return stats

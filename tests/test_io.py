@@ -124,3 +124,28 @@ def test_bucketed_join_is_shuffle_free(spark):
     o = load_table(spark, SF_SMOKE, "orders")
     l = load_table(spark, SF_SMOKE, "lineitem")
     assert j.count() == o.join(l, o.o_orderkey == l.l_orderkey).count()
+
+
+def test_compaction_controls_file_count_and_clusters_stats(spark, tmp_path):
+    """write_compacted must produce exactly N files, and range-clustering
+    on event_id must yield non-overlapping per-file min/max stats — the
+    property that lets parquet readers skip files on a point/range
+    predicate."""
+    from iot_big_data_engineering_spark.sources.io import (
+        parquet_file_stats,
+        write_compacted,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    out = str(tmp_path / "compacted")
+    write_compacted(e, out, n_files=4, sort_col="event_id")
+
+    stats = parquet_file_stats(out, "event_id")
+    assert len(stats) == 4
+    ordered = sorted(stats, key=lambda s: s[1])
+    for (_, _, prev_max), (_, nxt_min, _) in zip(ordered, ordered[1:]):
+        assert prev_max < nxt_min, "file ranges overlap — clustering failed"
+
+    back = spark.read.parquet(out)
+    assert back.count() == e.count()
