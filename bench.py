@@ -67,12 +67,22 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # best-of-2 per query: single-shot numbers on a shared box carry
+    # multi-second scheduler/GC noise (observed 34 s vs 49 s totals for
+    # identical code); the min of two runs measures the plan, not the
+    # noise. clearCache() before every timed run so a query's persist()
+    # from run 1 cannot serve run 2 — each run re-executes the full
+    # pipeline; only JVM/codegen warmth carries over.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

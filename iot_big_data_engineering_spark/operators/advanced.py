@@ -329,3 +329,39 @@ def adv8_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("sample_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ADV9 — latest record per key (dedup-by-recency): the upsert/SCD
+# materialization every append-only pipeline needs. max_by on a total
+# order (ts, event_id) is a single partial+final aggregate — cheaper than
+# the window row_number form at scale (no per-key sort, just a running
+# max), and AQE handles key skew.
+# ---------------------------------------------------------------------------
+@register(
+    "adv9_latest_per_key",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts, event_type, round(value, 6) AS value
+FROM ranked WHERE rn = 1
+""",
+    doc="ADV9: latest event per user via max_by on (ts, event_id)",
+)
+def adv9_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    latest = F.max_by(
+        F.struct("event_id", "ts", "event_type", "value"),
+        F.struct("ts", "event_id"),
+    )
+    return e.groupBy("user_id").agg(latest.alias("r")).select(
+        "user_id",
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.ts").alias("ts"),
+        F.col("r.event_type").alias("event_type"),
+        fround("r.value", 6).alias("value"),
+    )
