@@ -245,3 +245,27 @@ def dedup_stream(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def session_window_stream(
+    stream: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Event-time session windows per vehicle (dynamic-length windows that
+    close after `gap` of silence) — the streaming twin of the batch
+    sessionize operator (adv1). Watermark bounds session state: a session
+    finalizes (and its state evicts) once the watermark passes its end."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "vehicle_id")
+        .agg(
+            F.count("*").alias("n_readings"),
+            F.sum("q_int").alias("q_total"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "vehicle_id",
+            "n_readings",
+            "q_total",
+        )
+    )

@@ -189,3 +189,79 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     n_events = raw.count()
     assert got.count() == n_events, (got.count(), n_events)
     assert got.select("event_id").distinct().count() == n_events
+
+
+def test_session_windows_match_batch_sessionization(spark, tmp_path):
+    """Streaming session windows (5-min gap) processed as two TIME-ORDERED
+    micro-batches must equal the same session_window aggregation in batch
+    mode — sessions spanning the batch boundary must merge via state.
+    (Files must be time-ordered: event-time ordering is a watermark
+    precondition; arbitrarily interleaved files would make mid-range data
+    late and drop it, in streaming and in any real deployment alike.)"""
+    import time as _time
+
+    from iot_big_data_engineering_spark.sources.sensor_view import (
+        apply_quality,
+        map_events,
+    )
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        sensor_stream,
+        session_window_stream,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    median = raw.selectExpr("percentile(ts, 0.5) as m").first().m
+    src = str(tmp_path / "timesplit")
+    os.makedirs(src)
+    for i, part in enumerate(
+        (raw.filter(F.col("ts") <= median), raw.filter(F.col("ts") > median))
+    ):
+        d = str(tmp_path / f"p{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        dst = f"{src}/{i}.parquet"
+        shutil.copy(f"{d}/{f}", dst)
+        # distinct mtimes → the file source processes them in time order
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    stream = sensor_stream(
+        spark, src, glob="*.parquet", max_files_per_trigger=1
+    )
+    q = (
+        session_window_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("session_out")
+
+    batch = apply_quality(
+        map_events(
+            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    )
+    want = (
+        batch.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "vehicle_id")
+        .agg(F.count("*").alias("n_readings"), F.sum("q_int").alias("q_total"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "vehicle_id",
+            "n_readings",
+            "q_total",
+        )
+    )
+    # append mode emits only watermark-closed sessions; availableNow's
+    # final watermark closes everything except sessions still open at the
+    # global max ts — every emitted session must match batch exactly
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows <= want_rows, got_rows - want_rows
+    assert len(got_rows) >= 0.8 * len(want_rows), (
+        len(got_rows),
+        len(want_rows),
+    )
