@@ -365,3 +365,40 @@ def adv9_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.event_type").alias("event_type"),
         fround("r.value", 6).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ADV10 — unpivot/melt (wide → long): the inverse of adv3's pivot. Spark's
+# native unpivot (Expand under the hood — no shuffle, no join) turns the
+# daily-analytics metric columns into (metric, value) rows, the shape
+# metric stores and plotting layers want. Oracle = portable UNION ALL.
+# ---------------------------------------------------------------------------
+@register(
+    "adv10_unpivot_daily_metrics",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         count(*) AS record_count,
+         count(DISTINCT user_id) AS unique_users
+  FROM events GROUP BY 1, 2
+)
+SELECT d, event_type, 'record_count' AS metric, record_count AS value FROM daily
+UNION ALL
+SELECT d, event_type, 'unique_users', unique_users FROM daily
+""",
+    doc="ADV10: unpivot wide daily metrics into (metric, value) rows",
+)
+def adv10_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(
+        F.count("*").alias("record_count"),
+        F.countDistinct("user_id").alias("unique_users"),
+    )
+    return daily.unpivot(
+        ["d", "event_type"],
+        ["record_count", "unique_users"],
+        "metric",
+        "value",
+    )
