@@ -382,3 +382,121 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# D7 — dedup clustering: pairwise near-dup edges → connected components →
+# canonical doc per cluster (keep = lowest doc_id). The missing last step
+# of production dedup: pairs alone can chain (A~B, B~C) so removal must
+# operate on components, not edges.
+#
+# Connected components run as iterative min-label propagation in pure
+# DataFrame ops: each round joins labels across (symmetrized) edges and
+# takes the per-node min; the driver checks a single count for
+# convergence. Rounds needed = graph diameter (near-dup clusters are
+# shallow — a handful of rounds); each round is one shuffle on doc_id.
+# This is the standard Spark shape for small-diameter iterative graph
+# algorithms; the oracle is a recursive-CTE transitive closure (viable
+# because candidate graphs are tiny relative to the corpus).
+# ---------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
+) -> DataFrame:
+    """(src, dst) undirected edges → (node, component) with component =
+    min node id reachable. Converges in <= diameter iterations; each
+    iteration is join + groupBy-min. Labels materialize per round
+    (localCheckpoint) so the plan doesn't grow exponentially."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "d7_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, lang, {X.sql_tokens("text")} AS toks FROM documents
+  WHERE doc_id < {_D3_CAP}
+),
+sh AS (SELECT doc_id, lang, {_SH} AS sh FROM tok),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+),
+sym AS (SELECT src AS a, b FROM (SELECT src, dst AS b FROM edges) t
+        UNION SELECT dst, src FROM edges),
+reach AS (
+  SELECT a AS node, b AS peer FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.peer = s.a
+)
+SELECT node AS doc_id,
+       least(node, min(peer)) AS cluster_id,
+       node = least(node, min(peer)) AS is_canonical
+FROM reach GROUP BY node
+""",
+    doc="D7: near-dup pairs → connected components → canonical per cluster",
+)
+def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_par(spark, sf_dir).filter(F.col("doc_id") < _D3_CAP)
+    sh = (
+        d.withColumn("toks", X.tokens("text"))
+        .select("doc_id", "lang", X.shingles_from_tokens(F.col("toks"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    edges = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

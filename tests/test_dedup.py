@@ -90,3 +90,22 @@ def test_simhash_duplicate_distance_zero(spark, docs):
         .collect()
     )
     assert rows and all(r.hamming == 0 for r in rows)
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """A~B, B~C must land in one component (pair-level dedup would miss
+    A~C); disjoint pairs stay separate."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src long, dst long",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
