@@ -149,3 +149,27 @@ def test_compaction_controls_file_count_and_clusters_stats(spark, tmp_path):
 
     back = spark.read.parquet(out)
     assert back.count() == e.count()
+
+
+def test_typed_ingest_enables_pushdown_on_json_field(spark, tmp_path):
+    """The SCALE.md JSON lesson, mechanized: extracting a JSON field to a
+    typed column ONCE at ingest turns every later per-row get_json_object
+    parse into a pushed-down parquet predicate on a real column."""
+    from iot_big_data_engineering_spark.plans.checks import (
+        assert_pushed_filter,
+        plan_str,
+    )
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    typed_path = str(tmp_path / "events_typed")
+    e.withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    ).write.parquet(typed_path)
+
+    typed = spark.read.parquet(typed_path).filter(F.col("k") > 50)
+    assert_pushed_filter(typed, "k")  # parquet-level predicate
+
+    raw = e.filter(F.get_json_object("props", "$.k").cast("int") > 50)
+    assert "PushedFilters: [IsNotNull(props)" in plan_str(raw) or "get_json_object" in plan_str(raw)
+    assert typed.count() == raw.count()
