@@ -940,3 +940,66 @@ def j22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(_sum_dbl(_dec2("c_acctbal")), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J7 — volume shipping between nation pairs (TPC-H Q7 shape): the deepest
+# join in the suite — lineitem joined through supplier→nation on one side
+# and orders→customer→nation on the other, filtered to two nation pairs,
+# grouped by (supp_nation, cust_nation, ship year). Both dimension chains
+# collapse to broadcast maps; lineitem⋈orders is the one big shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "j7_nation_volume_shipping",
+    oracle=f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       round(CAST(sum({_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE), 2) AS revenue,
+       count(*) AS lineitem_count
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+   OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+GROUP BY ns.n_name, nc.n_name, CAST(year(l.l_shipdate) AS INTEGER)
+""",
+    doc="J7: supplier-nation x customer-nation shipping volume per year",
+)
+def j7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp_dim = s.join(
+        n.withColumnRenamed("n_name", "supp_nation"),
+        s.s_nationkey == n.n_nationkey,
+    ).select("s_suppkey", "supp_nation")
+    cust_dim = c.join(
+        n.withColumnRenamed("n_name", "cust_nation"),
+        c.c_nationkey == n.n_nationkey,
+    ).select("c_custkey", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(F.broadcast(supp_dim), l.l_suppkey == supp_dim.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_dim), o.o_custkey == cust_dim.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            fround(_sum_dbl(_disc_price()), 2).alias("revenue"),
+            F.count("*").alias("lineitem_count"),
+        )
+    )
