@@ -1003,3 +1003,44 @@ def j7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("lineitem_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J10B — returned-item losers (TPC-H Q10 shape): revenue lost to returns
+# per customer, top-20. Filter (returnflag) → join → agg → top-k; the
+# customer dim broadcasts, the top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@register(
+    "j10b_returned_revenue_topk",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       round(CAST(sum({_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE), 2) AS lost_revenue,
+       count(*) AS returned_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="J10B: top-20 customers by returned-lineitem revenue",
+)
+def j10b_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            fround(_sum_dbl(_disc_price()), 2).alias("lost_revenue"),
+            F.count("*").alias("returned_lineitems"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )

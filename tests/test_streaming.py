@@ -265,3 +265,21 @@ def test_session_windows_match_batch_sessionization(spark, tmp_path):
         len(got_rows),
         len(want_rows),
     )
+
+
+def test_checkpoint_makes_restart_idempotent(spark, tmp_path):
+    """Re-running the pipeline with the SAME checkpoint must process
+    nothing new (offsets are committed) — the restart half of the
+    exactly-once story; the sink half is idempotent epoch-keyed writes."""
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        run_microbatch_pipeline,
+    )
+
+    out = str(tmp_path / "ck_out")
+    paths = run_microbatch_pipeline(spark, SF_SMOKE, out)
+    n1 = spark.read.parquet(paths["quality"]).count()
+    # second run, same checkpoint + sinks: zero new rows
+    paths2 = run_microbatch_pipeline(spark, SF_SMOKE, out)
+    n2 = spark.read.parquet(paths2["quality"]).count()
+    assert n1 > 0
+    assert n2 == n1, (n1, n2)
