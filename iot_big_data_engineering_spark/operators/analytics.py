@@ -45,6 +45,38 @@ def _with_date(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Integer-exact stddev of quality_score. Raw stddev(quality_score) aggregates
+# order-sensitive doubles (scores are binary-inexact multiples of 0.2), so
+# Spark and DuckDB can disagree in the last ulp depending on partition
+# summation order — the exact bug class q_int already fixes for avg. Instead
+# derive stddev from the EXACT integer sums Σq and Σq² (q = q_int ∈ 0..5,
+# so both sums are exact int64 well past any realistic group size):
+#     stddev = sqrt((n·Σq² − (Σq)²) / (n·(n−1))) / 5
+# Every double op below is performed in the identical order on both sides,
+# so the result is bit-identical by construction.
+# ---------------------------------------------------------------------------
+def _stddev_quality() -> F.Column:
+    n = F.count(F.lit(1))
+    nd = n.cast("double")
+    sq = F.sum("q_int").cast("double")
+    sq2 = F.sum(F.col("q_int") * F.col("q_int")).cast("double")
+    var = (nd * sq2 - sq * sq) / (nd * (n - F.lit(1)).cast("double"))
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.sqrt(F.greatest(F.lit(0.0), var)) / F.lit(5.0)
+    )
+
+
+_STDDEV_Q_SQL = (
+    "CASE WHEN count(*) <= 1 THEN 0.0 ELSE "
+    "sqrt(greatest(0.0, "
+    "(CAST(count(*) AS DOUBLE) * CAST(sum(q_int * q_int) AS DOUBLE)"
+    " - CAST(sum(q_int) AS DOUBLE) * CAST(sum(q_int) AS DOUBLE))"
+    " / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE))"
+    ")) / 5.0 END"
+)
+
+
+# ---------------------------------------------------------------------------
 # A1 — 1-minute tumbling-window analytics (batch form of the streaming agg)
 # ---------------------------------------------------------------------------
 A1_ORACLE = (
@@ -105,7 +137,7 @@ SELECT CAST(ts AS DATE) AS processing_date,
        min(ts) AS first_reading,
        max(ts) AS last_reading,
        round(avg(quality_score), {_R}) AS avg_quality_score,
-       round(coalesce(stddev(quality_score), 0.0), {_R}) AS stddev_quality_score
+       round({_STDDEV_Q_SQL}, {_R}) AS stddev_quality_score
 FROM sensor_quality_checked
 GROUP BY 1, 2
 """
@@ -122,9 +154,7 @@ def a2_daily_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_reading"),
         F.max("ts").alias("last_reading"),
         fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
-        fround(F.coalesce(F.stddev("quality_score"), F.lit(0.0)), _R).alias(
-            "stddev_quality_score"
-        ),
+        fround(_stddev_quality(), _R).alias("stddev_quality_score"),
     )
 
 
@@ -231,7 +261,7 @@ SELECT CAST(ts AS DATE) AS processing_date,
        round(avg(quality_score), {_R}) AS avg_quality_score,
        round(min(quality_score), {_R}) AS min_quality_score,
        round(max(quality_score), {_R}) AS max_quality_score,
-       round(coalesce(stddev(quality_score), 0.0), {_R}) AS stddev_quality_score,
+       round({_STDDEV_Q_SQL}, {_R}) AS stddev_quality_score,
        CAST(count(CASE WHEN quality_score >= 0.8 THEN 1 END) * 100.0 / count(*)
             AS DECIMAL(5,2)) AS quality_percentage
 FROM sensor_quality_checked
@@ -251,7 +281,7 @@ def a5_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
         fround(F.min(qs), _R).alias("min_quality_score"),
         fround(F.max(qs), _R).alias("max_quality_score"),
-        fround(F.coalesce(F.stddev(qs), F.lit(0.0)), _R).alias("stddev_quality_score"),
+        fround(_stddev_quality(), _R).alias("stddev_quality_score"),
         (high * 100.0 / F.count("*")).cast("decimal(5,2)").alias("quality_percentage"),
     )
 
@@ -460,21 +490,164 @@ def a16_vehicle_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Scale twins — approx distinct (HLL) variants of A2, the form to run at
+# Scale twins — approx distinct (HLL) variants of A1/A2, the form to run at
 # 100 TB where exact countDistinct would carry per-group distinct sets
-# through the shuffle. rows-only checked (approx values have no SQL oracle;
-# DuckDB's approx_count_distinct uses a different sketch).
+# through the shuffle.
+#
+# Checkable contract (the HLL values themselves have no SQL oracle — DuckDB
+# uses a different sketch): each twin emits the EXACT distinct counts plus
+# boolean flags asserting the Spark HLL estimate is within 3·rsd relative
+# error (+1 absolute slack for integer granularity at tiny cardinalities).
+# The oracle computes the exact counts and literal TRUE flags, so an HLL
+# estimate outside the bound flips a flag and fails the driver hash — the
+# sketch accuracy claim is now externally verified, not asserted. Spark's
+# HLL is deterministic for fixed input, so this is not flaky at a fixed SF.
+# The pure-approx production form simply drops the exact columns.
 # ---------------------------------------------------------------------------
+_RSD = 0.01  # relative standard deviation for approx_count_distinct
+
+
+def _hll_ok(approx: F.Column, exact: F.Column) -> F.Column:
+    bound = F.greatest(F.lit(3 * _RSD) * exact.cast("double"), F.lit(1.0))
+    return F.abs(approx.cast("double") - exact.cast("double")) <= bound
+
+
 @register(
     "a2_daily_analytics_approx",
-    oracle=None,
-    doc="A2 scale twin: approx_count_distinct (HLL) instead of exact",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT CAST(ts AS DATE) AS processing_date,
+       sensor_type,
+       count(*) AS record_count,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       count(DISTINCT sensor_id) AS unique_sensors,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       TRUE AS vehicles_within_3rsd,
+       TRUE AS sensors_within_3rsd
+FROM sensor_quality_checked
+GROUP BY 1, 2
+""",
+    doc="A2 scale twin: HLL approx_count_distinct, error-bounded vs exact",
 )
 def a2_daily_analytics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _with_date(quality_checked(spark, sf_dir))
+    av = F.approx_count_distinct("vehicle_id", _RSD)
+    asn = F.approx_count_distinct("sensor_id", _RSD)
+    ev = F.countDistinct("vehicle_id")
+    es = F.countDistinct("sensor_id")
     return q.groupBy("processing_date", "sensor_type").agg(
         F.count("*").alias("record_count"),
-        F.approx_count_distinct("vehicle_id", 0.01).alias("unique_vehicles"),
-        F.approx_count_distinct("sensor_id", 0.01).alias("unique_sensors"),
+        ev.alias("unique_vehicles"),
+        es.alias("unique_sensors"),
         fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
+        _hll_ok(av, ev).alias("vehicles_within_3rsd"),
+        _hll_ok(asn, es).alias("sensors_within_3rsd"),
+    )
+
+
+@register(
+    "a1_windowed_analytics_approx",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT date_trunc('minute', ts) AS window_start,
+       sensor_type,
+       count(*) AS record_count,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       TRUE AS vehicles_within_3rsd
+FROM sensor_quality_checked
+GROUP BY 1, 2
+""",
+    doc="A1 scale twin: HLL approx distinct per window, error-bounded",
+)
+def a1_windowed_analytics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_checked(spark, sf_dir)
+    av = F.approx_count_distinct("vehicle_id", _RSD)
+    ev = F.countDistinct("vehicle_id")
+    return (
+        q.groupBy(F.window("ts", "1 minute").alias("w"), "sensor_type")
+        .agg(
+            F.count("*").alias("record_count"),
+            ev.alias("unique_vehicles"),
+            _hll_ok(av, ev).alias("vehicles_within_3rsd"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "sensor_type",
+            "record_count",
+            "unique_vehicles",
+            "vehicles_within_3rsd",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 weekly / monthly rollups — reference SensorDataAnalytics.scala:83-88
+# selects daily/weekly/monthly aggregation layouts; the daily form is A2.
+# ISO week via date_trunc('week') (Monday start in both engines); month via
+# date_trunc('month'). Same partial-agg/shuffle shape as A2 with ~7× / ~30×
+# fewer groups — strictly cheaper at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "a2_weekly_analytics",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+       sensor_type,
+       count(*) AS record_count,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       count(DISTINCT sensor_id) AS unique_sensors,
+       min(ts) AS first_reading,
+       max(ts) AS last_reading,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       round({_STDDEV_Q_SQL}, {_R}) AS stddev_quality_score
+FROM sensor_quality_checked
+GROUP BY 1, 2
+""",
+    doc="A2 weekly rollup (SensorDataAnalytics.scala:83-88 'weekly')",
+)
+def a2_weekly_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_checked(spark, sf_dir).withColumn(
+        "week_start", F.date_trunc("week", F.col("ts")).cast("date")
+    )
+    return q.groupBy("week_start", "sensor_type").agg(
+        F.count("*").alias("record_count"),
+        F.countDistinct("vehicle_id").alias("unique_vehicles"),
+        F.countDistinct("sensor_id").alias("unique_sensors"),
+        F.min("ts").alias("first_reading"),
+        F.max("ts").alias("last_reading"),
+        fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
+        fround(_stddev_quality(), _R).alias("stddev_quality_score"),
+    )
+
+
+@register(
+    "a2_monthly_analytics",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month_start,
+       sensor_type,
+       count(*) AS record_count,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       count(DISTINCT sensor_id) AS unique_sensors,
+       min(ts) AS first_reading,
+       max(ts) AS last_reading,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       round({_STDDEV_Q_SQL}, {_R}) AS stddev_quality_score
+FROM sensor_quality_checked
+GROUP BY 1, 2
+""",
+    doc="A2 monthly rollup (SensorDataAnalytics.scala:83-88 'monthly')",
+)
+def a2_monthly_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_checked(spark, sf_dir).withColumn(
+        "month_start", F.trunc(F.col("ts").cast("date"), "month")
+    )
+    return q.groupBy("month_start", "sensor_type").agg(
+        F.count("*").alias("record_count"),
+        F.countDistinct("vehicle_id").alias("unique_vehicles"),
+        F.countDistinct("sensor_id").alias("unique_sensors"),
+        F.min("ts").alias("first_reading"),
+        F.max("ts").alias("last_reading"),
+        fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
+        fround(_stddev_quality(), _R).alias("stddev_quality_score"),
     )
