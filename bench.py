@@ -85,19 +85,52 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    prev_round, prev = _latest_prev_bench()
+    if prev is not None and prev.get("sf") == sf:
+        pq = prev.get("queries", {})
+        out["prev_round"] = prev_round
+        out["delta_vs_prev"] = {
+            n: round(t - pq[n], 3) for n, t in times.items() if n in pq
+        }
+        if isinstance(prev.get("value"), (int, float)):
+            out["delta_total_vs_prev"] = round(total - prev["value"], 3)
+    print(json.dumps(out))
     spark.stop()
+
+
+def _latest_prev_bench():
+    """Newest BENCH_r{N}.json next to this script → (N, parsed) or (None,
+    None). Lets each round's report carry per-query regressions vs the
+    previous round mechanically."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = None, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best_n is None or n > best_n:
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                continue
+            # the driver wraps our JSON line under "parsed"
+            if "queries" not in data and isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            best_n, best = n, data
+    return best_n, best
 
 
 if __name__ == "__main__":

@@ -74,13 +74,27 @@ def adv1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ADV2 — as-of join: each event matched to the latest order (of the same
-# customer) at-or-before the event time. Spark lacks a native ASOF JOIN;
-# expressed as candidate equi-join + per-event row_number. At 100 TB the
-# candidate join is bounded by bucketing the time axis (join on
-# (customer, time_bucket) for buckets ∈ {t, t-1, ...}) — here customer
-# order counts are small, so the plain candidate set is the right plan.
-# Orders are pre-deduped to one per (custkey, orderdate) so the match is
-# unique and both engines tie-break identically.
+# customer) at-or-before the event time. Spark lacks a native ASOF JOIN.
+#
+# TIME-BUCKETED candidate join (the 100 TB-safe shape). The naive form —
+# equi-join on customer with ts >= orderdate, then row_number per event —
+# produces events × orders-per-customer candidate rows: a heavy customer
+# blows up the window input. Bucketing the time axis (calendar month here)
+# bounds candidates per event to orders *in the event's own bucket* plus
+# ONE precomputed carry row:
+#
+#   1. per (custkey, bucket): latest order in that bucket (groupBy max);
+#   2. running "latest order in any EARLIER bucket" per customer via a
+#      window over the per-bucket compaction (rows = customer's distinct
+#      active months — thousands of× smaller than raw orders);
+#   3. events equi-join on (custkey, bucket): in-bucket candidates filtered
+#      to orderdate <= ts, max-reduced per event — bounded by per-bucket
+#      order count, not per-customer;
+#   4. as-of answer = greatest(in-bucket best, earlier-bucket carry).
+#
+# Match = latest o_orderdate, ties → max o_orderkey (orders pre-deduped to
+# one per (custkey, orderdate) so both engines tie-break identically; the
+# struct max ordering is (o_orderdate, o_orderkey) on both paths).
 # ---------------------------------------------------------------------------
 @register(
     "adv2_asof_join",
@@ -93,27 +107,72 @@ SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
 FROM events e
 ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
-    doc="ADV2: as-of join (latest order at-or-before each event)",
+    doc="ADV2: as-of join, time-bucketed candidate bound (month buckets)",
 )
 def adv2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    o = (
+    def mbucket(c: F.Column) -> F.Column:
+        return F.year(c) * 12 + F.month(c)
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ob = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumn("bkt", mbucket(F.col("o_orderdate")))
     )
-    cand = e.join(
-        o,
-        (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate),
-        "left",
+    best = F.struct("o_orderdate", "o_orderkey")
+
+    # (2) per-bucket compaction: in-bucket orders as a sorted-comparable
+    # array + running earlier-bucket carry. Event-only buckets (months where
+    # a customer has events but no orders) are added with an empty array so
+    # the carry is defined for every event bucket. All shuffles here are on
+    # COMPACTED rows (customer × active month), not raw events/orders.
+    per_bucket = ob.groupBy("o_custkey", "bkt").agg(
+        F.collect_list(best).alias("ords")
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc_nulls_last()
+    ev = e.withColumn("bkt", mbucket(F.col("ts")))
+    ev_keys = ev.select(
+        F.col("user_id").alias("o_custkey"), "bkt"
+    ).distinct()
+    missing = ev_keys.join(
+        per_bucket.select("o_custkey", "bkt"), ["o_custkey", "bkt"], "left_anti"
+    ).withColumn(
+        "ords",
+        F.lit(None).cast("array<struct<o_orderdate:date,o_orderkey:bigint>>"),
+    )
+    carry_w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lookup = (
+        per_bucket.unionByName(missing)
+        .withColumn("prev_best", F.max(F.array_max("ords")).over(carry_w))
+        .select("o_custkey", "bkt", "ords", "prev_best")
+    )
+
+    # (3) ONE event-sized hash join on (customer, bucket); the in-bucket
+    # best is an array filter + array_max per row (bounded by that
+    # customer's orders IN THAT MONTH — no candidate row explosion, no
+    # per-event re-aggregation). Struct comparison is (o_orderdate,
+    # o_orderkey) lexical — "latest date, then highest key" everywhere.
+    in_best = F.array_max(
+        F.filter("ords", lambda x: x["o_orderdate"] <= F.col("ts"))
     )
     return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        ev.join(
+            lookup,
+            (ev.user_id == lookup.o_custkey) & (ev.bkt == lookup.bkt),
+            "left",
+        )
+        .withColumn("asof", F.greatest(in_best, F.col("prev_best")))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("asof.o_orderkey").alias("o_orderkey"),
+            F.col("asof.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..caching import track
 from ..functions import text as X
 from ..functions import vectors as V
 from ..functions.rounding import fround
@@ -264,8 +265,10 @@ def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_par(spark, sf_dir)
     # the plan references the signatures 3× (banding + both verify sides);
     # without persist the tokenize→shingle→minhash pipeline runs 3× (at
-    # scale: write sigs to a table once, then band/verify read it)
-    sigs = minhash_signatures(d).persist()
+    # scale: write sigs to a table once, then band/verify read it).
+    # Cleanup is caller-owned via caching.release_caches() — unpersisting
+    # here would evict before the lazy result is ever materialized.
+    sigs = track(minhash_signatures(d).persist())
     cands = lsh_candidate_pairs(sigs)
     sh = sigs.select("doc_id", "sh")
     verified = (
@@ -400,12 +403,18 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # because candidate graphs are tiny relative to the corpus).
 # ---------------------------------------------------------------------------
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 20
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 50
 ) -> DataFrame:
     """(src, dst) undirected edges → (node, component) with component =
     min node id reachable. Converges in <= diameter iterations; each
     iteration is join + groupBy-min. Labels materialize per round
-    (localCheckpoint) so the plan doesn't grow exponentially."""
+    (localCheckpoint) so the plan doesn't grow exponentially.
+
+    Raises RuntimeError if max_iters rounds pass without convergence
+    (changed > 0) — silently returning partial labels would emit wrong
+    cluster ids for near-dup chains longer than the cap. min-label
+    propagation needs <= diameter rounds, so 50 covers any realistic
+    near-dup graph; raise the cap for adversarial chain-shaped inputs."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -442,8 +451,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations; "
+        "edge graph diameter exceeds the cap — raise max_iters"
+    )
 
 
 @register(

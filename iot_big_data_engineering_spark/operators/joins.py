@@ -875,7 +875,9 @@ def j15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j17_small_quantity_revenue",
     oracle="""
 WITH pa AS (
-  SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+  SELECT l_partkey,
+         0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                / count(l_quantity)) AS half_avg_qty
   FROM lineitem GROUP BY l_partkey
 )
 SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 6)
@@ -889,8 +891,17 @@ WHERE l.l_quantity < pa.half_avg_qty
 )
 def j17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
+    # threshold via exact DECIMAL sum / count — a raw double avg() is
+    # summation-order sensitive across engines, and a value within an ulp
+    # of the strict < can flip row membership and the driver hash
     pa = l.groupBy("l_partkey").agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+        (
+            F.lit(0.5)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("half_avg_qty")
     )
     return (
         l.join(F.broadcast(pa.withColumnRenamed("l_partkey", "pa_partkey")),
@@ -912,7 +923,9 @@ def j17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j22_dormant_customers",
     oracle="""
 WITH cutoff AS (
-  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+  SELECT (CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+          / count(c_acctbal)) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c.c_mktsegment,
        count(*) AS numcust,
@@ -927,8 +940,13 @@ GROUP BY c.c_mktsegment
 def j22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     e = load_table(spark, sf_dir, "events").select("user_id")
+    # exact DECIMAL sum / count: cents are binary-inexact, so a raw double
+    # avg() threshold could flip membership of a boundary customer
     cutoff = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
     )
     return (
         c.crossJoin(F.broadcast(cutoff))

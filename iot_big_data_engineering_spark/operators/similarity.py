@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..caching import track
 from ..functions import vectors as V
 from ..functions.rounding import fround
 from ..registry import register
@@ -236,14 +237,17 @@ def ivf_topk(
     corpus."""
     np = _np()
     spark = e.sparkSession
-    e = e.persist()
+    empty = spark.createDataFrame(
+        [], "query_id long, vec_id long, cosine double, rank int"
+    )
+    qrows = queries.collect()
+    if not qrows:  # empty query set → np.asarray([]) is 1-D and
+        return empty  # _normalize_rows would raise AxisError
+    e = track(e.persist())
     cent = kmeans_centroids(e, nlist=nlist, iters=iters)
     if cent.shape[0] == 0:  # empty corpus → empty result, stable schema
-        return spark.createDataFrame(
-            [], "query_id long, vec_id long, cosine double, rank int"
-        )
+        return empty
     indexed = assign_cells(e, cent)
-    qrows = queries.collect()
     qn = _normalize_rows(
         np.asarray([r.qv for r in qrows], dtype=np.float64)
     )

@@ -109,3 +109,25 @@ def test_connected_components_chain_and_clusters(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_connected_components_raises_instead_of_partial_labels(spark):
+    """A chain longer than max_iters must RAISE, not silently return
+    non-converged labels (which would emit wrong cluster ids)."""
+    import pytest
+
+    from iot_big_data_engineering_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    # and with enough rounds the same chain converges to one component
+    comp = {
+        r.node: r.component
+        for r in connected_components(chain, max_iters=15).collect()
+    }
+    assert set(comp.values()) == {0}

@@ -31,6 +31,13 @@ def test_ivf_on_tiny_and_empty_corpus(spark):
     empty = e.filter(F.col("vec_id") < 0)
     assert ivf_topk(empty, q, k=3).count() == 0
 
+    # empty QUERY set (not just empty corpus): np.asarray([]) is 1-D, so an
+    # unguarded normalize would raise AxisError before producing anything
+    no_q = q.filter(F.col("query_id") < 0)
+    res = ivf_topk(tiny, no_q, k=3)
+    assert res.count() == 0
+    assert res.columns == ["query_id", "vec_id", "cosine", "rank"]
+
 
 def test_minhash_on_empty_docs(spark):
     from iot_big_data_engineering_spark.operators.dedup import (

@@ -93,6 +93,23 @@ def test_new_join_queries_broadcast_and_no_cartesian(spark):
     assert_no_cartesian(j18_large_orders(spark, SF_SMOKE))
 
 
+def test_adv2_asof_candidate_join_is_bucketed(spark):
+    """The as-of join's candidate stage must be an EQUI-join on
+    (customer, time bucket) — candidate rows bounded per (customer, month) —
+    never a theta-join against the customer's full order history (which a
+    BroadcastNestedLoopJoin / CartesianProduct in the plan would betray).
+    The orderdate <= ts inequality may only appear as a post-join filter /
+    join residual, with `bkt` among the equi keys."""
+    from iot_big_data_engineering_spark.operators.advanced import adv2_asof_join
+
+    df = adv2_asof_join(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert "NestedLoop" not in p, p
+    # every join carrying the inequality must also carry the bkt equi-key
+    assert "bkt" in p, p
+
+
 def test_j6_full_predicate_pushdown(spark):
     """TPC-H Q6 is the pushdown litmus: all three predicates must reach
     the parquet scan and the read schema must shrink to the 4 used cols."""
