@@ -296,14 +296,38 @@ def adv6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "adv6b_approx_percentiles",
-    oracle=None,  # sketch-based; the 100 TB form of adv6
-    doc="ADV6 scale twin: approx_percentile sketch",
+    # Checkable contract (same pattern as the HLL twins): the sketch value
+    # itself has no SQL oracle, so emit the EXACT percentiles plus flags
+    # asserting the approx_percentile(accuracy=10000) estimate falls inside
+    # the exact [p-0.01, p+0.01] quantile band. The oracle asserts the
+    # flags as literal TRUE — a sketch outside its rank-error guarantee
+    # (1/accuracy = 1e-4 << 0.01) fails the driver hash. Deterministic for
+    # fixed input, so not flaky at a fixed SF.
+    oracle=f"""
+SELECT event_type,
+       round(quantile_cont(value, 0.50), {_R}) AS p50,
+       round(quantile_cont(value, 0.95), {_R}) AS p95,
+       TRUE AS p50_within_band,
+       TRUE AS p95_within_band
+FROM events
+GROUP BY event_type
+""",
+    doc="ADV6 scale twin: approx_percentile sketch, rank-error-bounded",
 )
 def adv6b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+
+    def within_band(p: float, delta: float = 0.01) -> F.Column:
+        ap = F.approx_percentile("value", F.lit(p), F.lit(10000))
+        lo = F.percentile("value", p - delta)
+        hi = F.percentile("value", p + delta)
+        return (ap >= lo) & (ap <= hi)
+
     return e.groupBy("event_type").agg(
-        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
-        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+        fround(F.percentile("value", 0.50), _R).alias("p50"),
+        fround(F.percentile("value", 0.95), _R).alias("p95"),
+        within_band(0.50).alias("p50_within_band"),
+        within_band(0.95).alias("p95_within_band"),
     )
 
 
