@@ -27,16 +27,31 @@ from ..schema import SENSOR_WIRE_SCHEMA
 
 DATE_PARTS = ("year", "month", "day")
 
+# The reference's three partition layouts (SensorDataAnalytics.scala:83-88):
+# daily → year=/month=/day=, weekly → year=/week=, monthly → year=/month=.
+# Declared once at write time; reads partition-prune via .where().
+GRANULARITY_PARTS: dict[str, tuple[str, ...]] = {
+    "daily": DATE_PARTS,
+    "weekly": ("year", "week"),
+    "monthly": ("year", "month"),
+}
+
 
 # ---------------------------------------------------------------------------
 # Partitioned parquet layout (S5/S7)
 # ---------------------------------------------------------------------------
-def with_date_partitions(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    return (
-        df.withColumn("year", F.year(ts_col))
-        .withColumn("month", F.month(ts_col))
-        .withColumn("day", F.dayofmonth(ts_col))
-    )
+def with_date_partitions(
+    df: DataFrame, ts_col: str = "ts", granularity: str = "daily"
+) -> DataFrame:
+    parts = GRANULARITY_PARTS[granularity]  # KeyError = caller bug
+    out = df.withColumn("year", F.year(ts_col))
+    if "week" in parts:
+        out = out.withColumn("week", F.weekofyear(ts_col))
+    if "month" in parts:
+        out = out.withColumn("month", F.month(ts_col))
+    if "day" in parts:
+        out = out.withColumn("day", F.dayofmonth(ts_col))
+    return out
 
 
 def write_partitioned(
@@ -45,30 +60,38 @@ def write_partitioned(
     ts_col: str = "ts",
     mode: str = "append",
     dynamic_overwrite: bool = True,
+    granularity: str = "daily",
 ) -> None:
-    """Write Hive-layout ``year=/month=/day=`` parquet. With
-    ``mode='overwrite'`` + dynamic partition overwrite, re-running a day
-    replaces only that day's partitions — the idempotent daily batch sink
+    """Write Hive-layout partitioned parquet at the chosen granularity
+    (``daily``→ year=/month=/day=, ``weekly``→ year=/week=, ``monthly``→
+    year=/month= — the reference's three layouts). With
+    ``mode='overwrite'`` + dynamic partition overwrite, re-running a period
+    replaces only that period's partitions — the idempotent batch sink
     (reference overwrote hand-built dated paths)."""
     spark = df.sparkSession
     if dynamic_overwrite:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
-        with_date_partitions(df, ts_col)
+        with_date_partitions(df, ts_col, granularity)
         .write.mode(mode)
-        .partitionBy(*DATE_PARTS)
+        .partitionBy(*GRANULARITY_PARTS[granularity])
         .parquet(path)
     )
 
 
 def read_partitioned(
-    spark: SparkSession, path: str, year: int | None = None, month: int | None = None, day: int | None = None
+    spark: SparkSession,
+    path: str,
+    year: int | None = None,
+    month: int | None = None,
+    day: int | None = None,
+    week: int | None = None,
 ) -> DataFrame:
-    """Read the partitioned layout; passing year/month/day adds partition
-    predicates that Catalyst turns into directory pruning (assert via
-    plans.checks / PartitionFilters)."""
+    """Read a partitioned layout; passing year/month/day (daily, monthly)
+    or year/week (weekly) adds partition predicates that Catalyst turns
+    into directory pruning (assert via plans.checks / PartitionFilters)."""
     df = spark.read.parquet(path)
-    for col, val in zip(DATE_PARTS, (year, month, day)):
+    for col, val in (("year", year), ("month", month), ("day", day), ("week", week)):
         if val is not None:
             df = df.where(F.col(col) == val)
     return df

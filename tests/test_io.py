@@ -53,6 +53,36 @@ def test_partition_pruning_in_plan(spark, part_path):
     assert got == 1
 
 
+@pytest.mark.parametrize(
+    "granularity,parts",
+    [("weekly", ("year", "week")), ("monthly", ("year", "month"))],
+)
+def test_weekly_monthly_layouts(spark, tmp_path_factory, granularity, parts):
+    """Reference SensorDataAnalytics.scala:83-88 selects daily/weekly/
+    monthly partition layouts; the non-daily layouts must round-trip and
+    partition-prune just like the daily one."""
+    out = str(tmp_path_factory.mktemp(granularity))
+    q = quality_checked(spark, SF_SMOKE)
+    write_partitioned(q, out, mode="overwrite", granularity=granularity)
+    back = read_partitioned(spark, out)
+    assert back.count() == q.count()
+    r = back.select(*parts, "ts").first()
+    assert r.year == r.ts.year
+    if granularity == "monthly":
+        assert r.month == r.ts.month
+        pruned = read_partitioned(spark, out, year=r.year, month=r.month)
+    else:
+        assert r.week == r.ts.isocalendar()[1]
+        pruned = read_partitioned(spark, out, year=r.year, week=r.week)
+    p = plan_str(pruned)
+    pf_lines = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert any(parts[1] in ln for ln in pf_lines), pf_lines
+    # exactly one partition period survives the pruned read (the smoke data
+    # may span a single month, so compare distinct periods, not row counts)
+    assert pruned.count() > 0
+    assert pruned.select(*parts).distinct().count() == 1
+
+
 def test_dynamic_overwrite_is_idempotent(spark, part_path):
     q = quality_checked(spark, SF_SMOKE)
     n_before = read_partitioned(spark, part_path).count()
