@@ -1062,3 +1062,284 @@ def j10b_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# J8 — market share (TPC-H Q8 shape): one nation's suppliers' share of
+# EUROPE-customer ECONOMY-part revenue per order year. Deepest star fan-in:
+# lineitem ⋈ part/supplier/nation (broadcast) ⋈ orders (the one big
+# shuffle) ⋈ customer/nation/region (broadcast). The share is a ratio of
+# two exact DECIMAL sums, divided once in DOUBLE on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "j8_market_share",
+    oracle=f"""
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(
+         CAST(coalesce(sum(CASE WHEN ns.n_name = 'NATION_1'
+                           THEN {_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")} END), 0) AS DOUBLE)
+         / CAST(sum({_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE), 6) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = nc.n_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+""",
+    doc="J8: TPC-H Q8 market-share ratio per year (7-table star fan-in)",
+)
+def j8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    vol = _disc_price()
+    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_1", vol))
+    total_vol = F.sum(vol)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            fround(
+                F.coalesce(nation_vol, F.lit(0)).cast("double")
+                / total_vol.cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — profit by nation × year (TPC-H Q9 shape). The schema has no
+# partsupp table, so supply cost is proxied as 60% of p_retailprice
+# (documented substitution; the join/agg shape — lineitem ⋈ part ⋈
+# supplier ⋈ nation ⋈ orders, group by (nation, year) — is Q9's).
+# All money math stays in exact DECIMAL until one final DOUBLE cast.
+# ---------------------------------------------------------------------------
+@register(
+    "j9_profit_by_nation",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(sum(
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+         - CAST(0.6 AS DECIMAL(3,2)) * CAST(p.p_retailprice AS DECIMAL(12,2))
+           * CAST(l.l_quantity AS DECIMAL(12,2))
+       ) AS DOUBLE), 2) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_type = 'PROMO'
+GROUP BY 1, 2
+""",
+    doc="J9: TPC-H Q9 profit (cost proxied at 0.6·p_retailprice; no partsupp)",
+)
+def j9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _disc_price() - (
+        F.lit("0.6").cast("decimal(3,2)")
+        * _dec2("p_retailprice")
+        * _dec2("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(fround(_sum_dbl(profit), 2).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J16 — supplier counts per part group (TPC-H Q16 shape, via lineitem in
+# place of partsupp): distinct shipping suppliers per (brand, type, size),
+# excluding one brand, one type, and suppliers with negative balance
+# (NOT IN subquery → broadcast anti join).
+# ---------------------------------------------------------------------------
+@register(
+    "j16_supplier_part_counts",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+""",
+    doc="J16: TPC-H Q16 distinct-supplier counts with NOT IN anti join",
+)
+def j16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(list(range(1, 9)))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J13B — customer order-count distribution (TPC-H Q13 shape): LEFT join so
+# order-less customers count at c_count = 0, then a second aggregation over
+# the counts. Two shuffles (custkey, then c_count — the second is tiny).
+# ---------------------------------------------------------------------------
+@register(
+    "j13b_order_count_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+""",
+    doc="J13B: TPC-H Q13 order-count histogram incl. zero-order customers",
+)
+def j13b_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# J21 — lone late supplier (TPC-H Q21 shape). The schema has no commit/
+# receipt dates, so "late" = shipped more than 60 days after the order
+# date (documented substitution; the EXISTS / NOT EXISTS correlated-pair
+# shape is Q21's). Both subqueries become one semi and one anti join on
+# orderkey with a suppkey inequality in the condition.
+# ---------------------------------------------------------------------------
+@register(
+    "j21_lone_late_supplier",
+    oracle="""
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+),
+allsup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s.s_name,
+       count(*) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_2'
+  AND EXISTS (SELECT 1 FROM allsup l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+    doc="J21: TPC-H Q21 lone-late-supplier via semi + anti join pair",
+)
+def j21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    allsup = l.select("l_orderkey", "l_suppkey").distinct()
+    l1, l2 = late.alias("l1"), allsup.alias("l2")
+    l3 = late.alias("l3")
+    lone_late = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2").select("n_nationkey")
+    return (
+        lone_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )

@@ -93,6 +93,23 @@ def test_new_join_queries_broadcast_and_no_cartesian(spark):
     assert_no_cartesian(j18_large_orders(spark, SF_SMOKE))
 
 
+def test_tpch_round2_joins_broadcast_and_no_cartesian(spark):
+    from iot_big_data_engineering_spark.operators.joins import (
+        j8_market_share,
+        j9_profit_by_nation,
+        j13b_order_count_distribution,
+        j16_supplier_part_counts,
+        j21_lone_late_supplier,
+    )
+
+    for q in (j8_market_share, j9_profit_by_nation, j16_supplier_part_counts):
+        df = q(spark, SF_SMOKE)
+        assert_broadcast_join(df)
+        assert_no_cartesian(df)
+    for q in (j13b_order_count_distribution, j21_lone_late_supplier):
+        assert_no_cartesian(q(spark, SF_SMOKE))
+
+
 def test_adv2_asof_candidate_join_is_bucketed(spark):
     """The as-of join's candidate stage must be an EQUI-join on
     (customer, time bucket) — candidate rows bounded per (customer, month) —
