@@ -259,3 +259,60 @@ def t6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "token", "tfidf", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# T7 — documents profiling: per-column null/distinct/min/max stats in ONE
+# pass (all aggregates in a single partial+final hash agg; the transpose
+# to one-row-per-column happens on the 1-row aggregate via stack()). At
+# 100 TB the exact countDistincts would switch to approx_count_distinct —
+# but a profile is precisely where exact cardinalities are worth one pass.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@register(
+    "t7_documents_profile",
+    oracle="""
+WITH s AS (
+  SELECT count(*) AS n_rows,
+"""
+    + ",\n".join(
+        f"""    count(CASE WHEN {c} IS NULL THEN 1 END) AS {c}_nulls,
+    count(DISTINCT {c}) AS {c}_distinct,
+    CAST(min({c}) AS VARCHAR) AS {c}_min,
+    CAST(max({c}) AS VARCHAR) AS {c}_max"""
+        for c in _PROFILE_COLS
+    )
+    + """
+  FROM documents
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column, n_rows, {c}_nulls AS n_nulls, "
+        f"{c}_distinct AS n_distinct, {c}_min AS min_value, "
+        f"{c}_max AS max_value FROM s"
+        for c in _PROFILE_COLS
+    ),
+    doc="T7: one-pass per-column profile (nulls, distincts, min/max)",
+)
+def t7_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            F.min(c).cast("string").alias(f"{c}_min"),
+            F.max(c).cast("string").alias(f"{c}_max"),
+        ]
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max"
+        for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column, n_nulls, n_distinct, min_value, max_value)",
+        "n_rows",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
