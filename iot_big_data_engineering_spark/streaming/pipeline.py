@@ -269,3 +269,69 @@ def session_window_stream(
             "q_total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming query #2: event-time session windows over the
+# bounded stream. Oracle = gap-based sessionization in SQL (lag + running
+# sum), with the two streaming semantics mirrored exactly:
+# - Spark sessions are half-open [start, last+gap): an event at exactly
+#   last+gap starts a NEW session → oracle splits on diff >= gap;
+# - append mode emits only sessions the final watermark closed; with
+#   availableNow the final watermark is max(ts) - watermark_delay → oracle
+#   keeps sessions with session_end <= max(ts) - 10 minutes.
+# ---------------------------------------------------------------------------
+from ..sources.sensor_view import SENSOR_ORACLE_CTE  # noqa: E402
+
+_ST2_ORACLE = (
+    SENSOR_ORACLE_CTE
+    + """
+, s AS (
+  SELECT vehicle_id, ts, q_int,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM sensor_quality_checked
+  WINDOW w AS (PARTITION BY vehicle_id ORDER BY ts)
+),
+g AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY vehicle_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+sess AS (
+  SELECT vehicle_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 5 MINUTE AS session_end,
+         count(*) AS n_readings,
+         CAST(sum(q_int) AS BIGINT) AS q_total
+  FROM g GROUP BY vehicle_id, sid
+)
+SELECT session_start, session_end, vehicle_id, n_readings, q_total
+FROM sess
+WHERE session_end <= (SELECT max(ts) - INTERVAL 10 MINUTE
+                      FROM sensor_quality_checked)
+"""
+)
+
+
+@register(
+    "st2_streaming_session_windows",
+    oracle=_ST2_ORACLE,
+    doc="§2.7 session windows: streaming gap sessions ≡ SQL sessionization",
+)
+def st2_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    name = f"st2_out_{uuid.uuid4().hex[:8]}"
+    stream = sensor_stream(spark, sf_dir)
+    q = (
+        session_window_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
