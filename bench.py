@@ -45,6 +45,14 @@ HEADLINE = [
     "adv2_asof_join",
     "adv6_percentiles",
     "mm2_media_type_stats",
+    # round 2 additions: deepest star fan-in, profit rollup, left-join
+    # histogram, dedup clustering, tf-idf, one-pass profile
+    "j8_market_share",
+    "j9_profit_by_nation",
+    "j13b_order_count_distribution",
+    "d7_dedup_clusters",
+    "t6_tfidf_top_terms",
+    "t7_documents_profile",
 ]
 
 
