@@ -485,3 +485,76 @@ def adv10_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# ADV11 — range join: each event against the orders of the same customer
+# whose 30-day activity window [o_orderdate, o_orderdate+30d) contains the
+# event time. A raw inequality join is O(events × orders-per-customer);
+# the scale shape mirrors adv2: each order EXPANDS to the <=2 month
+# buckets its window intersects (sequence+explode on the small side),
+# per-(customer, bucket) orders compact to an array, and events take ONE
+# equi-join on (customer, bucket) with per-row array filtering — candidate
+# work bounded per customer-month, one event-sized shuffle total.
+# ---------------------------------------------------------------------------
+@register(
+    "adv11_range_join",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts,
+       count(o.o_orderkey) AS n_active_orders,
+       max(o.o_orderkey) AS latest_active_order
+FROM events e
+LEFT JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1, 2, 3
+""",
+    doc="ADV11: bucketed range join (orders active within 30 days)",
+)
+def adv11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def mbucket(c: F.Column) -> F.Column:
+        return (F.year(c) * 12 + F.month(c)).cast("int")
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    # expand each order to the month buckets its half-open 30-day window
+    # covers: last covered instant is orderdate+30d-ε, i.e. day orderdate+29
+    ob = o.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                mbucket(F.col("o_orderdate")),
+                mbucket(F.col("o_orderdate") + F.expr("INTERVAL 29 DAYS")),
+            )
+        ),
+    )
+    per_bucket = ob.groupBy("o_custkey", "bkt").agg(
+        F.collect_list(F.struct("o_orderdate", "o_orderkey")).alias("ords")
+    )
+    ev = e.withColumn("bkt", mbucket(F.col("ts")))
+    active = F.filter(
+        "ords",
+        lambda x: (F.col("ts") >= x["o_orderdate"])
+        & (F.col("ts") < x["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+    )
+    return (
+        ev.join(
+            per_bucket,
+            (ev.user_id == per_bucket.o_custkey) & (ev.bkt == per_bucket.bkt),
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.size(active), F.lit(0)).cast("bigint").alias(
+                "n_active_orders"
+            ),
+            F.array_max(
+                F.transform(active, lambda x: x["o_orderkey"])
+            ).alias("latest_active_order"),
+        )
+    )

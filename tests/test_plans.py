@@ -127,6 +127,18 @@ def test_adv2_asof_candidate_join_is_bucketed(spark):
     assert "bkt" in p, p
 
 
+def test_adv11_range_join_is_bucketed(spark):
+    """Same scale contract for the range join: the events↔orders inequality
+    must ride an equi-join on (customer, bucket), never a nested loop."""
+    from iot_big_data_engineering_spark.operators.advanced import adv11_range_join
+
+    df = adv11_range_join(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert "NestedLoop" not in p, p
+    assert "bkt" in p, p
+
+
 def test_j6_full_predicate_pushdown(spark):
     """TPC-H Q6 is the pushdown litmus: all three predicates must reach
     the parquet scan and the read schema must shrink to the 4 used cols."""
