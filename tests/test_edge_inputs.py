@@ -63,6 +63,19 @@ def test_decode_kernel_on_empty_payloads(spark):
     assert fake_decode_stats(with_binary_payload(d)).count() == 0
 
 
+def test_cache_registry_releases_tracked_frames(spark):
+    """Operators that persist an intermediate register it for caller-owned
+    cleanup; release_caches must unpersist everything tracked."""
+    from iot_big_data_engineering_spark.caching import release_caches, track
+
+    df = track(spark.range(10).persist())
+    df.count()
+    assert df.storageLevel.useMemory
+    assert release_caches() >= 1
+    assert not df.storageLevel.useMemory
+    assert release_caches() == 0  # registry drained
+
+
 def test_aggregations_on_empty_window(spark):
     """Monitoring checks over an empty window must return their
     no-data shape (global aggs produce one row of nulls / zeros), and the
