@@ -335,3 +335,76 @@ def st2_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming query #3: the idiomatic watermarked cross-batch
+# tumbling windows (the true-streaming A1 form, approx distincts). Oracle =
+# the same window aggregation in SQL restricted to watermark-CLOSED
+# windows (window_end <= max(ts) - 2 minutes — append mode emits nothing
+# later), with the HLL estimates bounded by within-3rsd flags exactly like
+# the batch approx twins.
+# ---------------------------------------------------------------------------
+_ST3_ORACLE = (
+    SENSOR_ORACLE_CTE
+    + """
+SELECT date_trunc('minute', ts) AS window_start,
+       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+       sensor_type,
+       count(*) AS record_count,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       TRUE AS vehicles_within_3rsd
+FROM sensor_quality_checked
+GROUP BY 1, 2, 3
+HAVING date_trunc('minute', ts) + INTERVAL 1 MINUTE
+       <= (SELECT max(ts) - INTERVAL 2 MINUTE FROM sensor_quality_checked)
+"""
+)
+
+
+@register(
+    "st3_streaming_watermarked_windows",
+    oracle=_ST3_ORACLE,
+    doc="§2.7 watermarked tumbling windows, HLL estimates error-bounded",
+)
+def st3_streaming_watermarked_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid
+
+    name = f"st3_out_{uuid.uuid4().hex[:8]}"
+    stream = sensor_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "sensor_type")
+        .agg(
+            F.count("*").alias("record_count"),
+            F.approx_count_distinct("vehicle_id", 0.01).alias("approx_vehicles"),
+            F.collect_set("vehicle_id").alias("vset"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sensor_type",
+            "record_count",
+            F.size("vset").cast("bigint").alias("unique_vehicles"),
+            (
+                F.abs(
+                    F.col("approx_vehicles").cast("double")
+                    - F.size("vset").cast("double")
+                )
+                <= F.greatest(
+                    F.lit(0.03) * F.size("vset").cast("double"), F.lit(1.0)
+                )
+            ).alias("vehicles_within_3rsd"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
