@@ -262,12 +262,12 @@ SELECT CAST(ts AS DATE) AS processing_date,
        round(min(quality_score), {_R}) AS min_quality_score,
        round(max(quality_score), {_R}) AS max_quality_score,
        round({_STDDEV_Q_SQL}, {_R}) AS stddev_quality_score,
-       CAST(count(CASE WHEN quality_score >= 0.8 THEN 1 END) * 100.0 / count(*)
-            AS DECIMAL(5,2)) AS quality_percentage
+       round(CAST(count(CASE WHEN quality_score >= 0.8 THEN 1 END) AS DOUBLE) * 100.0
+             / CAST(count(*) AS DOUBLE), 2) AS quality_percentage
 FROM sensor_quality_checked
 GROUP BY 1
 """,
-    doc="A5: daily quality bands + DECIMAL(5,2) percentage",
+    doc="A5: daily quality bands + 2-dp percentage",
 )
 def a5_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _with_date(quality_checked(spark, sf_dir))
@@ -282,7 +282,14 @@ def a5_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.min(qs), _R).alias("min_quality_score"),
         fround(F.max(qs), _R).alias("max_quality_score"),
         fround(_stddev_quality(), _R).alias("stddev_quality_score"),
-        (high * 100.0 / F.count("*")).cast("decimal(5,2)").alias("quality_percentage"),
+        # DOUBLE, not the reference's DECIMAL(5,2): DuckDB's dataframe layer
+        # materializes DECIMAL as float64 while Spark returns decimal.Decimal,
+        # so the driver hash diverges on representation even when the values
+        # are bit-identical. A 2-dp floor-rounded double is type-stable in
+        # both engines and loses nothing at this scale.
+        fround(
+            high.cast("double") * F.lit(100.0) / F.count("*").cast("double"), 2
+        ).alias("quality_percentage"),
     )
 
 

@@ -866,10 +866,11 @@ def j15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # J17 — small-quantity revenue (TPC-H Q17 shape): scalar CORRELATED
-# subquery (per-part average) decorrelated into a per-part aggregate
-# broadcast back onto lineitem. At scale the per-part avg table is tiny
-# relative to lineitem — the decorrelated form turns a per-row subquery
-# into one broadcast join.
+# subquery (per-part average) decorrelated into a per-part aggregate joined
+# back onto lineitem. The per-part table has cardinality |part| — NOT a
+# fixed-size dimension — so it gets no broadcast hint: at 100 TB (~20B
+# parts) a forced broadcast would OOM the driver. Both sides already hash
+# on l_partkey, and AQE is free to downgrade to broadcast at small SF.
 # ---------------------------------------------------------------------------
 @register(
     "j17_small_quantity_revenue",
@@ -904,7 +905,7 @@ def j17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("half_avg_qty")
     )
     return (
-        l.join(F.broadcast(pa.withColumnRenamed("l_partkey", "pa_partkey")),
+        l.join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
                l.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(

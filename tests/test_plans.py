@@ -139,6 +139,25 @@ def test_adv11_range_join_is_bucketed(spark):
     assert "bkt" in p, p
 
 
+def test_j17_no_forced_broadcast_of_fact_aggregate(spark):
+    """j17's per-part average has cardinality |part| — a fact-derived
+    aggregate, not a fixed-size dimension. A forced broadcast hint on it
+    OOMs at 100 TB, so the query must leave the strategy to the planner:
+    no broadcast hint in the analyzed plan, no cartesian, and the
+    aggregate still plans partial (map-side) before its shuffle."""
+    from iot_big_data_engineering_spark.operators.joins import (
+        j17_small_quantity_revenue,
+    )
+
+    df = j17_small_quantity_revenue(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    p = plan_str(df, mode="simple")
+    assert "NestedLoop" not in p, p
+    assert p.count("HashAggregate") >= 2, p  # partial + final on pa
+
+
 def test_j6_full_predicate_pushdown(spark):
     """TPC-H Q6 is the pushdown litmus: all three predicates must reach
     the parquet scan and the read schema must shrink to the 4 used cols."""
