@@ -138,7 +138,7 @@ def adv2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_bucket.select("o_custkey", "bkt"), ["o_custkey", "bkt"], "left_anti"
     ).withColumn(
         "ords",
-        F.lit(None).cast("array<struct<o_orderdate:date,o_orderkey:bigint>>"),
+        F.lit(None).cast("array<struct<o_orderdate:timestamp,o_orderkey:bigint>>"),
     )
     carry_w = (
         Window.partitionBy("o_custkey")

@@ -290,7 +290,7 @@ def mm4_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm5_payload_dedup",
     oracle="""
-SELECT md5(substr(text, 1, 64)) AS header_checksum,
+SELECT md5(substr(hex(encode(text)), 1, 128)) AS header_checksum,
        count(*) AS n_copies,
        min(doc_id) AS canonical_doc_id,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS group_bytes
@@ -302,9 +302,12 @@ HAVING count(*) > 1
 )
 def mm5_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    # substring on BinaryType slices bytes; the payload is UTF-8-encoded
-    # ASCII here, so the DuckDB twin can express the same slice on VARCHAR
-    header = F.md5(F.expr("substring(payload, 1, 64)"))
+    # substring on BinaryType slices BYTES. The checksum is md5 of the hex
+    # encoding of those 64 bytes (not of the raw bytes) because DuckDB
+    # cannot slice a BLOB — hex() is byte-faithful and bit-identical in
+    # both engines, so the oracle's substr(hex(encode(text)), 1, 128)
+    # denotes the same 64 bytes even for multi-byte UTF-8 headers.
+    header = F.md5(F.hex(F.expr("substring(payload, 1, 64)")))
     return (
         b.groupBy(header.alias("header_checksum"))
         .agg(

@@ -37,7 +37,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..schema import TESTDATA_SCHEMAS
-from ..sources.sensor_view import apply_quality, map_events
+from ..sources.sensor_view import apply_quality, map_events, quality_checked
 
 # raw (pre-conversion) schema of the events parquet: ts is int64 nanoseconds
 _EVENTS_RAW_SCHEMA = T.StructType(
@@ -362,14 +362,13 @@ HAVING date_trunc('minute', ts) + INTERVAL 1 MINUTE
 )
 
 
-@register(
-    "st3_streaming_watermarked_windows",
-    oracle=_ST3_ORACLE,
-    doc="§2.7 watermarked tumbling windows, HLL estimates error-bounded",
-)
-def st3_streaming_watermarked_windows(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def st3_streaming_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of st3: streaming state per (window × sensor_type)
+    is exactly one count and one HLL sketch — bounded regardless of vehicle
+    cardinality, safe at 100 TB. (An earlier form carried
+    ``collect_set(vehicle_id)`` through state to self-certify the HLL error
+    bound; that is exact-distinct state, unbounded — the bound is now
+    certified by a batch post-check in the registered query instead.)"""
     import uuid
 
     name = f"st3_out_{uuid.uuid4().hex[:8]}"
@@ -380,23 +379,13 @@ def st3_streaming_watermarked_windows(
         .agg(
             F.count("*").alias("record_count"),
             F.approx_count_distinct("vehicle_id", 0.01).alias("approx_vehicles"),
-            F.collect_set("vehicle_id").alias("vset"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "sensor_type",
             "record_count",
-            F.size("vset").cast("bigint").alias("unique_vehicles"),
-            (
-                F.abs(
-                    F.col("approx_vehicles").cast("double")
-                    - F.size("vset").cast("double")
-                )
-                <= F.greatest(
-                    F.lit(0.03) * F.size("vset").cast("double"), F.lit(1.0)
-                )
-            ).alias("vehicles_within_3rsd"),
+            "approx_vehicles",
         )
     )
     q = (
@@ -408,3 +397,45 @@ def st3_streaming_watermarked_windows(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "st3_streaming_watermarked_windows",
+    oracle=_ST3_ORACLE,
+    doc="§2.7 watermarked tumbling windows, HLL estimates error-bounded",
+)
+def st3_streaming_watermarked_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verification harness around :func:`st3_streaming_product`: the
+    streamed result (bounded state) is batch-joined against an exact
+    per-window distinct count computed directly from the parquet, which
+    certifies the streaming HLL estimate within 3·rsd. The batch join is
+    the CHECK, not the product path — at scale you run the streaming query
+    alone and never materialize the exact distinct."""
+    streamed = st3_streaming_product(spark, sf_dir)
+    exact = (
+        quality_checked(spark, sf_dir)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "sensor_type")
+        .agg(F.countDistinct("vehicle_id").alias("unique_vehicles"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "sensor_type",
+            "unique_vehicles",
+        )
+    )
+    ex = F.col("unique_vehicles").cast("double")
+    return (
+        streamed.join(exact, ["window_start", "sensor_type"])
+        .select(
+            "window_start",
+            "window_end",
+            "sensor_type",
+            "record_count",
+            "unique_vehicles",
+            (
+                F.abs(F.col("approx_vehicles").cast("double") - ex)
+                <= F.greatest(F.lit(0.03) * ex, F.lit(1.0))
+            ).alias("vehicles_within_3rsd"),
+        )
+    )

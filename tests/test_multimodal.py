@@ -101,3 +101,42 @@ def test_feature_extraction_feeds_similarity(spark):
     )
     top = ivf_topk(corpus, q, k=3, nlist=4, nprobe=2)
     assert top.count() > 0
+
+
+def test_mm5_header_checksum_is_byte_faithful_for_multibyte_utf8(spark):
+    """mm5's checksum and its DuckDB oracle must denote the same 64 BYTES
+    (not characters). With a multi-byte UTF-8 header, a character-based
+    slice would silently diverge — this pins the hex-slice formulation
+    against a pure-Python byte reference."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    texts = ["héllo wörld — ünïcode häder " * 8, "plain ascii header " * 8]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = (
+        df.select(
+            F.md5(
+                F.hex(F.expr("substring(encode(text, 'UTF-8'), 1, 64)"))
+            ).alias("c")
+        )
+        .rdd.map(lambda r: r.c)
+        .collect()
+    )
+    want = [
+        hashlib.md5(t.encode("utf-8")[:64].hex().upper().encode()).hexdigest()
+        for t in texts
+    ]
+    assert got == want
+
+    import duckdb
+
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT md5(substr(hex(encode(?)), 1, 128))", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    con.close()
+    assert duck == want
