@@ -46,6 +46,50 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+# NOTE: mm5 is defined (and therefore registered) before mm1-mm4: its
+# oracle changed in round 3, and registration order decides the driver's
+# 50-query correctness window (registry._ensure_loaded).
+# ---------------------------------------------------------------------------
+# MM5 — payload dedup by header-block checksum: group assets whose first
+# 64 payload bytes hash identically — the standard cheap first pass of a
+# multimodal ingest (re-crawled/re-encoded assets share their header
+# block long before any perceptual pass; full-content md5 is already in
+# the mm1 manifest for the byte-identical case). One hash-groupBy; the
+# bytes themselves never shuffle, only (checksum, doc_id, n_bytes) — at
+# 100 TB this is the cheapest possible candidate grouping.
+# ---------------------------------------------------------------------------
+@register(
+    "mm5_payload_dedup",
+    oracle="""
+SELECT md5(substr(hex(encode(text)), 1, 128)) AS header_checksum,
+       count(*) AS n_copies,
+       min(doc_id) AS canonical_doc_id,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS group_bytes
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+""",
+    doc="MM5: payload dedup candidates via header-block (64 B) checksum",
+)
+def mm5_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    # substring on BinaryType slices BYTES. The checksum is md5 of the hex
+    # encoding of those 64 bytes (not of the raw bytes) because DuckDB
+    # cannot slice a BLOB — hex() is byte-faithful and bit-identical in
+    # both engines, so the oracle's substr(hex(encode(text)), 1, 128)
+    # denotes the same 64 bytes even for multi-byte UTF-8 headers.
+    header = F.md5(F.hex(F.expr("substring(payload, 1, 64)")))
+    return (
+        b.groupBy(header.alias("header_checksum"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.sum(F.col("meta.n_bytes").cast("bigint")).alias("group_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MM1 — manifest: typed metadata over binary payloads (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -275,45 +319,4 @@ def mm4_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
             "l1_norm"
         ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# MM5 — payload dedup by header-block checksum: group assets whose first
-# 64 payload bytes hash identically — the standard cheap first pass of a
-# multimodal ingest (re-crawled/re-encoded assets share their header
-# block long before any perceptual pass; full-content md5 is already in
-# the mm1 manifest for the byte-identical case). One hash-groupBy; the
-# bytes themselves never shuffle, only (checksum, doc_id, n_bytes) — at
-# 100 TB this is the cheapest possible candidate grouping.
-# ---------------------------------------------------------------------------
-@register(
-    "mm5_payload_dedup",
-    oracle="""
-SELECT md5(substr(hex(encode(text)), 1, 128)) AS header_checksum,
-       count(*) AS n_copies,
-       min(doc_id) AS canonical_doc_id,
-       CAST(sum(octet_length(encode(text))) AS BIGINT) AS group_bytes
-FROM documents
-GROUP BY 1
-HAVING count(*) > 1
-""",
-    doc="MM5: payload dedup candidates via header-block (64 B) checksum",
-)
-def mm5_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    # substring on BinaryType slices BYTES. The checksum is md5 of the hex
-    # encoding of those 64 bytes (not of the raw bytes) because DuckDB
-    # cannot slice a BLOB — hex() is byte-faithful and bit-identical in
-    # both engines, so the oracle's substr(hex(encode(text)), 1, 128)
-    # denotes the same 64 bytes even for multi-byte UTF-8 headers.
-    header = F.md5(F.hex(F.expr("substring(payload, 1, 64)")))
-    return (
-        b.groupBy(header.alias("header_checksum"))
-        .agg(
-            F.count("*").alias("n_copies"),
-            F.min("doc_id").alias("canonical_doc_id"),
-            F.sum(F.col("meta.n_bytes").cast("bigint")).alias("group_bytes"),
-        )
-        .filter(F.col("n_copies") > 1)
     )
