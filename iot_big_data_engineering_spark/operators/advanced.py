@@ -96,27 +96,38 @@ def adv1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one per (custkey, orderdate) so both engines tie-break identically; the
 # struct max ordering is (o_orderdate, o_orderkey) on both paths).
 # ---------------------------------------------------------------------------
-@register(
-    "adv2_asof_join",
-    oracle="""
-WITH o AS (
-  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
-  FROM orders GROUP BY o_custkey, o_orderdate
-)
-SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
-FROM events e
-ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-""",
-    doc="ADV2: as-of join, time-bucketed candidate bound (month buckets)",
-)
-def adv2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def mbucket(c: F.Column) -> F.Column:
-        return F.year(c) * 12 + F.month(c)
+# Bucket-width knob shared by the bucketed joins (adv2, adv11). Finer
+# buckets bound the per-(customer, bucket) candidate arrays tighter — the
+# skew lever when one customer concentrates ~1e5 orders in a month — at
+# the cost of more compaction rows (and, for the range join, more
+# expansion rows per order). All widths are integer buckets CONSECUTIVE
+# over time, which the carry window (asof) and the sequence() expansion
+# (range) both require.
+_BUCKETS = {
+    "month": lambda c: (F.year(c) * 12 + F.month(c)).cast("int"),
+    "week": lambda c: F.floor(F.unix_date(F.to_date(c)) / 7).cast("int"),
+    "day": lambda c: F.unix_date(F.to_date(c)).cast("int"),
+}
 
-    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+
+def _bucket_fn(bucket: str):
+    try:
+        return _BUCKETS[bucket]
+    except KeyError:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}, got {bucket!r}")
+
+
+def asof_join(
+    events: DataFrame, orders: DataFrame, bucket: str = "month"
+) -> DataFrame:
+    """Library form of the as-of join: ``events(event_id, user_id, ts)``
+    each matched to the latest order at-or-before ``ts`` from
+    ``orders(o_custkey, o_orderkey, o_orderdate)``. ``bucket`` is the
+    skew knob — see ``_BUCKETS``."""
+    mbucket = _bucket_fn(bucket)
+    e = events.select("event_id", "user_id", "ts")
     ob = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
+        orders.groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
         .withColumn("bkt", mbucket(F.col("o_orderdate")))
     )
@@ -173,6 +184,28 @@ def adv2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof.o_orderkey").alias("o_orderkey"),
             F.col("asof.o_orderdate").alias("o_orderdate"),
         )
+    )
+
+
+@register(
+    "adv2_asof_join",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+    doc="ADV2: as-of join, time-bucketed candidate bound (month buckets)",
+)
+def adv2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_join(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_orderdate"
+        ),
     )
 
 
@@ -497,37 +530,35 @@ def adv10_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equi-join on (customer, bucket) with per-row array filtering — candidate
 # work bounded per customer-month, one event-sized shuffle total.
 # ---------------------------------------------------------------------------
-@register(
-    "adv11_range_join",
-    oracle="""
-SELECT e.event_id, e.user_id, e.ts,
-       count(o.o_orderkey) AS n_active_orders,
-       max(o.o_orderkey) AS latest_active_order
-FROM events e
-LEFT JOIN orders o
-  ON o.o_custkey = e.user_id
- AND e.ts >= o.o_orderdate
- AND e.ts < o.o_orderdate + INTERVAL 30 DAY
-GROUP BY 1, 2, 3
-""",
-    doc="ADV11: bucketed range join (orders active within 30 days)",
-)
-def adv11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def mbucket(c: F.Column) -> F.Column:
-        return (F.year(c) * 12 + F.month(c)).cast("int")
-
-    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate"
-    )
-    # expand each order to the month buckets its half-open 30-day window
-    # covers: last covered instant is orderdate+30d-ε, i.e. day orderdate+29
+def range_join_active_orders(
+    events: DataFrame,
+    orders: DataFrame,
+    bucket: str = "month",
+    window_days: int = 30,
+) -> DataFrame:
+    """Library form of the range join: per event, the orders of the same
+    customer whose ``[o_orderdate, o_orderdate + window_days)`` activity
+    window contains ``ts``. ``bucket`` is the skew knob (see ``_BUCKETS``);
+    finer buckets shrink the per-(customer, bucket) arrays but expand each
+    order into more bucket rows (~window_days/bucket_width + 1)."""
+    mbucket = _bucket_fn(bucket)
+    e = events.select("event_id", "user_id", "ts")
+    o = orders.select("o_custkey", "o_orderkey", "o_orderdate")
+    # expand each order to the buckets its half-open window covers. The
+    # last covered instant is orderdate+window−ε; for a timestamp orderdate
+    # with nonzero time-of-day that instant can fall one calendar bucket
+    # past day orderdate+window−1, so the expansion upper bound is
+    # orderdate+window — at most one superfluous bucket row, and the exact
+    # per-row interval filter below discards any overreach.
     ob = o.withColumn(
         "bkt",
         F.explode(
             F.sequence(
                 mbucket(F.col("o_orderdate")),
-                mbucket(F.col("o_orderdate") + F.expr("INTERVAL 29 DAYS")),
+                mbucket(
+                    F.col("o_orderdate")
+                    + F.expr(f"INTERVAL {window_days} DAYS")
+                ),
             )
         ),
     )
@@ -538,7 +569,7 @@ def adv11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = F.filter(
         "ords",
         lambda x: (F.col("ts") >= x["o_orderdate"])
-        & (F.col("ts") < x["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        & (F.col("ts") < x["o_orderdate"] + F.expr(f"INTERVAL {window_days} DAYS")),
     )
     return (
         ev.join(
@@ -557,4 +588,26 @@ def adv11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(active, lambda x: x["o_orderkey"])
             ).alias("latest_active_order"),
         )
+    )
+
+
+@register(
+    "adv11_range_join",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts,
+       count(o.o_orderkey) AS n_active_orders,
+       max(o.o_orderkey) AS latest_active_order
+FROM events e
+LEFT JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1, 2, 3
+""",
+    doc="ADV11: bucketed range join (orders active within 30 days)",
+)
+def adv11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return range_join_active_orders(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "orders"),
     )

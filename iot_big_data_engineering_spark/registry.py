@@ -15,6 +15,7 @@ Conventions (driver contract):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -89,14 +90,33 @@ _AVG_QUALITY_INT_SQL = "(CAST(sum(q_int) AS DOUBLE) / (5.0 * count(*)))"
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator: register a query callable under ``name``."""
+    """Decorator: register a query callable under ``name``.
+
+    The registered form releases caches tracked by PREVIOUS queries on
+    entry (caching.release_caches): harnesses that run many queries in one
+    session — the driver runs all ~90 — would otherwise accumulate every
+    persist()ed intermediate (d4 signatures, ivf corpus) in executor
+    storage memory with no release point. Releasing at next-query entry is
+    safe because each harness materializes a query before building the
+    next; a caller that interleaves construction merely loses the cache
+    (recompute), never correctness. Direct imports of the undecorated
+    functions (the test modules) are unaffected.
+    """
     if oracle is not None:
         oracle = _rewrite_rounds(oracle.replace(_AVG_QUALITY_SQL, _AVG_QUALITY_INT_SQL))
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from .caching import release_caches
+
+            release_caches()
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, doc=doc)
         return fn
 
     return deco

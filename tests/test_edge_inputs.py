@@ -89,3 +89,161 @@ def test_aggregations_on_empty_window(spark):
     e = load_table(spark, SF_SMOKE, "events").filter(F.col("event_id") < 0)
     q = apply_quality(map_events(e))
     assert q.count() == 0
+
+
+def test_asof_join_bucket_knob_bounds_heavy_customer(spark):
+    """Skew hardening: one customer places 100k orders inside a single
+    month. Month buckets put all 100k in ONE per-(customer, bucket) array;
+    the `bucket="day"` knob caps the array at that day's orders (~3.5k
+    here) with the carry row covering everything earlier — per-event
+    candidate work drops ~30x while the result stays identical. Asserts
+    (a) the day-bucket compaction really is bounded, (b) both widths match
+    a DuckDB ASOF oracle on the same data."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _BUCKETS,
+        asof_join,
+    )
+
+    n = 100_000
+    base = pd.Timestamp("2024-03-01")
+    orders_pd = pd.DataFrame(
+        {
+            "o_custkey": 7,
+            "o_orderkey": pd.RangeIndex(n) + 1000,
+            # 25 s spacing spans ~29 days — all inside March 2024
+            "o_orderdate": base + pd.to_timedelta(pd.RangeIndex(n) * 25, "s"),
+        }
+    )
+    # a normal customer too, so the skewed key is not the only group
+    orders_pd = pd.concat(
+        [
+            orders_pd,
+            pd.DataFrame(
+                {
+                    "o_custkey": 8,
+                    "o_orderkey": [1, 2, 3],
+                    "o_orderdate": pd.to_datetime(
+                        ["2024-02-10", "2024-03-15", "2024-04-02"]
+                    ),
+                }
+            ),
+        ]
+    )
+    events_pd = pd.DataFrame(
+        {
+            "event_id": pd.RangeIndex(300),
+            "user_id": [7] * 280 + [8] * 10 + [9] * 10,
+            "ts": base
+            + pd.to_timedelta((pd.RangeIndex(300) * 9941) % (75 * 86400), "s")
+            - pd.Timedelta(days=15),
+        }
+    )
+    orders = spark.createDataFrame(orders_pd)
+    events = spark.createDataFrame(events_pd)
+
+    # (a) the knob's bound, on the exact compaction the day path builds
+    per_day = (
+        orders.groupBy("o_custkey", _BUCKETS["day"](F.col("o_orderdate")))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_day <= 3600  # 86400 s / 25 s per order
+    per_month = (
+        orders.groupBy("o_custkey", _BUCKETS["month"](F.col("o_orderdate")))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_month >= n  # what the day knob is saving us from
+
+    # (b) identical, oracle-checked results at both widths
+    con = duckdb.connect()
+    con.register("orders_pd", orders_pd)
+    con.register("events_pd", events_pd)
+    want = sorted(
+        con.execute(
+            """
+            SELECT e.event_id, o.o_orderkey
+            FROM events_pd e
+            ASOF LEFT JOIN orders_pd o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            """
+        ).fetchall()
+    )
+    con.close()
+    for bucket in ("month", "day"):
+        got = sorted(
+            (r.event_id, r.o_orderkey)
+            for r in asof_join(events, orders, bucket=bucket)
+            .select("event_id", "o_orderkey")
+            .collect()
+        )
+        assert got == want, f"bucket={bucket}"
+
+
+def test_range_join_correct_under_heavy_customer(spark):
+    """Range-join skew note: an event of the heavy customer genuinely
+    matches every order active in its 30-day lookback, so per-bucket
+    arrays are intrinsically >= the active set — no bucket width can cut
+    below that. The test pins correctness under a 20k-orders-in-one-month
+    customer at two widths (week buckets trade smaller arrays against ~5x
+    order-row expansion vs month)."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        range_join_active_orders,
+    )
+
+    n = 20_000
+    base = pd.Timestamp("2024-03-01")
+    orders_pd = pd.DataFrame(
+        {
+            "o_custkey": 7,
+            "o_orderkey": pd.RangeIndex(n) + 1000,
+            "o_orderdate": base + pd.to_timedelta(pd.RangeIndex(n) * 125, "s"),
+        }
+    )
+    events_pd = pd.DataFrame(
+        {
+            "event_id": pd.RangeIndex(60),
+            "user_id": [7] * 50 + [9] * 10,
+            "ts": base
+            + pd.to_timedelta((pd.RangeIndex(60) * 104729) % (70 * 86400), "s")
+            - pd.Timedelta(days=10),
+        }
+    )
+    orders = spark.createDataFrame(orders_pd)
+    events = spark.createDataFrame(events_pd)
+
+    con = duckdb.connect()
+    con.register("orders_pd", orders_pd)
+    con.register("events_pd", events_pd)
+    want = sorted(
+        con.execute(
+            """
+            SELECT e.event_id,
+                   count(o.o_orderkey) AS n_active_orders,
+                   max(o.o_orderkey) AS latest_active_order
+            FROM events_pd e
+            LEFT JOIN orders_pd o
+              ON o.o_custkey = e.user_id
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 30 DAY
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    con.close()
+    for bucket in ("month", "week"):
+        got = sorted(
+            (r.event_id, r.n_active_orders, r.latest_active_order)
+            for r in range_join_active_orders(events, orders, bucket=bucket)
+            .select("event_id", "n_active_orders", "latest_active_order")
+            .collect()
+        )
+        assert got == want, f"bucket={bucket}"
