@@ -53,6 +53,9 @@ HEADLINE = [
     "d7_dedup_clusters",
     "t6_tfidf_top_terms",
     "t7_documents_profile",
+    # round 3 additions: bucketed range join, payload dedup
+    "adv11_range_join",
+    "mm5_payload_dedup",
 ]
 
 

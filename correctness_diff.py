@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Machine-visible correctness deltas across driver rounds — the
+CORRECTNESS counterpart of bench.py's delta_vs_prev.
+
+Reads every CORRECTNESS_r{N}.json next to this script, classifies each
+query per round (green / red / rows_only / absent), and prints ONE JSON
+line with the latest round's status plus transitions vs the previous
+round and vs the best-ever status, so a regression (green -> red, green
+-> dropped-out-of-window) is visible mechanically rather than by reading
+two files side by side.
+
+Usage: python correctness_diff.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+
+def _status(row: dict) -> str:
+    if row.get("err") == "no_oracle":
+        return "rows_only"
+    if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+        return "green"
+    return "red"
+
+
+def load_rounds(here: str) -> dict[int, dict[str, str]]:
+    rounds: dict[int, dict[str, str]] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        rounds[int(m.group(1))] = {q: _status(row) for q, row in data.items()}
+    return rounds
+
+
+def main() -> int:
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = load_rounds(here)
+    if not rounds:
+        print(json.dumps({"error": "no CORRECTNESS_r*.json files found"}))
+        return 1
+    ns = sorted(rounds)
+    latest, prev = ns[-1], (ns[-2] if len(ns) > 1 else None)
+    cur = rounds[latest]
+
+    # best evidence any round has produced for each query ever checked
+    best: dict[str, tuple[str, int]] = {}
+    rank = {"green": 2, "rows_only": 1, "red": 0}
+    for n in ns:
+        for q, s in rounds[n].items():
+            if q not in best or rank[s] >= rank[best[q][0]]:
+                best[q] = (s, n)
+
+    out: dict = {
+        "round": latest,
+        "counts": {
+            s: sum(1 for v in cur.values() if v == s)
+            for s in ("green", "red", "rows_only")
+        },
+        "red": sorted(q for q, s in cur.items() if s == "red"),
+        # queries whose best-ever evidence is red — never green in any round
+        "never_green": sorted(
+            q for q, (s, _) in best.items() if s == "red"
+        ),
+    }
+    if prev is not None:
+        pr = rounds[prev]
+        out["prev_round"] = prev
+        out["transitions_vs_prev"] = {
+            q: f"{pr[q]}->{cur[q]}"
+            for q in sorted(set(pr) & set(cur))
+            if pr[q] != cur[q]
+        }
+        out["entered_window"] = sorted(set(cur) - set(pr))
+        # rotation is expected; a green query leaving the window is fine as
+        # long as its best-ever row stays green — list regressed exits only
+        out["exited_window_without_green_row"] = sorted(
+            q for q in set(pr) - set(cur) if best[q][0] != "green"
+        )
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
