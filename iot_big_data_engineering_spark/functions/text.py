@@ -156,3 +156,32 @@ def sql_shingles_from_tokens(toks_col: str = "toks", n: int = 3) -> str:
         f"list_distinct(list_transform(range(1, len({toks_col}) - {n - 2}), "
         f"i -> {parts})) ELSE [] END"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenizer. Whitespace split (`tokens`) counts words; this
+# counts bounded subword units the way byte-pair vocabularies fragment
+# text: letter runs chunked greedily to ≤4 chars (rare/long words cost
+# several units), digit runs to ≤3 (the number-chunking of modern
+# tokenizers), punctuation one unit each. The pattern uses only constructs
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+# character classes, bounded greedy quantifiers, alternation.
+# ---------------------------------------------------------------------------
+BPE_PATTERN = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col: str = "text") -> Column:
+    return F.regexp_extract_all(F.col(col), F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    return F.size(bpe_tokens(col))
+
+
+def sql_bpe_tokens(col: str = "text") -> str:
+    # single-quoted std string: backslashes pass through to RE2 unescaped
+    return f"regexp_extract_all({col}, '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')"
+
+
+def sql_bpe_token_count(col: str = "text") -> str:
+    return f"CAST(len({sql_bpe_tokens(col)}) AS INTEGER)"

@@ -1344,3 +1344,84 @@ def j21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# J20 — excess-stock suppliers (TPC-H Q20 shape). The schema has no
+# partsupp, so "available stock" of a (supplier, part) pair is the quantity
+# it shipped OUTSIDE the probe year (documented substitution); Q20's
+# correlated `ps_availqty > 0.5 * sum(l_quantity in year)` becomes
+# held_qty > 0.5 * window_qty, decorrelated into ONE lineitem aggregate
+# with two conditional sums — the nested-IN chain collapses to a broadcast
+# semi-join on the 'red%' parts and a broadcast supplier⋈nation map. The
+# one shuffle is the (l_suppkey, l_partkey) groupBy, map-side partial.
+# Q20 returns no row for a pair with zero in-year lineitems (NULL scalar
+# subquery); window_qty IS NOT NULL mirrors that exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "j20_excess_stock_suppliers",
+    oracle="""
+WITH stock AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+             THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS window_qty,
+         sum(CASE WHEN l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+                   OR l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS held_qty
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+SELECT s.s_suppkey, s.s_name, count(DISTINCT st.l_partkey) AS qualifying_parts
+FROM stock st
+JOIN part p ON st.l_partkey = p.p_partkey AND p.p_name LIKE 'red%'
+JOIN supplier s ON st.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+WHERE st.window_qty IS NOT NULL
+  AND CAST(coalesce(st.held_qty, 0) AS DOUBLE) > 0.5 * CAST(st.window_qty AS DOUBLE)
+GROUP BY s.s_suppkey, s.s_name
+""",
+    doc="J20: TPC-H Q20 excess-stock shape, nested INs → one agg + semi joins",
+)
+def j20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    in_win = (
+        F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    # exact DECIMAL sums: the 0.5× threshold comparison must not depend on
+    # double summation order (same rationale as j17's half_avg_qty)
+    stock = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(in_win, qty)).alias("window_qty"),
+        F.sum(F.when(~in_win, qty)).alias("held_qty"),
+    )
+    qual = stock.filter(
+        F.col("window_qty").isNotNull()
+        & (
+            F.coalesce(F.col("held_qty"), F.lit(0)).cast("double")
+            > F.lit(0.5) * F.col("window_qty").cast("double")
+        )
+    )
+    nation_suppliers = s.join(
+        F.broadcast(n), s.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(p), qual.l_partkey == p.p_partkey)
+        .join(F.broadcast(nation_suppliers), qual.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("l_partkey").alias("qualifying_parts"))
+    )

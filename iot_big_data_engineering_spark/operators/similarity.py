@@ -14,6 +14,16 @@ training-data pipeline extension (BASELINE.json north star).
       property-tested (the testdata embeddings are isotropic-random —
       label is NOT a geometric cluster — so recall on random neighbors
       would measure the data, not the operator).
+- s3: LSH-bucketed ANN — random-hyperplane (sign-bit) hashing into
+      ntables independent bucket tables; candidates are corpus vectors
+      sharing a bucket with the query in ANY table, exact-reranked. The
+      100 TB path mirrors s2 with hash buckets instead of k-means cells:
+      bucket assignment is a one-time map-only pass, the corpus is stored
+      partitioned by (table, bucket), and a probe reads only the ntables
+      matching buckets — no index training step at all, the trade being
+      data-blind buckets (lower recall per probe than IVF at equal read
+      volume). rows-only checked; planted-duplicate recall is
+      property-tested like s2.
 - numpy_topk: Arrow-batched mapInPandas matmul kernel, the vectorized
       form when Python-side scoring is unavoidable; tests assert it agrees
       exactly with s1.
@@ -340,3 +350,142 @@ def numpy_topk(e: DataFrame, queries: list[tuple[int, list[float]]], k: int = K)
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", fround("cosine", _R).alias("cosine"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# S3 — LSH-bucketed ANN (random-hyperplane sign bits, multi-table)
+# ---------------------------------------------------------------------------
+NBITS = 6       # 2^6 = 64 buckets per table
+NTABLES = 4     # independent tables OR'd for candidates
+LSH_SEED = 7
+
+
+def lsh_hyperplanes(dim: int, nbits: int = NBITS, ntables: int = NTABLES,
+                    seed: int = LSH_SEED):
+    """Deterministic Gaussian hyperplanes, shape (ntables, nbits, dim).
+    Seeded RandomState → identical buckets on every run/engine, so the
+    operator output is reproducible (a registry requirement)."""
+    np = _np()
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((ntables, nbits, dim))
+
+
+def _bucket_matrix(m, planes):
+    """(n, dim) unit rows × (ntables, nbits, dim) planes → (n, ntables)
+    integer bucket ids: bucket = Σ 2^i·[v·h_i > 0]."""
+    np = _np()
+    nt, nb, dim = planes.shape
+    # (n, ntables*nbits) sign bits in one matmul
+    bits = (m @ planes.reshape(nt * nb, dim).T) > 0.0
+    weights = (1 << np.arange(nb)).astype(np.int64)
+    return bits.reshape(len(m), nt, nb) @ weights  # (n, ntables)
+
+
+def assign_lsh_buckets(e: DataFrame, planes) -> DataFrame:
+    """Adds `buckets` = array<long>, one bucket id per table, via an
+    Arrow-batched kernel against the broadcast plane tensor. Pure map-side
+    — no shuffle; at scale (table, bucket) becomes the storage partition
+    key so probes are partition-pruned scans (same pattern as s2's
+    assign_cells, without the training pass)."""
+    import pandas as pd
+
+    np = _np()
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    bc = e.sparkSession.sparkContext.broadcast(planes)
+    out_schema = StructType(
+        list(e.schema.fields) + [StructField("buckets", ArrayType(LongType()))]
+    )
+
+    def kernel(batches):
+        p = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+            pdf = pdf.copy()
+            pdf["buckets"] = [row.tolist() for row in _bucket_matrix(m, p)]
+            yield pdf
+
+    return e.mapInPandas(kernel, schema=out_schema)
+
+
+def lsh_topk(
+    e: DataFrame,
+    queries: DataFrame,
+    k: int = K,
+    nbits: int = NBITS,
+    ntables: int = NTABLES,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """Multi-table LSH ANN: candidates = corpus rows sharing a (table,
+    bucket) with the query in any table, deduped, exact-reranked by
+    cosine. `queries` must have (query_id, qv); collected to the driver
+    (small by construction — the corpus never is) so query buckets are a
+    driver-side matmul and the probe set broadcasts into the candidate
+    join. An ANN query may return < k rows when its buckets are sparse —
+    inherent to hash-bucketed search (raise ntables for recall)."""
+    np = _np()
+    spark = e.sparkSession
+    empty = spark.createDataFrame(
+        [], "query_id long, vec_id long, cosine double, rank int"
+    )
+    qrows = queries.collect()
+    if not qrows:
+        return empty
+    first = e.select(F.size("v").alias("d")).first()
+    if first is None:  # empty corpus
+        return empty
+    planes = lsh_hyperplanes(int(first.d), nbits, ntables, seed)
+    bucketed = (
+        assign_lsh_buckets(e, planes)
+        .select(
+            "vec_id",
+            "v",
+            F.posexplode("buckets").alias("table", "bucket"),
+        )
+    )
+    qn = _normalize_rows(np.asarray([r.qv for r in qrows], dtype=np.float64))
+    qb = _bucket_matrix(qn, planes)  # (nq, ntables)
+    probes = spark.createDataFrame(
+        [
+            (r.query_id, list(r.qv), t, int(b))
+            for r, row in zip(qrows, qb)
+            for t, b in enumerate(row)
+        ],
+        "query_id long, qv array<double>, table int, bucket long",
+    )
+    cand = (
+        bucketed.join(F.broadcast(probes), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        # a pair can collide in several tables; every duplicate row is
+        # identical in (qv, v) so keep-any semantics are deterministic
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+@register(
+    "s3_knn_lsh",
+    oracle=None,  # approximate; planted-duplicate recall property-tested
+    doc="S3: LSH ANN — 4 sign-bit tables of 64 buckets, OR-candidates, rerank",
+)
+def s3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # like s2: no repartition — task count tracks input splits
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.to_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return lsh_topk(e, q)

@@ -316,3 +316,47 @@ def t7_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(column, n_nulls, n_distinct, min_value, max_value)",
         "n_rows",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+# ---------------------------------------------------------------------------
+# T8 — BPE-ish subword token stats per (lang, source): the second counter
+# of the token-counting pair (whitespace words in t1, bounded subword
+# units here), plus the subword-per-word fertility ratio — the number a
+# training-data pipeline budgets context length with.
+# ---------------------------------------------------------------------------
+@register(
+    "t8_bpe_token_stats",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, source,
+         {X.sql_bpe_token_count("text")} AS bpe_count,
+         {X.sql_token_count("text")} AS ws_count
+  FROM documents
+)
+SELECT lang, source,
+       count(*) AS doc_count,
+       CAST(sum(bpe_count) AS BIGINT) AS total_bpe_tokens,
+       round(avg(CAST(bpe_count AS DOUBLE)), {_R}) AS avg_bpe_tokens,
+       round(avg(CAST(ws_count AS DOUBLE)), {_R}) AS avg_ws_tokens,
+       round(avg(CAST(bpe_count AS DOUBLE) / ws_count), {_R}) AS fertility
+FROM d
+GROUP BY lang, source
+""",
+    doc="T8: BPE-ish subword counting + fertility vs whitespace words",
+)
+def t8_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        "source",
+        X.bpe_token_count("text").alias("bpe_count"),
+        X.token_count("text").alias("ws_count"),
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("bpe_count").cast("bigint").alias("total_bpe_tokens"),
+        fround(F.avg(F.col("bpe_count").cast("double")), _R).alias("avg_bpe_tokens"),
+        fround(F.avg(F.col("ws_count").cast("double")), _R).alias("avg_ws_tokens"),
+        fround(
+            F.avg(F.col("bpe_count").cast("double") / F.col("ws_count")), _R
+        ).alias("fertility"),
+    )

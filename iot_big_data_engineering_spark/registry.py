@@ -137,27 +137,52 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# The driver's correctness gate checks the FIRST 50 registered queries per
+# round; this list pins the queries that must be in the round-3 window —
+# every query whose *current form* has no green driver row yet:
+# - a5: compared type changed r3 (DECIMAL → rounded DOUBLE) after failing
+#   the hash in r1 and r2;
+# - a4/a7 approx twins: added r3;
+# - j8/j9/j16/j13b/j21: registered late in r2, never driver-checked;
+# - j17 (broadcast hint dropped r3) and j22 (oracle changed r2);
+# - j20, s3, t8: new in r3;
+# - st3: never driver-checked + its streaming state was rebuilt r3;
+# - mm5: oracle made byte-faithful r3;
+# - adv2 (bucket-expansion off-by-one fixed r3) and adv11 (bucket-width
+#   knob added r3) — outputs identical on the driver's midnight-anchored
+#   testdata, re-checked anyway since the candidate generation changed.
+# Everything else keeps its module registration order after these; what
+# falls past slot 50 (st1/st2, mm1-mm4, three r1 joins, dedup/similarity/
+# textstats/advanced/serving/monitoring) is unchanged since its green
+# CORRECTNESS_r01/r02 row. The local strict mirror
+# (tests/test_oracle_parity.py) additionally covers every oracled query
+# every round.
+_WINDOW_FIRST = [
+    "a5_quality_histogram",
+    "a4_vehicle_analytics_approx",
+    "a7_summary_report_approx",
+    "j8_market_share",
+    "j9_profit_by_nation",
+    "j16_supplier_part_counts",
+    "j13b_order_count_distribution",
+    "j21_lone_late_supplier",
+    "j17_small_quantity_revenue",
+    "j22_dormant_customers",
+    "j20_excess_stock_suppliers",
+    "s3_knn_lsh",
+    "t8_bpe_token_stats",
+    "st3_streaming_watermarked_windows",
+    "mm5_payload_dedup",
+    "adv2_asof_join",
+    "adv11_range_join",
+]
+
 
 def _ensure_loaded() -> None:
-    """Import every operator module for its registration side effects.
-
-    ORDER MATTERS: the driver's correctness gate checks the first 50
-    registered queries per round, so the window rotates each round toward
-    queries that are new, modified, or never driver-checked. Round 3 order:
-    analytics (17; a5's percentage type and the new a4/a7 approx twins),
-    joins (29; j8/j9/j13b/j16/j21 never driver-checked, j17/j22 oracles
-    changed in r2), streaming (3; st3 never driver-checked + state rebuilt),
-    and multimodal — which registers mm5 first (oracle changed in r3) as
-    window slot 50. Modules left outside the window this round (serving,
-    monitoring, dedup, similarity, textstats, mm1-mm4, advanced) are
-    unchanged since their green CORRECTNESS_r01/r02 rows, except adv2,
-    whose r3 fix is a type annotation with identical compared output.
-    Cross-round status: after r3 every registered query has at least one
-    green driver row from the round in which its current form landed; the
-    local strict mirror (tests/test_oracle_parity.py) additionally covers
-    all of them every round.
-    """
-    global _LOADED
+    """Import every operator module for its registration side effects,
+    then rotate ``_WINDOW_FIRST`` to the front of the registry (see the
+    list's comment for the round-3 rationale)."""
+    global _LOADED, _REGISTRY
     if _LOADED:
         return
     from .operators import analytics, joins  # noqa: F401
@@ -172,4 +197,9 @@ def _ensure_loaded() -> None:
         monitoring,
     )
 
+    missing = [n for n in _WINDOW_FIRST if n not in _REGISTRY]
+    assert not missing, f"_WINDOW_FIRST names not registered: {missing}"
+    front = set(_WINDOW_FIRST)
+    order = _WINDOW_FIRST + [n for n in _REGISTRY if n not in front]
+    _REGISTRY = {n: _REGISTRY[n] for n in order}
     _LOADED = True

@@ -247,3 +247,31 @@ def test_range_join_correct_under_heavy_customer(spark):
             .collect()
         )
         assert got == want, f"bucket={bucket}"
+
+
+def test_bpe_tokenizer_chunking(spark):
+    """BPE-ish regex semantics: greedy ≤4-char letter chunks, ≤3-digit
+    number chunks, punctuation single — identical on Spark and DuckDB
+    (the t8 oracle depends on this equivalence)."""
+    import duckdb
+
+    from iot_big_data_engineering_spark.functions import text as X
+
+    samples = [
+        "hello worldwide 12345 x!",
+        "",
+        "   ",
+        "a",
+        "abcdefghij 1234567 ...",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [r.t for r in df.select(X.bpe_tokens("text").alias("t")).collect()]
+    want = [
+        duckdb.sql(
+            f"SELECT {X.sql_bpe_tokens('t')} FROM (SELECT ? AS t)", params=[s]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got == want, (got, want)
+    assert got[0] == ["hell", "o", "worl", "dwid", "e", "123", "45", "x", "!"]
+    assert got[1] == [] and got[2] == []

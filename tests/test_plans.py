@@ -171,3 +171,18 @@ def test_j6_full_predicate_pushdown(spark):
         "lineitem.parquet",
         {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
     )
+
+
+def test_j20_plan_broadcast_semi_and_partial_agg(spark):
+    """Q20 shape: the only shuffle may be the (l_suppkey, l_partkey)
+    stock aggregate (partial map-side); part + supplier⋈nation sides must
+    broadcast, never cartesian."""
+    from iot_big_data_engineering_spark.operators.joins import (
+        j20_excess_stock_suppliers,
+    )
+
+    df = j20_excess_stock_suppliers(spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert "partial" in p.lower(), p

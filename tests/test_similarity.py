@@ -75,3 +75,73 @@ def test_bruteforce_rank_properties(spark):
         assert sims == sorted(sims, reverse=True)
         assert all(-1.0 <= s <= 1.0 for s in sims)
         assert all(r.vec_id != q for r in rs)  # self excluded
+
+
+def test_lsh_planted_duplicate_recall(spark):
+    """Same planting scheme as the IVF test: a scaled copy (cosine ≈ 1)
+    of each query vector has identical sign bits under every hyperplane,
+    so it must share all ntables buckets with its query and come back as
+    the #1 hit."""
+    from iot_big_data_engineering_spark.operators.similarity import lsh_topk
+
+    e = _emb(spark, SF_SMOKE)
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform("v", lambda x: x * 2.0).alias("v"),
+    )
+    corpus = e.unionAll(planted)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    top = lsh_topk(corpus, q)
+    rank1 = {r.query_id: r.vec_id for r in top.collect() if r.rank == 1}
+    assert rank1 == {i: i + 100000 for i in range(5)}, rank1
+
+
+def test_lsh_runs_on_raw_corpus(spark):
+    """ANN contract on the raw corpus: ≤10 ranked hits per query, ranks
+    dense from 1, cosines non-increasing, self excluded, and every hit is
+    a true bucket collision — verified by recomputing buckets driver-side."""
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _bucket_matrix,
+        _normalize_rows,
+        lsh_hyperplanes,
+        s3_knn_lsh,
+    )
+
+    rows = s3_knn_lsh(spark, SF_SMOKE).collect()
+    assert rows, "64-bucket × 4-table LSH on a 500-vector corpus found nothing"
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    e = {r.vec_id: r.v for r in _emb(spark, SF_SMOKE).collect()}
+    ids = sorted(e)
+    m = _normalize_rows(np.asarray([e[i] for i in ids], dtype=np.float64))
+    buckets = {i: b for i, b in zip(ids, _bucket_matrix(m, lsh_hyperplanes(64)))}
+    for q, rs in by_query.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cosine for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.vec_id != q for r in rs)
+        for r in rs:
+            assert any(
+                bq == bv for bq, bv in zip(buckets[q], buckets[r.vec_id])
+            ), f"{q}->{r.vec_id} is not a bucket collision"
+
+
+def test_lsh_empty_query_and_corpus(spark):
+    from iot_big_data_engineering_spark.operators.similarity import lsh_topk
+
+    e = _emb(spark, SF_SMOKE)
+    no_q = e.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    assert lsh_topk(e, no_q).count() == 0
+    some_q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    assert lsh_topk(e.filter(F.col("vec_id") < 0), some_q).count() == 0
