@@ -39,17 +39,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from ..schema import TESTDATA_SCHEMAS
 from ..sources.sensor_view import apply_quality, map_events, quality_checked
 
-# raw (pre-conversion) schema of the events parquet: ts is int64 nanoseconds
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_raw_schema(
+    spark: SparkSession, path: str, glob: str | None
+) -> T.StructType:
+    """Physical schema of the events parquet, taken from the file footer
+    (a streaming read demands an explicit schema; hardcoding one silently
+    mis-decodes when the testdata generation changes its timestamp
+    physical type — ts has shipped both as TIMESTAMP(NANOS) → int64-nanos
+    under nanosAsLong, and as TIMESTAMP_NTZ micros)."""
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path).schema
 
 
 def events_file_stream(
@@ -59,15 +60,23 @@ def events_file_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Bounded file-stream over events parquet (the test/CI stand-in for
-    the Kafka source; same downstream pipeline)."""
+    the Kafka source; same downstream pipeline). ts is normalized to
+    session-TZ TimestampType exactly like the batch loader
+    (sources/tables.py) so stream and batch agree bit-for-bit."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    raw_schema = _events_raw_schema(spark, path, glob)
+    reader = spark.readStream.schema(raw_schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # TIMESTAMP(NANOS) read as int64 nanos: integer-divide to micros
+        # (div, never /: float division loses precision above 2^53)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def sensor_stream(spark: SparkSession, path: str, **kw) -> DataFrame:

@@ -209,13 +209,19 @@ def test_session_windows_match_batch_sessionization(spark, tmp_path):
         session_window_stream,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    median = raw.selectExpr("percentile(ts, 0.5) as m").first().m
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    # load_table normalizes ts to TimestampType whatever the parquet's
+    # physical layout (int64-nanos or TIMESTAMP_NTZ micros)
+    raw = load_table(spark, SF_SMOKE, "events")
+    median = raw.selectExpr("percentile(unix_micros(ts), 0.5) as m").first().m
     src = str(tmp_path / "timesplit")
     os.makedirs(src)
     for i, part in enumerate(
-        (raw.filter(F.col("ts") <= median), raw.filter(F.col("ts") > median))
+        (
+            raw.filter(F.unix_micros(F.col("ts")) <= median),
+            raw.filter(F.unix_micros(F.col("ts")) > median),
+        )
     ):
         d = str(tmp_path / f"p{i}")
         part.coalesce(1).write.mode("overwrite").parquet(d)
@@ -239,11 +245,7 @@ def test_session_windows_match_batch_sessionization(spark, tmp_path):
     q.awaitTermination()
     got = spark.table("session_out")
 
-    batch = apply_quality(
-        map_events(
-            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
-    )
+    batch = apply_quality(map_events(raw))
     want = (
         batch.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "vehicle_id")
         .agg(F.count("*").alias("n_readings"), F.sum("q_int").alias("q_total"))
