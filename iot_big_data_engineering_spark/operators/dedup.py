@@ -512,3 +512,108 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D8 — exact n-gram Jaccard similarity JOIN at corpus scale via prefix
+# filtering (AllPairs/PPJoin family). This closes the gap between d3 (exact
+# but O(n²), capped) and d4 (scalable but approximate): d8 returns the
+# EXACT Jaccard >= tau pairs over the FULL corpus with near-linear cost.
+#
+# How it scales: each doc's distinct shingles are hashed to int64
+# (xxhash64, JVM-side) and sorted — the sorted hash order is a global total
+# order over tokens. For Jaccard >= tau it is sufficient to index only the
+# first  |s| - ceil(tau*|s|) + 1  elements of each sorted set (the
+# "prefix"): if a qualifying pair shared no prefix element of one side,
+# its overlap would be <= |s| - prefix_len = ceil(tau*|s|) - 1 < tau*|s|,
+# contradicting J >= tau (which forces overlap >= tau*|s∪t| >= tau*|s|).
+# Candidate generation is therefore an equi-join on exploded PREFIX hashes
+# — the shuffle carries (hash, doc_id, sorted-sig) for ~(1-tau) of the
+# tokens, never the all-pairs cross product — and the exact verify runs
+# once per distinct candidate pair. At 100 TB the standard refinement is
+# to order tokens by ascending document frequency (rarest first) so hot
+# shingles leave the prefix; hash order is the unbiased stand-in here and
+# the join key distribution is additionally AQE-skew-splittable.
+# ---------------------------------------------------------------------------
+_D8_TAU = 0.5
+
+
+@register(
+    "d8_jaccard_join_prefix",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SH} AS sh FROM tok
+),
+sz AS (
+  SELECT doc_id, sh, len(sh) AS sz FROM sh WHERE len(sh) > 0
+),
+ex AS (
+  SELECT doc_id, sz, unnest(sh) AS s FROM sz
+),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sz AS sz_a, b.sz AS sz_b, count(*) AS o
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(CAST(o AS DOUBLE) / (sz_a + sz_b - o), {_R}) AS jaccard
+FROM co
+WHERE CAST(o AS DOUBLE) / (sz_a + sz_b - o) >= {_D8_TAU}
+ORDER BY doc_a, doc_b
+""",
+    doc="D8: exact Jaccard>=0.5 join over the full corpus, prefix-filtered",
+)
+def d8_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_par(spark, sf_dir)
+    sig = (
+        d.withColumn("toks", X.tokens("text"))
+        .select(
+            "doc_id", X.shingles_from_tokens(F.col("toks"), 3).alias("sh_raw")
+        )
+        .filter(F.size("sh_raw") > 0)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.transform("sh_raw", lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+    )
+    pref = sig.select(
+        "doc_id",
+        "sz",
+        "sh",
+        F.explode(
+            F.expr(f"slice(sh, 1, int(sz - ceil({_D8_TAU}d * sz) + 1))")
+        ).alias("p"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        # a pair can share several prefix hashes — verify each pair once
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jc = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        cand.withColumn("jc", jc)
+        .filter(F.col("jc") >= F.lit(_D8_TAU))
+        .select("doc_a", "doc_b", fround(F.col("jc"), _R).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
