@@ -815,6 +815,50 @@ def g2_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# G3 — explicit GROUPING SETS (the general form G1's ROLLUP and G2's CUBE
+# specialize; here two independent one-dimension slices plus the grand
+# total, skipping the cross product a CUBE would also compute). One shuffle
+# with partial aggregation per grouping set — at scale this beats running
+# the three aggregations separately because the scan happens once.
+# ---------------------------------------------------------------------------
+@register(
+    "g3_groupingsets_order_stats",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS order_count,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="G3: GROUPING SETS — independent slices + grand total in one pass",
+)
+def g3_groupingsets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            fround(
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"),
+                2,
+            ).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "order_count",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # J15 — top supplier(s) by period revenue (TPC-H Q15 shape): aggregate
 # view + scalar MAX subquery. The revenue rollup computes once and feeds
 # both the max and the final filter (Spark: a self-referenced local

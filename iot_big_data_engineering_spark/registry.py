@@ -146,6 +146,8 @@ _LOADED = False
 # - j8/j9/j16/j13b/j21: registered late in r2, never driver-checked;
 # - j17 (broadcast hint dropped r3) and j22 (oracle changed r2);
 # - j20, s3, t8: new in r3;
+# - d8 (prefix-filtered exact Jaccard join), st4 (stream-static join),
+#   st5 (streaming dedup), g3 (grouping sets): new in r3;
 # - st3: never driver-checked + its streaming state was rebuilt r3;
 # - mm5: oracle made byte-faithful r3;
 # - adv2 (bucket-expansion off-by-one fixed r3) and adv11 (bucket-width
@@ -171,7 +173,11 @@ _WINDOW_FIRST = [
     "j20_excess_stock_suppliers",
     "s3_knn_lsh",
     "t8_bpe_token_stats",
+    "d8_jaccard_join_prefix",
     "st3_streaming_watermarked_windows",
+    "st4_stream_static_join",
+    "st5_streaming_dedup",
+    "g3_groupingsets_order_stats",
     "mm5_payload_dedup",
     "adv2_asof_join",
     "adv11_range_join",

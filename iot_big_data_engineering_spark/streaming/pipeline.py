@@ -448,3 +448,102 @@ def st3_streaming_watermarked_windows(
             ).alias("vehicles_within_3rsd"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming query #4: stream-static dimension enrichment. The
+# static side (customer ⋈ nation, re-resolved per micro-batch) ships as a
+# broadcast so the stream never shuffles — the streaming twin of the batch
+# dimension joins (j13). The join is stateless, so append mode emits every
+# enriched row with no watermark dependency.
+# ---------------------------------------------------------------------------
+from ..sources.tables import load_table  # noqa: E402
+
+_ST4_ORACLE = (
+    SENSOR_ORACLE_CTE
+    + """
+SELECT s.ts, s.vehicle_id, s.sensor_type, s.value,
+       c.c_mktsegment AS mktsegment, n.n_name AS nation_name
+FROM sensor_quality_checked s
+LEFT JOIN customer c ON s.vehicle_id = printf('VH_%05d', c.c_custkey)
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+)
+
+
+@register(
+    "st4_stream_static_join",
+    oracle=_ST4_ORACLE,
+    doc="§2.7 stream-static broadcast enrichment (streaming twin of j13)",
+)
+def st4_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    name = f"st4_out_{uuid.uuid4().hex[:8]}"
+    stream = sensor_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    dim = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.format_string("VH_%05d", F.col("c_custkey")).alias("vid"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+    enriched = enrich_stream(stream, dim, "vehicle_id", "vid").select(
+        "ts", "vehicle_id", "sensor_type", "value", "mktsegment", "nation_name"
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming query #5: watermark-bounded streaming dedup. State
+# holds one entry per key seen within the watermark horizon (older keys
+# evict — the property that keeps this viable at 100 TB). Only the key
+# columns are emitted, so the result is deterministic regardless of which
+# physical row of a duplicate group arrives first. Over the driver's
+# single-file bounded stream everything lands in one micro-batch (nothing
+# evicts mid-stream), so the output is exactly DISTINCT(vehicle_id,
+# sensor_type); in a multi-batch replay a key recurring more than the
+# horizon apart would re-emit — that is the documented operator semantics,
+# not a bug.
+# ---------------------------------------------------------------------------
+_ST5_ORACLE = (
+    SENSOR_ORACLE_CTE
+    + """
+SELECT DISTINCT vehicle_id, sensor_type FROM sensor_quality_checked
+"""
+)
+
+
+@register(
+    "st5_streaming_dedup",
+    oracle=_ST5_ORACLE,
+    doc="§2.7 dropDuplicatesWithinWatermark: bounded-state streaming dedup",
+)
+def st5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    name = f"st5_out_{uuid.uuid4().hex[:8]}"
+    stream = sensor_stream(spark, sf_dir)
+    deduped = dedup_stream(
+        stream, keys=("vehicle_id", "sensor_type"), watermark="30 minutes"
+    ).select("vehicle_id", "sensor_type")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
