@@ -53,9 +53,12 @@ HEADLINE = [
     "d7_dedup_clusters",
     "t6_tfidf_top_terms",
     "t7_documents_profile",
-    # round 3 additions: bucketed range join, payload dedup
+    # round 3 additions: bucketed range join, payload dedup, prefix-filter
+    # exact-Jaccard join, grouping sets
     "adv11_range_join",
     "mm5_payload_dedup",
+    "d8_jaccard_join_prefix",
+    "g3_groupingsets_order_stats",
 ]
 
 

@@ -415,6 +415,12 @@ def connected_components(
     cluster ids for near-dup chains longer than the cap. min-label
     propagation needs <= diameter rounds, so 50 covers any realistic
     near-dup graph; raise the cap for adversarial chain-shaped inputs."""
+    # materialize the edge list once — the unionAll below references it
+    # twice, and callers hand us arbitrarily expensive edge plans (d7's is
+    # a similarity join); without this the edge computation runs 2×
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst)
+    ).localCheckpoint()
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -488,23 +494,12 @@ FROM reach GROUP BY node
     doc="D7: near-dup pairs → connected components → canonical per cluster",
 )
 def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edge generation reuses the d8 prefix-filtered similarity join
+    # (lang-blocked, same tau=0.5 semantics as the quadratic form the
+    # oracle computes) — near-linear instead of all-pairs-within-lang
     d = _docs_par(spark, sf_dir).filter(F.col("doc_id") < _D3_CAP)
-    sh = (
-        d.withColumn("toks", X.tokens("text"))
-        .select("doc_id", "lang", X.shingles_from_tokens(F.col("toks"), 3).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    edges = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(inter.cast("double") / union >= 0.5)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    edges = prefix_jaccard_pairs(d, 0.5, block_col="lang").select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(edges)
     return comp.select(
@@ -538,6 +533,59 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D8_TAU = 0.5
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame, tau: float, block_col: str | None = None
+) -> DataFrame:
+    """Exact Jaccard >= tau pairs (doc_a, doc_b, jc) over word-trigram
+    shingle sets, via AllPairs prefix filtering (see d8's block comment).
+    ``block_col`` optionally adds an equality blocking key to the
+    candidate join (e.g. lang) — pairs differing on it are excluded."""
+    sig = (
+        docs.withColumn("toks", X.tokens("text"))
+        .select(
+            "doc_id",
+            *([block_col] if block_col else []),
+            X.shingles_from_tokens(F.col("toks"), 3).alias("sh_raw"),
+        )
+        .filter(F.size("sh_raw") > 0)
+        .withColumn(
+            "sh", F.array_sort(F.transform("sh_raw", lambda s: F.xxhash64(s)))
+        )
+        .drop("sh_raw")
+        .withColumn("sz", F.size("sh"))
+    )
+    pref = sig.withColumn(
+        "p",
+        F.explode(F.expr(f"slice(sh, 1, int(sz - ceil({tau}d * sz) + 1))")),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cond = (F.col("a.p") == F.col("b.p")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        # a pair can share several prefix hashes — verify each pair once
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jc = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        cand.withColumn("jc", jc)
+        .filter(F.col("jc") >= F.lit(tau))
+        .select("doc_a", "doc_b", "jc")
+    )
+
+
 @register(
     "d8_jaccard_join_prefix",
     oracle=f"""
@@ -568,52 +616,7 @@ ORDER BY doc_a, doc_b
     doc="D8: exact Jaccard>=0.5 join over the full corpus, prefix-filtered",
 )
 def d8_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_par(spark, sf_dir)
-    sig = (
-        d.withColumn("toks", X.tokens("text"))
-        .select(
-            "doc_id", X.shingles_from_tokens(F.col("toks"), 3).alias("sh_raw")
-        )
-        .filter(F.size("sh_raw") > 0)
-        .select(
-            "doc_id",
-            F.array_sort(
-                F.transform("sh_raw", lambda s: F.xxhash64(s))
-            ).alias("sh"),
-        )
-        .withColumn("sz", F.size("sh"))
-    )
-    pref = sig.select(
-        "doc_id",
-        "sz",
-        "sh",
-        F.explode(
-            F.expr(f"slice(sh, 1, int(sz - ceil({_D8_TAU}d * sz) + 1))")
-        ).alias("p"),
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.p") == F.col("b.p"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        # a pair can share several prefix hashes — verify each pair once
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jc = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
-    return (
-        cand.withColumn("jc", jc)
-        .filter(F.col("jc") >= F.lit(_D8_TAU))
-        .select("doc_a", "doc_b", fround(F.col("jc"), _R).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    pairs = prefix_jaccard_pairs(_docs_par(spark, sf_dir), _D8_TAU)
+    return pairs.select(
+        "doc_a", "doc_b", fround(F.col("jc"), _R).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")

@@ -186,3 +186,53 @@ def test_j20_plan_broadcast_semi_and_partial_agg(spark):
     assert_no_cartesian(df)
     p = plan_str(df, mode="simple")
     assert "partial" in p.lower(), p
+
+
+def test_d8_prefix_join_is_equi_not_allpairs(spark):
+    """The similarity join's candidate stage must be an EQUI-join on the
+    exploded prefix hash — a CartesianProduct / NestedLoop would mean the
+    prefix filter degenerated to all-pairs. The doc_a < doc_b inequality
+    may only ride as a join residual next to the `p` equi-key."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        d8_jaccard_join_prefix,
+    )
+
+    df = d8_jaccard_join_prefix(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert "NestedLoop" not in p, p
+
+
+def test_g3_groupingsets_single_scan_partial_agg(spark):
+    """GROUPING SETS must plan as one scan + Expand + partial/final hash
+    aggregate — not one job per grouping set."""
+    from iot_big_data_engineering_spark.operators.joins import (
+        g3_groupingsets_order_stats,
+    )
+
+    df = g3_groupingsets_order_stats(spark, SF_SMOKE)
+    p = plan_str(df, mode="simple")
+    assert "Expand" in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert p.count("orders.parquet") <= 1, p
+
+
+def test_st4_static_dim_broadcasts(spark):
+    """The stream-static join must broadcast the dimension side — the
+    batch twin of the plan the streaming runner executes per micro-batch
+    (stream side never shuffles)."""
+    from iot_big_data_engineering_spark.sources.sensor_view import (
+        quality_checked,
+    )
+    from iot_big_data_engineering_spark.sources.tables import load_table as lt
+    from iot_big_data_engineering_spark.streaming.pipeline import enrich_stream
+
+    cust = lt(spark, SF_SMOKE, "customer")
+    nat = lt(spark, SF_SMOKE, "nation")
+    dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        F.format_string("VH_%05d", F.col("c_custkey")).alias("vid"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    df = enrich_stream(quality_checked(spark, SF_SMOKE), dim, "vehicle_id", "vid")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
