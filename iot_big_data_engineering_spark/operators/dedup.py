@@ -182,16 +182,25 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    base = (
+    # Materialize the shingle arrays once (tracked persist): projection
+    # collapse would otherwise re-run the tokenize→shingle tree for the hs
+    # derivation AND the size filter on top of the sh column itself —
+    # 3 evaluations in the signature build (measured ~3× wall at sf0.1).
+    shingled = track(
         docs.withColumn("toks", X.tokens("text"))
-        .select("doc_id", "lang", X.shingles_from_tokens(F.col("toks"), 3).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn(
-            "hs",
-            F.transform(
-                F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_MOD))
-            ),
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            X.shingles_from_tokens(F.col("toks"), 3).alias("sh"),
         )
+        .persist()
+    )
+    base = shingled.withColumn(
+        "hs",
+        F.transform(
+            F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_MOD))
+        ),
     )
     A = np.asarray(_PERM_A, dtype=np.uint64)
     B = np.asarray(_PERM_B, dtype=np.uint64)
@@ -540,21 +549,28 @@ def prefix_jaccard_pairs(
     shingle sets, via AllPairs prefix filtering (see d8's block comment).
     ``block_col`` optionally adds an equality blocking key to the
     candidate join (e.g. lang) — pairs differing on it are excluded."""
-    sig = (
+    # ONE evaluation of the tokenize→shingle→hash→sort tree, materialized:
+    # Catalyst's projection collapse re-inlines a referenced column
+    # expression into every downstream use (sz, the slice, the filter), so
+    # without the persist the shingle tree would run 3-4× (measured ~3× the
+    # wall time at sf0.1). The pre-filter uses size(toks) — a doc shingles
+    # iff it has >= 3 tokens — so the sh tree isn't re-run for the filter.
+    sig = track(
         docs.withColumn("toks", X.tokens("text"))
+        .filter(F.size("toks") >= 3)
         .select(
             "doc_id",
             *([block_col] if block_col else []),
-            X.shingles_from_tokens(F.col("toks"), 3).alias("sh_raw"),
+            F.array_sort(
+                F.transform(
+                    X.shingles_from_tokens(F.col("toks"), 3),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sh"),
         )
-        .filter(F.size("sh_raw") > 0)
-        .withColumn(
-            "sh", F.array_sort(F.transform("sh_raw", lambda s: F.xxhash64(s)))
-        )
-        .drop("sh_raw")
-        .withColumn("sz", F.size("sh"))
+        .persist()
     )
-    pref = sig.withColumn(
+    pref = sig.withColumn("sz", F.size("sh")).withColumn(
         "p",
         F.explode(F.expr(f"slice(sh, 1, int(sz - ceil({tau}d * sz) + 1))")),
     )
