@@ -1469,3 +1469,104 @@ def j20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.countDistinct("l_partkey").alias("qualifying_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# J11B — revenue share with a fraction-of-global-total HAVING (TPC-H Q11
+# shape; reference capability anchor: the serving API's share-of-total
+# reports, sensor_api.py aggregate endpoints). The scalar subquery
+# decorrelates to a 1-row global aggregate broadcast against the per-key
+# rollup — the per-supplier aggregate computes ONCE and feeds both sides
+# (at scale: materialize the rollup, never re-aggregate the fact table for
+# the threshold).
+# ---------------------------------------------------------------------------
+@register(
+    "j11b_supplier_value_share",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({_SQL_DISC_PRICE}) AS val
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(r.val AS DOUBLE), 2) AS supplier_value,
+       round(CAST(r.val AS DOUBLE)
+             / (SELECT CAST(sum(val) AS DOUBLE) FROM rev), 6) AS value_share
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE CAST(r.val AS DOUBLE)
+      > (SELECT CAST(sum(val) AS DOUBLE) FROM rev) * 0.011
+ORDER BY supplier_value DESC, s_suppkey
+""",
+    doc="J11B: Q11 shape — per-key value vs fraction-of-total threshold",
+)
+def j11b_supplier_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = l.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("val"))
+    # exact DECIMAL total (order-independent), then one double division —
+    # the 1-row aggregate broadcasts; no second pass over lineitem
+    total = rev.agg(F.sum("val").alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val").cast("double")
+            > F.col("total").cast("double") * F.lit(0.011)
+        )
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            fround(F.col("val").cast("double"), 2).alias("supplier_value"),
+            fround(
+                F.col("val").cast("double") / F.col("total").cast("double"), 6
+            ).alias("value_share"),
+        )
+        .orderBy(F.col("supplier_value").desc(), "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12B — fact-fact join + conditional priority counts (TPC-H Q12 shape,
+# adapted: the testdata lineitem has no shipmode/commitdate, so the
+# grouping key is l_returnflag and the date window rides l_shipdate; the
+# shape — orders ⋈ lineitem with CASE-bucketed priority counts — is what
+# the inventory tracks). orders joins as the build side of one shuffle
+# hash join on orderkey; the CASE aggregation is partial map-side.
+# ---------------------------------------------------------------------------
+@register(
+    "j12b_priority_by_returnflag",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+    doc="J12B: Q12 shape — fact-fact join, CASE-bucketed priority counts",
+)
+def j12b_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -547,3 +547,50 @@ def st5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming query #6: the custom stateful operator
+# (applyInPandasWithState, streaming/stateful.py) — per-vehicle running
+# totals carried in one compact state row per key. The registered
+# projection keeps only the exactly-deterministic columns (count,
+# last-seen event time); the running double sum stays internal because
+# float accumulation order across state updates is implementation-defined
+# (its batch twin is asserted in tests/test_stateful.py). Over the
+# driver's single-file bounded stream each vehicle emits exactly once, so
+# the update-mode sink holds one row per vehicle ≡ the batch aggregate.
+# ---------------------------------------------------------------------------
+_ST6_ORACLE = (
+    SENSOR_ORACLE_CTE
+    + """
+SELECT vehicle_id,
+       count(*) AS running_count,
+       max(ts) AS last_seen
+FROM sensor_quality_checked
+GROUP BY vehicle_id
+"""
+)
+
+
+@register(
+    "st6_stateful_running_totals",
+    oracle=_ST6_ORACLE,
+    doc="§2.7/§2.8 applyInPandasWithState custom stateful operator",
+)
+def st6_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from .stateful import running_vehicle_totals
+
+    name = f"st6_out_{uuid.uuid4().hex[:8]}"
+    stream = sensor_stream(spark, sf_dir)
+    q = (
+        running_vehicle_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("vehicle_id", "running_count", "last_seen")
