@@ -59,6 +59,9 @@ HEADLINE = [
     "mm5_payload_dedup",
     "d8_jaccard_join_prefix",
     "g3_groupingsets_order_stats",
+    "j11b_supplier_value_share",
+    "j12b_priority_by_returnflag",
+    "dp1_corpus_clean",
 ]
 
 

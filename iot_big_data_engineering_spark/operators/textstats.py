@@ -360,3 +360,78 @@ def t8_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("bpe_count").cast("double") / F.col("ws_count")), _R
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DP1 — the composed training-data cleaning pass: quality scoring (t2) +
+# language-ID (t3) + length gate + exact dedup keep-first (d2), end to end
+# in ONE declarative plan. This is the canonical LLM-corpus pipeline
+# shape; expressing it as a single DataFrame query (instead of chained
+# materialized stages) lets Catalyst fuse the scoring projections into
+# the scan and run one shuffle total (the md5 dedup window). At 100 TB
+# the md5 partition key is uniformly distributed, so the dedup shuffle is
+# skew-free by construction.
+# ---------------------------------------------------------------------------
+_DP1_MIN_TOKENS = 10
+_DP1_MIN_QUALITY = 0.5
+
+
+@register(
+    "dp1_corpus_clean",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         {X.sql_token_count("text")} AS token_count,
+         {X.sql_quality_score("text")} AS q,
+         CASE WHEN CAST({X.sql_stopword_count("text")} AS DOUBLE)
+                   / {X.sql_token_count("text")} >= 0.05
+              THEN 'en_like' ELSE 'unknown' END AS predicted_lang
+  FROM documents
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE token_count >= {_DP1_MIN_TOKENS} AND q >= {_DP1_MIN_QUALITY}
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count
+  FROM gated
+)
+SELECT doc_id, lang, predicted_lang, token_count,
+       round(q, {_R}) AS quality_score, dup_count
+FROM ranked WHERE rn = 1
+""",
+    doc="DP1: quality + lang-ID + length gate + exact dedup, one plan",
+)
+def dp1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ratio = X.stopword_count("text").cast("double") / X.token_count("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        X.token_count("text").alias("token_count"),
+        X.quality_score("text").alias("q"),
+        F.when(ratio >= 0.05, "en_like").otherwise("unknown").alias(
+            "predicted_lang"
+        ),
+    )
+    gated = scored.filter(
+        (F.col("token_count") >= _DP1_MIN_TOKENS)
+        & (F.col("q") >= _DP1_MIN_QUALITY)
+    ).withColumn("text_md5", F.md5("text"))
+    w = Window.partitionBy("text_md5")
+    ranked = gated.withColumn(
+        "rn", F.row_number().over(w.orderBy("doc_id"))
+    ).withColumn("dup_count", F.count("*").over(w))
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "lang",
+        "predicted_lang",
+        "token_count",
+        fround(F.col("q"), _R).alias("quality_score"),
+        "dup_count",
+    )
