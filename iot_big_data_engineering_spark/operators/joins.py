@@ -1570,3 +1570,49 @@ def j12b_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# W4 — ranking-family window functions (ntile / percent_rank) the w1-w3
+# queries don't cover. The (value, event_id) ordering is a total order, so
+# decile assignment and percent_rank are bit-deterministic; the decile
+# rollup keeps the compared output compact while still forcing the full
+# per-row window evaluation.
+# ---------------------------------------------------------------------------
+@register(
+    "w4_value_deciles",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         CAST(ntile(10) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS INTEGER) AS decile,
+         percent_rank() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS pr
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, decile,
+       count(*) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi,
+       round(max(pr), 6) AS max_pr
+FROM ranked GROUP BY event_type, decile
+""",
+    doc="W4: ntile deciles + percent_rank per event_type, decile rollup",
+)
+def w4_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("event_type", "decile").agg(
+        F.count("*").alias("n"),
+        fround(F.min("value"), 6).alias("lo"),
+        fround(F.max("value"), 6).alias("hi"),
+        fround(F.max("pr"), 6).alias("max_pr"),
+    )
