@@ -575,8 +575,14 @@ def prefix_jaccard_pairs(
         F.explode(F.expr(f"slice(sh, 1, int(sz - ceil({tau}d * sz) + 1))")),
     )
     a, b = pref.alias("a"), pref.alias("b")
-    cond = (F.col("a.p") == F.col("b.p")) & (
-        F.col("a.doc_id") < F.col("b.doc_id")
+    # size-compatibility filter (AllPairs): J(a,b) >= tau forces
+    # tau*|a| <= |b| <= |a|/tau — prunes candidates before the exact
+    # verify without touching the arrays
+    cond = (
+        (F.col("a.p") == F.col("b.p"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.sz").cast("double") >= F.lit(tau) * F.col("a.sz"))
+        & (F.col("b.sz").cast("double") <= F.col("a.sz") / F.lit(tau))
     )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
