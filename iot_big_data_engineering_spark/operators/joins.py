@@ -1493,23 +1493,33 @@ SELECT s.s_suppkey, s.s_name,
              / (SELECT CAST(sum(val) AS DOUBLE) FROM rev), 6) AS value_share
 FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
 WHERE CAST(r.val AS DOUBLE)
-      > (SELECT CAST(sum(val) AS DOUBLE) FROM rev) * 0.011
+      > 1.05 * (SELECT CAST(sum(val) AS DOUBLE) / count(*) FROM rev)
 ORDER BY supplier_value DESC, s_suppkey
 """,
     doc="J11B: Q11 shape — per-key value vs fraction-of-total threshold",
 )
 def j11b_supplier_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track
+
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    rev = l.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("val"))
+    # the rollup feeds BOTH the threshold total and the final join —
+    # persist (tracked) so the fact table aggregates once, not twice
+    rev = track(
+        l.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("val")).persist()
+    )
     # exact DECIMAL total (order-independent), then one double division —
-    # the 1-row aggregate broadcasts; no second pass over lineitem
-    total = rev.agg(F.sum("val").alias("total"))
+    # the 1-row aggregate broadcasts; no second pass over lineitem. The
+    # threshold is 1.05× the MEAN per-supplier value (scale-invariant — a
+    # fixed fraction-of-total empties as the key count grows)
+    total = rev.agg(
+        F.sum("val").alias("total"), F.count("*").alias("cnt")
+    )
     return (
         rev.crossJoin(F.broadcast(total))
         .filter(
             F.col("val").cast("double")
-            > F.col("total").cast("double") * F.lit(0.011)
+            > F.lit(1.05) * (F.col("total").cast("double") / F.col("cnt"))
         )
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select(
