@@ -131,3 +131,58 @@ def test_connected_components_raises_instead_of_partial_labels(spark):
         for r in connected_components(chain, max_iters=15).collect()
     }
     assert set(comp.values()) == {0}
+
+
+# ---------------------------------------------------------------------------
+# d8 prefix-filter correctness: the prefix-filtered join must return
+# EXACTLY the brute-force Jaccard >= tau pairs on arbitrary corpora (the
+# filter is an optimization, never a semantics change).
+# ---------------------------------------------------------------------------
+def _brute_force_pairs(texts, tau):
+    """Python reference: distinct word-trigram Jaccard over all pairs."""
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    sets = {i: s for i, s in sets.items() if s}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter / union >= tau:
+                    out.add((a, b))
+    return out
+
+
+def test_prefix_join_equals_brute_force(spark):
+    """Adversarial corpus: exact dups, prefix-sharing docs, suffix-sharing
+    docs, subsets, tiny docs, and unrelated docs — the prefix join must
+    agree pair-for-pair with the brute-force reference."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",        # 0
+        "the quick brown fox jumps over the lazy dog",        # 1 = dup of 0
+        "the quick brown fox jumps over a sleepy cat",        # 2 shares prefix
+        "a very different opening but jumps over the lazy dog",  # 3 shares suffix
+        "the quick brown fox",                                # 4 subset, tiny
+        "completely unrelated text with no overlap at all here",  # 5
+        "one two",                                            # 6 too short (no shingles)
+        "alpha beta gamma delta epsilon zeta eta theta",      # 7
+        "alpha beta gamma delta epsilon zeta eta iota",       # 8 near-dup of 7
+    ]
+    for tau in (0.3, 0.5, 0.8):
+        want = _brute_force_pairs(texts, tau)
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in prefix_jaccard_pairs(docs, tau).collect()
+        }
+        assert got == want, (tau, got ^ want)
