@@ -489,3 +489,92 @@ def s3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return lsh_topk(e, q)
+
+
+# ---------------------------------------------------------------------------
+# S4 — per-label centroid + dispersion statistics: the distributed vector
+# AGGREGATION counterpart to the s1-s3 searches (the shape behind IVF
+# training, embedding-drift monitors, and cluster quality reports).
+#
+# Order-independent float arithmetic: a per-dimension mean over thousands
+# of rows is double summation whose value depends on reduction order —
+# unusable for a cross-engine hash check and nondeterministic across
+# partitionings. Every cross-row sum here therefore runs in exact DECIMAL
+# (element values cast to DECIMAL(12,8) first; products widen to
+# (25,16) — inside both engines' 38-digit limit), with ONE double
+# division at the end. That also makes the physical plan fully
+# partial-aggregatable: decimal sums are associative-exact, so map-side
+# combine never changes the answer. Two shuffles total at any scale
+# (label×dim centroid agg, per-vector distance agg); the centroid table
+# (labels × dims) broadcasts.
+# ---------------------------------------------------------------------------
+@register(
+    "s4_label_centroids",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (
+  SELECT vec_id, label, i - 1 AS pos, v[i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+),
+cent AS (
+  SELECT label, pos,
+         CAST(sum(CAST(x AS DECIMAL(12,8))) AS DOUBLE) / count(*) AS c
+  FROM dims GROUP BY label, pos
+),
+pv AS (
+  SELECT d.vec_id, d.label,
+         sum(CAST(d.x - c.c AS DECIMAL(12,8))
+             * CAST(d.x - c.c AS DECIMAL(12,8))) AS d2
+  FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+  GROUP BY d.vec_id, d.label
+),
+nrm AS (
+  SELECT label, CAST(sum(CAST(c * c AS DECIMAL(20,16))) AS DOUBLE) AS norm2
+  FROM cent GROUP BY label
+)
+SELECT p.label,
+       count(*) AS n_vecs,
+       round(max(n.norm2), {_R}) AS centroid_norm2,
+       round(CAST(sum(p.d2) AS DOUBLE) / count(*), {_R}) AS avg_dist2
+FROM pv p JOIN nrm n ON p.label = n.label
+GROUP BY p.label
+ORDER BY p.label
+""",
+    doc="S4: per-label centroid norm + mean squared dispersion, exact sums",
+)
+def s4_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    dims = e.select(
+        "vec_id", "label", F.posexplode("v").alias("pos", "x")
+    )
+    xd = F.col("x").cast("decimal(12,8)")
+    cent = dims.groupBy("label", "pos").agg(
+        (F.sum(xd).cast("double") / F.count("*")).alias("c")
+    )
+    joined = dims.join(F.broadcast(cent), ["label", "pos"])
+    dxd = (F.col("x") - F.col("c")).cast("decimal(12,8)")
+    per_vec = joined.groupBy("vec_id", "label").agg(
+        F.sum(dxd * dxd).alias("d2")
+    )
+    norm = cent.groupBy("label").agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(20,16)"))
+        .cast("double")
+        .alias("norm2")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.sum("d2").cast("double") / F.count("*")).alias("avg_d2"),
+        )
+        .join(F.broadcast(norm), "label")
+        .select(
+            "label",
+            "n_vecs",
+            fround(F.col("norm2"), _R).alias("centroid_norm2"),
+            fround(F.col("avg_d2"), _R).alias("avg_dist2"),
+        )
+        .orderBy("label")
+    )
