@@ -320,3 +320,68 @@ def mm4_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l1_norm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MM6 — shard planner: pack payloads into ~fixed-byte output shards (the
+# webdataset/tar-shard layout step of a multimodal training pipeline).
+# Shard id = floor(exclusive-running-bytes / target) per media_type over a
+# total order — a pure window cumsum, all exact integers. At 100 TB this
+# is the manifest the writer job consumes: one shuffle on (media_type,
+# doc_id) ordering, then each task streams its shard ranges; targets
+# bound shard size so downstream loaders get uniform read units.
+# ---------------------------------------------------------------------------
+_MM6_TARGET_BYTES = 16_384
+
+
+@register(
+    "mm6_shard_plan",
+    oracle=f"""
+WITH payloads AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+planned AS (
+  SELECT doc_id, media_type, n_bytes,
+         CAST(sum(n_bytes) OVER w - n_bytes AS BIGINT) AS start_offset
+  FROM payloads
+  WINDOW w AS (PARTITION BY media_type ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT media_type,
+       CAST(floor(start_offset / {_MM6_TARGET_BYTES}) AS INTEGER) AS shard_id,
+       count(*) AS n_payloads,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM planned
+GROUP BY media_type, CAST(floor(start_offset / {_MM6_TARGET_BYTES}) AS INTEGER)
+""",
+    doc="MM6: pack payloads into ~16 KiB shards via exact running-byte cumsum",
+)
+def mm6_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    b = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "media_type", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    w = (
+        Window.partitionBy("media_type")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = b.withColumn(
+        "start_offset",
+        (F.sum("n_bytes").over(w) - F.col("n_bytes")).cast("bigint"),
+    )
+    shard = F.floor(F.col("start_offset") / _MM6_TARGET_BYTES).cast("int")
+    return planned.groupBy(
+        "media_type", shard.alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_payloads"),
+        F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

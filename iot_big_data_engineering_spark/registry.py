@@ -150,7 +150,8 @@ _LOADED = False
 #   st5 (streaming dedup), st6 (stateful running totals), g3 (grouping
 #   sets), j11b (Q11 value-share shape), j12b (Q12 priority-count shape),
 #   dp1 (composed corpus-cleaning pipeline), w4 (ntile/percent_rank
-#   deciles), s4 (label centroids, exact-decimal sums): new in r3;
+#   deciles), s4 (label centroids, exact-decimal sums), mm6 (shard
+#   planner): new in r3;
 # - st3: never driver-checked + its streaming state was rebuilt r3;
 # - mm5: oracle made byte-faithful r3;
 # - adv2 (bucket-expansion off-by-one fixed r3) and adv11 (bucket-width
@@ -187,6 +188,7 @@ _WINDOW_FIRST = [
     "dp1_corpus_clean",
     "w4_value_deciles",
     "s4_label_centroids",
+    "mm6_shard_plan",
     "mm5_payload_dedup",
     "adv2_asof_join",
     "adv11_range_join",
