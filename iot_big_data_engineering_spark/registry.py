@@ -94,7 +94,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
     The registered form releases caches tracked by PREVIOUS queries on
     entry (caching.release_caches): harnesses that run many queries in one
-    session — the driver runs all ~90 — would otherwise accumulate every
+    session — the driver runs all ~110 — would otherwise accumulate every
     persist()ed intermediate (d4 signatures, ivf corpus) in executor
     storage memory with no release point. Releasing at next-query entry is
     safe because each harness materializes a query before building the

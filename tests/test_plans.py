@@ -236,3 +236,43 @@ def test_st4_static_dim_broadcasts(spark):
     df = enrich_stream(quality_checked(spark, SF_SMOKE), dim, "vehicle_id", "vid")
     assert_broadcast_join(df)
     assert_no_cartesian(df)
+
+
+def test_s4_partial_agg_and_broadcast_centroids(spark):
+    """The centroid rollup must plan partial (map-side) aggregation —
+    decimal sums are associative-exact, so this is safe — and the
+    label×dim centroid table must broadcast into the distance join."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s4_label_centroids,
+    )
+
+    df = s4_label_centroids(spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert "partial" in p.lower(), p
+
+
+def test_dp1_single_scan_no_cartesian(spark):
+    """The composed cleaning pipeline must fuse scoring into ONE documents
+    scan; the only shuffle is the md5 dedup window."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp1_corpus_clean,
+    )
+
+    df = dp1_corpus_clean(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert p.count("documents.parquet") <= 1, p
+
+
+def test_mm6_shard_plan_single_scan(spark):
+    """The shard planner is one scan + one window + one aggregate."""
+    from iot_big_data_engineering_spark.operators.multimodal import (
+        mm6_shard_plan,
+    )
+
+    df = mm6_shard_plan(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert p.count("documents.parquet") <= 1, p
