@@ -1588,6 +1588,13 @@ def j12b_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decile assignment and percent_rank are bit-deterministic; the decile
 # rollup keeps the compared output compact while still forcing the full
 # per-row window evaluation.
+#
+# Scale note: the window partitions on event_type (low cardinality), so
+# exact ntile is a per-type sort — correct but single-task-per-type at
+# extreme scale. The 100 TB path for decile ASSIGNMENT is approximate
+# boundaries (approx_percentile, adv6b's sketch contract) followed by a
+# map-side bucket lookup; this query is the exact anchor for that twin,
+# mirroring the d3/d4 and adv6/adv6b pattern.
 # ---------------------------------------------------------------------------
 @register(
     "w4_value_deciles",

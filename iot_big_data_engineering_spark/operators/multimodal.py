@@ -325,13 +325,22 @@ def mm4_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MM6 — shard planner: pack payloads into ~fixed-byte output shards (the
 # webdataset/tar-shard layout step of a multimodal training pipeline).
-# Shard id = floor(exclusive-running-bytes / target) per media_type over a
-# total order — a pure window cumsum, all exact integers. At 100 TB this
-# is the manifest the writer job consumes: one shuffle on (media_type,
-# doc_id) ordering, then each task streams its shard ranges; targets
-# bound shard size so downstream loaders get uniform read units.
+# Shard id = floor(exclusive-running-bytes / target) per media_type over
+# a total order — exact integers throughout.
+#
+# The running sum is computed as a TWO-PHASE distributed prefix sum, not
+# a naive `sum() OVER (PARTITION BY media_type ORDER BY doc_id)`: that
+# window has only |media_type| partitions, so at 100 TB each partition is
+# a single-task global sort — the classic window-function scale trap.
+# Instead doc_ids bucket monotonically (floor(doc_id / W)); phase 1 is a
+# parallel within-bucket cumsum (window partitioned by (media_type,
+# bucket)), phase 2 prefixes the tiny per-bucket totals table (rows =
+# #buckets, driver-scale) and broadcasts it back. Monotone bucketing
+# preserves the global doc_id order, so the result is bit-identical to
+# the naive form — the oracle below IS the naive form.
 # ---------------------------------------------------------------------------
 _MM6_TARGET_BYTES = 16_384
+_MM6_BUCKET_W = 1_000  # doc_ids per cumsum bucket
 
 
 @register(
@@ -364,17 +373,49 @@ GROUP BY media_type, CAST(floor(start_offset / {_MM6_TARGET_BYTES}) AS INTEGER)
 def mm6_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    b = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "media_type", F.col("meta.n_bytes").alias("n_bytes")
+    from ..caching import track
+
+    # both phases consume the projected size table — persist (tracked) so
+    # the source scans once
+    b = track(
+        with_binary_payload(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "media_type",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.floor(F.col("doc_id") / _MM6_BUCKET_W).alias("bkt"),
+        )
+        .persist()
     )
-    w = (
-        Window.partitionBy("media_type")
+    # phase 1: within-bucket exclusive cumsum — parallel across buckets
+    win_in = (
+        Window.partitionBy("media_type", "bkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    planned = b.withColumn(
-        "start_offset",
-        (F.sum("n_bytes").over(w) - F.col("n_bytes")).cast("bigint"),
+    within = b.withColumn(
+        "local_excl",
+        (F.sum("n_bytes").over(win_in) - F.col("n_bytes")).cast("bigint"),
+    )
+    # phase 2: exclusive prefix over the per-bucket totals (tiny table)
+    win_bkt = (
+        Window.partitionBy("media_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefixes = (
+        b.groupBy("media_type", "bkt")
+        .agg(F.sum("n_bytes").cast("bigint").alias("bkt_bytes"))
+        .withColumn(
+            "bkt_excl",
+            (F.sum("bkt_bytes").over(win_bkt) - F.col("bkt_bytes")).cast(
+                "bigint"
+            ),
+        )
+        .select("media_type", "bkt", "bkt_excl")
+    )
+    planned = within.join(F.broadcast(prefixes), ["media_type", "bkt"]).withColumn(
+        "start_offset", F.col("bkt_excl") + F.col("local_excl")
     )
     shard = F.floor(F.col("start_offset") / _MM6_TARGET_BYTES).cast("int")
     return planned.groupBy(

@@ -266,13 +266,20 @@ def test_dp1_single_scan_no_cartesian(spark):
     assert p.count("documents.parquet") <= 1, p
 
 
-def test_mm6_shard_plan_single_scan(spark):
-    """The shard planner is one scan + one window + one aggregate."""
+def test_mm6_shard_plan_two_phase_cumsum(spark):
+    """The shard planner's running sum must be the two-phase form: both
+    consumers read the CACHED size table (one physical scan), the
+    per-bucket prefix table broadcasts, and the big window partitions on
+    (media_type, bkt) — never media_type alone, which would be a
+    |media_type|-task global sort at scale."""
     from iot_big_data_engineering_spark.operators.multimodal import (
         mm6_shard_plan,
     )
 
     df = mm6_shard_plan(spark, SF_SMOKE)
     assert_no_cartesian(df)
+    assert_broadcast_join(df)
     p = plan_str(df, mode="simple")
-    assert p.count("documents.parquet") <= 1, p
+    # both branches hit the cache, so the parquet scan materializes once
+    assert p.count("InMemoryTableScan") == 2, p
+    assert "bkt" in p, p
