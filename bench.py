@@ -62,6 +62,8 @@ HEADLINE = [
     "j11b_supplier_value_share",
     "j12b_priority_by_returnflag",
     "dp1_corpus_clean",
+    "s4_label_centroids",
+    "mm6_shard_plan",
 ]
 
 
