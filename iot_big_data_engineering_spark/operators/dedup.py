@@ -507,7 +507,9 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (lang-blocked, same tau=0.5 semantics as the quadratic form the
     # oracle computes) — near-linear instead of all-pairs-within-lang
     d = _docs_par(spark, sf_dir).filter(F.col("doc_id") < _D3_CAP)
-    edges = prefix_jaccard_pairs(d, 0.5, block_col="lang").select(
+    edges = prefix_jaccard_pairs(
+        d, 0.5, block_col="lang", carry_arrays=True
+    ).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(edges)
@@ -543,12 +545,20 @@ _D8_TAU = 0.5
 
 
 def prefix_jaccard_pairs(
-    docs: DataFrame, tau: float, block_col: str | None = None
+    docs: DataFrame,
+    tau: float,
+    block_col: str | None = None,
+    carry_arrays: bool = False,
 ) -> DataFrame:
     """Exact Jaccard >= tau pairs (doc_a, doc_b, jc) over word-trigram
     shingle sets, via AllPairs prefix filtering (see d8's block comment).
     ``block_col`` optionally adds an equality blocking key to the
-    candidate join (e.g. lang) — pairs differing on it are excluded."""
+    candidate join (e.g. lang) — pairs differing on it are excluded.
+    ``carry_arrays=True`` ships the shingle arrays through the candidate
+    join instead of joining them back from the signature table — fewer
+    stages, right for SMALL/capped inputs (d7's 1000-doc anchor slice);
+    the default bare-pair form is the corpus-scale plan (arrays move once
+    per doc, never once per candidate duplicate)."""
     # ONE evaluation of the tokenize→shingle→hash→sort tree, materialized:
     # Catalyst's projection collapse re-inlines a referenced column
     # expression into every downstream use (sz, the slice, the filter), so
@@ -570,9 +580,22 @@ def prefix_jaccard_pairs(
         )
         .persist()
     )
-    pref = sig.withColumn("sz", F.size("sh")).withColumn(
-        "p",
-        F.explode(F.expr(f"slice(sh, 1, int(sz - ceil({tau}d * sz) + 1))")),
+    # candidate generation shuffles ONLY (doc_id, sz, prefix-hash[, block])
+    # — never the shingle arrays. An earlier form carried both sides'
+    # arrays through the join + pair-dedup: ~500 MB of shuffle at sf0.1
+    # (vs ~15 MB bare) and the dominant, GC-noisy stage of the query. The
+    # arrays join back from the cached signature table only for the
+    # verify pass, so they move once per doc, not once per candidate.
+    pref = sig.select(
+        "doc_id",
+        *([block_col] if block_col else []),
+        *(["sh"] if carry_arrays else []),
+        F.size("sh").alias("sz"),
+        F.explode(
+            F.expr(
+                f"slice(sh, 1, int(size(sh) - ceil({tau}d * size(sh)) + 1))"
+            )
+        ).alias("p"),
     )
     a, b = pref.alias("a"), pref.alias("b")
     # size-compatibility filter (AllPairs): J(a,b) >= tau forces
@@ -591,18 +614,33 @@ def prefix_jaccard_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            *(
+                [F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b")]
+                if carry_arrays
+                else []
+            ),
             F.col("a.sz").alias("sz_a"),
             F.col("b.sz").alias("sz_b"),
         )
         # a pair can share several prefix hashes — verify each pair once
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if carry_arrays:
+        verified = cand
+    else:
+        # the cached signature table is MB-scale locally and broadcasts;
+        # at 100 TB these become shuffle hash joins on doc_id
+        sh_a = sig.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        )
+        sh_b = sig.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        )
+        verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jc = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        cand.withColumn("jc", jc)
+        verified.withColumn("jc", jc)
         .filter(F.col("jc") >= F.lit(tau))
         .select("doc_a", "doc_b", "jc")
     )
