@@ -112,6 +112,13 @@ def main() -> None:
         "sf": sf,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
+    # r3: the driver regenerated all testdata (events ts physical type
+    # changed ns→µs, text lengths grew) and the round runs on a fresh VM,
+    # so per-query deltas vs BENCH_r02 are environment-confounded
+    out["env_note"] = (
+        "testdata regenerated + fresh VM at r3 boundary; "
+        "cross-round deltas not like-for-like"
+    )
     prev_round, prev = _latest_prev_bench()
     if prev is not None and prev.get("sf") == sf:
         pq = prev.get("queries", {})
