@@ -1633,3 +1633,45 @@ def w4_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.max("value"), 6).alias("hi"),
         fround(F.max("pr"), 6).alias("max_pr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U3 — MULTISET set operations (INTERSECT ALL / EXCEPT ALL), completing
+# u1/u2's distinct-set forms: duplicates count, so the result sizes
+# reflect per-key multiplicities (min for intersect, truncated difference
+# for except). Spark plans these as a single aggregate computing paired
+# counts per key — no join, one shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "u3_key_overlap_multiset",
+    oracle="""
+SELECT 'intersect_all' AS bucket, count(*) AS row_count FROM (
+  SELECT o_custkey FROM orders INTERSECT ALL SELECT user_id FROM events
+) a
+UNION ALL
+SELECT 'orders_minus_events_all', count(*) FROM (
+  SELECT o_custkey FROM orders EXCEPT ALL SELECT user_id FROM events
+) b
+UNION ALL
+SELECT 'events_minus_orders_all', count(*) FROM (
+  SELECT user_id FROM events EXCEPT ALL SELECT o_custkey FROM orders
+) c
+""",
+    doc="U3: INTERSECT ALL / EXCEPT ALL multiset overlap between facts",
+)
+def u3_key_overlap_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("o_custkey")
+    )
+
+    def bucket(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("row_count")).select(
+            F.lit(name).alias("bucket"), "row_count"
+        )
+
+    return (
+        bucket(o.intersectAll(e), "intersect_all")
+        .unionAll(bucket(o.exceptAll(e), "orders_minus_events_all"))
+        .unionAll(bucket(e.exceptAll(o), "events_minus_orders_all"))
+    )

@@ -151,7 +151,7 @@ _LOADED = False
 #   sets), j11b (Q11 value-share shape), j12b (Q12 priority-count shape),
 #   dp1 (composed corpus-cleaning pipeline), w4 (ntile/percent_rank
 #   deciles), s4 (label centroids, exact-decimal sums), mm6 (shard
-#   planner): new in r3;
+#   planner), u3 (INTERSECT ALL / EXCEPT ALL): new in r3;
 # - st3: never driver-checked + its streaming state was rebuilt r3;
 # - mm5: oracle made byte-faithful r3;
 # - adv2 (bucket-expansion off-by-one fixed r3) and adv11 (bucket-width
@@ -189,6 +189,7 @@ _WINDOW_FIRST = [
     "w4_value_deciles",
     "s4_label_centroids",
     "mm6_shard_plan",
+    "u3_key_overlap_multiset",
     "mm5_payload_dedup",
     "adv2_asof_join",
     "adv11_range_join",
