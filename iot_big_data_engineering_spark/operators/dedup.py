@@ -351,13 +351,23 @@ def d5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# D6 — embedding-cosine near-dup (label-blocked; oracle-checked)
+# D6 — embedding-cosine near-dup (label-blocked; oracle-checked). Like d3,
+# this is the EXACT correctness anchor — here for the s2/s3 ANN paths and
+# the d4-style approximations over embeddings — so it is capped to a
+# deterministic corpus slice (vec_id < 1000, the d3 convention): candidate
+# pairs grow as Σ per-label n², and an uncapped within-label all-pairs
+# join is exactly the quadratic that must never run at 100 TB. The scale
+# paths are s2 (IVF cells) and s3 (LSH buckets), both bucket-prunable.
 # ---------------------------------------------------------------------------
+_D6_CAP = 1000
+
+
 @register(
     "d6_embedding_neardup",
     oracle=f"""
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < {_D6_CAP}
 ),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -369,12 +379,13 @@ FROM pairs
 ORDER BY round(cos, {_R}) DESC, vec_a, vec_b
 LIMIT 50
 """,
-    doc="D6: embedding cosine near-dup, top-50 pairs within label blocks",
+    doc="D6: embedding cosine near-dup anchor, top-50 pairs (capped slice)",
 )
 def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     e = (
         load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _D6_CAP)
         .repartition(par, "vec_id")
         .select("vec_id", "label", V.to_double("embedding").alias("v"))
     )
@@ -591,9 +602,17 @@ def prefix_jaccard_pairs(
         *([block_col] if block_col else []),
         *(["sh"] if carry_arrays else []),
         F.size("sh").alias("sz"),
+        # prefix_len = |s| - ceil(tau·|s|) + 1. The ceil is guarded
+        # against double overshoot: for taus where tau·|s| is an exact
+        # integer k the product can evaluate to k+ε (e.g. 0.55·100 =
+        # 55.000000000000007) and an unguarded ceil would return k+1 —
+        # prefix one element too SHORT, silently dropping qualifying
+        # pairs. Subtracting 1e-9 (far above one ulp at any realistic
+        # |s|, far below any true fractional part) restores exactness;
+        # undershoot needs no guard (ceil(k-ε) = k already).
         F.explode(
             F.expr(
-                f"slice(sh, 1, int(size(sh) - ceil({tau}d * size(sh)) + 1))"
+                f"slice(sh, 1, int(size(sh) - ceil({tau}d * size(sh) - 1e-9) + 1))"
             )
         ).alias("p"),
     )

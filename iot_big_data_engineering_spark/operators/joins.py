@@ -8,10 +8,16 @@ against the customer/nation dimensions (the analog of the reference's
 implicit vehicle/sensor dimensions).
 
 Join strategy for 100 TB:
-- dimension tables (region 5, nation 25, customer ~O(SF·150k), supplier,
-  part) are broadcast — `F.broadcast()` hints remove the shuffle on the
-  fact side entirely for region/nation/supplier; customer/part stay
-  broadcastable far beyond these SFs (threshold set to 64 MB in session.py);
+- `F.broadcast()` hints appear ONLY on tables whose cardinality does NOT
+  scale with data volume: region (5 rows), nation (25 rows), and 1-row
+  scalar aggregates. customer / supplier / part all grow with SF — at
+  100 TB a forced broadcast of any of them OOMs every executor — so those
+  joins carry no hint: the planner (CBO stats + AQE runtime re-plan)
+  auto-broadcasts them while they fit under
+  spark.sql.autoBroadcastJoinThreshold (64 MB, session.py) and degrades
+  to shuffle hash joins beyond that. tests/test_plans.py pins both halves
+  of that contract (no ResolvedHint on SF-scaled tables; the planner
+  still *chooses* broadcast at bench SF so small-SF plans don't regress);
 - the one genuinely large-large join (orders ⋈ lineitem) is a shuffle join
   on the key both sides would be bucketed on in a managed layout
   (`write.bucketBy(N, "o_orderkey")`); AQE handles skew splitting;
@@ -124,7 +130,7 @@ GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
-    doc="J3: TPC-H Q3 shipping priority (broadcast customer, top-10)",
+    doc="J3: TPC-H Q3 shipping priority (planner-chosen customer join, top-10)",
 )
 def j3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -138,7 +144,9 @@ def j3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            # customer scales with SF — no broadcast hint; the planner
+            # broadcasts the BUILDING slice while it fits, shuffles beyond
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -166,7 +174,7 @@ WHERE r.r_name IN ('ASIA', 'EUROPE')
 GROUP BY n.n_name
 ORDER BY revenue DESC, n_name
 """,
-    doc="J5: region-filtered supplier volume (broadcast dims)",
+    doc="J5: region-filtered supplier volume (planner-chosen dim join)",
 )
 def j5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
@@ -180,7 +188,8 @@ def j5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "n_name")
     )
     return (
-        l.join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
+        # dims is supplier-derived (scales with SF) — planner's choice
+        l.join(dims, l.l_suppkey == dims.s_suppkey)
         .groupBy("n_name")
         .agg(
             fround(_sum_dbl(_disc_price()), 2).alias("revenue"),
@@ -241,13 +250,13 @@ JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
 ORDER BY revenue DESC, p_brand
 """,
-    doc="J11: lineitem ⋈ broadcast(part) revenue by brand",
+    doc="J11: lineitem ⋈ part revenue by brand (planner-chosen join)",
 )
 def j11_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("lineitem_count"),
@@ -308,17 +317,19 @@ JOIN customer c ON e.user_id = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name, c.c_mktsegment, e.event_type
 """,
-    doc="J13: fact-stream enrichment via broadcast dimension joins",
+    doc="J13: fact-stream enrichment via dimension joins (nation broadcast)",
 )
 def j13_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
+    # nation is 25 rows forever → hint; the customer-derived dim scales
+    # with SF → planner's choice (broadcasts while under threshold)
     dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
         "c_custkey", "c_mktsegment", "n_name"
     )
     return (
-        e.join(F.broadcast(dim), e.user_id == dim.c_custkey)
+        e.join(dim, e.user_id == dim.c_custkey)
         .groupBy("n_name", "c_mktsegment", "event_type")
         .agg(
             F.count("*").alias("event_count"),
@@ -511,9 +522,11 @@ def j2_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+    lp = l.join(p, l.l_partkey == p.p_partkey).select(
         "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice", "p_brand"
     )
+    # m is one row per p_brand — a bounded enum (~dozens of brands at any
+    # SF), the one aggregate here that IS safe to hint
     m = lp.groupBy("p_brand").agg(F.min("l_extendedprice").alias("min_price"))
     winner = (
         lp.join(
@@ -536,7 +549,7 @@ def j2_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.l_suppkey").alias("l_suppkey"),
         )
     )
-    return winner.join(F.broadcast(s), winner.l_suppkey == s.s_suppkey).select(
+    return winner.join(s, winner.l_suppkey == s.s_suppkey).select(
         "p_brand", "min_price", "l_orderkey", "l_linenumber", "s_name"
     )
 
@@ -642,7 +655,7 @@ def j14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     total = _sum_dbl(_disc_price())
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             fround(F.lit(100.0) * promo / total, 6).alias("promo_pct"),
@@ -682,7 +695,7 @@ def j18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
@@ -735,7 +748,7 @@ def j19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(bracket)
         .agg(
             fround(_sum_dbl(_disc_price()), 2).alias("revenue"),
@@ -899,7 +912,7 @@ def j15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(top),
             revenue.total_revenue == top.max_revenue,
         )
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -932,7 +945,7 @@ FROM lineitem l
 JOIN pa ON l.l_partkey = pa.l_partkey
 WHERE l.l_quantity < pa.half_avg_qty
 """,
-    doc="J17: correlated per-part avg subquery, decorrelated + broadcast",
+    doc="J17: correlated per-part avg subquery, decorrelated (no hints)",
 )
 def j17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
@@ -1010,7 +1023,8 @@ def j22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join in the suite — lineitem joined through supplier→nation on one side
 # and orders→customer→nation on the other, filtered to two nation pairs,
 # grouped by (supp_nation, cust_nation, ship year). Both dimension chains
-# collapse to broadcast maps; lineitem⋈orders is the one big shuffle.
+# collapse to compact maps the planner broadcasts while small;
+# lineitem⋈orders is the one big shuffle.
 # ---------------------------------------------------------------------------
 @register(
     "j7_nation_volume_shipping",
@@ -1052,9 +1066,12 @@ def j7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
     return (
-        l.join(F.broadcast(supp_dim), l.l_suppkey == supp_dim.s_suppkey)
+        # supp_dim / cust_dim are supplier/customer-derived (scale with
+        # SF) — no hints; the nation side inside them is 25 rows and the
+        # planner folds it in either way
+        l.join(supp_dim, l.l_suppkey == supp_dim.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_dim), o.o_custkey == cust_dim.c_custkey)
+        .join(cust_dim, o.o_custkey == cust_dim.c_custkey)
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -1071,7 +1088,7 @@ def j7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # J10B — returned-item losers (TPC-H Q10 shape): revenue lost to returns
 # per customer, top-20. Filter (returnflag) → join → agg → top-k; the
-# customer dim broadcasts, the top-k is TakeOrderedAndProject.
+# top-k is TakeOrderedAndProject.
 # ---------------------------------------------------------------------------
 @register(
     "j10b_returned_revenue_topk",
@@ -1098,7 +1115,7 @@ def j10b_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.filter(F.col("l_returnflag") == "R")
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             fround(_sum_dbl(_disc_price()), 2).alias("lost_revenue"),
@@ -1112,8 +1129,8 @@ def j10b_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # J8 — market share (TPC-H Q8 shape): one nation's suppliers' share of
 # EUROPE-customer ECONOMY-part revenue per order year. Deepest star fan-in:
-# lineitem ⋈ part/supplier/nation (broadcast) ⋈ orders (the one big
-# shuffle) ⋈ customer/nation/region (broadcast). The share is a ratio of
+# lineitem ⋈ part/supplier/nation ⋈ orders (the one big shuffle) ⋈
+# customer/nation/region; only nation/region carry hints. The share is a ratio of
 # two exact DECIMAL sums, divided once in DOUBLE on both engines.
 # ---------------------------------------------------------------------------
 @register(
@@ -1162,11 +1179,13 @@ def j8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_1", vol))
     total_vol = F.sum(vol)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # hints only on nation/region (fixed 25/5 rows); part/supplier/
+        # customer scale with SF → planner's choice
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -1225,8 +1244,8 @@ def j9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * _dec2("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -1275,8 +1294,10 @@ def j16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # bad (negative-balance suppliers) and the filtered part slice both
+        # scale with SF — planner's choice for the anti join and the probe
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1381,7 +1402,7 @@ def j21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2").select("n_nationkey")
     return (
-        lone_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        lone_late.join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
@@ -1396,8 +1417,8 @@ def j21_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it shipped OUTSIDE the probe year (documented substitution); Q20's
 # correlated `ps_availqty > 0.5 * sum(l_quantity in year)` becomes
 # held_qty > 0.5 * window_qty, decorrelated into ONE lineitem aggregate
-# with two conditional sums — the nested-IN chain collapses to a broadcast
-# semi-join on the 'red%' parts and a broadcast supplier⋈nation map. The
+# with two conditional sums — the nested-IN chain collapses to joins
+# against the 'red%' parts and the supplier⋈nation map. The
 # one shuffle is the (l_suppkey, l_partkey) groupBy, map-side partial.
 # Q20 returns no row for a pair with zero in-year lineitems (NULL scalar
 # subquery); window_qty IS NOT NULL mirrors that exactly.
@@ -1464,8 +1485,10 @@ def j20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), s.s_nationkey == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
     return (
-        qual.join(F.broadcast(p), qual.l_partkey == p.p_partkey)
-        .join(F.broadcast(nation_suppliers), qual.l_suppkey == F.col("s_suppkey"))
+        # 'red%' parts and the one-nation supplier slice scale with SF —
+        # planner's choice (nation itself keeps its hint above)
+        qual.join(p, qual.l_partkey == p.p_partkey)
+        .join(nation_suppliers, qual.l_suppkey == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.countDistinct("l_partkey").alias("qualifying_parts"))
     )
@@ -1521,7 +1544,7 @@ def j11b_supplier_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("val").cast("double")
             > F.lit(1.05) * (F.col("total").cast("double") / F.col("cnt"))
         )
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",

@@ -505,8 +505,11 @@ def s3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division at the end. That also makes the physical plan fully
 # partial-aggregatable: decimal sums are associative-exact, so map-side
 # combine never changes the answer. Two shuffles total at any scale
-# (label×dim centroid agg, per-vector distance agg); the centroid table
-# (labels × dims) broadcasts.
+# (label×dim centroid agg, per-vector distance agg). The centroid table
+# is |labels|·dim rows — it scales with label cardinality, so it carries
+# NO broadcast hint (thousands of labels × high dim is GBs): the planner
+# broadcasts it while it fits under the 64 MB threshold and falls back to
+# a shuffle hash join on (label, pos) beyond that.
 # ---------------------------------------------------------------------------
 @register(
     "s4_label_centroids",
@@ -553,7 +556,7 @@ def s4_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = dims.groupBy("label", "pos").agg(
         (F.sum(xd).cast("double") / F.count("*")).alias("c")
     )
-    joined = dims.join(F.broadcast(cent), ["label", "pos"])
+    joined = dims.join(cent, ["label", "pos"])
     dxd = (F.col("x") - F.col("c")).cast("decimal(12,8)")
     per_vec = joined.groupBy("vec_id", "label").agg(
         F.sum(dxd * dxd).alias("d2")
@@ -569,7 +572,7 @@ def s4_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vecs"),
             (F.sum("d2").cast("double") / F.count("*")).alias("avg_d2"),
         )
-        .join(F.broadcast(norm), "label")
+        .join(norm, "label")
         .select(
             "label",
             "n_vecs",

@@ -228,7 +228,7 @@ ranked AS (
 SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rn
 FROM ranked WHERE rn <= 5
 """,
-    doc="T6: tf-idf top-5 terms per document (two-pass agg + broadcast df)",
+    doc="T6: tf-idf top-5 terms per document (two-pass agg; df join unhinted)",
 )
 def t6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -241,7 +241,10 @@ def t6_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "token")
+        # df is one row per distinct token — vocabulary grows with the
+        # corpus, so no broadcast hint (both sides already hash on token);
+        # n is a 1-row scalar and keeps its hint
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

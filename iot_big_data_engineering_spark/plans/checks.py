@@ -76,6 +76,24 @@ def assert_whole_stage_codegen(df: DataFrame) -> None:
     assert "*(" in p, f"no WholeStageCodegen stages in plan:\n{p}"
 
 
+def hint_count(df: DataFrame) -> int:
+    """Number of ResolvedHint nodes in the analyzed logical plan — the
+    mechanical form of the broadcast policy: hints are allowed only on
+    tables whose cardinality does NOT scale with data volume (nation/
+    region, 1-row scalar aggregates, bounded probe sets), so each query
+    asserts its exact allowed count."""
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
+def assert_hint_count(df: DataFrame, allowed: int) -> None:
+    n = hint_count(df)
+    assert n == allowed, (
+        f"expected exactly {allowed} broadcast hint(s) (fixed-cardinality "
+        f"tables only), found {n}:\n"
+        + df._jdf.queryExecution().analyzed().toString()
+    )
+
+
 def assert_no_exchange(df: DataFrame) -> None:
     """The co-located-join check: a join of two identically-bucketed tables
     must plan with zero shuffle (Exchange) operators."""

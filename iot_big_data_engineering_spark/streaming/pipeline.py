@@ -525,6 +525,23 @@ SELECT DISTINCT vehicle_id, sensor_type FROM sensor_quality_checked
 )
 
 
+def _assert_single_data_batch(q) -> None:
+    """Pin the single-micro-batch assumption st5/st6's oracle parity rests
+    on: over the driver's one-file bounded stream, availableNow must land
+    ALL input in ONE micro-batch (st5 would re-emit keys past the
+    watermark horizon across batches; st6's update-mode sink would hold
+    one row per key per update). If the source ever splits (multiple glob
+    matches, changed batching), fail loudly here instead of hash-failing
+    at the driver with no explanation."""
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) == 1, (
+        f"bounded stream split into {len(data_batches)} data micro-batches; "
+        "st5/st6 oracle parity assumes exactly one (see comment)"
+    )
+
+
 @register(
     "st5_streaming_dedup",
     oracle=_ST5_ORACLE,
@@ -546,6 +563,7 @@ def st5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _assert_single_data_batch(q)
     return spark.table(name)
 
 
@@ -593,4 +611,5 @@ def st6_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _assert_single_data_batch(q)
     return spark.table(name).select("vehicle_id", "running_count", "last_seen")

@@ -176,7 +176,11 @@ def test_prefix_join_equals_brute_force(spark):
         "alpha beta gamma delta epsilon zeta eta theta",      # 7
         "alpha beta gamma delta epsilon zeta eta iota",       # 8 near-dup of 7
     ]
-    for tau in (0.3, 0.5, 0.8):
+    # 0.55 / 0.7: taus whose tau·|s| products land on exact integers for
+    # round set sizes — the FP-overshoot class the guarded ceil in
+    # prefix_jaccard_pairs exists for (ceil(55.000000000000007) = 56
+    # would shorten the prefix by one and silently drop pairs)
+    for tau in (0.3, 0.5, 0.55, 0.7, 0.8):
         want = _brute_force_pairs(texts, tau)
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
