@@ -4,11 +4,13 @@
 Five dedup families:
 - exact (hash groupBy)                      → d1 / d2   (oracle-checked)
 - n-gram Jaccard near-dup                   → d3        (oracle-checked)
-- MinHash + LSH banding                     → d4        (rows-only; recall
+- MinHash + LSH banding                     → d4        (planted-duplicate
+                                                          certificate, oracle-
+                                                          checked; raw pairs
                                                           property-tested in
                                                           tests/test_dedup.py)
-- SimHash + Hamming radius                  → d5        (rows-only; property-
-                                                          tested)
+- SimHash + Hamming radius                  → d5        (certificate like d4;
+                                                          raw property-tested)
 - embedding-cosine near-dup                 → d6        (oracle-checked)
 
 Scale design (the point of MinHash/SimHash): the exact-Jaccard query d3 is
@@ -95,6 +97,8 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _D3_CAP = 1000
+_D8_TAU = 0.5  # shared by d7/d7_full/d8 (defined here: oracle f-strings
+# above the d8 section interpolate it at module-import time)
 _SH = X.sql_shingles_from_tokens("toks", 3)
 @register(
     "d3_jaccard_pairs",
@@ -265,19 +269,17 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "d4_minhash_lsh_dedup",
-    oracle=None,  # approximate: verified by recall property test vs d3
-    doc="D4: MinHash(32)+LSH(8×4) candidates, exact-Jaccard verified ≥ 0.5",
-)
-def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_par(spark, sf_dir)
-    # the plan references the signatures 3× (banding + both verify sides);
-    # without persist the tokenize→shingle→minhash pipeline runs 3× (at
-    # scale: write sigs to a table once, then band/verify read it).
-    # Cleanup is caller-owned via caching.release_caches() — unpersisting
-    # here would evict before the lazy result is ever materialized.
-    sigs = track(minhash_signatures(d).persist())
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """The raw d4 pipeline: MinHash(32) signatures → LSH band-bucket
+    candidates → exact-Jaccard verify ≥ 0.5. Returns (doc_a, doc_b,
+    jaccard) ordered by similarity.
+
+    The plan references the signatures 3× (banding + both verify sides);
+    without persist the tokenize→shingle→minhash pipeline runs 3× (at
+    scale: write sigs to a table once, then band/verify read it).
+    Cleanup is caller-owned via caching.release_caches() — unpersisting
+    here would evict before the lazy result is ever materialized."""
+    sigs = track(minhash_signatures(docs).persist())
     cands = lsh_candidate_pairs(sigs)
     sh = sigs.select("doc_id", "sh")
     verified = (
@@ -294,6 +296,81 @@ def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+    )
+
+
+# The registered d4/d5 queries are SELF-CERTIFYING planted-duplicate
+# probes (same contract as s2/s3 — see similarity.py's certificate block
+# comment): which candidate pairs LSH banding / SimHash blocking surface
+# is index-dependent and no SQL oracle can replicate it, but the defining
+# guarantee is SQL-statable — an EXACT text copy has the identical shingle
+# set, hence identical MinHash signature and band buckets (d4) / identical
+# token-hash set, hence identical 64-bit SimHash and Hamming distance 0
+# (d5) — so the unchanged pipeline must recover every planted (orig, copy)
+# pair, deterministically, on any corpus. The oracle states that guarantee
+# as TRUE per eligible planted doc; a pipeline regression flips a boolean
+# and fails the driver hash gate. Raw pair output stays available via
+# minhash_lsh_pairs / simhash_pairs and keeps its recall property tests
+# vs the d3/d8 exact anchors (tests/test_dedup.py).
+_N_PLANT = 5
+_PLANT_OFFSET = 10_000_000  # far above any real doc_id at any SF
+
+
+def _plant_copies(d: DataFrame) -> DataFrame:
+    """corpus ∪ exact copies of doc_id < _N_PLANT (copy id = orig + offset)."""
+    planted = d.filter(F.col("doc_id") < _N_PLANT).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    return d.unionByName(planted)
+
+
+def _certify_planted_pairs(
+    pairs: DataFrame, eligible: DataFrame, flag: str
+) -> DataFrame:
+    """One row per eligible planted doc: did the pipeline emit the
+    (orig, orig+offset) pair? Missing → explicit FALSE (loud hash fail)."""
+    found = (
+        pairs.filter(
+            (F.col("doc_a") < _N_PLANT)
+            & (F.col("doc_b") == F.col("doc_a") + F.lit(_PLANT_OFFSET))
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        eligible.join(found, "doc_id", "left")
+        .select("doc_id", F.coalesce("hit", F.lit(False)).alias(flag))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "d4_minhash_lsh_dedup",
+    # eligible = planted docs that shingle at all (>= 3 tokens — the same
+    # gate minhash_signatures applies); the copy then has jaccard exactly
+    # 1.0 and MUST come back through banding + verify
+    oracle=f"""
+SELECT doc_id, TRUE AS planted_dup_found
+FROM documents
+WHERE doc_id < {_N_PLANT} AND len({X.sql_tokens("text")}) >= 3
+ORDER BY doc_id
+""",
+    doc="D4: MinHash(32)+LSH(8×4) planted-duplicate certificate",
+)
+def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_par(spark, sf_dir)
+    pairs = minhash_lsh_pairs(_plant_copies(d))
+    eligible = (
+        d.filter(F.col("doc_id") < _N_PLANT)
+        .filter(F.size(X.tokens("text")) >= 3)
+        .select("doc_id")
+    )
+    return _certify_planted_pairs(
+        # require full similarity, not just presence: an exact copy that
+        # came back with jaccard < 1 would certify a verify-stage bug
+        pairs.filter(F.col("jaccard") == 1.0),
+        eligible,
+        "planted_dup_found",
     )
 
 
@@ -315,14 +392,9 @@ def simhash_col() -> F.Column:
     )
 
 
-@register(
-    "d5_simhash_neardup",
-    oracle=None,  # property-tested (hamming symmetry / self-distance 0)
-    doc="D5: 64-bit SimHash, top-100 nearest pairs by Hamming (lang-blocked)",
-)
-def d5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_par(spark, sf_dir).filter(F.col("doc_id") < _D3_CAP)
-    sims = (
+def _simhash_sims(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, simhash) — 64-bit SimHash per doc, JVM-side."""
+    return (
         d.select(
             "doc_id",
             "lang",
@@ -332,8 +404,18 @@ def d5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("simhash", simhash_col())
         .select("doc_id", "lang", "simhash")
     )
+
+
+def _hamming(a: str = "a.simhash", b: str = "b.simhash") -> F.Column:
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """The raw d5 pipeline: top-100 nearest pairs by SimHash Hamming
+    distance within language blocks (property-tested: symmetry,
+    self-distance 0, recall on near-dups)."""
+    sims = _simhash_sims(docs)
     a, b = sims.alias("a"), sims.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
@@ -343,10 +425,54 @@ def d5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            _hamming().alias("hamming"),
         )
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(100)
+    )
+
+
+@register(
+    "d5_simhash_neardup",
+    # identical text → identical distinct-token hash set → identical
+    # SimHash → Hamming 0 (see the d4 certificate block comment)
+    oracle=f"""
+SELECT doc_id, TRUE AS planted_zero_hamming
+FROM documents
+WHERE doc_id < {_N_PLANT} AND text IS NOT NULL
+ORDER BY doc_id
+""",
+    doc="D5: 64-bit SimHash planted-duplicate certificate (Hamming 0)",
+)
+def d5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_par(spark, sf_dir).filter(F.col("doc_id") < _D3_CAP)
+    sims = _simhash_sims(_plant_copies(d))
+    a, b = sims.alias("a"), sims.alias("b")
+    planted_pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.lit(_N_PLANT))
+            & (F.col("b.doc_id") == F.col("a.doc_id") + F.lit(_PLANT_OFFSET)),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), _hamming().alias("hamming"))
+    )
+    eligible = (
+        d.filter((F.col("doc_id") < _N_PLANT) & F.col("text").isNotNull())
+        .select("doc_id")
+    )
+    found = (
+        planted_pairs.filter(F.col("hamming") == 0)
+        .select(F.col("doc_a").alias("doc_id"))
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        eligible.join(found, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit", F.lit(False)).alias("planted_zero_hamming"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -532,6 +658,60 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D7-FULL — the same clustering over the FULL corpus, no cap, no lang
+# block: edges come from the d8 prefix-filtered exact-Jaccard join
+# (near-linear), so nothing in the plan is quadratic — this is the actual
+# 100 TB dedup-clustering path, and d7 above is its capped anchor twin.
+# The oracle recomputes the exact edge set via the d8 co-occurrence SQL
+# and closes it transitively with a recursive CTE (viable because the
+# near-dup graph is tiny relative to the corpus at any SF).
+# ---------------------------------------------------------------------------
+@register(
+    "d7_dedup_clusters_full",
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+sh AS (SELECT doc_id, {_SH} AS sh FROM tok),
+sz AS (SELECT doc_id, sh, len(sh) AS sz FROM sh WHERE len(sh) > 0),
+ex AS (SELECT doc_id, sz, unnest(sh) AS s FROM sz),
+co AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         a.sz AS sz_a, b.sz AS sz_b, count(*) AS o
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+edges AS (
+  SELECT src, dst FROM co
+  WHERE CAST(o AS DOUBLE) / (sz_a + sz_b - o) >= {_D8_TAU}
+),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+reach AS (
+  SELECT a AS node, b AS peer FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.peer = s.a
+)
+SELECT node AS doc_id,
+       least(node, min(peer)) AS cluster_id,
+       node = least(node, min(peer)) AS is_canonical
+FROM reach GROUP BY node
+""",
+    doc="D7-full: near-dup clusters over the FULL corpus (d8 edges → CC)",
+)
+def d7_dedup_clusters_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = prefix_jaccard_pairs(_docs_par(spark, sf_dir), _D8_TAU).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # D8 — exact n-gram Jaccard similarity JOIN at corpus scale via prefix
 # filtering (AllPairs/PPJoin family). This closes the gap between d3 (exact
 # but O(n²), capped) and d4 (scalable but approximate): d8 returns the
@@ -552,9 +732,6 @@ def d7_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shingles leave the prefix; hash order is the unbiased stand-in here and
 # the join key distribution is additionally AQE-skew-splittable.
 # ---------------------------------------------------------------------------
-_D8_TAU = 0.5
-
-
 def prefix_jaccard_pairs(
     docs: DataFrame,
     tau: float,

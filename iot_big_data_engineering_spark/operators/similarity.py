@@ -10,10 +10,12 @@ training-data pipeline extension (BASELINE.json north star).
       cells; queries probe the nprobe nearest cells and exact-rerank
       inside. The 100 TB path: the corpus would be written partitioned by
       cell id, so a probe is a partition-pruned scan of nprobe/nlist of
-      the data. rows-only checked; recall on planted near-duplicates is
-      property-tested (the testdata embeddings are isotropic-random —
-      label is NOT a geometric cluster — so recall on random neighbors
-      would measure the data, not the operator).
+      the data. The registered query is a self-certifying planted-
+      duplicate probe (oracle-checked; see the certificate block comment
+      below) — raw top-k via ivf_search; recall on planted near-
+      duplicates is additionally property-tested (the testdata embeddings
+      are isotropic-random — label is NOT a geometric cluster — so recall
+      on random neighbors would measure the data, not the operator).
 - s3: LSH-bucketed ANN — random-hyperplane (sign-bit) hashing into
       ntables independent bucket tables; candidates are corpus vectors
       sharing a bucket with the query in ANY table, exact-reranked. The
@@ -22,8 +24,8 @@ training-data pipeline extension (BASELINE.json north star).
       partitioned by (table, bucket), and a probe reads only the ntables
       matching buckets — no index training step at all, the trade being
       data-blind buckets (lower recall per probe than IVF at equal read
-      volume). rows-only checked; planted-duplicate recall is
-      property-tested like s2.
+      volume). Registered as a planted-duplicate certificate like s2
+      (oracle-checked); raw top-k via lsh_search.
 - numpy_topk: Arrow-batched mapInPandas matmul kernel, the vectorized
       form when Python-side scoring is unavoidable; tests assert it agrees
       exactly with s1.
@@ -287,16 +289,73 @@ def ivf_topk(
     )
 
 
-@register(
-    "s2_knn_ivf",
-    oracle=None,  # approximate; planted-duplicate recall property-tested
-    doc="S2: IVF ANN — deterministic k-means cells, probe 4 of 16, rerank",
-)
-def s2_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no repartition (unlike s1): the Arrow kernels do trivial per-row work,
-    # so task count should track input splits — 1 split locally; at 100 TB
-    # the parquet arrives in ~128 MB splits and parallelism is free. Forcing
-    # 32 tasks here just pays 32× Python-worker spin-up for a tiny corpus.
+# ---------------------------------------------------------------------------
+# Registered ANN queries run as SELF-CERTIFYING planted-duplicate probes:
+# an ANN result set is chosen by the index (IVF cells / LSH buckets), which
+# no SQL oracle can replicate — but the *defining guarantee* of both
+# indexes is SQL-statable: an exact copy of a query vector normalizes to
+# the identical unit vector, therefore lands in the identical k-means cell
+# / identical sign-bit buckets, and exact-reranks at cosine 1.0 — so the
+# full pipeline MUST return it in the top-k, deterministically, for any
+# corpus. The registered queries plant such copies (vec_id + offset), run
+# the UNCHANGED index pipeline over corpus ∪ planted, and emit one boolean
+# row per query; the DuckDB oracle states the guarantee (TRUE per query
+# id). A pipeline regression (cell assignment drift, bucket mismatch,
+# rerank bug, dropped candidates) flips a boolean and fails the driver's
+# hash gate. Raw top-k output stays available via ivf_search / lsh_search
+# and is property-tested (rank density, cosine monotonicity, bucket-
+# collision proofs) in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+_PLANT_OFFSET = 10_000_000  # far above any real vec_id at any SF
+
+_ANN_CERT_ORACLE = f"""
+SELECT vec_id AS query_id, TRUE AS planted_dup_found
+FROM embeddings WHERE vec_id < {N_QUERIES}
+ORDER BY query_id
+"""
+
+
+def _corpus_queries_planted(spark: SparkSession, sf_dir: str):
+    """(corpus ∪ planted exact copies, query set) for the ANN certificates."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.to_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    planted = e.filter(F.col("vec_id") < N_QUERIES).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(_PLANT_OFFSET)
+    )
+    return e.unionByName(planted), q
+
+
+def _certify_planted(topk: DataFrame, q: DataFrame) -> DataFrame:
+    """One row per query: was the planted copy (query_id + offset)
+    returned in the top-k? Missing → explicit FALSE (hash-fails loudly,
+    never silently drops the row)."""
+    found = (
+        topk.filter(F.col("vec_id") == F.col("query_id") + F.lit(_PLANT_OFFSET))
+        .select("query_id")
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        q.select("query_id")
+        .join(found, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hit", F.lit(False)).alias("planted_dup_found"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF ANN top-k over the corpus (the pre-certificate s2 form).
+
+    No repartition (unlike s1): the Arrow kernels do trivial per-row work,
+    so task count should track input splits — 1 split locally; at 100 TB
+    the parquet arrives in ~128 MB splits and parallelism is free. Forcing
+    32 tasks here just pays 32× Python-worker spin-up for a tiny corpus."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", V.to_double("embedding").alias("v")
     )
@@ -304,6 +363,16 @@ def s2_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return ivf_topk(e, q)
+
+
+@register(
+    "s2_knn_ivf",
+    oracle=_ANN_CERT_ORACLE,
+    doc="S2: IVF ANN — planted-duplicate certificate over the full pipeline",
+)
+def s2_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, q = _corpus_queries_planted(spark, sf_dir)
+    return _certify_planted(ivf_topk(corpus, q), q)
 
 
 # ---------------------------------------------------------------------------
@@ -475,13 +544,9 @@ def lsh_topk(
     )
 
 
-@register(
-    "s3_knn_lsh",
-    oracle=None,  # approximate; planted-duplicate recall property-tested
-    doc="S3: LSH ANN — 4 sign-bit tables of 64 buckets, OR-candidates, rerank",
-)
-def s3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # like s2: no repartition — task count tracks input splits
+def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw LSH ANN top-k over the corpus (the pre-certificate s3 form).
+    Like ivf_search: no repartition — task count tracks input splits."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", V.to_double("embedding").alias("v")
     )
@@ -489,6 +554,19 @@ def s3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return lsh_topk(e, q)
+
+
+@register(
+    "s3_knn_lsh",
+    oracle=_ANN_CERT_ORACLE,
+    doc="S3: LSH ANN — planted-duplicate certificate over the full pipeline",
+)
+def s3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # identical copy → identical sign bits under every hyperplane → shares
+    # ALL ntables buckets with its query → guaranteed candidate, reranks
+    # at cosine 1.0 (see the certificate block comment above)
+    corpus, q = _corpus_queries_planted(spark, sf_dir)
+    return _certify_planted(lsh_topk(corpus, q), q)
 
 
 # ---------------------------------------------------------------------------

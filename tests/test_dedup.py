@@ -92,6 +92,21 @@ def test_simhash_duplicate_distance_zero(spark, docs):
     assert rows and all(r.hamming == 0 for r in rows)
 
 
+def test_registered_dedup_certificates_all_true(spark):
+    """The registered d4/d5 forms are planted-duplicate certificates —
+    every boolean must be TRUE on any corpus (the property the driver's
+    hash gate pins against the SQL oracle)."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        d4_minhash_lsh_dedup,
+        d5_simhash_neardup,
+    )
+
+    r4 = d4_minhash_lsh_dedup(spark, SF_SMOKE).collect()
+    assert r4 and all(r.planted_dup_found for r in r4), r4
+    r5 = d5_simhash_neardup(spark, SF_SMOKE).collect()
+    assert r5 and all(r.planted_zero_hamming for r in r5), r5
+
+
 def test_connected_components_chain_and_clusters(spark):
     """A~B, B~C must land in one component (pair-level dedup would miss
     A~C); disjoint pairs stay separate."""

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from iot_big_data_engineering_spark.operators.similarity import (
     _emb,
+    ivf_search,
     numpy_topk,
     s1_knn_bruteforce,
     s2_knn_ivf,
@@ -53,13 +54,25 @@ def test_ivf_planted_duplicate_recall(spark):
 
 
 def test_ivf_runs_on_raw_corpus(spark):
-    rows = s2_knn_ivf(spark, SF_SMOKE).collect()
+    rows = ivf_search(spark, SF_SMOKE).collect()
     by_query = {}
     for r in rows:
         by_query.setdefault(r.query_id, []).append(r)
     assert len(by_query) == 5
     for rs in by_query.values():
         assert len(rs) == 10
+
+
+def test_registered_ann_certificates_all_true(spark):
+    """The registered s2/s3 forms are planted-duplicate certificates —
+    every boolean must be TRUE on any corpus (this is the property the
+    driver's hash gate pins against the SQL oracle)."""
+    from iot_big_data_engineering_spark.operators.similarity import s3_knn_lsh
+
+    for q, flag in ((s2_knn_ivf, "planted_dup_found"), (s3_knn_lsh, "planted_dup_found")):
+        rows = q(spark, SF_SMOKE).collect()
+        assert [r.query_id for r in rows] == list(range(5))
+        assert all(r[flag] for r in rows), rows
 
 
 def test_bruteforce_rank_properties(spark):
@@ -109,10 +122,10 @@ def test_lsh_runs_on_raw_corpus(spark):
         _bucket_matrix,
         _normalize_rows,
         lsh_hyperplanes,
-        s3_knn_lsh,
+        lsh_search,
     )
 
-    rows = s3_knn_lsh(spark, SF_SMOKE).collect()
+    rows = lsh_search(spark, SF_SMOKE).collect()
     assert rows, "64-bucket × 4-table LSH on a 500-vector corpus found nothing"
     by_query = {}
     for r in rows:
