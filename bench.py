@@ -64,6 +64,13 @@ HEADLINE = [
     "dp1_corpus_clean",
     "s4_label_centroids",
     "mm6_shard_plan",
+    # round 4 additions: full-corpus dedup clustering, LSH ANN + SimHash
+    # certificates, BPE token stats, decile windows
+    "d7_dedup_clusters_full",
+    "s3_knn_lsh",
+    "d5_simhash_neardup",
+    "t8_bpe_token_stats",
+    "w4_value_deciles",
 ]
 
 
