@@ -71,6 +71,11 @@ HEADLINE = [
     "d5_simhash_neardup",
     "t8_bpe_token_stats",
     "w4_value_deciles",
+    "d8b_jaccard_join_df_prefix",
+    "dp2_corpus_clean_neardup",
+    "w5_trailing_hour_aggs",
+    "t9_pii_scan",
+    "mm7_stratified_sample",
 ]
 
 

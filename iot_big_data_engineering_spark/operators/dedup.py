@@ -737,6 +737,7 @@ def prefix_jaccard_pairs(
     tau: float,
     block_col: str | None = None,
     carry_arrays: bool = False,
+    order_by_df: bool = False,
 ) -> DataFrame:
     """Exact Jaccard >= tau pairs (doc_a, doc_b, jc) over word-trigram
     shingle sets, via AllPairs prefix filtering (see d8's block comment).
@@ -746,7 +747,15 @@ def prefix_jaccard_pairs(
     join instead of joining them back from the signature table — fewer
     stages, right for SMALL/capped inputs (d7's 1000-doc anchor slice);
     the default bare-pair form is the corpus-scale plan (arrays move once
-    per doc, never once per candidate duplicate)."""
+    per doc, never once per candidate duplicate).
+    ``order_by_df=True`` re-sorts every shingle set under ascending
+    corpus document frequency (ties → hash) before taking prefixes — the
+    canonical AllPairs refinement: hot shingles sink to the set suffix
+    and leave the indexed prefix, so candidate volume drops and the
+    equi-join keys de-skew. Any GLOBAL total order preserves exactness
+    ((df, hash) is one), so results are bit-identical to the hash-order
+    default; costs two extra shuffles (df aggregate + per-doc regroup) —
+    worth it when the corpus has heavy-tailed shingle frequencies."""
     # ONE evaluation of the tokenize→shingle→hash→sort tree, materialized:
     # Catalyst's projection collapse re-inlines a referenced column
     # expression into every downstream use (sz, the slice, the filter), so
@@ -768,6 +777,29 @@ def prefix_jaccard_pairs(
         )
         .persist()
     )
+    if order_by_df:
+        # corpus-wide df per shingle hash, then per-doc re-sort under the
+        # (df, hash) global order. collect_list order is nondeterministic;
+        # the array_sort on (df, h) structs makes the result order exact.
+        ex = sig.select(
+            "doc_id",
+            *([block_col] if block_col else []),
+            F.explode("sh").alias("h"),
+        )
+        dfreq = ex.groupBy("h").agg(F.count("*").alias("df"))
+        sig = track(
+            ex.join(dfreq, "h")
+            .groupBy("doc_id", *([block_col] if block_col else []))
+            .agg(
+                F.array_sort(F.collect_list(F.struct("df", "h"))).alias("p")
+            )
+            .select(
+                "doc_id",
+                *([block_col] if block_col else []),
+                F.transform("p", lambda s: s.getField("h")).alias("sh"),
+            )
+            .persist()
+        )
     # candidate generation shuffles ONLY (doc_id, sz, prefix-hash[, block])
     # — never the shingle arrays. An earlier form carried both sides'
     # arrays through the join + pair-dedup: ~500 MB of shuffle at sf0.1
@@ -842,9 +874,7 @@ def prefix_jaccard_pairs(
     )
 
 
-@register(
-    "d8_jaccard_join_prefix",
-    oracle=f"""
+_D8_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
 ),
@@ -868,11 +898,33 @@ SELECT doc_a, doc_b,
 FROM co
 WHERE CAST(o AS DOUBLE) / (sz_a + sz_b - o) >= {_D8_TAU}
 ORDER BY doc_a, doc_b
-""",
+"""
+
+
+@register(
+    "d8_jaccard_join_prefix",
+    oracle=_D8_ORACLE,
     doc="D8: exact Jaccard>=0.5 join over the full corpus, prefix-filtered",
 )
 def d8_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = prefix_jaccard_pairs(_docs_par(spark, sf_dir), _D8_TAU)
+    return pairs.select(
+        "doc_a", "doc_b", fround(F.col("jc"), _R).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "d8b_jaccard_join_df_prefix",
+    # bit-identical output to d8 — any global token order preserves
+    # AllPairs exactness — so the SAME oracle pins that the df-ordered
+    # refinement is an optimization, never a semantics change
+    oracle=_D8_ORACLE,
+    doc="D8B: d8 with ascending-document-frequency prefix ordering",
+)
+def d8b_jaccard_join_df_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = prefix_jaccard_pairs(
+        _docs_par(spark, sf_dir), _D8_TAU, order_by_df=True
+    )
     return pairs.select(
         "doc_a", "doc_b", fround(F.col("jc"), _R).alias("jaccard")
     ).orderBy("doc_a", "doc_b")

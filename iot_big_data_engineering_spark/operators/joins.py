@@ -1659,6 +1659,61 @@ def w4_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W5 — event-TIME range frame (RANGE BETWEEN interval PRECEDING): the
+# trailing-window moving aggregate w1-w4 don't cover (their frames are
+# ROWS/rank-based). Each event sees the sum/count of its user's events in
+# the trailing hour — the per-entity rate/rolling-exposure shape behind
+# throttling, anomaly baselines, and feature windows. Ordering is on
+# epoch MICROS on both engines (Spark range frames need a numeric key;
+# truncating to seconds would move frame boundaries vs DuckDB's
+# full-precision interval arithmetic). The windowed sum runs in exact
+# DECIMAL: a RANGE frame is a value SET, so double summation order inside
+# it is engine-internal and would flip hashes.
+# Scale: one shuffle on user_id + per-user ordered scan; frame state is
+# bounded by events-per-user-per-hour. The skew-prone variant (one global
+# window) never appears.
+# ---------------------------------------------------------------------------
+_W5_HOUR_US = 3_600_000_000
+
+
+@register(
+    "w5_trailing_hour_aggs",
+    oracle=f"""
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS trailing_count,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE), 2)
+         AS trailing_value,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS trailing_avg
+FROM events
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_W5_HOUR_US} PRECEDING AND CURRENT ROW)
+""",
+    doc="W5: trailing-hour RANGE-frame moving aggregates per user",
+)
+def w5_trailing_hour_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_W5_HOUR_US, 0)
+    )
+    cnt = F.count("*").over(w)
+    val = F.sum(_dec2("value")).over(w).cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        cnt.alias("trailing_count"),
+        fround(val, 2).alias("trailing_value"),
+        fround(val / cnt, 6).alias("trailing_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # U3 — MULTISET set operations (INTERSECT ALL / EXCEPT ALL), completing
 # u1/u2's distinct-set forms: duplicates count, so the result sizes
 # reflect per-key multiplicities (min for intersect, truncated difference

@@ -426,3 +426,77 @@ def mm6_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MM7 — modality-balanced deterministic sampling: draw a different
+# fraction per media_type (image 50% / audio 25% / video 10% here — the
+# usual rebalancing when one modality dominates the crawl) with a
+# multiplicative-hash membership test on doc_id (adv8's cross-engine
+# scheme), so the sample is reproducible row-by-row on any engine and
+# any partitioning — no RNG state, no sampleBy seed drift. Pure map-side
+# filter (a scan predicate at 100 TB: zero shuffle until the per-type
+# rollup), and the report carries exact achieved rates so drift from the
+# target fraction is visible and hash-checked.
+# ---------------------------------------------------------------------------
+_MM7_K = 2654435761  # Knuth multiplicative constant, shared with the oracle
+_MM7_RATES = {"image": 50, "audio": 25, "video": 10}  # percent of stratum
+
+
+@register(
+    "mm7_stratified_sample",
+    oracle=f"""
+WITH payloads AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+rated AS (
+  SELECT p.*,
+         CASE media_type WHEN 'image' THEN {_MM7_RATES["image"]}
+                         WHEN 'audio' THEN {_MM7_RATES["audio"]}
+                         ELSE {_MM7_RATES["video"]} END AS pct
+  FROM payloads p
+)
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS stratum_docs,
+       CAST(sum(CASE WHEN (doc_id * {_MM7_K}) % 100 < pct
+                THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+       CAST(sum(CASE WHEN (doc_id * {_MM7_K}) % 100 < pct
+                THEN n_bytes ELSE 0 END) AS BIGINT) AS sampled_bytes,
+       round(CAST(sum(CASE WHEN (doc_id * {_MM7_K}) % 100 < pct
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), {_R})
+         AS achieved_rate
+FROM rated
+GROUP BY media_type
+ORDER BY media_type
+""",
+    doc="MM7: per-modality deterministic hash sampling + achieved-rate report",
+)
+def mm7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "media_type", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    pct = (
+        F.when(F.col("media_type") == "image", _MM7_RATES["image"])
+        .when(F.col("media_type") == "audio", _MM7_RATES["audio"])
+        .otherwise(_MM7_RATES["video"])
+    )
+    picked = F.pmod(F.col("doc_id") * _MM7_K, 100) < pct
+    return (
+        b.groupBy("media_type")
+        .agg(
+            F.count("*").alias("stratum_docs"),
+            F.sum(F.when(picked, 1).otherwise(0)).alias("sampled_docs"),
+            F.sum(F.when(picked, F.col("n_bytes")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_bytes"),
+            fround(
+                F.sum(F.when(picked, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                _R,
+            ).alias("achieved_rate"),
+        )
+        .orderBy("media_type")
+    )

@@ -438,3 +438,190 @@ def dp1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("q"), _R).alias("quality_score"),
         "dup_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# T9 — PII-pattern scan: per-language counts of email / URL / phone /
+# long-numeric-id matches — the redaction-triage report every
+# training-data pipeline runs before release. Patterns restrict to
+# constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded quantifiers, alternation, ASCII
+# word boundaries (the BPE_PATTERN precedent, functions/text.py).
+# Counting is regexp_count per doc (codegen, embarrassingly parallel);
+# the shuffle carries one scalar row per doc. A corpus with zero matches
+# is a meaningful (and hash-checked) result: the report proves absence.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+_PII_LONG_ID = r"\b[0-9]{9,}\b"
+
+
+@register(
+    "t9_pii_scan",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS emails,
+         len(regexp_extract_all(text, '{_PII_URL}')) AS urls,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS phones,
+         len(regexp_extract_all(text, '{_PII_LONG_ID}')) AS long_ids
+  FROM documents
+)
+SELECT lang,
+       count(*) AS doc_count,
+       CAST(sum(CASE WHEN emails + urls + phones + long_ids > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(sum(emails) AS BIGINT) AS total_emails,
+       CAST(sum(urls) AS BIGINT) AS total_urls,
+       CAST(sum(phones) AS BIGINT) AS total_phones,
+       CAST(sum(long_ids) AS BIGINT) AS total_long_ids
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="T9: PII-pattern scan (email/url/phone/long-id) per language",
+)
+def t9_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    def cnt(pat: str) -> F.Column:
+        return F.regexp_count(F.col("text"), F.lit(pat))
+
+    per_doc = d.select(
+        "lang",
+        cnt(_PII_EMAIL).alias("emails"),
+        cnt(_PII_URL).alias("urls"),
+        cnt(_PII_PHONE).alias("phones"),
+        cnt(_PII_LONG_ID).alias("long_ids"),
+    )
+    any_pii = (
+        F.col("emails") + F.col("urls") + F.col("phones") + F.col("long_ids")
+        > 0
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.when(any_pii, 1).otherwise(0)).alias("docs_with_pii"),
+            F.sum("emails").alias("total_emails"),
+            F.sum("urls").alias("total_urls"),
+            F.sum("phones").alias("total_phones"),
+            F.sum("long_ids").alias("total_long_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DP2 — dedup-aware corpus cleaning: dp1's gates composed with NEAR-dup
+# removal. Stage order (documented semantics): (1) near-dup clustering
+# over the FULL corpus via the d8 prefix join + connected components
+# (d7_full's path) keeps only cluster canonicals (min doc_id) and
+# unclustered docs; (2) dp1's quality/length gates; (3) exact-hash dedup
+# keep-first. Clustering runs BEFORE the gates so a cluster's canonical
+# is stable under gate-threshold changes (the alternative — canonical
+# among gate survivors — re-elects canonicals whenever thresholds move).
+# Scale: stage 1 is d8+CC (near-linear, bucketed); stages 2-3 are one
+# scan + one md5 window — nothing quadratic anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "dp2_corpus_clean_neardup",
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+shs AS (SELECT doc_id, {X.sql_shingles_from_tokens("toks", 3)} AS sh FROM tok),
+szs AS (SELECT doc_id, sh, len(sh) AS sz FROM shs WHERE len(sh) > 0),
+exs AS (SELECT doc_id, sz, unnest(sh) AS s FROM szs),
+co AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         a.sz AS sz_a, b.sz AS sz_b, count(*) AS o
+  FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+edges AS (
+  SELECT src, dst FROM co
+  WHERE CAST(o AS DOUBLE) / (sz_a + sz_b - o) >= 0.5
+),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+reach AS (
+  SELECT a AS node, b AS peer FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.peer = s.a
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min(peer)) AS cluster_id
+  FROM reach GROUP BY node
+),
+survivors AS (
+  SELECT d.*, c.doc_id IS NOT NULL AS was_clustered
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+),
+scored AS (
+  SELECT doc_id, lang, text, was_clustered,
+         {X.sql_token_count("text")} AS token_count,
+         {X.sql_quality_score("text")} AS q
+  FROM survivors
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE token_count >= {_DP1_MIN_TOKENS} AND q >= {_DP1_MIN_QUALITY}
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count
+  FROM gated
+)
+SELECT doc_id, lang, token_count,
+       round(q, {_R}) AS quality_score, dup_count, was_clustered
+FROM ranked WHERE rn = 1
+""",
+    doc="DP2: near-dup canonical filter + quality gates + exact dedup",
+)
+def dp2_corpus_clean_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .dedup import _docs_par, connected_components, prefix_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = prefix_jaccard_pairs(_docs_par(spark, sf_dir), 0.5).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    survivors = (
+        d.join(comp, "doc_id", "left")
+        .withColumn("was_clustered", F.col("cluster_id").isNotNull())
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+    )
+    scored = survivors.select(
+        "doc_id",
+        "lang",
+        "text",
+        "was_clustered",
+        X.token_count("text").alias("token_count"),
+        X.quality_score("text").alias("q"),
+    )
+    gated = scored.filter(
+        (F.col("token_count") >= _DP1_MIN_TOKENS)
+        & (F.col("q") >= _DP1_MIN_QUALITY)
+    ).withColumn("text_md5", F.md5("text"))
+    w = Window.partitionBy("text_md5")
+    ranked = gated.withColumn(
+        "rn", F.row_number().over(w.orderBy("doc_id"))
+    ).withColumn("dup_count", F.count("*").over(w))
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "lang",
+        "token_count",
+        fround(F.col("q"), _R).alias("quality_score"),
+        "dup_count",
+        "was_clustered",
+    )

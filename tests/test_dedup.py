@@ -200,8 +200,11 @@ def test_prefix_join_equals_brute_force(spark):
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
         )
-        got = {
-            (r.doc_a, r.doc_b)
-            for r in prefix_jaccard_pairs(docs, tau).collect()
-        }
-        assert got == want, (tau, got ^ want)
+        for order_by_df in (False, True):
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in prefix_jaccard_pairs(
+                    docs, tau, order_by_df=order_by_df
+                ).collect()
+            }
+            assert got == want, (tau, order_by_df, got ^ want)

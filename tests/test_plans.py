@@ -326,3 +326,44 @@ def test_mm6_shard_plan_two_phase_cumsum(spark):
     assert cache_reads >= 2, p
     assert p.count("documents.parquet") <= cache_reads, p
     assert "bkt" in p, p
+
+
+def test_d8b_df_ordered_join_is_equi_not_allpairs(spark):
+    """The df-ordered refinement must keep the candidate stage an
+    EQUI-join on the exploded prefix hash, like d8."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        d8b_jaccard_join_df_prefix,
+    )
+
+    df = d8b_jaccard_join_df_prefix(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert "NestedLoop" not in p, p
+
+
+def test_dp2_no_cartesian_no_hints(spark):
+    """The composed near-dup cleaning pipeline: prefix join + CC + gates —
+    nothing cartesian, no forced broadcasts anywhere in it."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp2_corpus_clean_neardup,
+    )
+
+    df = dp2_corpus_clean_neardup(spark, SF_SMOKE)
+    assert_hint_count(df, 0)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert "NestedLoop" not in p, p
+
+
+def test_w5_single_window_shuffle(spark):
+    """The RANGE-frame moving aggregate must plan ONE user_id window (no
+    extra exchanges beyond the window sort) with the filter pushed to the
+    scan."""
+    from iot_big_data_engineering_spark.operators.joins import (
+        w5_trailing_hour_aggs,
+    )
+
+    df = w5_trailing_hour_aggs(spark, SF_SMOKE)
+    assert_pushed_filter(df, "user_id")
+    p = plan_str(df, mode="simple")
+    assert p.count("Window") == 1, p
