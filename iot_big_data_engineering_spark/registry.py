@@ -143,22 +143,34 @@ _LOADED = False
 # VERDICT r3 #1 demand: re-earn green rows ON CURRENT DATA for queries
 # whose only driver greens predate the regeneration, plus every query
 # whose form changed this round. In order:
+# - w5/mm7/d8b/t9/dp2: BRAND NEW this round — zero driver rows anywhere;
+#   a query that has never faced the external gate outranks re-verifying
+#   one the local mirror already re-proved on current data;
 # - s2/s3/d4/d5: converted from rows-only to self-certifying
 #   planted-duplicate certificates (first-ever hash rows);
 # - d6: capped to the deterministic vec_id<1000 anchor slice (semantics
 #   changed); d7_full: new (full-corpus CC over d8 edges);
 # - d7: unchanged but r1/r2-vintage, and it rides the guarded prefix join;
-# - the remaining 43 slots: the stalest oracled queries, r1/r2 greens only
+# - the remaining 38 slots: the stalest oracled queries, r1/r2 greens only
 #   (streaming st1/st2, multimodal mm1-mm3, dedup d1-d3, s1, textstats
 #   t1-t7, advanced, windows/rollups/sets, nine r1-vintage joins, o4, m15).
-# Ten point-lookup/monitoring queries (m10-m14, o1, o1b, p7, p8, p10)
-# don't fit the 50-slot window this round — they are the simplest
-# predicate-scan queries in the registry, r1-green, re-verified on current
-# data by the local strict mirror (tests/test_oracle_parity.py, run every
-# round over ALL oracled queries) — they rotate into the r5 window.
+# Fifteen queries don't fit the 50-slot window this round: ten
+# point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
+# plus five deterministic integer-count queries deferred to make room for
+# the new-this-round group (u1, u2, adv3, adv5, adv8 — pure count/set
+# arithmetic, the lowest hash-mismatch-risk shapes in the registry). All
+# fifteen are r1/r2-green and re-verified on current data by the local
+# strict mirror (tests/test_oracle_parity.py, run every round over ALL
+# oracled queries) — they rotate into the r5 window.
 # Everything r3-green (r3 ran on post-regeneration data) keeps its module
 # registration order after these.
 _WINDOW_FIRST = [
+    # brand-new this round — never driver-checked at all
+    "w5_trailing_hour_aggs",
+    "mm7_stratified_sample",
+    "d8b_jaccard_join_df_prefix",
+    "t9_pii_scan",
+    "dp2_corpus_clean_neardup",
     # changed/new this round — no green row in current form
     "s2_knn_ivf",
     "s3_knn_lsh",
@@ -185,12 +197,9 @@ _WINDOW_FIRST = [
     "t6_tfidf_top_terms",
     "t7_documents_profile",
     "adv1_sessionize",
-    "adv3_pivot_daily_counts",
     "adv4_salted_agg",
-    "adv5_value_histogram",
     "adv6_percentiles",
     "adv6b_approx_percentiles",
-    "adv8_hash_sample_stats",
     "adv9_latest_per_key",
     "adv10_unpivot_daily_metrics",
     "w1_top_orders_per_customer",
@@ -198,8 +207,6 @@ _WINDOW_FIRST = [
     "w3_event_gaps",
     "g1_rollup_order_stats",
     "g2_cube_event_stats",
-    "u1_active_keys_union",
-    "u2_key_overlap",
     "j2_min_price_per_brand",
     "j4_priority_late_ship",
     "j6_forecast_revenue",
