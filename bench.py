@@ -98,22 +98,31 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    # best-of-2 per query: single-shot numbers on a shared box carry
-    # multi-second scheduler/GC noise (observed 34 s vs 49 s totals for
-    # identical code); the min of two runs measures the plan, not the
-    # noise. clearCache() before every timed run so a query's persist()
-    # from run 1 cannot serve run 2 — each run re-executes the full
-    # pipeline; only JVM/codegen warmth carries over.
+    # best-of-N per query: single-shot numbers on a shared box carry
+    # multi-second scheduler/GC/CPU-steal noise (observed 34 s vs 49 s
+    # totals, and 2-4x per-query swings between back-to-back runs, for
+    # identical code); the min over runs measures the plan, not the
+    # noise. Two runs always; if they disagree by >1.5x AND the spread is
+    # over 0.3 s (absolute floor: sub-second queries jitter harmlessly),
+    # take a third — bounded extra wall time spent only where the first
+    # two samples were contaminated. clearCache() before every timed run
+    # so a query's persist() from run 1 cannot serve run 2 — each run
+    # re-executes the full pipeline; only JVM/codegen warmth carries over.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        if max(samples) > 1.5 * min(samples) and max(samples) - min(samples) > 0.3:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(min(samples), 3)
 
     total = round(sum(times.values()), 3)
     # stdout carries ONLY the contract fields, compact-separated: the
