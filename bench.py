@@ -76,6 +76,8 @@ HEADLINE = [
     "w5_trailing_hour_aggs",
     "t9_pii_scan",
     "mm7_stratified_sample",
+    "t10_repetition_profile",
+    "dc1_benchmark_contamination",
 ]
 
 

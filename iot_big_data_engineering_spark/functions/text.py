@@ -69,11 +69,12 @@ def fingerprint(col: str = "text") -> Column:
     )
 
 
-def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a token-array column.
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """ALL word n-grams (non-distinct, in document order) from a
+    token-array column.
 
     Implemented as n shifted `slice`s zipped together (one struct per
-    shingle) rather than `element_at(split(...), i)` indexing — Catalyst
+    n-gram) rather than `element_at(split(...), i)` indexing — Catalyst
     inlines non-deterministic-free subexpressions into each lambda call
     site, so the index form re-runs the tokenizer per element (~45× slower
     measured at sf=0.1). Pass a *materialized* token column.
@@ -82,12 +83,16 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     zipped = F.arrays_zip(
         *[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(n)]
     )
-    return F.array_distinct(
-        F.transform(
-            zipped,
-            lambda s: F.concat_ws(" ", *[s.getField(f"t{j}") for j in range(n)]),
-        )
+    return F.transform(
+        zipped,
+        lambda s: F.concat_ws(" ", *[s.getField(f"t{j}") for j in range(n)]),
     )
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column (see
+    ngrams_from_tokens for the slice-zip construction rationale)."""
+    return F.array_distinct(ngrams_from_tokens(toks, n))
 
 
 def shingles_expr(col: str = "text", n: int = 3) -> Column:
@@ -147,15 +152,21 @@ def sql_fingerprint(col: str = "text") -> str:
     )
 
 
-def sql_shingles_from_tokens(toks_col: str = "toks", n: int = 3) -> str:
-    """Shingle expression over a pre-computed token-list column (use inside
-    a CTE that first computes ``toks``)."""
+def sql_ngrams_from_tokens(toks_col: str = "toks", n: int = 3) -> str:
+    """ALL n-grams (non-distinct) over a pre-computed token-list column
+    (use inside a CTE that first computes ``toks``)."""
     parts = " || ' ' || ".join(f"{toks_col}[i + {j}]" for j in range(n))
     return (
         f"CASE WHEN len({toks_col}) >= {n} THEN "
-        f"list_distinct(list_transform(range(1, len({toks_col}) - {n - 2}), "
-        f"i -> {parts})) ELSE [] END"
+        f"list_transform(range(1, len({toks_col}) - {n - 2}), "
+        f"i -> {parts}) ELSE [] END"
     )
+
+
+def sql_shingles_from_tokens(toks_col: str = "toks", n: int = 3) -> str:
+    """Distinct-shingle expression over a pre-computed token-list column
+    (use inside a CTE that first computes ``toks``)."""
+    return f"list_distinct({sql_ngrams_from_tokens(toks_col, n)})"
 
 
 # ---------------------------------------------------------------------------

@@ -928,3 +928,89 @@ def d8b_jaccard_join_df_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", fround(F.col("jc"), _R).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# DC1 — benchmark contamination scan (train/test decontamination).
+# The standard pre-training hygiene step: find corpus documents that share
+# a long verbatim word n-gram with a held-out benchmark/eval set, so they
+# can be dropped before training (the GPT-3/LLaMA decontamination recipe:
+# overlap on 8-13-gram spans). Reference parity: no reference counterpart
+# — extends the dedup surface (SURVEY.md LLM-pipeline mandate) from
+# within-corpus to cross-set overlap.
+#
+# The benchmark set here is the deterministic doc_id % 19 == 3 slice
+# (stand-in for a real eval set; arithmetic is exactly portable to the
+# DuckDB oracle). Scale shape: a benchmark set is FIXED-cardinality — it
+# does not grow with the corpus — so its exploded distinct-8-gram table is
+# the one side of this join that is sanctioned for a broadcast hint under
+# the r4 policy (SCALE.md: bounded probe/query sets yes, SF-scaled tables
+# no). The corpus side streams map-only through the broadcast hash join:
+# no shuffle of corpus grams at all; only the per-doc match scalars
+# aggregate. At 100 TB this is a single corpus scan + a ~MB-scale
+# broadcast, the textbook decontamination plan.
+# ---------------------------------------------------------------------------
+_DC1_N = 8  # n-gram span length (GPT-3 used 13, LLaMA-class recipes 8-10)
+_DC1_MOD = 19
+_DC1_REM = 3
+
+
+def contamination_scan(
+    docs: DataFrame, bench_pred: F.Column, n: int = _DC1_N
+) -> DataFrame:
+    """Per-corpus-document contamination counts vs the benchmark slice
+    selected by ``bench_pred`` (a boolean Column over the docs frame):
+    distinct shared n-grams and distinct benchmark documents matched.
+    Corpus grams stream map-only through a broadcast hash join against
+    the (fixed-cardinality) benchmark gram table — no corpus shuffle."""
+    grams = docs.withColumn("toks", X.tokens("text")).select(
+        "doc_id",
+        "lang",
+        bench_pred.alias("is_bench"),
+        F.explode(X.shingles_from_tokens(F.col("toks"), n)).alias("gram"),
+    )
+    bench = grams.filter(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_doc_id"), "gram"
+    )
+    corp = grams.filter(~F.col("is_bench"))
+    return (
+        corp.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_doc_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "dc1_benchmark_contamination",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {X.sql_tokens("text")} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         unnest({X.sql_shingles_from_tokens("toks", _DC1_N)}) AS gram
+  FROM t
+),
+bench AS (
+  SELECT doc_id AS bench_doc_id, gram FROM g
+  WHERE doc_id % {_DC1_MOD} = {_DC1_REM}
+),
+corp AS (
+  SELECT doc_id, lang, gram FROM g
+  WHERE doc_id % {_DC1_MOD} <> {_DC1_REM}
+)
+SELECT corp.doc_id, corp.lang,
+       CAST(count(DISTINCT corp.gram) AS BIGINT) AS n_shared_grams,
+       CAST(count(DISTINCT bench.bench_doc_id) AS BIGINT) AS n_bench_docs
+FROM corp JOIN bench ON corp.gram = bench.gram
+GROUP BY corp.doc_id, corp.lang
+""",
+    doc="DC1: train/test 8-gram contamination scan vs a held-out slice",
+)
+def dc1_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contamination_scan(
+        _docs_par(spark, sf_dir), F.col("doc_id") % _DC1_MOD == _DC1_REM
+    )

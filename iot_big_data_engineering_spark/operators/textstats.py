@@ -625,3 +625,129 @@ def dp2_corpus_clean_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_count",
         "was_clustered",
     )
+
+
+# ---------------------------------------------------------------------------
+# T10 — intra-document repetition profile (Gopher/C4-style filters).
+# Large-scale corpus cleaning flags documents whose content is internally
+# repetitive (boilerplate, templated spam, degenerate generations): the
+# published heuristics are the duplicate-word fraction, the fraction of
+# the text covered by the single most frequent n-gram, and the fraction
+# covered by any repeated n-gram. Reference parity: the reference has no
+# repetition operator — this extends its quality-scoring surface
+# (src/spark/batch/SensorDataAnalytics.scala:71-83 computes per-group
+# quality aggregates; same shape, text domain).
+#
+# Scale shape: one scan; bigram occurrences are exploded and reduced on
+# (doc_id, gram) — partial aggregation combines map-side, so the shuffle
+# carries one row per DISTINCT bigram per document, not one per token.
+# The per-doc scalar table then equi-joins back on doc_id (co-partitioned
+# by the agg's own shuffle; no broadcast hint — both sides scale with the
+# corpus). This is the one textstats query that shuffles gram rows; every
+# threshold is compared on cross-engine-rounded values so the boolean
+# flag is deterministic.
+# ---------------------------------------------------------------------------
+_T10_DUP_WORD = 0.65
+_T10_TOP_BIGRAM = 0.12
+_T10_DUP_BIGRAM = 0.2
+
+
+_T10_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {X.sql_tokens("text")} AS toks FROM documents
+),
+big AS (
+  SELECT doc_id, unnest({X.sql_ngrams_from_tokens("toks", 2)}) AS gram FROM t
+),
+perg AS (
+  SELECT doc_id, gram, count(*) AS c FROM big GROUP BY doc_id, gram
+),
+perd AS (
+  SELECT doc_id,
+         sum(c) AS total_bigrams,
+         max(c) AS top_bigram,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+  FROM perg GROUP BY doc_id
+),
+m AS (
+  SELECT t.doc_id, t.lang,
+         CAST(len(toks) AS INTEGER) AS n_words,
+         round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), {_R})
+           AS dup_word_frac,
+         round(CAST(top_bigram AS DOUBLE) / total_bigrams, {_R})
+           AS top_bigram_frac,
+         round(CAST(dup_occ AS DOUBLE) / total_bigrams, {_R})
+           AS dup_bigram_frac
+  FROM t JOIN perd ON t.doc_id = perd.doc_id
+)
+SELECT m.*,
+       (dup_word_frac > {_T10_DUP_WORD}
+        OR top_bigram_frac > {_T10_TOP_BIGRAM}
+        OR dup_bigram_frac > {_T10_DUP_BIGRAM}) AS repetitive
+FROM m
+"""
+
+
+def repetition_profile(docs: DataFrame) -> DataFrame:
+    """Per-document repetition metrics over a (doc_id, lang, text) frame.
+
+    Single scan, no join: the per-doc scalars (lang, n_words, n_distinct)
+    are functionally dependent on doc_id, so they ride along as grouping
+    keys through both aggregation levels instead of being re-derived from
+    a second scan and equi-joined back — the combiner still reduces on
+    (doc_id, gram), the keys just carry three small extra values.
+    Documents with fewer than two tokens have no bigrams and drop out
+    (matching the oracle's inner join)."""
+    base = docs.withColumn("toks", X.tokens("text")).select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        "toks",
+    )
+    grams = base.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_distinct",
+        F.explode(X.ngrams_from_tokens(F.col("toks"), 2)).alias("gram"),
+    )
+    keys = ["doc_id", "lang", "n_words", "n_distinct"]
+    per_gram = grams.groupBy(*keys, "gram").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy(*keys).agg(
+        F.sum("c").alias("total_bigrams"),
+        F.max("c").alias("top_bigram"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_occ"
+        ),
+    )
+    out = per_doc.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        fround(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words"),
+            _R,
+        ).alias("dup_word_frac"),
+        fround(
+            F.col("top_bigram").cast("double") / F.col("total_bigrams"), _R
+        ).alias("top_bigram_frac"),
+        fround(
+            F.col("dup_occ").cast("double") / F.col("total_bigrams"), _R
+        ).alias("dup_bigram_frac"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("dup_word_frac") > _T10_DUP_WORD)
+        | (F.col("top_bigram_frac") > _T10_TOP_BIGRAM)
+        | (F.col("dup_bigram_frac") > _T10_DUP_BIGRAM),
+    )
+
+
+@register(
+    "t10_repetition_profile",
+    oracle=_T10_ORACLE,
+    doc="T10: Gopher/C4-style intra-document repetition metrics + flag",
+)
+def t10_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_profile(_docs(spark, sf_dir))

@@ -154,14 +154,14 @@ _LOADED = False
 # - the remaining 38 slots: the stalest oracled queries, r1/r2 greens only
 #   (streaming st1/st2, multimodal mm1-mm3, dedup d1-d3, s1, textstats
 #   t1-t7, advanced, windows/rollups/sets, nine r1-vintage joins, o4, m15).
-# Fifteen queries don't fit the 50-slot window this round: ten
+# Seventeen queries don't fit the 50-slot window this round: ten
 # point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
-# plus five deterministic integer-count queries deferred to make room for
-# the new-this-round group (u1, u2, adv3, adv5, adv8 — pure count/set
-# arithmetic, the lowest hash-mismatch-risk shapes in the registry). All
-# fifteen are r1/r2-green and re-verified on current data by the local
-# strict mirror (tests/test_oracle_parity.py, run every round over ALL
-# oracled queries) — they rotate into the r5 window.
+# plus seven deterministic count/hash queries deferred to make room for
+# the new-this-round group (u1, u2, adv3, adv5, adv8, t4, t7 — pure
+# count/set/hash arithmetic, the lowest hash-mismatch-risk shapes in the
+# registry). All seventeen are r1/r2-green and re-verified on current
+# data by the local strict mirror (tests/test_oracle_parity.py, run every
+# round over ALL oracled queries) — they rotate into the r5 window.
 # Everything r3-green (r3 ran on post-regeneration data) keeps its module
 # registration order after these.
 _WINDOW_FIRST = [
@@ -171,6 +171,8 @@ _WINDOW_FIRST = [
     "d8b_jaccard_join_df_prefix",
     "t9_pii_scan",
     "dp2_corpus_clean_neardup",
+    "t10_repetition_profile",
+    "dc1_benchmark_contamination",
     # changed/new this round — no green row in current form
     "s2_knn_ivf",
     "s3_knn_lsh",
@@ -192,10 +194,8 @@ _WINDOW_FIRST = [
     "t1_token_stats",
     "t2_doc_quality",
     "t3_langid_confusion",
-    "t4_fingerprints",
     "t5_top_terms",
     "t6_tfidf_top_terms",
-    "t7_documents_profile",
     "adv1_sessionize",
     "adv4_salted_agg",
     "adv6_percentiles",

@@ -1,0 +1,91 @@
+"""Semantic + plan tests for the repetition profile (t10) and the
+benchmark-contamination scan (dc1) — hand-computed expectations on tiny
+frames, and the plan shapes that make them viable at 100 TB. Value-level
+oracle parity for the registered forms is covered by test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_big_data_engineering_spark.operators.dedup import contamination_scan
+from iot_big_data_engineering_spark.operators.textstats import (
+    repetition_profile,
+    t10_repetition_profile,
+)
+from iot_big_data_engineering_spark.operators.dedup import (
+    dc1_benchmark_contamination,
+)
+from iot_big_data_engineering_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    plan_str,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_repetition_profile_hand_case(spark):
+    d = _docs(
+        spark,
+        [
+            # 4 words, 2 distinct -> dup_word_frac 0.5; bigrams
+            # {"x x": 2, "x y": 1} -> top 2/3, dup-occurrences 2/3
+            (0, "en", "x x x y"),
+            # 10 distinct words -> all fractions at their floors
+            (1, "en", "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        ],
+    )
+    rows = {r.doc_id: r for r in repetition_profile(d).collect()}
+    r0 = rows[0]
+    assert r0.n_words == 4
+    assert abs(r0.dup_word_frac - 0.5) < 1e-12
+    assert abs(r0.top_bigram_frac - 0.666667) < 1e-6
+    assert abs(r0.dup_bigram_frac - 0.666667) < 1e-6
+    assert r0.repetitive  # top-bigram fraction over threshold
+    r1 = rows[1]
+    assert r1.dup_word_frac == 0.0
+    assert abs(r1.top_bigram_frac - 1.0 / 9.0) < 1e-6
+    assert r1.dup_bigram_frac == 0.0
+    assert not r1.repetitive
+
+
+def test_repetition_profile_drops_sub_bigram_docs(spark):
+    d = _docs(spark, [(0, "en", "solo"), (1, "en", "two words")])
+    got = {r.doc_id for r in repetition_profile(d).collect()}
+    assert got == {1}
+
+
+def test_contamination_scan_hand_case(spark):
+    d = _docs(
+        spark,
+        [
+            (0, "en", "a b c d e f g h i j"),  # benchmark doc
+            (1, "en", "a b c d e f g h x y"),  # shares one 8-gram
+            (2, "en", "p q r s t u v w x y"),  # no overlap
+        ],
+    )
+    rows = contamination_scan(d, F.col("doc_id") == 0, n=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.n_shared_grams, r.n_bench_docs) == (1, 1, 1)
+
+
+def test_t10_plan_single_scan_no_join(spark):
+    df = t10_repetition_profile(spark, SF_SMOKE)
+    p = plan_str(df)
+    # one column-pruned scan; the per-doc scalars ride the grouping keys,
+    # so there is no second scan and no join back
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+    assert "Join" not in p, p
+    assert "struct<doc_id:bigint,text:string,lang:string>" in p, p
+
+
+def test_dc1_plan_broadcast_no_cartesian(spark):
+    df = dc1_benchmark_contamination(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
