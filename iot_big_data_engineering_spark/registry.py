@@ -154,12 +154,13 @@ _LOADED = False
 # - the remaining 38 slots: the stalest oracled queries, r1/r2 greens only
 #   (streaming st1/st2, multimodal mm1-mm3, dedup d1-d3, s1, textstats
 #   t1-t7, advanced, windows/rollups/sets, nine r1-vintage joins, o4, m15).
-# Seventeen queries don't fit the 50-slot window this round: ten
+# Eighteen queries don't fit the 50-slot window this round: ten
 # point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
-# plus seven deterministic count/hash queries deferred to make room for
-# the new-this-round group (u1, u2, adv3, adv5, adv8, t4, t7 — pure
-# count/set/hash arithmetic, the lowest hash-mismatch-risk shapes in the
-# registry). All seventeen are r1/r2-green and re-verified on current
+# plus eight deterministic count/hash/certificate queries deferred to
+# make room for the new-this-round group (u1, u2, adv3, adv5, adv6b,
+# adv8, t4, t7 — pure count/set/hash arithmetic or always-TRUE
+# certificate columns, the lowest hash-mismatch-risk shapes in the
+# registry). All eighteen are r1/r2-green and re-verified on current
 # data by the local strict mirror (tests/test_oracle_parity.py, run every
 # round over ALL oracled queries) — they rotate into the r5 window.
 # Everything r3-green (r3 ran on post-regeneration data) keeps its module
@@ -173,6 +174,7 @@ _WINDOW_FIRST = [
     "dp2_corpus_clean_neardup",
     "t10_repetition_profile",
     "dc1_benchmark_contamination",
+    "st7_stream_stream_join",
     # changed/new this round — no green row in current form
     "s2_knn_ivf",
     "s3_knn_lsh",
@@ -199,7 +201,6 @@ _WINDOW_FIRST = [
     "adv1_sessionize",
     "adv4_salted_agg",
     "adv6_percentiles",
-    "adv6b_approx_percentiles",
     "adv9_latest_per_key",
     "adv10_unpivot_daily_metrics",
     "w1_top_orders_per_customer",

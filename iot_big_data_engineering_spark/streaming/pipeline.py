@@ -613,3 +613,82 @@ def st6_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     _assert_single_data_batch(q)
     return spark.table(name).select("vehicle_id", "running_count", "last_seen")
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming query #7: watermarked stream-stream interval join —
+# the last §2.7 join shape (st4 covers stream-static): error readings
+# joined to the SAME vehicle's click readings from the preceding hour.
+# Both sides carry a watermark and the join condition bounds the time
+# range, so each side's state evicts once the other side's watermark
+# passes its horizon + lookback — bounded state, the property that makes
+# stream-stream joins viable at 100 TB (unbounded-state joins are the
+# classic production OOM). Inner join in append mode: every matched pair
+# is emitted exactly once when both rows have arrived, so the bounded
+# single-file replay is deterministic and equals the batch self-join the
+# oracle states.
+# ---------------------------------------------------------------------------
+_ST7_LOOKBACK_MIN = 60
+_ST7_ORACLE = (
+    SENSOR_ORACLE_CTE
+    + f"""
+SELECT a.vehicle_id,
+       a.ts AS error_ts, a.value AS error_value,
+       b.ts AS click_ts, b.value AS click_value
+FROM sensor_quality_checked a
+JOIN sensor_quality_checked b
+  ON a.vehicle_id = b.vehicle_id
+ AND a.sensor_type = 'error' AND b.sensor_type = 'click'
+ AND b.ts BETWEEN a.ts - INTERVAL {_ST7_LOOKBACK_MIN} MINUTE AND a.ts
+"""
+)
+
+
+@register(
+    "st7_stream_stream_join",
+    oracle=_ST7_ORACLE,
+    doc="§2.7 watermarked stream-stream interval join (bounded state)",
+)
+def st7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    name = f"st7_out_{uuid.uuid4().hex[:8]}"
+    err = (
+        sensor_stream(spark, sf_dir)
+        .filter(F.col("sensor_type") == "error")
+        .select(
+            "vehicle_id",
+            F.col("ts").alias("error_ts"),
+            F.col("value").alias("error_value"),
+        )
+        .withWatermark("error_ts", "30 minutes")
+    )
+    clk = (
+        sensor_stream(spark, sf_dir)
+        .filter(F.col("sensor_type") == "click")
+        .select(
+            F.col("vehicle_id").alias("click_vehicle"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    joined = err.join(
+        clk,
+        (F.col("vehicle_id") == F.col("click_vehicle"))
+        & (
+            F.col("click_ts")
+            >= F.col("error_ts") - F.expr(f"INTERVAL {_ST7_LOOKBACK_MIN} MINUTES")
+        )
+        & (F.col("click_ts") <= F.col("error_ts")),
+    ).select("vehicle_id", "error_ts", "error_value", "click_ts", "click_value")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _assert_single_data_batch(q)
+    return spark.table(name)

