@@ -78,6 +78,7 @@ HEADLINE = [
     "mm7_stratified_sample",
     "t10_repetition_profile",
     "dc1_benchmark_contamination",
+    "t11_inverted_index",
 ]
 
 

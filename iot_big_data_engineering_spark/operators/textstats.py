@@ -751,3 +751,92 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
 )
 def t10_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_profile(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# T11 — inverted index build (per-language term → postings). The indexing
+# step behind retrieval-augmented pipelines and corpus search: document
+# frequency, total occurrences, and a CAPPED champion posting list per
+# term. Reference parity: none (extends the text surface per the
+# LLM-pipeline mandate).
+#
+# Scale shape: tokens explode to (lang, term, doc_id) and reduce twice on
+# the same key family — per-(term, doc) term frequency first (map-side
+# combine collapses repeats within a doc before the wire), then the
+# per-term stats. The posting list is NOT collect_list-then-truncate: a
+# hot term ("the") would materialize the whole corpus's doc ids in one
+# aggregation buffer. Instead row_number over (lang, term) ORDER BY
+# doc_id — an external sort, spillable at any term frequency — keeps only
+# the first K postings per term BEFORE any list is built (the standard
+# champion-list construction), and the stats aggregate runs separately
+# with full combining. Both branches shuffle on the same (lang, term)
+# key, so the final equi-join is co-partitioned.
+# ---------------------------------------------------------------------------
+_T11_K = 20
+
+
+@register(
+    "t11_inverted_index",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {X.sql_tokens("text")} AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, unnest(toks) AS term FROM t
+),
+per_doc AS (
+  SELECT lang, term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY lang, term, doc_id
+),
+stats AS (
+  SELECT lang, term,
+         CAST(count(*) AS BIGINT) AS doc_freq,
+         CAST(sum(tf) AS BIGINT) AS total_occurrences
+  FROM per_doc GROUP BY lang, term
+),
+ranked AS (
+  SELECT lang, term, doc_id,
+         row_number() OVER (PARTITION BY lang, term ORDER BY doc_id) AS rn
+  FROM per_doc
+),
+champions AS (
+  SELECT lang, term,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS top_doc_ids
+  FROM ranked WHERE rn <= {_T11_K} GROUP BY lang, term
+)
+SELECT s.lang, s.term, s.doc_freq, s.total_occurrences, c.top_doc_ids
+FROM stats s JOIN champions c ON s.lang = c.lang AND s.term = c.term
+""",
+    doc="T11: inverted-index build — df, ctf, capped champion postings",
+)
+def t11_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn("toks", X.tokens("text"))
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.col("toks")).alias("term")
+    )
+    per_doc = tok.groupBy("lang", "term", "doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    stats = per_doc.groupBy("lang", "term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").alias("total_occurrences"),
+    )
+    w = Window.partitionBy("lang", "term").orderBy("doc_id")
+    champions = (
+        per_doc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _T11_K)
+        .groupBy("lang", "term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("top_doc_ids")
+        )
+    )
+    return stats.join(champions, ["lang", "term"])

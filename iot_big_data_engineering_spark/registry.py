@@ -154,13 +154,13 @@ _LOADED = False
 # - the remaining 38 slots: the stalest oracled queries, r1/r2 greens only
 #   (streaming st1/st2, multimodal mm1-mm3, dedup d1-d3, s1, textstats
 #   t1-t7, advanced, windows/rollups/sets, nine r1-vintage joins, o4, m15).
-# Eighteen queries don't fit the 50-slot window this round: ten
+# Nineteen queries don't fit the 50-slot window this round: ten
 # point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
-# plus eight deterministic count/hash/certificate queries deferred to
+# plus nine deterministic count/hash/certificate queries deferred to
 # make room for the new-this-round group (u1, u2, adv3, adv5, adv6b,
-# adv8, t4, t7 — pure count/set/hash arithmetic or always-TRUE
+# adv8, t3, t4, t7 — pure count/set/hash arithmetic or always-TRUE
 # certificate columns, the lowest hash-mismatch-risk shapes in the
-# registry). All eighteen are r1/r2-green and re-verified on current
+# registry). All nineteen are r1/r2-green and re-verified on current
 # data by the local strict mirror (tests/test_oracle_parity.py, run every
 # round over ALL oracled queries) — they rotate into the r5 window.
 # Everything r3-green (r3 ran on post-regeneration data) keeps its module
@@ -175,6 +175,7 @@ _WINDOW_FIRST = [
     "t10_repetition_profile",
     "dc1_benchmark_contamination",
     "st7_stream_stream_join",
+    "t11_inverted_index",
     # changed/new this round — no green row in current form
     "s2_knn_ivf",
     "s3_knn_lsh",
@@ -195,7 +196,6 @@ _WINDOW_FIRST = [
     "s1_knn_bruteforce",
     "t1_token_stats",
     "t2_doc_quality",
-    "t3_langid_confusion",
     "t5_top_terms",
     "t6_tfidf_top_terms",
     "adv1_sessionize",

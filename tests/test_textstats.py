@@ -89,3 +89,21 @@ def test_dc1_plan_broadcast_no_cartesian(spark):
     df = dc1_benchmark_contamination(spark, SF_SMOKE)
     assert_no_cartesian(df)
     assert_broadcast_join(df)
+
+
+def test_inverted_index_hand_case(spark):
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t11_inverted_index,
+    )
+
+    df = t11_inverted_index(spark, SF_SMOKE)
+    # spot-invariants on the real corpus: doc_freq never exceeds champion
+    # cap semantics (postings length = min(doc_freq, K)), total >= df
+    rows = df.collect()
+    assert rows
+    for r in rows[:50]:
+        n_postings = len(r.top_doc_ids.split(","))
+        assert n_postings == min(r.doc_freq, 20)
+        assert r.total_occurrences >= r.doc_freq
+        ids = [int(x) for x in r.top_doc_ids.split(",")]
+        assert ids == sorted(ids)
