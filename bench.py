@@ -79,6 +79,7 @@ HEADLINE = [
     "t10_repetition_profile",
     "dc1_benchmark_contamination",
     "t11_inverted_index",
+    "dp3_training_mix",
 ]
 
 

@@ -840,3 +840,91 @@ def t11_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.join(champions, ["lang", "term"])
+
+
+# ---------------------------------------------------------------------------
+# DP3 — training-mix construction (balanced source downsampling). Corpus
+# assembly rebalances heterogeneous sources to a target mix; here every
+# source downsamples to 60% of the smallest source's count (pure integer
+# arithmetic: (min·3) div 5 — the 60% keeps the gate exercised even on a
+# perfectly balanced corpus, where a min-count target degenerates to
+# keep-everything). Unlike mm7's FIXED per-stratum rates, the rates here
+# are DATA-DEPENDENT (target/count per source), which pins the two-pass
+# scale shape: a tiny per-source count aggregate, broadcast back over the
+# corpus (source is a bounded enum — sanctioned broadcast), then a
+# map-side integer hash gate `(doc_id·K) mod n_s < t` — membership is
+# exact integer arithmetic, no float rate comparison, identical in both
+# engines, and the sample is reproducible row-locally (a re-run,
+# backfill, or shard-local executor makes the same keep/drop call with
+# no coordination).
+# ---------------------------------------------------------------------------
+_DP3_K = 2654435761  # Knuth multiplicative constant (shared with mm7)
+
+
+@register(
+    "dp3_training_mix",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, {X.sql_token_count("text")} AS token_count
+  FROM documents
+),
+counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS source_docs FROM d GROUP BY source
+),
+targets AS (
+  SELECT source, source_docs,
+         greatest(1, (min(source_docs) OVER () * 3) // 5) AS target_docs
+  FROM counts
+),
+rated AS (
+  SELECT d.doc_id, d.source, d.token_count, t.source_docs, t.target_docs,
+         ((d.doc_id * {_DP3_K}) % t.source_docs) < t.target_docs AS picked
+  FROM d JOIN targets t ON d.source = t.source
+)
+SELECT source, source_docs, target_docs,
+       CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+       CAST(sum(CASE WHEN picked THEN token_count ELSE 0 END) AS BIGINT)
+         AS sampled_tokens,
+       round(CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS DOUBLE)
+             / source_docs, {_R}) AS achieved_rate
+FROM rated
+GROUP BY source, source_docs, target_docs
+""",
+    doc="DP3: balanced training-mix sampling with data-dependent rates",
+)
+def dp3_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", X.token_count("text").alias("token_count")
+    )
+    counts = d.groupBy("source").agg(F.count("*").alias("source_docs"))
+    targets = (
+        counts.withColumn(
+            "min_docs",
+            F.min("source_docs").over(Window.partitionBy(F.lit(1))),
+        )
+        .withColumn(
+            "target_docs",
+            F.greatest(
+                F.lit(1).cast("long"), F.expr("(min_docs * 3) div 5")
+            ),
+        )
+        .drop("min_docs")
+    )
+    rated = d.join(F.broadcast(targets), "source").withColumn(
+        "picked",
+        F.pmod(F.col("doc_id") * _DP3_K, F.col("source_docs"))
+        < F.col("target_docs"),
+    )
+    return rated.groupBy("source", "source_docs", "target_docs").agg(
+        F.sum(F.when(F.col("picked"), 1).otherwise(0)).alias("sampled_docs"),
+        F.sum(F.when(F.col("picked"), F.col("token_count")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_tokens"),
+        fround(
+            F.sum(F.when(F.col("picked"), 1).otherwise(0)).cast("double")
+            / F.col("source_docs"),
+            _R,
+        ).alias("achieved_rate"),
+    )
