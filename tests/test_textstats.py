@@ -107,3 +107,25 @@ def test_inverted_index_hand_case(spark):
         assert r.total_occurrences >= r.doc_freq
         ids = [int(x) for x in r.top_doc_ids.split(",")]
         assert ids == sorted(ids)
+
+
+def test_dp3_plan_broadcast_no_cartesian(spark):
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp3_training_mix,
+    )
+
+    df = dp3_training_mix(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+    # gate semantics: achieved rate tracks target/count per source
+    for r in df.collect():
+        assert 0 < r.sampled_docs <= r.source_docs
+        assert r.target_docs <= r.source_docs
+
+
+def test_t11_plan_no_cartesian(spark):
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t11_inverted_index,
+    )
+
+    assert_no_cartesian(t11_inverted_index(spark, SF_SMOKE))
