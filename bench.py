@@ -80,6 +80,7 @@ HEADLINE = [
     "dc1_benchmark_contamination",
     "t11_inverted_index",
     "dp3_training_mix",
+    "dp4_cleaning_audit",
 ]
 
 

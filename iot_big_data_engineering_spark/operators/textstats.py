@@ -928,3 +928,82 @@ def dp3_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             _R,
         ).alias("achieved_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DP4 — cleaning audit report. Production corpus cleaning ships a removal
+# ledger next to the cleaned output: per (lang, reason) counts of what
+# each gate dropped, for pipeline observability and gate tuning. The
+# gates and their order mirror dp1 exactly (length → quality → exact-hash
+# keep-first dedup), so kept-counts here reconcile with dp1's output by
+# construction. Scale shape: one scan, one window shuffle keyed on
+# (gate-passing, md5(text)) — dedup rank only sorts within duplicate
+# groups — then a tiny (lang, reason) aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "dp4_cleaning_audit",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         {X.sql_token_count("text")} AS token_count,
+         {X.sql_quality_score("text")} AS q
+  FROM documents
+),
+flagged AS (
+  SELECT *,
+         (token_count >= {_DP1_MIN_TOKENS} AND q >= {_DP1_MIN_QUALITY})
+           AS passed
+  FROM scored
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY passed, md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM flagged
+),
+reasons AS (
+  SELECT lang, token_count,
+         CASE WHEN token_count < {_DP1_MIN_TOKENS} THEN 'short'
+              WHEN q < {_DP1_MIN_QUALITY} THEN 'low_quality'
+              WHEN rn > 1 THEN 'duplicate'
+              ELSE 'kept' END AS reason
+  FROM ranked
+)
+SELECT lang, reason,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(token_count) AS BIGINT) AS tokens_total
+FROM reasons
+GROUP BY lang, reason
+""",
+    doc="DP4: per-(lang, reason) removal ledger for the dp1 cleaning gates",
+)
+def dp4_cleaning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "text",
+        X.token_count("text").alias("token_count"),
+        X.quality_score("text").alias("q"),
+    )
+    flagged = scored.withColumn(
+        "passed",
+        (F.col("token_count") >= _DP1_MIN_TOKENS)
+        & (F.col("q") >= _DP1_MIN_QUALITY),
+    )
+    w = Window.partitionBy("passed", F.md5("text")).orderBy("doc_id")
+    ranked = flagged.withColumn("rn", F.row_number().over(w))
+    reasons = ranked.select(
+        "lang",
+        "token_count",
+        F.when(F.col("token_count") < _DP1_MIN_TOKENS, "short")
+        .when(F.col("q") < _DP1_MIN_QUALITY, "low_quality")
+        .when(F.col("rn") > 1, "duplicate")
+        .otherwise("kept")
+        .alias("reason"),
+    )
+    return reasons.groupBy("lang", "reason").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("token_count").cast("bigint").alias("tokens_total"),
+    )

@@ -129,3 +129,24 @@ def test_t11_plan_no_cartesian(spark):
     )
 
     assert_no_cartesian(t11_inverted_index(spark, SF_SMOKE))
+
+
+def test_dp4_reconciles_with_dp1(spark):
+    """The audit ledger's kept-count must equal dp1's surviving rows —
+    same gates, same order, by construction."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp1_corpus_clean,
+        dp4_cleaning_audit,
+    )
+
+    audit = dp4_cleaning_audit(spark, SF_SMOKE)
+    kept = (
+        audit.filter(F.col("reason") == "kept")
+        .agg(F.sum("doc_count"))
+        .collect()[0][0]
+    )
+    assert kept == dp1_corpus_clean(spark, SF_SMOKE).count()
+    total = audit.agg(F.sum("doc_count")).collect()[0][0]
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    assert total == load_table(spark, SF_SMOKE, "documents").count()
