@@ -305,20 +305,62 @@ def extract_features(df: DataFrame, n_features: int = N_FEATURES) -> DataFrame:
     return df.mapInPandas(kernel, schema="doc_id long, features array<double>")
 
 
+_MM4_BUCKET = 256 // N_FEATURES  # byte-histogram bucket width (32)
+
+# mm4 was the registry's last rows-only query ("kernel output not
+# SQL-expressible"). It is expressible for THIS kernel: the payload is
+# encode(text), so on pure-ASCII documents each byte equals
+# ascii(substr(text, i, 1)) and DuckDB can recompute the full
+# bucket-histogram fractions the Arrow kernel emits (identical float64
+# count/total division, shared cross-engine rounding). Both sides guard
+# on ASCII-ness (octet_length = char length) so the equivalence is by
+# construction, not by luck of the current generator: a non-ASCII doc
+# would drop from BOTH sides rather than silently diverge. The kernel
+# itself stays byte-level and untouched — this registers its real output
+# through the value-hash gate instead of a rows-only smoke check.
+_MM4_FEATURE_COLS = ",\n       ".join(
+    f"round(CAST(len(list_filter(bs, b -> b // {_MM4_BUCKET} = {k})) AS DOUBLE)"
+    f" / n_bytes, 4) AS f{k}"
+    for k in range(N_FEATURES)
+)
+
+
 @register(
     "mm4_payload_features",
-    oracle=None,  # byte-level stand-in kernel; plumbing property-tested
-    doc="MM4: resize + byte-histogram feature extraction kernels",
+    oracle=f"""
+WITH ascii_docs AS (
+  SELECT doc_id, text, length(text) AS n_bytes
+  FROM documents
+  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
+),
+byte_lists AS (
+  SELECT doc_id, n_bytes,
+         list_transform(range(1, n_bytes + 1),
+                        i -> ascii(substr(text, i, 1))) AS bs
+  FROM ascii_docs
+)
+SELECT doc_id,
+       {N_FEATURES} AS n_features,
+       {_MM4_FEATURE_COLS}
+FROM byte_lists
+""",
+    doc="MM4: byte-histogram feature kernel, full-value oracle on ASCII docs",
 )
 def mm4_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    ascii_guard = (
+        F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
+    ) & (F.length("text") > 0)
+    b = with_binary_payload(
+        load_table(spark, sf_dir, "documents").filter(ascii_guard)
+    )
     feats = extract_features(b)
     return feats.select(
         "doc_id",
         F.size("features").alias("n_features"),
-        fround(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
-            "l1_norm"
-        ),
+        *[
+            fround(F.col("features")[k], 4).alias(f"f{k}")
+            for k in range(N_FEATURES)
+        ],
     )
 
 

@@ -154,13 +154,13 @@ _LOADED = False
 # - the remaining 38 slots: the stalest oracled queries, r1/r2 greens only
 #   (streaming st1/st2, multimodal mm1-mm3, dedup d1-d3, s1, textstats
 #   t1-t7, advanced, windows/rollups/sets, nine r1-vintage joins, o4, m15).
-# Twenty-one queries don't fit the 50-slot window this round: ten
+# Twenty-two queries don't fit the 50-slot window this round: ten
 # point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
-# plus eleven deterministic count/hash/certificate queries deferred to
+# plus twelve deterministic count/hash/certificate queries deferred to
 # make room for the new-this-round group (u1, u2, adv3, adv5, adv6b,
-# adv8, d1, mm1, t3, t4, t7 — pure count/set/hash arithmetic or
+# adv8, d1, mm1, mm2, t3, t4, t7 — pure count/set/hash arithmetic or
 # always-TRUE certificate columns, the lowest hash-mismatch-risk shapes
-# in the registry). All twenty-one are r1/r2-green and re-verified on
+# in the registry). All twenty-two are r1/r2-green and re-verified on
 # current data by the local strict mirror (tests/test_oracle_parity.py,
 # run every round over ALL oracled queries) — they rotate into the r5
 # window.
@@ -180,6 +180,7 @@ _WINDOW_FIRST = [
     "dp3_training_mix",
     "dp4_cleaning_audit",
     # changed/new this round — no green row in current form
+    "mm4_payload_features",
     "s2_knn_ivf",
     "s3_knn_lsh",
     "d4_minhash_lsh_dedup",
@@ -190,7 +191,6 @@ _WINDOW_FIRST = [
     # stalest greens (pre-regeneration r1/r2 rows only)
     "st1_streaming_microbatch_analytics",
     "st2_streaming_session_windows",
-    "mm2_media_type_stats",
     "mm3_frame_sample",
     "d2_exact_dedup_keep_first",
     "d3_jaccard_pairs",
