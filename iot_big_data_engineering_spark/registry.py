@@ -143,17 +143,21 @@ _LOADED = False
 # VERDICT r3 #1 demand: re-earn green rows ON CURRENT DATA for queries
 # whose only driver greens predate the regeneration, plus every query
 # whose form changed this round. In order:
-# - w5/mm7/d8b/t9/dp2: BRAND NEW this round — zero driver rows anywhere;
-#   a query that has never faced the external gate outranks re-verifying
-#   one the local mirror already re-proved on current data;
+# - w5/mm7/d8b/t9/dp2/t10/dc1/st7/t11/dp3/dp4: BRAND NEW this round —
+#   zero driver rows anywhere; a query that has never faced the external
+#   gate outranks re-verifying one the local mirror already re-proved on
+#   current data;
+# - mm4: converted from the last rows-only query to a full-value
+#   byte-histogram oracle (first-ever hash row);
 # - s2/s3/d4/d5: converted from rows-only to self-certifying
 #   planted-duplicate certificates (first-ever hash rows);
 # - d6: capped to the deterministic vec_id<1000 anchor slice (semantics
 #   changed); d7_full: new (full-corpus CC over d8 edges);
 # - d7: unchanged but r1/r2-vintage, and it rides the guarded prefix join;
-# - the remaining 38 slots: the stalest oracled queries, r1/r2 greens only
-#   (streaming st1/st2, multimodal mm1-mm3, dedup d1-d3, s1, textstats
-#   t1-t7, advanced, windows/rollups/sets, nine r1-vintage joins, o4, m15).
+# - the remaining slots: the stalest oracled queries, r1/r2 greens only
+#   (streaming st1/st2, multimodal mm3, dedup d2/d3, s1, textstats
+#   t1/t2/t5/t6, advanced, windows/rollups, nine r1-vintage joins, o4,
+#   m15).
 # Twenty-two queries don't fit the 50-slot window this round: ten
 # point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
 # plus twelve deterministic count/hash/certificate queries deferred to
