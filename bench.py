@@ -81,6 +81,7 @@ HEADLINE = [
     "t11_inverted_index",
     "dp3_training_mix",
     "dp4_cleaning_audit",
+    "m16_burn_rate",
 ]
 
 

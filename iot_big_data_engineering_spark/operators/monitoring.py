@@ -330,3 +330,83 @@ def m15_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a._violated"))
         .select("a.alert_type", "a.metric_value", "a.threshold", "a.severity")
     )
+
+
+# ---------------------------------------------------------------------------
+# A17/m16 — multi-window anomaly burn rate (the SRE alerting pattern: a
+# short-window rate is compared against the long-window baseline, and an
+# alert fires only when the short window burns HOTTER than the baseline
+# by a factor — robust to both slow drifts and brief blips in a way
+# single-window thresholds are not). Windows here are 1-day short /
+# 7-day long off the deterministic max(ts) anchor (day-scale so the
+# sf0.001 smoke corpus still populates both windows for every type).
+#
+# Scale shape: ONE scan with the long-window predicate pushed to the
+# scan and the short window folded into conditional aggregates — no
+# second pass, no join; the 1-row anchor broadcasts (sanctioned
+# fixed-cardinality hint, same as m10-m15).
+# ---------------------------------------------------------------------------
+_M16_FACTOR = 2.0  # short-window rate must exceed factor x baseline
+
+
+@register(
+    "m16_burn_rate",
+    oracle=SENSOR_ORACLE_CTE
+    + _NOW_CTE
+    + f"""
+, agg AS (
+  SELECT sensor_type,
+         count(*) AS long_total,
+         count(CASE WHEN anomaly_score > 0 THEN 1 END) AS long_anomalies,
+         count(CASE WHEN ts >= anchor.now - INTERVAL 1 DAY THEN 1 END)
+           AS short_total,
+         count(CASE WHEN ts >= anchor.now - INTERVAL 1 DAY
+                     AND anomaly_score > 0 THEN 1 END) AS short_anomalies
+  FROM sensor_quality_checked, anchor
+  WHERE ts >= anchor.now - INTERVAL 7 DAY
+  GROUP BY sensor_type
+)
+SELECT sensor_type, long_total, long_anomalies, short_total, short_anomalies,
+       round(CAST(long_anomalies AS DOUBLE) / long_total, {_R}) AS long_rate,
+       round(CAST(short_anomalies AS DOUBLE) / short_total, {_R}) AS short_rate,
+       round((CAST(short_anomalies AS DOUBLE) / short_total)
+             / (CAST(long_anomalies AS DOUBLE) / long_total), {_R})
+         AS burn_ratio,
+       ((CAST(short_anomalies AS DOUBLE) / short_total)
+        > {_M16_FACTOR} * (CAST(long_anomalies AS DOUBLE) / long_total))
+         AS burning
+FROM agg
+WHERE short_total > 0 AND long_anomalies > 0
+""",
+    doc="A17: multi-window (1d/7d) anomaly burn-rate alerting per sensor type",
+)
+def m16_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, now = _with_now(spark, sf_dir)
+    in_short = F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 DAY")
+    anom = F.col("anomaly_score") > 0
+    agg = (
+        q.crossJoin(F.broadcast(now))
+        .filter(F.col("ts") >= F.col("now") - F.expr("INTERVAL 7 DAY"))
+        .groupBy("sensor_type")
+        .agg(
+            F.count("*").alias("long_total"),
+            F.count(F.when(anom, 1)).alias("long_anomalies"),
+            F.count(F.when(in_short, 1)).alias("short_total"),
+            F.count(F.when(in_short & anom, 1)).alias("short_anomalies"),
+        )
+    )
+    long_rate = F.col("long_anomalies").cast("double") / F.col("long_total")
+    short_rate = F.col("short_anomalies").cast("double") / F.col("short_total")
+    return agg.filter(
+        (F.col("short_total") > 0) & (F.col("long_anomalies") > 0)
+    ).select(
+        "sensor_type",
+        "long_total",
+        "long_anomalies",
+        "short_total",
+        "short_anomalies",
+        fround(long_rate, _R).alias("long_rate"),
+        fround(short_rate, _R).alias("short_rate"),
+        fround(short_rate / long_rate, _R).alias("burn_ratio"),
+        (short_rate > _M16_FACTOR * long_rate).alias("burning"),
+    )

@@ -158,16 +158,16 @@ _LOADED = False
 #   (streaming st1/st2, multimodal mm3, dedup d2/d3, s1, textstats
 #   t1/t2/t5/t6, advanced, windows/rollups, nine r1-vintage joins, o4,
 #   m15).
-# Twenty-two queries don't fit the 50-slot window this round: ten
+# Twenty-three queries don't fit the 50-slot window this round: ten
 # point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
-# plus twelve deterministic count/hash/certificate queries deferred to
+# plus thirteen deterministic count/hash/certificate queries deferred to
 # make room for the new-this-round group (u1, u2, adv3, adv5, adv6b,
-# adv8, d1, mm1, mm2, t3, t4, t7 — pure count/set/hash arithmetic or
-# always-TRUE certificate columns, the lowest hash-mismatch-risk shapes
-# in the registry). All twenty-two are r1/r2-green and re-verified on
-# current data by the local strict mirror (tests/test_oracle_parity.py,
-# run every round over ALL oracled queries) — they rotate into the r5
-# window.
+# adv8, d1, mm1, mm2, mm3, t3, t4, t7 — pure count/set/hash/sequence
+# arithmetic or always-TRUE certificate columns, the lowest
+# hash-mismatch-risk shapes in the registry). All twenty-three are
+# r1/r2-green and re-verified on current data by the local strict mirror
+# (tests/test_oracle_parity.py, run every round over ALL oracled
+# queries) — they rotate into the r5 window.
 # Everything r3-green (r3 ran on post-regeneration data) keeps its module
 # registration order after these.
 _WINDOW_FIRST = [
@@ -183,6 +183,7 @@ _WINDOW_FIRST = [
     "t11_inverted_index",
     "dp3_training_mix",
     "dp4_cleaning_audit",
+    "m16_burn_rate",
     # changed/new this round — no green row in current form
     "mm4_payload_features",
     "s2_knn_ivf",
@@ -195,7 +196,6 @@ _WINDOW_FIRST = [
     # stalest greens (pre-regeneration r1/r2 rows only)
     "st1_streaming_microbatch_analytics",
     "st2_streaming_session_windows",
-    "mm3_frame_sample",
     "d2_exact_dedup_keep_first",
     "d3_jaccard_pairs",
     "s1_knn_bruteforce",
