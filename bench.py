@@ -82,6 +82,11 @@ HEADLINE = [
     "dp3_training_mix",
     "dp4_cleaning_audit",
     "m16_burn_rate",
+    # mergeable-state rollups, skew audit, SemDeDup cell routing
+    "a17_incremental_rollup",
+    "a18_sketch_cube",
+    "dq1_key_skew_audit",
+    "d9_semantic_dedup",
 ]
 
 

@@ -611,3 +611,70 @@ def adv11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ1 — key-skew audit: the pre-flight diagnostic you run BEFORE a
+# shuffle-heavy join/agg at 100 TB to decide whether the skew mitigations
+# (adv4's salting, adv2/adv11's bucket knob, AQE skew-join) are needed, and
+# with what salt factor. One pass builds per-key frequencies (map-side
+# partial agg, the shuffle carries one row per key); the profile over those
+# frequencies (key count, max, mean, hottest key, hot-key share) is a
+# second tiny aggregate over |keys| rows. The hottest key is chosen with a
+# full deterministic tiebreak (max count, then min key id).
+# ---------------------------------------------------------------------------
+@register(
+    "dq1_key_skew_audit",
+    oracle=f"""
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+p AS (
+  SELECT count(*) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS total_rows,
+         max(n) AS max_count,
+         round(avg(n), {_R}) AS avg_count,
+         round(max(n) / avg(n), {_R}) AS skew_ratio
+  FROM c
+),
+h AS (
+  SELECT user_id AS hot_key, n AS hot_count
+  FROM c ORDER BY n DESC, user_id LIMIT 1
+)
+SELECT n_keys, total_rows, max_count, avg_count, skew_ratio,
+       hot_key, round(hot_count / total_rows, {_R}) AS hot_key_share
+FROM p, h
+""",
+    doc="DQ1: per-key frequency skew profile (feeds the salting knob)",
+)
+def dq1_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    c = c.persist()  # both branches below read the per-key counts
+    profile = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_count"),
+        fround(F.avg("n"), _R).alias("avg_count"),
+        fround(F.max("n").cast("double") / F.avg("n"), _R).alias("skew_ratio"),
+    )
+    hot = (
+        c.orderBy(F.col("n").desc(), "user_id")
+        .limit(1)
+        .select(F.col("user_id").alias("hot_key"), F.col("n").alias("hot_count"))
+    )
+    return (
+        profile.join(hot)  # 1 row × 1 row
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_count",
+            "avg_count",
+            "skew_ratio",
+            "hot_key",
+            fround(
+                F.col("hot_count").cast("double") / F.col("total_rows"), _R
+            ).alias("hot_key_share"),
+        )
+    )

@@ -1,0 +1,191 @@
+"""Mergeable-state rollups: incremental view maintenance + sketch cubes.
+
+The two patterns here are what make periodic analytics affordable at
+100 TB, where the reference recomputes every rollup from raw data daily
+(`/root/reference/src/spark/batch/SensorDataAnalytics.scala:40-44` reloads
+the full day and rebuilds all five analytics tables each run):
+
+- **a17 incremental rollup maintenance** — keep a per-group PARTIAL
+  AGGREGATE STATE table (counts, integer sums, min/max, HLL sketches);
+  when a new day arrives, aggregate ONLY the delta and merge its state
+  with the stored history state. Every column is chosen to be mergeable:
+  count/sum add, min/max combine, and distinct counts ride DataSketches
+  HLL (`hll_sketch_agg` → `hll_union_agg`), which is commutative and
+  order-insensitive by construction. History is never rescanned — at
+  100 TB the daily cost is O(|delta| + |groups|), not O(|history|).
+
+- **a18 sketch cube** — materialize fine-grained (date × sensor_type)
+  sketch rows ONCE, then answer any coarser grouping (per sensor_type,
+  grand total — a ROLLUP lattice) by merging the sketches instead of
+  rescanning raw rows. This is the classic OLAP-cube/datasketches
+  pattern: distinct counts, normally non-additive, become additive in
+  sketch space.
+
+Both queries are driver-hashable the same way the approx_* twins are
+(analytics.py:510-552): exact mergeable columns are emitted as values, and
+each sketch estimate is emitted as a self-certifying boolean
+(|estimate − exact| ≤ 3·rsd·exact) that the DuckDB oracle states as TRUE.
+Spark's HLL implementation is deterministic for a fixed input set, so the
+booleans are stable, and the oracle recomputes every exact column from raw
+rows — a merge bug (double count, dropped group, sketch mis-union) flips a
+value or a boolean and fails the hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.rounding import fround
+from ..registry import register
+from ..sources.sensor_view import SENSOR_ORACLE_CTE, quality_checked
+
+_R = 6
+
+# DataSketches HLL with default lgConfigK=12 → relative standard error
+# ≈ 1.04/√4096 ≈ 1.63%. Certificate bound: 3·rse, floor 2 (tiny groups).
+_HLL_RSE = 0.0163
+
+
+def _sketch_ok(est: F.Column, exact: F.Column) -> F.Column:
+    bound = F.greatest(F.lit(3 * _HLL_RSE) * exact.cast("double"), F.lit(2.0))
+    return F.abs(est.cast("double") - exact.cast("double")) <= bound
+
+
+def _partial_state(df: DataFrame) -> DataFrame:
+    """The mergeable per-sensor_type aggregate state. Integer sums Σq and
+    Σq² are exact int64 (q ∈ 0..5), so avg/stddev finalized from merged
+    state are bit-identical to a full recompute — no float accumulation
+    rides through the merge."""
+    return df.groupBy("sensor_type").agg(
+        F.count("*").alias("n"),
+        F.sum("q_int").alias("sq"),
+        F.sum(F.col("q_int") * F.col("q_int")).alias("sq2"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.hll_sketch_agg("vehicle_id").alias("veh_sketch"),
+    )
+
+
+def merge_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of partial-state tables into one (the incremental
+    maintenance step). Input states must not overlap in source rows."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("sensor_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sq").alias("sq"),
+        F.sum("sq2").alias("sq2"),
+        F.min("min_ts").alias("min_ts"),
+        F.max("max_ts").alias("max_ts"),
+        F.hll_union_agg("veh_sketch").alias("veh_sketch"),
+    )
+
+
+A17_ORACLE = (
+    SENSOR_ORACLE_CTE
+    + f"""
+SELECT sensor_type,
+       count(*) AS record_count,
+       round(sum(q_int) / (5.0 * count(*)), {_R}) AS avg_quality_score,
+       min(ts) AS first_reading,
+       max(ts) AS last_reading,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       TRUE AS sketch_within_3rse
+FROM sensor_quality_checked
+GROUP BY sensor_type
+"""
+)
+
+
+@register(
+    "a17_incremental_rollup",
+    oracle=A17_ORACLE,
+    doc="A17: incremental rollup — history state ⊕ delta state ≡ full recompute",
+)
+def a17_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the corpus at its last day, aggregate history and delta
+    INDEPENDENTLY, merge the two states, and finalize. The oracle is the
+    full recompute — equality proves the maintenance algebra. The split
+    bound is a one-row aggregate joined in as a broadcast (no driver
+    collect, no literal baked into the plan)."""
+    q = quality_checked(spark, sf_dir).withColumn("d", F.to_date("ts"))
+    split = q.agg(F.max("d").alias("split_d"))
+    with_split = q.join(F.broadcast(split))
+    history = with_split.filter(F.col("d") < F.col("split_d"))
+    delta = with_split.filter(F.col("d") == F.col("split_d"))
+
+    merged = merge_states(_partial_state(history), _partial_state(delta))
+
+    exact = q.groupBy("sensor_type").agg(
+        F.countDistinct("vehicle_id").alias("exact_veh")
+    )
+    est = F.hll_sketch_estimate("veh_sketch")
+    return (
+        merged.join(exact, "sensor_type")
+        .select(
+            "sensor_type",
+            F.col("n").alias("record_count"),
+            fround(
+                F.col("sq").cast("double") / (F.lit(5.0) * F.col("n").cast("double")),
+                _R,
+            ).alias("avg_quality_score"),
+            F.col("min_ts").alias("first_reading"),
+            F.col("max_ts").alias("last_reading"),
+            F.col("exact_veh").alias("unique_vehicles"),
+            _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
+        )
+    )
+
+
+A18_ORACLE = (
+    SENSOR_ORACLE_CTE
+    + """
+SELECT sensor_type,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(*) AS record_count,
+       count(DISTINCT vehicle_id) AS unique_vehicles,
+       TRUE AS sketch_within_3rse
+FROM sensor_quality_checked
+GROUP BY ROLLUP (sensor_type)
+"""
+)
+
+
+@register(
+    "a18_sketch_cube",
+    oracle=A18_ORACLE,
+    doc="A18: ROLLUP lattice answered from materialized daily HLL sketches",
+)
+def a18_sketch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the fine-grained (date × sensor_type) sketch table once, then
+    answer the per-sensor_type AND grand-total distinct-vehicle counts by
+    ROLLUP over sketch merges — the raw rows are scanned exactly once.
+    At 100 TB the daily sketch table is |dates|·|types| rows of ~1.5 KB
+    sketches; every lattice cell above it is a metadata-sized merge."""
+    q = quality_checked(spark, sf_dir).withColumn("d", F.to_date("ts"))
+    daily = q.groupBy("d", "sensor_type").agg(
+        F.count("*").alias("n"),
+        F.hll_sketch_agg("vehicle_id").alias("veh_sketch"),
+    )
+    cube = daily.rollup("sensor_type").agg(
+        F.countDistinct("d").alias("n_days"),
+        F.sum("n").alias("record_count"),
+        F.hll_union_agg("veh_sketch").alias("veh_sketch"),
+    )
+    # exact distincts for the certificate (the oracle recomputes these
+    # from raw rows; the sketch estimate must land within 3·rse of them)
+    exact = q.rollup("sensor_type").agg(
+        F.countDistinct("vehicle_id").alias("exact_veh")
+    )
+    est = F.hll_sketch_estimate("veh_sketch")
+    return (
+        cube.join(exact, cube["sensor_type"].eqNullSafe(exact["sensor_type"]))
+        .select(
+            cube["sensor_type"],
+            "n_days",
+            "record_count",
+            F.col("exact_veh").alias("unique_vehicles"),
+            _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
+        )
+    )

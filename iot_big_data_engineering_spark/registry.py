@@ -240,6 +240,7 @@ def _ensure_loaded() -> None:
         multimodal,
         dedup,
         similarity,
+        sketches,
         textstats,
         advanced,
         serving,

@@ -367,3 +367,35 @@ def test_w5_single_window_shuffle(spark):
     assert_pushed_filter(df, "user_id")
     p = plan_str(df, mode="simple")
     assert p.count("Window") == 1, p
+
+
+def test_d9_cell_routing_is_grouped_kernel_not_allpairs(spark):
+    """d9's candidate stage must be the per-cell Arrow kernel fed by ONE
+    grouping shuffle on the IVF cell id — never a corpus-level join or
+    cartesian. This is the whole point of the SemDeDup routing vs d6's
+    capped quadratic anchor."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        d9_semantic_dedup,
+    )
+
+    df = d9_semantic_dedup(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert "NestedLoop" not in p, p
+    assert "FlatMapGroupsInPandas" in p, p
+
+
+def test_a18_sketch_cube_single_raw_scan_per_branch(spark):
+    """The ROLLUP lattice must be answered from the daily sketch table,
+    not by re-scanning raw rows per lattice cell: the plan may contain at
+    most 2 events scans total (one feeding the sketch cube, one feeding
+    the exact certificate columns — the second disappears in the pure
+    production form that drops the certificate)."""
+    from iot_big_data_engineering_spark.operators.sketches import (
+        a18_sketch_cube,
+    )
+
+    df = a18_sketch_cube(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert p.count("events.parquet") <= 2, p

@@ -1,0 +1,78 @@
+"""Mergeable-state rollups (operators/sketches.py): the maintenance
+algebra must be exactly associative — any partitioning of the input rows,
+aggregated independently and merged, must equal the single-shot aggregate.
+(Driver-facing output parity for a17/a18 is covered by the oracle mirror
+in test_oracle_parity.py; these tests pin the algebra itself.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iot_big_data_engineering_spark.operators.sketches import (
+    _partial_state,
+    a17_incremental_rollup,
+    a18_sketch_cube,
+    merge_states,
+)
+from iot_big_data_engineering_spark.sources.sensor_view import quality_checked
+
+from .conftest import SF_SMOKE
+
+
+def _finalized(state):
+    """Finalize a state table into comparable values. HLL register state
+    is a pure max over hashed items, so the union of disjoint parts must
+    ESTIMATE identically to the single-shot sketch (byte equality is not
+    contractual — sparse/dense promotion may differ)."""
+    return {
+        r["sensor_type"]: (
+            r["n"],
+            r["sq"],
+            r["sq2"],
+            r["min_ts"],
+            r["max_ts"],
+            r["est"],
+        )
+        for r in state.withColumn(
+            "est", F.hll_sketch_estimate("veh_sketch")
+        ).collect()
+    }
+
+
+def test_merge_states_three_way_split_equals_single_shot(spark):
+    q = quality_checked(spark, SF_SMOKE)
+    parts = [
+        _partial_state(q.filter(F.pmod(F.xxhash64("sensor_id", "ts"), F.lit(3)) == i))
+        for i in range(3)
+    ]
+    merged = _finalized(merge_states(*parts))
+    direct = _finalized(_partial_state(q))
+    assert merged == direct
+
+
+def test_merge_states_is_idempotent_over_regrouping(spark):
+    """Merging (merge(p0, p1), p2) == merge(p0, p1, p2): re-merging an
+    already-merged state is the daily maintenance step, so the state
+    schema must be closed under merge_states."""
+    q = quality_checked(spark, SF_SMOKE)
+    parts = [
+        _partial_state(q.filter(F.pmod(F.xxhash64("sensor_id", "ts"), F.lit(3)) == i))
+        for i in range(3)
+    ]
+    staged = merge_states(merge_states(parts[0], parts[1]), parts[2])
+    flat = merge_states(*parts)
+    assert _finalized(staged) == _finalized(flat)
+
+
+def test_a17_a18_certificates_hold(spark):
+    a17 = a17_incremental_rollup(spark, SF_SMOKE)
+    assert a17.filter(~F.col("sketch_within_3rse")).count() == 0
+    a18 = a18_sketch_cube(spark, SF_SMOKE)
+    rows = a18.collect()
+    assert all(r["sketch_within_3rse"] for r in rows)
+    # the ROLLUP lattice carries exactly one grand-total row, and its
+    # record_count is the sum of the per-type rows
+    totals = [r for r in rows if r["sensor_type"] is None]
+    assert len(totals) == 1
+    per_type = [r for r in rows if r["sensor_type"] is not None]
+    assert totals[0]["record_count"] == sum(r["record_count"] for r in per_type)
