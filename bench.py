@@ -86,6 +86,7 @@ HEADLINE = [
     "a17_incremental_rollup",
     "a18_sketch_cube",
     "dq1_key_skew_audit",
+    "dq2_join_size_preflight",
     "d9_semantic_dedup",
 ]
 

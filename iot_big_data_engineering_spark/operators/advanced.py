@@ -678,3 +678,81 @@ def dq1_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hot_key_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ2 — join-cardinality pre-flight: before materializing a large equi-
+# join at 100 TB, compute its EXACT output size and skew profile from the
+# two per-key count tables alone. For an inner equi-join the output row
+# count is Σ_k |L_k|·|R_k| — two map-side-combined key aggregates plus a
+# |keys|-sized join, orders of magnitude cheaper than running the join
+# (the fact rows never move). The same per-key products expose the
+# dominant key (the one AQE skew-split or salting must handle) before any
+# executor commits to it. Companion to dq1 (single-side skew audit).
+# ---------------------------------------------------------------------------
+@register(
+    "dq2_join_size_preflight",
+    oracle=f"""
+WITH l AS (SELECT user_id AS k, count(*) AS nl FROM events GROUP BY 1),
+r AS (SELECT o_custkey AS k, count(*) AS nr FROM orders GROUP BY 1),
+m AS (SELECT l.k, nl, nr, nl * nr AS prod FROM l JOIN r USING (k)),
+p AS (
+  SELECT count(*) AS n_join_keys,
+         CAST(sum(prod) AS BIGINT) AS join_rows,
+         max(prod) AS max_key_rows
+  FROM m
+),
+h AS (SELECT k AS top_key FROM m ORDER BY prod DESC, k LIMIT 1),
+t AS (
+  SELECT (SELECT CAST(sum(nl) AS BIGINT) FROM l) AS left_rows,
+         (SELECT CAST(sum(nr) AS BIGINT) FROM r) AS right_rows
+)
+SELECT left_rows, right_rows, n_join_keys, join_rows, max_key_rows,
+       top_key,
+       round(max_key_rows / join_rows, {_R}) AS top_key_share,
+       round(join_rows / left_rows, {_R}) AS expansion_factor
+FROM p, h, t
+""",
+    doc="DQ2: exact equi-join output size + dominant key from per-key counts",
+)
+def dq2_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("nl"))
+    )
+    r = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("nr"))
+    )
+    m = l.join(r, "k").select("k", "nl", "nr", (F.col("nl") * F.col("nr")).alias("prod"))
+    m = m.persist()  # profile + top-key branches both read it
+    profile = m.agg(
+        F.count("*").alias("n_join_keys"),
+        F.sum("prod").alias("join_rows"),
+        F.max("prod").alias("max_key_rows"),
+    )
+    top = m.orderBy(F.col("prod").desc(), "k").limit(1).select(
+        F.col("k").alias("top_key")
+    )
+    totals = l.agg(F.sum("nl").alias("left_rows")).join(
+        r.agg(F.sum("nr").alias("right_rows"))
+    )
+    return (
+        profile.join(top).join(totals)  # three 1-row inputs
+        .select(
+            "left_rows",
+            "right_rows",
+            "n_join_keys",
+            "join_rows",
+            "max_key_rows",
+            "top_key",
+            fround(
+                F.col("max_key_rows").cast("double") / F.col("join_rows"), _R
+            ).alias("top_key_share"),
+            fround(
+                F.col("join_rows").cast("double") / F.col("left_rows"), _R
+            ).alias("expansion_factor"),
+        )
+    )

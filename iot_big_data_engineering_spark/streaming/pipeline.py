@@ -692,3 +692,96 @@ def st7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     _assert_single_data_batch(q)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming query #8: INCREMENTAL ROLLUP MAINTENANCE under
+# streaming — the st-side of a17 (operators/sketches.py). Each micro-batch
+# aggregates ONLY its own rows into the mergeable per-group state
+# (count/Σq/Σq² int64, min/max ts, HLL vehicle sketch) and appends those
+# state rows — O(|groups|) per batch — to a state store; the final answer
+# merges state rows only. No batch ever rescans earlier input, which is
+# the property that makes a continuously-maintained 100 TB rollup
+# affordable (the reference instead recomputes its analytics tables from
+# raw data per run, SensorDataAnalytics.scala:40-44).
+#
+# Unlike st1-st7 (single-file bounded streams pinned to ONE micro-batch),
+# st8 deliberately splits the input into several files and streams them
+# maxFilesPerTrigger=1, then ASSERTS >= 2 data batches — so the driver's
+# hash row certifies the cross-batch merge path, not a degenerate
+# single-batch run. Oracle = the full recompute (A17's), so any
+# double-count / dropped-group / sketch-union regression across batch
+# boundaries fails the gate.
+# ---------------------------------------------------------------------------
+from ..operators.sketches import (  # noqa: E402
+    A17_ORACLE,
+    _sketch_ok,
+    _partial_state,
+    merge_states,
+)
+from ..sources.tables import load_table  # noqa: E402
+
+_ST8_N_SPLITS = 3
+
+
+@register(
+    "st8_streaming_incremental_rollup",
+    oracle=A17_ORACLE,
+    doc="§2.7/A17: foreachBatch incremental rollup — per-batch delta states merged ≡ full recompute",
+)
+def st8_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="iotx_st8_")
+    in_dir = os.path.join(tmp, "in")
+    state_dir = os.path.join(tmp, "state")
+    # split the bounded input into N files → N micro-batches at
+    # maxFilesPerTrigger=1 (ts round-trips through the rewrite unchanged:
+    # the stream reader re-normalizes from the actual footer type)
+    load_table(spark, sf_dir, "events").repartition(_ST8_N_SPLITS).write.parquet(
+        in_dir
+    )
+    stream = sensor_stream(
+        spark, in_dir, glob="*.parquet", max_files_per_trigger=1
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # delta state only — one tiny row group per (batch, sensor_type)
+        _partial_state(batch_df).withColumn(
+            "epoch_id", F.lit(epoch_id)
+        ).write.mode("append").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 2, (
+        f"st8 needs >=2 data micro-batches to certify the cross-batch "
+        f"merge; got {len(data_batches)}"
+    )
+
+    merged = merge_states(spark.read.parquet(state_dir).drop("epoch_id"))
+    exact = (
+        quality_checked(spark, sf_dir)
+        .groupBy("sensor_type")
+        .agg(F.countDistinct("vehicle_id").alias("exact_veh"))
+    )
+    est = F.hll_sketch_estimate("veh_sketch")
+    return (
+        merged.join(exact, "sensor_type")
+        .select(
+            "sensor_type",
+            F.col("n").alias("record_count"),
+            fround(
+                F.col("sq").cast("double")
+                / (F.lit(5.0) * F.col("n").cast("double")),
+                6,
+            ).alias("avg_quality_score"),
+            F.col("min_ts").alias("first_reading"),
+            F.col("max_ts").alias("last_reading"),
+            F.col("exact_veh").alias("unique_vehicles"),
+            _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
+        )
+    )
