@@ -154,20 +154,23 @@ _LOADED = False
 # - d6: capped to the deterministic vec_id<1000 anchor slice (semantics
 #   changed); d7_full: new (full-corpus CC over d8 edges);
 # - d7: unchanged but r1/r2-vintage, and it rides the guarded prefix join;
+# - a17/a18 (mergeable-state rollups), dq1/dq2 (skew + join-size
+#   pre-flights), d9 (SemDeDup cell routing), st8 (streaming incremental
+#   rollup): added mid-round-4, never driver-checked — same
+#   never-faced-the-gate priority as the first group;
 # - the remaining slots: the stalest oracled queries, r1/r2 greens only
-#   (streaming st1/st2, multimodal mm3, dedup d2/d3, s1, textstats
-#   t1/t2/t5/t6, advanced, windows/rollups, nine r1-vintage joins, o4,
-#   m15).
-# Twenty-three queries don't fit the 50-slot window this round: ten
+#   (streaming st1/st2, multimodal mm3, dedup d3, s1, textstats t5/t6,
+#   advanced, windows/rollups, nine r1-vintage joins, o4, m15).
+# Twenty-nine queries don't fit the 50-slot window this round: ten
 # point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
-# plus thirteen deterministic count/hash/certificate queries deferred to
-# make room for the new-this-round group (u1, u2, adv3, adv5, adv6b,
-# adv8, d1, mm1, mm2, mm3, t3, t4, t7 — pure count/set/hash/sequence
-# arithmetic or always-TRUE certificate columns, the lowest
-# hash-mismatch-risk shapes in the registry). All twenty-three are
-# r1/r2-green and re-verified on current data by the local strict mirror
-# (tests/test_oracle_parity.py, run every round over ALL oracled
-# queries) — they rotate into the r5 window.
+# plus nineteen deterministic count/hash/certificate queries deferred to
+# make room for the never-checked group (u1, u2, adv3, adv5, adv6b,
+# adv8, adv9, adv10, d1, d2, g1, mm1, mm2, mm3, t1, t2, t3, t4, t7 —
+# pure count/set/hash/sequence arithmetic or always-TRUE certificate
+# columns, the lowest hash-mismatch-risk shapes in the registry). All
+# twenty-nine are r1/r2-green and re-verified on current data by the
+# local strict mirror (tests/test_oracle_parity.py, run every round over
+# ALL oracled queries) — they rotate into the r5 window.
 # Everything r3-green (r3 ran on post-regeneration data) keeps its module
 # registration order after these.
 _WINDOW_FIRST = [
@@ -193,25 +196,26 @@ _WINDOW_FIRST = [
     "d6_embedding_neardup",
     "d7_dedup_clusters_full",
     "d7_dedup_clusters",
+    # added mid-round-4 — never driver-checked at all
+    "a17_incremental_rollup",
+    "a18_sketch_cube",
+    "dq1_key_skew_audit",
+    "dq2_join_size_preflight",
+    "d9_semantic_dedup",
+    "st8_streaming_incremental_rollup",
     # stalest greens (pre-regeneration r1/r2 rows only)
     "st1_streaming_microbatch_analytics",
     "st2_streaming_session_windows",
-    "d2_exact_dedup_keep_first",
     "d3_jaccard_pairs",
     "s1_knn_bruteforce",
-    "t1_token_stats",
-    "t2_doc_quality",
     "t5_top_terms",
     "t6_tfidf_top_terms",
     "adv1_sessionize",
     "adv4_salted_agg",
     "adv6_percentiles",
-    "adv9_latest_per_key",
-    "adv10_unpivot_daily_metrics",
     "w1_top_orders_per_customer",
     "w2_user_running_value",
     "w3_event_gaps",
-    "g1_rollup_order_stats",
     "g2_cube_event_stats",
     "j2_min_price_per_brand",
     "j4_priority_late_ship",
