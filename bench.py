@@ -88,6 +88,8 @@ HEADLINE = [
     "dq1_key_skew_audit",
     "dq2_join_size_preflight",
     "d9_semantic_dedup",
+    "t12_rarity_score",
+    "m17_alert_incidents",
 ]
 
 

@@ -410,3 +410,72 @@ def m16_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(short_rate / long_rate, _R).alias("burn_ratio"),
         (short_rate > _M16_FACTOR * long_rate).alias("burning"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M17 — alert-incident grouping (cooldown suppression). The reference
+# fires an alert per monitoring cycle with no dedup (alerting.py:77-106
+# re-sends every 300 s while a condition holds) — at fleet scale that is
+# an alert storm. m17 collapses per-(vehicle, sensor_type) anomaly
+# readings into INCIDENTS: consecutive anomalies within the cooldown gap
+# are one incident (first alert fires, the rest are suppressed). This is
+# adv1's gap-sessionization shape applied to the alert stream — one
+# window shuffle keyed on (vehicle_id, sensor_type); the anomaly filter
+# cuts the input to the alert-rate fraction before anything shuffles, so
+# the window input at 100 TB is |anomalies|, not |readings|.
+# ---------------------------------------------------------------------------
+_M17_GAP_MIN = 60
+
+
+@register(
+    "m17_alert_incidents",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+, a AS (
+  SELECT vehicle_id, sensor_type, ts, anomaly_score
+  FROM sensor_quality_checked WHERE anomaly_score > 0
+),
+x AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {_M17_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM a
+  WINDOW w AS (PARTITION BY vehicle_id, sensor_type ORDER BY ts)
+),
+s AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY vehicle_id, sensor_type
+    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS incident_id
+  FROM x
+)
+SELECT vehicle_id, sensor_type, incident_id,
+       min(ts) AS incident_start,
+       max(ts) AS incident_end,
+       count(*) AS n_alerts,
+       count(*) - 1 AS n_suppressed,
+       round(max(anomaly_score), {_R}) AS max_anomaly_score
+FROM s
+GROUP BY vehicle_id, sensor_type, incident_id
+""",
+    doc="M17: cooldown suppression — anomaly alerts grouped into incidents",
+)
+def m17_alert_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    a = quality_checked(spark, sf_dir).filter(F.col("anomaly_score") > 0)
+    w = Window.partitionBy("vehicle_id", "sensor_type").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > _M17_GAP_MIN * 60), 1
+    ).otherwise(0)
+    s = a.withColumn("is_new", is_new).withColumn(
+        "incident_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("vehicle_id", "sensor_type", "incident_id").agg(
+        F.min("ts").alias("incident_start"),
+        F.max("ts").alias("incident_end"),
+        F.count("*").alias("n_alerts"),
+        (F.count("*") - 1).alias("n_suppressed"),
+        fround(F.max("anomaly_score"), _R).alias("max_anomaly_score"),
+    )

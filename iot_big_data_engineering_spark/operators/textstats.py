@@ -1007,3 +1007,74 @@ def dp4_cleaning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("doc_count"),
         F.sum("token_count").cast("bigint").alias("tokens_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T12 — corpus-frequency rarity score: the exact-arithmetic form of
+# unigram-LM quality filtering (CCNet-style). A doc dominated by tokens
+# that are rare IN THIS CORPUS is noise/gibberish with high probability;
+# production pipelines score this with mean log-prob under a unigram LM.
+# Logs are kept OUT of the hash-compared surface deliberately — libm
+# log() is not bit-identical across engines and per-doc float sums are
+# summation-order-dependent — so the score is expressed in exact integer
+# arithmetic with identical filtering power: per-doc mean corpus
+# frequency (Σ tf / n, int64 sums) and the fraction of tokens whose
+# relative frequency is below 1/10,000 (tf · 10000 < total — integers,
+# scale-invariant: the same threshold MEANS the same thing at any corpus
+# size, like j11b's mean-relative cutoff).
+#
+# Plan shape at 100 TB: explode → vocab-sized frequency agg (map-side
+# combined) → join back on token (vocab grows ~Heaps' law — NO broadcast
+# hint; AQE decides) → per-doc integer agg. Token lists never shuffle;
+# only (doc_id, token) pairs and per-doc scalars do.
+# ---------------------------------------------------------------------------
+_RARE_PPM = 10_000  # "rare" ⟺ tf/total < 1/10000
+
+
+@register(
+    "t12_rarity_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({X.sql_tokens("text")}) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(CAST(sum(tf) AS DOUBLE) / count(*), {_R}) AS avg_token_freq,
+       round(CAST(count(CASE WHEN tf * {_RARE_PPM} < total THEN 1 END) AS DOUBLE)
+             / count(*), {_R}) AS rare_ratio,
+       CAST(count(CASE WHEN tf * {_RARE_PPM} < total THEN 1 END) AS DOUBLE)
+         / count(*) > 0.2 AS low_quality
+FROM tok JOIN freq USING (token), tot
+GROUP BY doc_id, total
+""",
+    doc="T12: unigram-rarity quality score (exact-integer LM-filter analog)",
+)
+def t12_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(X.tokens("text")).alias("token")
+    )
+    tok = tok.persist()  # frequency build + join-back both read it
+    freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    total = tok.agg(F.count("*").alias("total"))
+    rare = F.col("tf") * _RARE_PPM < F.col("total")
+    return (
+        tok.join(freq, "token")
+        .join(F.broadcast(total))  # 1-row scalar aggregate
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            fround(F.sum("tf").cast("double") / F.count("*"), _R).alias(
+                "avg_token_freq"
+            ),
+            fround(
+                F.count(F.when(rare, 1)).cast("double") / F.count("*"), _R
+            ).alias("rare_ratio"),
+            (
+                F.count(F.when(rare, 1)).cast("double") / F.count("*") > 0.2
+            ).alias("low_quality"),
+        )
+    )
