@@ -90,6 +90,7 @@ HEADLINE = [
     "d9_semantic_dedup",
     "t12_rarity_score",
     "m17_alert_incidents",
+    "dp5_sequence_packing",
 ]
 
 

@@ -413,51 +413,27 @@ GROUP BY media_type, CAST(floor(start_offset / {_MM6_TARGET_BYTES}) AS INTEGER)
     doc="MM6: pack payloads into ~16 KiB shards via exact running-byte cumsum",
 )
 def mm6_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..caching import track
+    from ..functions.prefix import exclusive_prefix_sum
 
-    # both phases consume the projected size table — persist (tracked) so
-    # the source scans once
+    # both prefix-sum phases consume the projected size table — persist
+    # (tracked) so the source scans once
     b = track(
         with_binary_payload(load_table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             "media_type",
             F.col("meta.n_bytes").alias("n_bytes"),
-            F.floor(F.col("doc_id") / _MM6_BUCKET_W).alias("bkt"),
         )
         .persist()
     )
-    # phase 1: within-bucket exclusive cumsum — parallel across buckets
-    win_in = (
-        Window.partitionBy("media_type", "bkt")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = b.withColumn(
-        "local_excl",
-        (F.sum("n_bytes").over(win_in) - F.col("n_bytes")).cast("bigint"),
-    )
-    # phase 2: exclusive prefix over the per-bucket totals (tiny table)
-    win_bkt = (
-        Window.partitionBy("media_type")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    prefixes = (
-        b.groupBy("media_type", "bkt")
-        .agg(F.sum("n_bytes").cast("bigint").alias("bkt_bytes"))
-        .withColumn(
-            "bkt_excl",
-            (F.sum("bkt_bytes").over(win_bkt) - F.col("bkt_bytes")).cast(
-                "bigint"
-            ),
-        )
-        .select("media_type", "bkt", "bkt_excl")
-    )
-    planned = within.join(F.broadcast(prefixes), ["media_type", "bkt"]).withColumn(
-        "start_offset", F.col("bkt_excl") + F.col("local_excl")
+    planned = exclusive_prefix_sum(
+        b,
+        group_col="media_type",
+        order_col="doc_id",
+        value_col="n_bytes",
+        out_col="start_offset",
+        bucket_width=_MM6_BUCKET_W,
     )
     shard = F.floor(F.col("start_offset") / _MM6_TARGET_BYTES).cast("int")
     return planned.groupBy(

@@ -1078,3 +1078,101 @@ def t12_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("low_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DP5 — sequence packing plan (concat-and-chunk): lay the corpus out as
+# fixed-length training sequences. Per language, documents concatenate in
+# doc_id order and split into 2048-token chunks; a document may straddle
+# chunk boundaries (the standard pretraining packing — no padding, full
+# sequences). The plan reports, per (lang, seq), the fragmentation facts
+# a training run cares about: how many documents the sequence touches,
+# how many documents START in it, whether its first tokens are a
+# carry-over tail, and the exact fill.
+#
+# The running token offset is the two-phase distributed prefix sum
+# (functions/prefix.py, shared with mm6) — NOT a per-language window,
+# which would be |langs| single-task sorts at 100 TB; the oracle states
+# the naive window form, which the two-phase form equals bit-for-bit.
+# The doc → chunk expansion is bounded: each doc lands in
+# ceil(tokens/B)+1 chunks at most, so the exploded row count is
+# O(corpus_tokens / B + n_docs).
+# ---------------------------------------------------------------------------
+_DP5_SEQ_TOKENS = 2048
+
+
+@register(
+    "dp5_sequence_packing",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, {X.sql_bpe_token_count("text")} AS tok
+  FROM documents
+  WHERE {X.sql_bpe_token_count("text")} > 0
+),
+placed AS (
+  SELECT doc_id, lang, tok,
+         CAST(sum(tok) OVER w - tok AS BIGINT) AS start_tok
+  FROM d
+  WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+),
+spans AS (
+  SELECT lang, doc_id, tok, start_tok,
+         start_tok // {_DP5_SEQ_TOKENS} AS first_seq,
+         (start_tok + tok - 1) // {_DP5_SEQ_TOKENS} AS last_seq
+  FROM placed
+),
+x AS (
+  SELECT lang, doc_id, tok, start_tok, first_seq,
+         unnest(generate_series(first_seq, last_seq)) AS seq_id
+  FROM spans
+)
+SELECT lang, seq_id,
+       count(*) AS n_docs,
+       count(CASE WHEN first_seq = seq_id THEN 1 END) AS n_starts,
+       min(start_tok) < seq_id * {_DP5_SEQ_TOKENS} AS starts_with_carry,
+       CAST(sum(least(start_tok + tok, (seq_id + 1) * {_DP5_SEQ_TOKENS})
+                - greatest(start_tok, seq_id * {_DP5_SEQ_TOKENS})) AS BIGINT)
+         AS filled_tokens
+FROM x
+GROUP BY lang, seq_id
+""",
+    doc="DP5: concat-and-chunk sequence packing plan with straddle accounting",
+)
+def dp5_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.prefix import exclusive_prefix_sum
+
+    B = _DP5_SEQ_TOKENS
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", X.bpe_token_count("text").alias("tok"))
+        .filter(F.col("tok") > 0)  # a 0-token doc occupies no chunk span
+    )
+    placed = exclusive_prefix_sum(
+        d,
+        group_col="lang",
+        order_col="doc_id",
+        value_col="tok",
+        out_col="start_tok",
+    )
+    end_tok = F.col("start_tok") + F.col("tok")
+    spans = placed.withColumn(
+        "first_seq", F.floor(F.col("start_tok") / B)
+    ).withColumn("last_seq", F.floor((end_tok - 1) / B))
+    x = spans.withColumn(
+        "seq_id", F.explode(F.sequence("first_seq", "last_seq"))
+    )
+    seq_lo = F.col("seq_id") * B
+    seq_hi = (F.col("seq_id") + 1) * B
+    return x.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("first_seq") == F.col("seq_id"), 1)).alias(
+            "n_starts"
+        ),
+        (F.min("start_tok") < F.min(seq_lo)).alias("starts_with_carry"),
+        F.sum(
+            F.least(F.col("start_tok") + F.col("tok"), seq_hi)
+            - F.greatest(F.col("start_tok"), seq_lo)
+        )
+        .cast("bigint")
+        .alias("filled_tokens"),
+    )

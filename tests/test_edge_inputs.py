@@ -275,3 +275,64 @@ def test_bpe_tokenizer_chunking(spark):
     assert got == want, (got, want)
     assert got[0] == ["hell", "o", "worl", "dwid", "e", "123", "45", "x", "!"]
     assert got[1] == [] and got[2] == []
+
+
+def test_semantic_dedup_on_empty_and_tiny_corpus(spark):
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _emb,
+        semantic_dedup_dropped,
+    )
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "v")
+    empty = e.filter(F.col("vec_id") < 0)
+    res = semantic_dedup_dropped(empty)
+    assert res.count() == 0
+    assert res.columns == ["vec_id"]
+    # a 1-vector corpus has no pair to drop
+    assert semantic_dedup_dropped(e.filter(F.col("vec_id") == 0)).count() == 0
+    # fewer rows than nlist — every cell holds <= 1 distinct vector unless
+    # duplicates exist; planting one exact copy must drop exactly the copy
+    tiny = e.filter(F.col("vec_id") < 8)
+    planted = tiny.filter(F.col("vec_id") == 3).withColumn(
+        "vec_id", F.lit(1000).cast("long")
+    )
+    dropped = semantic_dedup_dropped(tiny.unionByName(planted)).collect()
+    assert [r.vec_id for r in dropped] == [1000]
+
+
+def test_merge_states_single_and_empty_part(spark):
+    from iot_big_data_engineering_spark.operators.sketches import (
+        _partial_state,
+        merge_states,
+    )
+    from iot_big_data_engineering_spark.sources.sensor_view import quality_checked
+
+    q = quality_checked(spark, SF_SMOKE)
+    full = _partial_state(q)
+    # merging a single state is the identity on exact columns
+    one = merge_states(full)
+    assert sorted(
+        (r["sensor_type"], r["n"], r["sq"]) for r in one.collect()
+    ) == sorted((r["sensor_type"], r["n"], r["sq"]) for r in full.collect())
+    # an EMPTY delta (no new rows in the period) must merge as a no-op —
+    # the routine case for a quiet partition/day
+    empty_state = _partial_state(q.filter(F.lit(False)))
+    merged = merge_states(full, empty_state)
+    assert sorted(
+        (r["sensor_type"], r["n"], r["sq"]) for r in merged.collect()
+    ) == sorted((r["sensor_type"], r["n"], r["sq"]) for r in full.collect())
+
+
+def test_m17_incident_grouping_degenerate_inputs(spark):
+    from iot_big_data_engineering_spark.operators.monitoring import (
+        m17_alert_incidents,
+    )
+
+    # full-query smoke on the smallest SF: every incident must satisfy
+    # start <= end and n_suppressed == n_alerts - 1
+    rows = m17_alert_incidents(spark, SF_SMOKE).collect()
+    assert rows, "sf0.001 plants enough anomalies to form incidents"
+    for r in rows:
+        assert r.incident_start <= r.incident_end
+        assert r.n_suppressed == r.n_alerts - 1
+        assert r.max_anomaly_score > 0

@@ -150,3 +150,42 @@ def test_dp4_reconciles_with_dp1(spark):
     from iot_big_data_engineering_spark.sources.tables import load_table
 
     assert total == load_table(spark, SF_SMOKE, "documents").count()
+
+
+def test_dp5_packing_invariants(spark):
+    """Conservation + exact-fill: every sequence except each language's
+    last is filled to exactly B tokens, and total filled tokens equal the
+    corpus token count (nothing lost or double-counted at boundaries)."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.functions import text as X
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _DP5_SEQ_TOKENS,
+        dp5_sequence_packing,
+    )
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    plan = dp5_sequence_packing(spark, SF_SMOKE).collect()
+    last_seq = {}
+    for r in plan:
+        last_seq[r.lang] = max(last_seq.get(r.lang, -1), r.seq_id)
+    for r in plan:
+        if r.seq_id < last_seq[r.lang]:
+            assert r.filled_tokens == _DP5_SEQ_TOKENS, r
+        else:
+            assert 0 < r.filled_tokens <= _DP5_SEQ_TOKENS, r
+        assert r.n_starts <= r.n_docs
+        # a carry-less sequence must begin with a doc start
+        if not r.starts_with_carry:
+            assert r.n_starts >= 1, r
+
+    total_filled = sum(r.filled_tokens for r in plan)
+    corpus_tokens = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(X.bpe_token_count("text").alias("tok"))
+        .agg(F.sum("tok"))
+        .first()[0]
+    )
+    assert total_filled == corpus_tokens
