@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..caching import track
 from ..functions.rounding import fround
 from ..registry import register
 from ..sources.tables import load_table
@@ -651,7 +652,7 @@ def dq1_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
     )
-    c = c.persist()  # both branches below read the per-key counts
+    c = track(c.persist())  # both branches below read the per-key counts
     profile = c.agg(
         F.count("*").alias("n_keys"),
         F.sum("n").alias("total_rows"),
@@ -716,18 +717,25 @@ FROM p, h, t
     doc="DQ2: exact equi-join output size + dominant key from per-key counts",
 )
 def dq2_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the per-key count tables persist: each raw table is scanned exactly
+    # ONCE (plan-tested) — the matched-key branch AND the totals branch
+    # both reuse the cached |keys|-sized counts
     l = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.col("user_id").alias("k"))
         .agg(F.count("*").alias("nl"))
+        .persist()
     )
+    l = track(l)
     r = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("k"))
         .agg(F.count("*").alias("nr"))
+        .persist()
     )
+    r = track(r)
     m = l.join(r, "k").select("k", "nl", "nr", (F.col("nl") * F.col("nr")).alias("prod"))
-    m = m.persist()  # profile + top-key branches both read it
+    m = track(m.persist())  # profile + top-key branches both read it
     profile = m.agg(
         F.count("*").alias("n_join_keys"),
         F.sum("prod").alias("join_rows"),

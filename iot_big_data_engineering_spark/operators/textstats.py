@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..caching import track
 from ..functions import text as X
 from ..functions.rounding import fround
 from ..registry import register
@@ -1057,7 +1058,7 @@ def t12_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _docs(spark, sf_dir).select(
         "doc_id", F.explode(X.tokens("text")).alias("token")
     )
-    tok = tok.persist()  # frequency build + join-back both read it
+    tok = track(tok.persist())  # frequency build + join-back both read it
     freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
     total = tok.agg(F.count("*").alias("total"))
     rare = F.col("tf") * _RARE_PPM < F.col("total")

@@ -399,3 +399,55 @@ def test_a18_sketch_cube_single_raw_scan_per_branch(spark):
     assert_no_cartesian(df)
     p = plan_str(df, mode="simple")
     assert p.count("events.parquet") <= 2, p
+
+
+def test_t12_freq_join_no_hint_no_cartesian(spark):
+    """t12's token→frequency join-back must carry NO broadcast hint (the
+    vocabulary grows with the corpus, Heaps' law — the j17/j16 lesson) and
+    the only sanctioned hint is the 1-row corpus-total scalar."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t12_rarity_score,
+    )
+
+    df = t12_rarity_score(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    assert_hint_count(df, 1)  # the 1-row total only
+
+
+def test_dp5_uses_bucketed_prefix_sum_not_per_lang_window(spark):
+    """dp5's running offset must ride the two-phase prefix sum: window
+    partitions keyed on (lang, _bkt), never on lang alone — a per-lang
+    window is |langs| single-task sorts at scale."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp5_sequence_packing,
+    )
+
+    df = dp5_sequence_packing(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert "_bkt" in p, p
+
+
+def test_dq2_never_materializes_the_join(spark):
+    """dq2 predicts the equi-join's size from per-key counts; the plan
+    must join only the two count tables (post-aggregate), never the raw
+    events×orders rows — no join may appear upstream of an aggregate on
+    both legs. Weak but mechanical check: the joined relations' row width
+    is the 2-3 column count schema, which shows as HashAggregate feeding
+    the join on both sides."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq2_join_size_preflight,
+    )
+
+    df = dq2_join_size_preflight(spark, SF_SMOKE)
+    assert_no_cartesian(df.limit(1))
+    p = plan_str(df, mode="simple")
+    # the persisted count tables serve every branch: raw-table mentions
+    # may only appear inside cached InMemoryRelation blocks (the rendering
+    # expands cached lineage once per cache read — the mm6 pattern), so
+    # mentions are bounded by cache reads; an uncached extra raw scan
+    # would push a count past that bound
+    cache_reads = p.count("InMemoryTableScan")
+    assert cache_reads >= 2, p
+    assert p.count("events.parquet") <= cache_reads, p
+    assert p.count("orders.parquet") <= cache_reads, p
