@@ -91,6 +91,7 @@ HEADLINE = [
     "t12_rarity_score",
     "m17_alert_incidents",
     "dp5_sequence_packing",
+    "s5_scalar_quantization",
 ]
 
 

@@ -750,3 +750,86 @@ def d9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("orig_id", F.coalesce("h", F.lit(False)).alias("planted_removed"))
         .orderBy("orig_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# S5 — scalar-quantization calibration + error audit: the embedding
+# STORAGE-compression step. At 100 TB an fp32/fp64 embedding column is
+# the dominant byte cost; per-dimension 8-bit scalar quantization (the
+# faiss SQ8 layout) cuts it 4-8× and is what the IVF/LSH indexes (s2/s3)
+# would store per cell. This query computes the per-dimension calibration
+# (min/max over the corpus) and the EXACT worst-case reconstruction error
+# per dimension — which must sit within half a quantization step, the
+# defining guarantee of uniform SQ.
+#
+# Everything is elementwise double arithmetic + order-independent min/max,
+# so the whole audit is SQL-expressible and carries a full-value oracle
+# (no certificate indirection needed). Rounding to the code grid uses
+# floor(v + 0.5) on BOTH sides — the same cross-engine-stable formula as
+# functions/rounding.py (bare round() differs between engines on .5).
+#
+# Plan: posexplode → (vec_id, pos, x) rows, one 64-group map-side-combined
+# min/max aggregate, calibration joined back with an explicit broadcast —
+# sanctioned: |dims| is fixed-cardinality, independent of corpus size —
+# then a second 64-group max. No shuffle ever carries vectors.
+# ---------------------------------------------------------------------------
+_SQ_LEVELS = 255
+
+
+@register(
+    "s5_scalar_quantization",
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cal AS (
+  SELECT pos, min(x) AS dmin, max(x) AS dmax FROM x GROUP BY pos
+),
+q AS (
+  SELECT x.pos, x.x, cal.dmin, cal.dmax,
+         (cal.dmax - cal.dmin) / {_SQ_LEVELS} AS step,
+         CASE WHEN cal.dmax = cal.dmin THEN 0.0
+              ELSE floor((x.x - cal.dmin) / ((cal.dmax - cal.dmin) / {_SQ_LEVELS}) + 0.5)
+         END AS code
+  FROM x JOIN cal USING (pos)
+)
+SELECT pos,
+       round(dmin, {_R}) AS dmin,
+       round(dmax, {_R}) AS dmax,
+       round(max(abs(x - (dmin + code * step))), 9) AS max_abs_err,
+       bool_and(abs(x - (dmin + code * step)) <= step * 0.5000001) AS within_half_step
+FROM q
+GROUP BY pos, dmin, dmax
+""",
+    doc="S5: per-dim SQ8 calibration + exact worst-case reconstruction error",
+)
+def s5_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode(V.to_double("embedding")).alias("pos", "x"))
+    )
+    x = track(x.persist())  # calibration + audit branches share the scan
+    cal = x.groupBy("pos").agg(F.min("x").alias("dmin"), F.max("x").alias("dmax"))
+    step = (F.col("dmax") - F.col("dmin")) / _SQ_LEVELS
+    code = F.when(F.col("dmax") == F.col("dmin"), F.lit(0.0)).otherwise(
+        F.floor((F.col("x") - F.col("dmin")) / step + 0.5)
+    )
+    q = (
+        x.join(F.broadcast(cal), "pos")  # |dims| rows — fixed cardinality
+        .withColumn("step", step)
+        .withColumn("code", code)
+    )
+    err = F.abs(F.col("x") - (F.col("dmin") + F.col("code") * F.col("step")))
+    return q.groupBy("pos", "dmin", "dmax").agg(
+        fround(F.max(err), 9).alias("max_abs_err"),
+        F.bool_and(err <= F.col("step") * 0.5000001).alias("within_half_step"),
+    ).select(
+        "pos",
+        fround("dmin", _R).alias("dmin"),
+        fround("dmax", _R).alias("dmax"),
+        "max_abs_err",
+        "within_half_step",
+    )

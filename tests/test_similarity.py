@@ -158,3 +158,26 @@ def test_lsh_empty_query_and_corpus(spark):
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     assert lsh_topk(e.filter(F.col("vec_id") < 0), some_q).count() == 0
+
+
+def test_s5_codes_cover_full_range_and_certify(spark):
+    """SQ8 calibration: every dimension's audit row must certify
+    within-half-step reconstruction, and the code grid must actually be
+    exercised at its extremes (the min maps to code 0, the max to code
+    255 — a shifted/scaled calibration bug would break this)."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s5_scalar_quantization,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = s5_scalar_quantization(spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.within_half_step, r
+        assert r.dmin < r.dmax
+        # worst error must be positive but below half a step
+        step = (r.dmax - r.dmin) / 255
+        assert 0 < r.max_abs_err <= step * 0.5000001 + 1e-12, r
