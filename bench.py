@@ -168,6 +168,13 @@ def main() -> None:
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     detail = dict(out)
+    # machine context: sustained background load inflates wall times ~1.5x
+    # (observed 45 s vs 67 s totals for identical code at loadavg 0.5 vs
+    # 4.4) — record it so cross-round deltas are interpretable
+    try:
+        detail["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
     prev_round, prev = _latest_prev_bench()
     if prev is not None and prev.get("sf") == sf:
         pq = prev.get("queries", {})

@@ -31,7 +31,13 @@ def exclusive_prefix_sum(
 ) -> DataFrame:
     """Adds ``out_col`` = Σ value over rows strictly earlier in
     ``order_col`` within ``group_col`` (exclusive running sum). The
-    order key must be numeric and unique per group."""
+    order key must be numeric and unique per group.
+
+    ``bucket_width`` is the scale knob: phase 2 broadcasts one row per
+    bucket, so pick width ∝ key-range / 10⁵ to keep the prefix table
+    MB-sized at any corpus (e.g. 10¹¹ doc ids → width 10⁶ → 10⁵ bucket
+    rows). Wider buckets trade phase-1 parallelism, which stays ample
+    while #buckets ≫ cores."""
     b = df.withColumn("_bkt", F.floor(F.col(order_col) / bucket_width))
     win_in = (
         Window.partitionBy(group_col, "_bkt")
