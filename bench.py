@@ -92,6 +92,8 @@ HEADLINE = [
     "m17_alert_incidents",
     "dp5_sequence_packing",
     "s5_scalar_quantization",
+    "a19_resample_ffill",
+    "u4_snapshot_diff",
 ]
 
 

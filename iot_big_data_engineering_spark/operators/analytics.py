@@ -729,3 +729,104 @@ def a2_monthly_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
         fround(_stddev_quality(), _R).alias("stddev_quality_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A19 — time-series resampling + forward fill: project the newest day of
+# readings onto a REGULAR 1-minute grid per sensor_type, filling silent
+# minutes with the last observed per-type average. The reference's
+# windowed analytics (A1) emit rows only for minutes that HAVE data —
+# downstream dashboards and models need the regular grid with explicit
+# gap semantics (the classic IoT resample).
+#
+# Scale shape: the grid is |types| × 1440 rows — metadata-sized at any
+# corpus — so the left join is a broadcast of the grid against the
+# already-aggregated per-minute rollup (not raw readings). The forward
+# fill is one window per sensor_type over GRID rows (1440 each), never
+# over readings. Bucket averages use exact DECIMAL sums (order-
+# independent, adv1's pattern) so the fill values are hash-stable.
+# ---------------------------------------------------------------------------
+@register(
+    "a19_resample_ffill",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+, anchor AS (SELECT date_trunc('day', max(ts)) AS d0 FROM sensor_quality_checked),
+types AS (SELECT DISTINCT sensor_type FROM sensor_quality_checked),
+grid AS (
+  SELECT sensor_type,
+         unnest(generate_series(d0, d0 + INTERVAL 1439 MINUTE,
+                                INTERVAL 1 MINUTE)) AS bucket_ts
+  FROM types, anchor
+),
+b AS (
+  SELECT sensor_type, date_trunc('minute', ts) AS bucket_ts,
+         count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*),
+               {_R}) AS avg_v
+  FROM sensor_quality_checked, anchor
+  WHERE ts >= d0
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT g.sensor_type, g.bucket_ts,
+         coalesce(b.n, 0) AS n_readings, b.avg_v
+  FROM grid g LEFT JOIN b USING (sensor_type, bucket_ts)
+)
+SELECT sensor_type, bucket_ts, n_readings,
+       last_value(avg_v IGNORE NULLS) OVER (
+         PARTITION BY sensor_type ORDER BY bucket_ts
+         ROWS UNBOUNDED PRECEDING) AS value_ffill,
+       n_readings = 0 AS filled
+FROM j
+""",
+    doc="A19: 1-min regular-grid resample of the newest day, forward-filled",
+)
+def a19_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = quality_checked(spark, sf_dir)
+    anchor = q.agg(F.date_trunc("day", F.max("ts")).alias("d0"))
+    types = q.select("sensor_type").distinct()
+    grid = types.join(F.broadcast(anchor)).select(
+        "sensor_type",
+        F.explode(
+            F.sequence(
+                F.col("d0"),
+                F.col("d0") + F.expr("INTERVAL 1439 MINUTES"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("bucket_ts"),
+    )
+    b = (
+        q.join(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("d0"))
+        .groupBy(
+            "sensor_type", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            fround(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("*"),
+                _R,
+            ).alias("avg_v"),
+        )
+    )
+    j = grid.join(b, ["sensor_type", "bucket_ts"], "left").select(
+        "sensor_type",
+        "bucket_ts",
+        F.coalesce("n", F.lit(0)).alias("n_readings"),
+        "avg_v",
+    )
+    w = (
+        Window.partitionBy("sensor_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "sensor_type",
+        "bucket_ts",
+        "n_readings",
+        F.last("avg_v", ignorenulls=True).over(w).alias("value_ffill"),
+        (F.col("n_readings") == 0).alias("filled"),
+    )

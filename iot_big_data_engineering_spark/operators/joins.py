@@ -1753,3 +1753,74 @@ def u3_key_overlap_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(bucket(o.exceptAll(e), "orders_minus_events_all"))
         .unionAll(bucket(e.exceptAll(o), "events_minus_orders_all"))
     )
+
+
+# ---------------------------------------------------------------------------
+# U4 — snapshot diff (dataset versioning): the added/removed/changed
+# listing between two corpus versions, the audit a training-data pipeline
+# runs before promoting a new snapshot. The two versions are carved
+# deterministically from the one documents table (v1 drops doc_id % 7,
+# v2 drops % 5 and rewrites % 11) so the diff is oracle-checkable; the
+# OPERATOR is version-agnostic — one full-outer join on the key comparing
+# content hashes, so rows shuffle once on doc_id and only the md5 (not
+# the text) rides the comparison columns. At 100 TB both snapshot scans
+# prune to (doc_id, md5) columns; the output is |changes|, not |corpus|.
+# ---------------------------------------------------------------------------
+def snapshot_diff(v1: DataFrame, v2: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, change_type) for rows added / removed / changed between two
+    snapshot DataFrames that each expose (key, text)."""
+    a = v1.select(F.col(key).alias("k1"), F.md5("text").alias("h1"))
+    b = v2.select(F.col(key).alias("k2"), F.md5("text").alias("h2"))
+    j = a.join(b, a["k1"] == b["k2"], "full_outer")
+    return (
+        j.select(
+            F.coalesce("k1", "k2").alias(key),
+            F.when(F.col("k1").isNull(), "added")
+            .when(F.col("k2").isNull(), "removed")
+            .when(F.col("h1") != F.col("h2"), "changed")
+            .alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .orderBy(key)
+    )
+
+
+@register(
+    "u4_snapshot_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 5 <> 0
+),
+j AS (
+  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN md5(v1.text) <> md5(v2.text) THEN 'changed'
+         END AS change_type
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT doc_id, change_type FROM j WHERE change_type IS NOT NULL
+ORDER BY doc_id
+""",
+    doc="U4: added/removed/changed diff between two corpus snapshots",
+)
+def u4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    v2 = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return snapshot_diff(v1, v2)
