@@ -690,6 +690,11 @@ def dq1_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the fact rows never move). The same per-key products expose the
 # dominant key (the one AQE skew-split or salting must handle) before any
 # executor commits to it. Companion to dq1 (single-side skew audit).
+# Overflow bound: per-key products and their sum stay in int64 up to
+# ~3·10⁹ rows per key PER SIDE (3e9² ≈ int64 max) — a single key holding
+# billions of rows on both sides is already the catastrophic-join signal
+# this query exists to flag, and ANSI mode fails loudly rather than
+# wrapping if it is ever exceeded.
 # ---------------------------------------------------------------------------
 @register(
     "dq2_join_size_preflight",
