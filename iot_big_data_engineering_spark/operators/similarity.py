@@ -678,8 +678,9 @@ def s4_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # id doubles as the storage partition key (as in s2), making each cell's
 # pair generation a partition-local join with no global shuffle of
 # vectors. The miss mode vs the exact anchor is pairs that straddle a
-# cell boundary — the standard SemDeDup trade, quantified locally in
-# tests against the d6 anchor slice.
+# cell boundary — the standard SemDeDup trade, quantified locally by the
+# planted near-duplicate recall test (test_similarity: ≥0.8 required on
+# cosine-0.9997 perturbed copies; exact copies are never missed).
 #
 # Certificate (same contract as s2/s3): an exact copy normalizes to the
 # identical unit vector → identical argmax cell → cosine 1.0 ≥ τ with its

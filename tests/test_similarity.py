@@ -181,3 +181,46 @@ def test_s5_codes_cover_full_range_and_certify(spark):
         # worst error must be positive but below half a step
         step = (r.dmax - r.dmin) / 255
         assert 0 < r.max_abs_err <= step * 0.5000001 + 1e-12, r
+
+
+def test_d9_near_duplicate_recall_vs_exact(spark):
+    """Quantify d9's miss mode (pairs straddling a cell boundary): plant
+    deterministic NEAR-copies (orig + small orthogonal-ish perturbation,
+    cosine ≈ 0.999 > τ) and require the cell-routed dedup to drop most of
+    them; exact copies (certificate path) must never be missed. The gap
+    between the two rates IS the SemDeDup trade the operator documents."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _PLANT_OFFSET,
+        _emb,
+        semantic_dedup_dropped,
+    )
+
+    from .conftest import SF_SMOKE
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "v")
+    rows = e.filter(F.col("vec_id") < 50).collect()
+    planted = []
+    for r in rows:
+        v = np.asarray(r.v)
+        # deterministic perturbation: roll the vector for a pseudo-random
+        # direction, scale to ~2.5% of the norm → cosine ≈ 0.9997
+        d = np.roll(v, 7)
+        d = d - (d @ v) / (v @ v) * v  # orthogonalize
+        nd = np.linalg.norm(d)
+        if nd == 0:
+            continue
+        p = v + d / nd * 0.025 * np.linalg.norm(v)
+        planted.append((int(r.vec_id) + _PLANT_OFFSET, [float(x) for x in p]))
+    pdf = spark.createDataFrame(planted, "vec_id long, v array<double>")
+    dropped = {
+        r.vec_id
+        for r in semantic_dedup_dropped(e.unionByName(pdf)).collect()
+    }
+    hits = sum(1 for vid, _ in planted if vid in dropped)
+    recall = hits / len(planted)
+    # near-copies co-locate with their original unless the tiny
+    # perturbation flips the argmax cell at a Voronoi boundary
+    assert recall >= 0.8, f"near-dup recall {recall} ({hits}/{len(planted)})"
