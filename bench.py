@@ -94,6 +94,7 @@ HEADLINE = [
     "s5_scalar_quantization",
     "a19_resample_ffill",
     "u4_snapshot_diff",
+    "dq3_referential_audit",
 ]
 
 

@@ -769,3 +769,68 @@ def dq2_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expansion_factor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ3 — referential-integrity audit: orphan-key counts across the star
+# schema's foreign keys, the data-quality gate a pipeline runs before
+# trusting any join (an orphan rate > 0 silently drops rows from every
+# inner join downstream). Each relation is one LEFT ANTI join — the
+# cheapest possible shape: the dimension side reduces to its DISTINCT
+# key column before shuffling, and only keys move. Output is one row per
+# audited edge with total/orphan counts and the orphan share.
+# ---------------------------------------------------------------------------
+_DQ3_EDGES = [
+    # (child table, child key, parent table, parent key)
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "dq3_referential_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+SELECT '{c}.{ck} -> {p}.{pk}' AS edge,
+       (SELECT count(*) FROM {c}) AS child_rows,
+       (SELECT count(*) FROM {c}
+        WHERE {ck} IS NOT NULL
+          AND {ck} NOT IN (SELECT {pk} FROM {p})) AS orphan_rows,
+       round((SELECT count(*) FROM {c}
+              WHERE {ck} IS NOT NULL
+                AND {ck} NOT IN (SELECT {pk} FROM {p}))
+             / CAST((SELECT count(*) FROM {c}) AS DOUBLE), 6) AS orphan_share
+"""
+        for c, ck, p, pk in _DQ3_EDGES
+    ),
+    doc="DQ3: orphan-key audit over every star-schema foreign key",
+)
+def dq3_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for c, ck, p, pk in _DQ3_EDGES:
+        child = load_table(spark, sf_dir, c)
+        parent_keys = load_table(spark, sf_dir, p).select(
+            F.col(pk).alias(ck)
+        ).distinct()
+        orphans = (
+            child.select(ck)
+            .filter(F.col(ck).isNotNull())
+            .join(parent_keys, ck, "left_anti")
+        )
+        row = child.agg(F.count("*").alias("child_rows")).join(
+            orphans.agg(F.count("*").alias("orphan_rows"))
+        ).select(
+            F.lit(f"{c}.{ck} -> {p}.{pk}").alias("edge"),
+            "child_rows",
+            "orphan_rows",
+            fround(
+                F.col("orphan_rows").cast("double") / F.col("child_rows"), _R
+            ).alias("orphan_share"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -158,21 +158,22 @@ _LOADED = False
 #   pre-flights), d9 (SemDeDup cell routing), st8 (streaming incremental
 #   rollup), t12 (rarity quality score), m17 (alert incidents), dp5
 #   (sequence packing), s5 (SQ8 quantization audit), a19 (regular-grid
-#   resample + forward fill), u4 (snapshot diff): added
+#   resample + forward fill), u4 (snapshot diff), dq3 (referential
+#   integrity audit): added
 #   mid-round-4, never driver-checked — same never-faced-the-gate
 #   priority as the first group;
 # - the remaining slots: the stalest oracled queries, r1/r2 greens only
 #   (streaming st1/st2, multimodal mm3, dedup d3, s1, textstats t5/t6,
 #   advanced, windows/rollups, nine r1-vintage joins, o4, m15).
-# Thirty-five queries don't fit the 50-slot window this round: ten
+# Thirty-six queries don't fit the 50-slot window this round: ten
 # point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
-# plus twenty-five deterministic count/hash/certificate queries deferred
+# plus twenty-six deterministic count/hash/certificate queries deferred
 # to make room for the never-checked group (u1, u2, adv3, adv4, adv5,
 # adv6b, adv8, adv9, adv10, d1, d2, g1, g2, mm1, mm2, mm3, t1, t2, t3,
-# t4, t5, t7, w1, w2, w3 — pure count/set/hash/sequence/decimal/lag/
-# ranked-tiebreak arithmetic or always-TRUE certificate columns, the
-# lowest hash-mismatch-risk shapes in the registry). All twenty-five
-# plus the ten scans are r1/r2-green and re-verified on current
+# t4, t5, t7, w1, w2, w3, s1 — pure count/set/hash/sequence/decimal/
+# lag/ranked-tiebreak/fold-ordered arithmetic or always-TRUE certificate
+# columns, the lowest hash-mismatch-risk shapes in the registry). All
+# twenty-six plus the ten scans are r1/r2-green and re-verified on current
 # data by the local strict mirror (tests/test_oracle_parity.py, run
 # every round over ALL oracled queries) — they rotate into the r5
 # window.
@@ -214,11 +215,11 @@ _WINDOW_FIRST = [
     "s5_scalar_quantization",
     "a19_resample_ffill",
     "u4_snapshot_diff",
+    "dq3_referential_audit",
     # stalest greens (pre-regeneration r1/r2 rows only)
     "st1_streaming_microbatch_analytics",
     "st2_streaming_session_windows",
     "d3_jaccard_pairs",
-    "s1_knn_bruteforce",
     "t6_tfidf_top_terms",
     "adv1_sessionize",
     "adv6_percentiles",

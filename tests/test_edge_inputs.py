@@ -336,3 +336,24 @@ def test_m17_incident_grouping_degenerate_inputs(spark):
         assert r.incident_start <= r.incident_end
         assert r.n_suppressed == r.n_alerts - 1
         assert r.max_anomaly_score > 0
+
+
+def test_dq3_detects_planted_orphans(spark):
+    """The audit's zero-orphan result on clean testdata must be a real
+    measurement: truncating the parent keyspace has to surface exactly
+    the rows that lost their parent."""
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    truncated = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    ).distinct()
+    orphans = (
+        orders.select("o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+        .join(truncated, "o_custkey", "left_anti")
+        .count()
+    )
+    expected = orders.filter(F.col("o_custkey") % 2 != 0).count()
+    assert orphans == expected > 0
