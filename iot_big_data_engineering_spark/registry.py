@@ -159,12 +159,11 @@ _LOADED = False
 #   rollup), t12 (rarity quality score), m17 (alert incidents), dp5
 #   (sequence packing), s5 (SQ8 quantization audit), a19 (regular-grid
 #   resample + forward fill), u4 (snapshot diff), dq3 (referential
-#   integrity audit): added
-#   mid-round-4, never driver-checked — same never-faced-the-gate
-#   priority as the first group;
-# - the remaining slots: the stalest oracled queries, r1/r2 greens only
-#   (streaming st1/st2, multimodal mm3, dedup d3, s1, textstats t5/t6,
-#   advanced, windows/rollups, nine r1-vintage joins, o4, m15).
+#   integrity audit): added mid-round-4, never driver-checked — same
+#   never-faced-the-gate priority as the first group;
+# - the remaining 17 slots: the highest-risk stalest queries, r1/r2
+#   greens only — streaming st1/st2, the d3 anchor, t6 tf-idf,
+#   adv1/adv6, the nine r1-vintage joins, o4, m15.
 # Thirty-six queries don't fit the 50-slot window this round: ten
 # point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
 # plus twenty-six deterministic count/hash/certificate queries deferred
