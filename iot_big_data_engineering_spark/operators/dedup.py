@@ -585,23 +585,22 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so convergence
+        # is a filter+count on the materialized rows — not a second
+        # labels⋈labels join per round
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
+                F.col("component").alias("prev"),
                 F.least(
                     "component", F.coalesce("nmin", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("component") != F.col("prev")).count()
+        labels = stepped.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
