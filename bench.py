@@ -95,6 +95,7 @@ HEADLINE = [
     "a19_resample_ffill",
     "u4_snapshot_diff",
     "dq3_referential_audit",
+    "a20_seasonality_profile",
 ]
 
 

@@ -830,3 +830,40 @@ def a19_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("avg_v", ignorenulls=True).over(w).alias("value_ffill"),
         (F.col("n_readings") == 0).alias("filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A20 — seasonality profile: the hour-of-day × day-of-week load matrix
+# (readings, active vehicles, quality) that capacity planning and
+# anomaly-baseline models consume. One map-side-combined aggregate over
+# 7×24 groups at any corpus size; quality rides the exact integer sums.
+# ---------------------------------------------------------------------------
+@register(
+    "a20_seasonality_profile",
+    oracle=SENSOR_ORACLE_CTE
+    + f"""
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hod,
+       count(*) AS record_count,
+       count(DISTINCT vehicle_id) AS active_vehicles,
+       round(avg(quality_score), {_R}) AS avg_quality_score,
+       count(CASE WHEN anomaly_score > 0 THEN 1 END) AS anomaly_count
+FROM sensor_quality_checked
+GROUP BY 1, 2
+""",
+    doc="A20: hour-of-day × day-of-week seasonality profile",
+)
+def a20_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quality_checked(spark, sf_dir)
+    # day-of-week conventions differ: Spark dayofweek is 1=Sunday..7,
+    # DuckDB's is 0=Sunday..6 — the oracle shifts +1 to match Spark
+    return q.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count("*").alias("record_count"),
+        F.countDistinct("vehicle_id").alias("active_vehicles"),
+        fround(
+            F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1))), _R
+        ).alias("avg_quality_score"),
+        F.count(F.when(F.col("anomaly_score") > 0, 1)).alias("anomaly_count"),
+    )

@@ -159,22 +159,23 @@ _LOADED = False
 #   rollup), t12 (rarity quality score), m17 (alert incidents), dp5
 #   (sequence packing), s5 (SQ8 quantization audit), a19 (regular-grid
 #   resample + forward fill), u4 (snapshot diff), dq3 (referential
-#   integrity audit): added mid-round-4, never driver-checked — same
-#   never-faced-the-gate priority as the first group;
-# - the remaining 17 slots: the highest-risk stalest queries, r1/r2
+#   integrity audit), a20 (seasonality profile): added mid-round-4,
+#   never driver-checked — same never-faced-the-gate priority as the
+#   first group;
+# - the remaining 16 slots: the highest-risk stalest queries, r1/r2
 #   greens only — streaming st1/st2, the d3 anchor, t6 tf-idf,
-#   adv1/adv6, the nine r1-vintage joins, o4, m15.
-# Thirty-six queries don't fit the 50-slot window this round: ten
+#   adv1/adv6, the nine r1-vintage joins, m15.
+# Thirty-seven queries don't fit the 50-slot window this round: ten
 # point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
-# plus twenty-six deterministic count/hash/certificate queries deferred
+# plus twenty-seven deterministic count/hash/certificate queries deferred
 # to make room for the never-checked group (u1, u2, adv3, adv4, adv5,
 # adv6b, adv8, adv9, adv10, d1, d2, g1, g2, mm1, mm2, mm3, t1, t2, t3,
-# t4, t5, t7, w1, w2, w3, s1 — pure count/set/hash/sequence/decimal/
-# lag/ranked-tiebreak/fold-ordered arithmetic or always-TRUE certificate
-# columns, the lowest hash-mismatch-risk shapes in the registry). All
-# twenty-six plus the ten scans are r1/r2-green and re-verified on current
-# data by the local strict mirror (tests/test_oracle_parity.py, run
-# every round over ALL oracled queries) — they rotate into the r5
+# t4, t5, t7, w1, w2, w3, s1, o4 — pure count/set/hash/sequence/
+# decimal/lag/ranked-tiebreak/fold-ordered arithmetic or always-TRUE
+# certificate columns, the lowest hash-mismatch-risk shapes in the
+# registry). All thirty-seven are r1/r2-green and re-verified on
+# current data by the local strict mirror (tests/test_oracle_parity.py,
+# run every round over ALL oracled queries) — they rotate into the r5
 # window.
 # Everything r3-green (r3 ran on post-regeneration data) keeps its module
 # registration order after these.
@@ -215,6 +216,7 @@ _WINDOW_FIRST = [
     "a19_resample_ffill",
     "u4_snapshot_diff",
     "dq3_referential_audit",
+    "a20_seasonality_profile",
     # stalest greens (pre-regeneration r1/r2 rows only)
     "st1_streaming_microbatch_analytics",
     "st2_streaming_session_windows",
@@ -231,7 +233,6 @@ _WINDOW_FIRST = [
     "j15_top_supplier",
     "j18_large_orders",
     "j19_bracket_revenue",
-    "o4_anomaly_listing",
     "m15_alerts",
 ]
 
