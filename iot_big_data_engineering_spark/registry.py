@@ -74,7 +74,9 @@ def _rewrite_rounds(sql: str) -> str:
             # round(x) with no scale — leave untouched
             out.append(sql[j : k + 1])
         else:
-            expr = sql[start:last_comma]
+            # recurse: a round() nested INSIDE the expression must also
+            # rewrite, or it would stay engine-native on the DuckDB side
+            expr = _rewrite_rounds(sql[start:last_comma])
             n = int(sql[last_comma + 1 : k].strip())
             p = float(10**n)
             out.append(f"(floor(({expr}) * {p} + 0.5) / {p})")
