@@ -744,10 +744,21 @@ def st8_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # delta state only — one tiny row group per (batch, sensor_type)
-        _partial_state(batch_df).withColumn(
-            "epoch_id", F.lit(epoch_id)
-        ).write.mode("append").parquet(state_dir)
+        # delta state only — one tiny row group per (batch, sensor_type).
+        # EPOCH-KEYED DYNAMIC OVERWRITE, not append: foreachBatch is
+        # at-least-once (a crash between sink write and checkpoint commit
+        # replays the epoch), and an appended replay would double-count
+        # that batch's state forever. Overwriting exactly the epoch's own
+        # partition makes the sink replay-idempotent — the exactly-once
+        # recipe SCALE.md states for every foreachBatch sink here.
+        (
+            _partial_state(batch_df)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(state_dir)
+        )
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

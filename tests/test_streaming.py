@@ -328,3 +328,50 @@ def test_st7_is_a_true_stream_stream_join(spark):
     assert j.isStreaming
     plan = j._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan, plan
+
+
+def test_st8_state_sink_is_replay_idempotent(spark):
+    """foreachBatch is at-least-once: re-delivering an epoch must leave
+    the state store unchanged (epoch-keyed dynamic overwrite), where an
+    append sink would double-count the replayed delta."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.sketches import (
+        _partial_state,
+    )
+    from iot_big_data_engineering_spark.sources.sensor_view import (
+        quality_checked,
+    )
+
+    from .conftest import SF_SMOKE
+
+    state_dir = tempfile.mkdtemp(prefix="iotx_st8_replay_") + "/state"
+    batch = quality_checked(spark, SF_SMOKE).limit(500)
+
+    def write_epoch(df, epoch_id):
+        (
+            _partial_state(df)
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(state_dir)
+        )
+
+    write_epoch(batch, 0)
+    once = sorted(
+        (r.sensor_type, r.n) for r in spark.read.parquet(state_dir).collect()
+    )
+    write_epoch(batch, 0)  # replayed epoch
+    twice = sorted(
+        (r.sensor_type, r.n) for r in spark.read.parquet(state_dir).collect()
+    )
+    assert once == twice
+    # a genuinely NEW epoch still lands alongside
+    write_epoch(batch, 1)
+    n_epochs = (
+        spark.read.parquet(state_dir).select("epoch_id").distinct().count()
+    )
+    assert n_epochs == 2
