@@ -128,16 +128,33 @@ def run_microbatch_pipeline(
         spark, source_path, glob=glob, max_files_per_trigger=max_files_per_trigger
     )
 
+    def _epoch_write(df: DataFrame, epoch_id: int, path: str) -> None:
+        # foreachBatch is at-least-once: a crash between sink write and
+        # checkpoint commit replays the epoch. Appending a replay would
+        # duplicate its rows forever; dynamically overwriting exactly the
+        # epoch's own partition makes every sink replay-idempotent — the
+        # exactly-once recipe (checkpointed offsets + idempotent
+        # epoch-keyed sinks) SCALE.md states, now actually implemented.
+        (
+            df.withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(path)
+        )
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            batch_df.write.mode("append").parquet(quality_path)
-            batch_windowed_analytics(batch_df).withColumn(
-                "epoch_id", F.lit(epoch_id)
-            ).write.mode("append").parquet(analytics_path)
-            batch_df.filter(F.col("anomaly_score") > 0).write.mode(
-                "append"
-            ).parquet(anomalies_path)
+            _epoch_write(batch_df, epoch_id, quality_path)
+            _epoch_write(
+                batch_windowed_analytics(batch_df), epoch_id, analytics_path
+            )
+            _epoch_write(
+                batch_df.filter(F.col("anomaly_score") > 0),
+                epoch_id,
+                anomalies_path,
+            )
         finally:
             batch_df.unpersist()
 
