@@ -106,6 +106,10 @@ def main() -> None:
     from iot_big_data_engineering_spark.registry import queries
     from iot_big_data_engineering_spark.session import get_spark
 
+    try:
+        load_at_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_at_start = None
     spark = get_spark(app_name="bench")
     qs = queries()
 
@@ -173,10 +177,14 @@ def main() -> None:
     }
     detail = dict(out)
     # machine context: sustained background load inflates wall times ~1.5x
-    # (observed 45 s vs 67 s totals for identical code at loadavg 0.5 vs
-    # 4.4) — record it so cross-round deltas are interpretable
+    # (observed 45 s vs 67 s totals for identical code) — record it so
+    # cross-round deltas are interpretable. The START sample is the
+    # meaningful one (by the end, the 1-min average mostly measures the
+    # bench's own 32 threads).
+    if load_at_start is not None:
+        detail["loadavg_at_start"] = load_at_start
     try:
-        detail["loadavg_1m"] = round(os.getloadavg()[0], 2)
+        detail["loadavg_at_end"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
     prev_round, prev = _latest_prev_bench()
