@@ -146,14 +146,14 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
-        # a best sample still above 6 s is either a genuinely heavy query
-        # (no real query here measures above ~4.5 s quiet) or a sustained
+        # a best sample still above 4.5 s is either a genuinely heavy
+        # query (nothing here measures above ~3 s quiet) or a sustained
         # steal episode — spend up to two more samples before recording a
         # number that would read as an envelope breach (observed: d4
         # recorded 23.5 s across three contaminated samples, measures
         # ~3 s quiet)
         retries = 0
-        while min(samples) > 6.0 and retries < 2:
+        while min(samples) > 4.5 and retries < 2:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()

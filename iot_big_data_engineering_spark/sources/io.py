@@ -68,15 +68,17 @@ def write_partitioned(
     ``mode='overwrite'`` + dynamic partition overwrite, re-running a period
     replaces only that period's partitions — the idempotent batch sink
     (reference overwrote hand-built dated paths)."""
-    spark = df.sparkSession
-    if dynamic_overwrite:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
+    writer = (
         with_date_partitions(df, ts_col, granularity)
         .write.mode(mode)
         .partitionBy(*GRANULARITY_PARTS[granularity])
-        .parquet(path)
     )
+    if dynamic_overwrite:
+        # per-write option, NOT a session-conf mutation: a library call
+        # must not silently flip overwrite semantics for every later
+        # write in the session
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
 
 
 def read_partitioned(
