@@ -775,10 +775,11 @@ def dq2_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DQ3 — referential-integrity audit: orphan-key counts across the star
 # schema's foreign keys, the data-quality gate a pipeline runs before
 # trusting any join (an orphan rate > 0 silently drops rows from every
-# inner join downstream). Each relation is one LEFT ANTI join — the
-# cheapest possible shape: the dimension side reduces to its DISTINCT
-# key column before shuffling, and only keys move. Output is one row per
-# audited edge with total/orphan counts and the orphan share.
+# inner join downstream). Each relation is ONE left join against the
+# dimension's DISTINCT keys followed by ONE aggregate counting rows and
+# unmatched non-null keys together — only keys move, and every edge is a
+# single job (the anti-join + separate-counts form paid two). Output is
+# one row per audited edge with total/orphan counts and orphan share.
 # ---------------------------------------------------------------------------
 _DQ3_EDGES = [
     # (child table, child key, parent table, parent key)
@@ -813,24 +814,31 @@ SELECT '{c}.{ck} -> {p}.{pk}' AS edge,
 def dq3_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for c, ck, p, pk in _DQ3_EDGES:
-        child = load_table(spark, sf_dir, c)
-        parent_keys = load_table(spark, sf_dir, p).select(
-            F.col(pk).alias(ck)
-        ).distinct()
-        orphans = (
-            child.select(ck)
-            .filter(F.col(ck).isNotNull())
-            .join(parent_keys, ck, "left_anti")
+        child = load_table(spark, sf_dir, c).select(ck)
+        parent_keys = (
+            load_table(spark, sf_dir, p)
+            .select(F.col(pk).alias(ck))
+            .distinct()
+            .withColumn("_present", F.lit(1))
         )
-        row = child.agg(F.count("*").alias("child_rows")).join(
-            orphans.agg(F.count("*").alias("orphan_rows"))
-        ).select(
-            F.lit(f"{c}.{ck} -> {p}.{pk}").alias("edge"),
-            "child_rows",
-            "orphan_rows",
-            fround(
-                F.col("orphan_rows").cast("double") / F.col("child_rows"), _R
-            ).alias("orphan_share"),
+        # null child keys join to nothing but are NOT orphans — count
+        # only non-null unmatched keys
+        orphan = F.col(ck).isNotNull() & F.col("_present").isNull()
+        row = (
+            child.join(parent_keys, ck, "left")
+            .agg(
+                F.count("*").alias("child_rows"),
+                F.count(F.when(orphan, 1)).alias("orphan_rows"),
+            )
+            .select(
+                F.lit(f"{c}.{ck} -> {p}.{pk}").alias("edge"),
+                "child_rows",
+                "orphan_rows",
+                fround(
+                    F.col("orphan_rows").cast("double") / F.col("child_rows"),
+                    _R,
+                ).alias("orphan_share"),
+            )
         )
         out = row if out is None else out.unionByName(row)
     return out
