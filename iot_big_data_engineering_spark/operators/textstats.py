@@ -1058,7 +1058,10 @@ def t12_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _docs(spark, sf_dir).select(
         "doc_id", F.explode(X.tokens("text")).alias("token")
     )
-    tok = track(tok.persist())  # frequency build + join-back both read it
+    # deliberately NOT persisted: the exploded (doc_id, token) table is
+    # corpus_tokens-sized — caching it at 100 TB costs more than the
+    # map-side re-tokenization the second branch pays (both branches are
+    # narrow up to their own aggregates)
     freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
     total = tok.agg(F.count("*").alias("total"))
     rare = F.col("tf") * _RARE_PPM < F.col("total")
