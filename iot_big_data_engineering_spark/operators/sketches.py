@@ -199,3 +199,34 @@ def a18_sketch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
         )
     )
+
+
+def maintain_rollup_state(
+    spark: SparkSession,
+    state_path: str,
+    delta: DataFrame,
+    period_id: int,
+) -> DataFrame:
+    """The production maintenance step a17 demonstrates: fold ONE new
+    period's delta into a parquet-backed state table and return the
+    updated merged state.
+
+    Layout: state_path holds one partition per period (period_id=N) of
+    per-group partial states — the merge is re-derived from the partials
+    at read time (O(periods × groups) rows, metadata-sized), so the
+    write is a pure epoch-keyed dynamic overwrite: replaying a period
+    (at-least-once delivery, backfill re-run) overwrites exactly its own
+    partition and the merged result is unchanged — the same
+    replay-idempotence contract as the streaming sinks (st1/st8). A
+    compaction job may periodically merge old partitions into one; the
+    algebra is associative (tested), so compaction never changes the
+    merged value."""
+    (
+        _partial_state(delta)
+        .withColumn("period_id", F.lit(period_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("period_id")
+        .parquet(state_path)
+    )
+    return merge_states(spark.read.parquet(state_path).drop("period_id"))

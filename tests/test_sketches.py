@@ -76,3 +76,26 @@ def test_a17_a18_certificates_hold(spark):
     assert len(totals) == 1
     per_type = [r for r in rows if r["sensor_type"] is not None]
     assert totals[0]["record_count"] == sum(r["record_count"] for r in per_type)
+
+
+def test_maintain_rollup_state_accumulates_and_is_replay_idempotent(
+    spark, tmp_path
+):
+    """Path-backed maintenance: feeding three disjoint periods must merge
+    to the single-shot state, and replaying a period must change
+    nothing."""
+    import iot_big_data_engineering_spark.operators.sketches as sk
+
+    q = quality_checked(spark, SF_SMOKE)
+    parts = [
+        q.filter(F.pmod(F.xxhash64("sensor_id", "ts"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    path = str(tmp_path / "state")
+    for i, p in enumerate(parts):
+        merged = sk.maintain_rollup_state(spark, path, p, period_id=i)
+    direct = _finalized(sk._partial_state(q))
+    assert _finalized(merged) == direct
+    # replay period 1: state must be unchanged
+    replayed = sk.maintain_rollup_state(spark, path, parts[1], period_id=1)
+    assert _finalized(replayed) == direct
