@@ -96,6 +96,7 @@ HEADLINE = [
     "u4_snapshot_diff",
     "dq3_referential_audit",
     "a20_seasonality_profile",
+    "s6_knn_ivf_sq8",
 ]
 
 

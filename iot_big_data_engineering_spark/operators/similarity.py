@@ -26,6 +26,13 @@ training-data pipeline extension (BASELINE.json north star).
       data-blind buckets (lower recall per probe than IVF at equal read
       volume). Registered as a planted-duplicate certificate like s2
       (oracle-checked); raw top-k via lsh_search.
+- s4: per-label centroid + dispersion rollup (exact DECIMAL sums).
+- s5: SQ8 scalar-quantization calibration + worst-case reconstruction
+      error audit (full-value oracle).
+- s6: IVF-SQ8 composed stack — the s2 coarse index searched over s5's
+      quantized codes (planted-duplicate certificate).
+- d9: SemDeDup — within-cell embedding dedup on the IVF cells
+      (planted-copy removal certificate).
 - numpy_topk: Arrow-batched mapInPandas matmul kernel, the vectorized
       form when Python-side scoring is unavoidable; tests assert it agrees
       exactly with s1.
@@ -834,3 +841,64 @@ def s5_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_abs_err",
         "within_half_step",
     )
+
+
+# ---------------------------------------------------------------------------
+# S6 — quantized ANN: the s2 IVF coarse index searched over s5's SQ8
+# CODES instead of raw vectors — the composed production stack (faiss
+# IVF-SQ8): the corpus is stored as cell-partitioned int8 codes (4-8×
+# smaller scans), probes rerank against DEQUANTIZED vectors. Quantization
+# perturbs every cosine by ≤ the per-dim half-step, so exact-duplicate
+# retrieval must survive it — which is precisely what the planted
+# certificate asserts: an exact copy quantizes to the identical codes,
+# lands in the identical argmax cell, and reranks at (quantized) cosine
+# ~1.0, deterministically ahead of unrelated vectors.
+#
+# Plan shape = s2's with one extra map-side stage: codes are computed
+# from the broadcast per-dim calibration (fixed |dims|-row table), and
+# dequantization happens inside the candidate scan — nothing new
+# shuffles. At 100 TB the stored table is (vec_id, cell, codes int8[]).
+# ---------------------------------------------------------------------------
+def quantize_vectors(e: DataFrame) -> DataFrame:
+    """(vec_id, v, …) → (vec_id, …, dv): per-dim SQ8 round-trip
+    (quantize to the 0..255 grid, dequantize back) against corpus min/max
+    calibration. ``dv`` is what an IVF-SQ8 index actually scores."""
+    cal = (
+        e.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("dmin"), F.max("x").alias("dmax"))
+        .orderBy("pos")
+    )
+    rows = cal.collect()  # |dims| rows — bounded
+    dmin = [r.dmin for r in rows]
+    dstep = [
+        (r.dmax - r.dmin) / _SQ_LEVELS if r.dmax != r.dmin else 0.0
+        for r in rows
+    ]
+    mins = F.array(*[F.lit(m) for m in dmin])
+    steps = F.array(*[F.lit(s) for s in dstep])
+    # codes = floor((x-min)/step + .5); dequant = min + code*step — same
+    # floor-based grid as s5 (cross-engine-stable, certificate-exact)
+    dv = F.zip_with(
+        F.zip_with(F.col("v"), mins, lambda x, m: x - m),
+        steps,
+        lambda xm, s: F.when(s == 0.0, xm * 0.0).otherwise(
+            F.floor(xm / s + 0.5) * s
+        ),
+    )
+    return e.withColumn(
+        "dv", F.zip_with(dv, mins, lambda q, m: q + m)
+    )
+
+
+@register(
+    "s6_knn_ivf_sq8",
+    oracle=_ANN_CERT_ORACLE,
+    doc="S6: IVF-SQ8 ANN — planted-duplicate certificate over the quantized stack",
+)
+def s6_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, q = _corpus_queries_planted(spark, sf_dir)
+    quant = quantize_vectors(corpus).select(
+        "vec_id", F.col("dv").alias("v")
+    )
+    return _certify_planted(ivf_topk(quant, q), q)
