@@ -290,3 +290,62 @@ def parquet_file_stats(path: str, column: str) -> list[tuple]:
         if mins:
             stats.append((fname, min(mins), max(maxs)))
     return stats
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered layout — multi-dimensional file skipping.
+# write_compacted clusters on ONE key; a 100 TB table queried by several
+# dimensions (vehicle AND time, customer AND value) needs min/max stats
+# tight on ALL of them simultaneously. Interleaving the bits of the
+# rank-scaled dimensions (Morton/Z-value) and range-clustering on that
+# single derived key keeps every file's bounding box small in every
+# dimension — the standard lakehouse Z-ORDER, built here from public
+# Spark primitives only (min/max calibration + codegen'd bit mixing +
+# repartitionByRange).
+# ---------------------------------------------------------------------------
+def zorder_value(scaled_cols: list, bits: int = 16):
+    """Morton interleave of pre-scaled non-negative int columns (each in
+    [0, 2^bits)): bit i of column j lands at position i*ncols + j."""
+    ncols = len(scaled_cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(scaled_cols):
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
+                i * ncols + j,
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int, bits: int = 16
+) -> None:
+    """Write df as n_files parquet files range-clustered on the Z-value
+    of ``cols``. Each column is min/max-scaled to ``bits`` bits from a
+    one-pass calibration aggregate (numeric/timestamp columns; casts via
+    long). Query-time benefit needs no reader support — parquet min/max
+    stats on the ORIGINAL columns are what prune, and Z-clustering is
+    what makes those stats tight per file in every listed dimension."""
+    aggs = []
+    for c in cols:
+        lc = F.col(c).cast("long")
+        aggs += [F.min(lc).alias(f"_min_{c}"), F.max(lc).alias(f"_max_{c}")]
+    cal = df.agg(*aggs).first()
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = cal[f"_min_{c}"], cal[f"_max_{c}"]
+        span = max(int(hi) - int(lo), 1)
+        scaled.append(
+            ((F.col(c).cast("long") - F.lit(int(lo))) * top / F.lit(span)).cast(
+                "long"
+            )
+        )
+    out = df.withColumn("_z", zorder_value(scaled, bits))
+    (
+        out.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
