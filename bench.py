@@ -97,6 +97,7 @@ HEADLINE = [
     "dq3_referential_audit",
     "a20_seasonality_profile",
     "s6_knn_ivf_sq8",
+    "adv12_robust_outliers",
 ]
 
 

@@ -842,3 +842,76 @@ def dq3_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ADV12 — robust outlier profile: median/MAD per group, the
+# outlier gate that mean/stddev z-scores cannot provide on heavy-tailed
+# telemetry (one hot vehicle shifts a mean; it cannot shift a median).
+# Three passes over the fact — median, MAD, then the count of rows
+# beyond 3·MAD — each a map-side-combinable aggregate, with the tiny
+# per-group statistics (bounded event_type enum) broadcast back between
+# passes; deliberately NOT a per-group window, which would sort each
+# group in a single task at 100 TB.
+# ---------------------------------------------------------------------------
+_ADV12_K = 3.0
+
+
+@register(
+    "adv12_robust_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(e.value - med.m), 0.5) AS mad,
+         min(med.m) AS m
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       round(mad.m, {_R}) AS median_value,
+       round(mad.mad, {_R}) AS mad,
+       count(*) AS n,
+       count(CASE WHEN abs(e.value - mad.m) > {_ADV12_K} * mad.mad
+             THEN 1 END) AS n_outliers,
+       round(count(CASE WHEN abs(e.value - mad.m) > {_ADV12_K} * mad.mad
+                   THEN 1 END) / CAST(count(*) AS DOUBLE), {_R})
+         AS outlier_share
+FROM events e JOIN mad USING (event_type)
+GROUP BY e.event_type, mad.m, mad.mad
+""",
+    doc="ADV12: median/MAD robust outlier profile per event type",
+)
+def adv12_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("m"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")  # |event types| rows
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("m")), 0.5).alias("mad"),
+            F.min("m").alias("m"),
+        )
+    )
+    far = F.abs(F.col("value") - F.col("m")) > _ADV12_K * F.col("mad")
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "m", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(far, 1)).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            fround("m", _R).alias("median_value"),
+            fround("mad", _R).alias("mad"),
+            "n",
+            "n_outliers",
+            fround(
+                F.col("n_outliers").cast("double") / F.col("n"), _R
+            ).alias("outlier_share"),
+        )
+    )

@@ -179,11 +179,12 @@ _LOADED = False
 # current data by the local strict mirror (tests/test_oracle_parity.py,
 # run every round over ALL oracled queries) — they rotate into the r5
 # window.
-# s6 (IVF-SQ8, added late in r4) stays OUT of the window deliberately:
-# its certificate's failure modes are a strict subset of s2's + s5's
-# (both in-window), so a slot spent on it re-verifies nothing new — it
-# leads the r5 never-checked rotation instead (mirror-green on current
-# data).
+# s6 (IVF-SQ8) and adv12 (median/MAD outliers), added late in r4, stay
+# OUT of the window deliberately: s6's certificate failure modes are a
+# strict subset of s2's + s5's, and adv12's cross-engine risk (percentile
+# interpolation) is exactly adv6's — all in-window — so a slot spent on
+# either re-verifies nothing new; both lead the r5 never-checked
+# rotation instead (mirror-green on current data).
 # Everything r3-green (r3 ran on post-regeneration data) keeps its module
 # registration order after these.
 _WINDOW_FIRST = [
