@@ -98,6 +98,7 @@ HEADLINE = [
     "a20_seasonality_profile",
     "s6_knn_ivf_sq8",
     "adv12_robust_outliers",
+    "t13_vocab_growth",
 ]
 
 

@@ -1180,3 +1180,58 @@ def dp5_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("filled_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T13 — vocabulary growth curve (Heaps'-law measurement): distinct-token
+# count as a function of corpus position, the diagnostic that predicts
+# vocabulary (and embedding-table / index) size before scaling a corpus
+# 100×. Naively this is one DISTINCT per checkpoint (N passes); the
+# one-pass form used here: each token's FIRST occurrence position
+# (min doc_id — one map-side-combinable aggregate over exploded tokens),
+# bucketed by log2 of that position (growth concentrates at the front —
+# a closed vocabulary saturates within the first docs, and geometric
+# checkpoints resolve exactly that region), then a ~log2(n_docs)-row
+# running sum — cumulative vocabulary at checkpoint b ≡ tokens first
+# seen at doc < 2^(b+1). Exact, one scan, O(vocab) shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "t13_vocab_growth",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({X.sql_tokens("text")}) AS token FROM documents
+),
+first_seen AS (
+  SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token
+),
+bucketed AS (
+  SELECT CAST(floor(log2(first_doc + 1)) AS INTEGER) AS checkpoint,
+         count(*) AS new_tokens
+  FROM first_seen
+  GROUP BY 1
+)
+SELECT checkpoint, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY checkpoint
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_vocab
+FROM bucketed
+""",
+    doc="T13: Heaps'-law vocabulary growth via first-occurrence bucketing",
+)
+def t13_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    first_seen = (
+        d.select("doc_id", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bucketed = first_seen.groupBy(
+        F.floor(F.log2(F.col("first_doc") + 1)).cast("int").alias("checkpoint")
+    ).agg(F.count("*").alias("new_tokens"))
+    # the running sum spans ~log2(n_docs) rows — a single-task window is
+    # CORRECT here (the input is metadata-sized by construction)
+    w = Window.orderBy("checkpoint").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.withColumn(
+        "cumulative_vocab", F.sum("new_tokens").over(w).cast("bigint")
+    )
