@@ -813,3 +813,99 @@ def st8_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming query #9: m17's streaming twin — alert-incident
+# grouping as watermarked SESSION WINDOWS over the anomaly subset.
+# Consecutive anomalies per (vehicle, sensor_type) within the 60-min
+# cooldown gap collapse into one incident whose state finalizes (and
+# evicts) once the watermark passes its end — the alert storm is
+# suppressed IN FLIGHT, not in a nightly batch. The anomaly filter runs
+# before the stateful operator, so session state is alert-rate-sized.
+# Oracle = the m17 gap-sessionization SQL with streaming semantics
+# mirrored exactly (split on diff >= gap — Spark sessions are half-open;
+# emit only sessions the final watermark closed), the st2 pattern — with
+# one filter-specific subtlety: the anomaly filter runs BEFORE
+# withWatermark, so the watermark advances on anomaly event times only,
+# and the oracle's closure bound is max(anomaly ts), not max(ts).
+# ---------------------------------------------------------------------------
+_ST9_GAP_MIN = 60
+_ST9_WM_MIN = 30
+
+_ST9_ORACLE = (
+    SENSOR_ORACLE_CTE
+    + f"""
+, a AS (
+  SELECT vehicle_id, sensor_type, ts, anomaly_score
+  FROM sensor_quality_checked WHERE anomaly_score > 0
+),
+x AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL {_ST9_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM a
+  WINDOW w AS (PARTITION BY vehicle_id, sensor_type ORDER BY ts)
+),
+g AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY vehicle_id, sensor_type
+    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+sess AS (
+  SELECT vehicle_id, sensor_type,
+         min(ts) AS incident_start,
+         max(ts) + INTERVAL {_ST9_GAP_MIN} MINUTE AS incident_end,
+         count(*) AS n_alerts,
+         round(max(anomaly_score), 6) AS max_anomaly_score
+  FROM g GROUP BY vehicle_id, sensor_type, sid
+)
+SELECT vehicle_id, sensor_type, incident_start, incident_end,
+       n_alerts, max_anomaly_score
+FROM sess
+WHERE incident_end <= (SELECT max(ts) - INTERVAL {_ST9_WM_MIN} MINUTE
+                       FROM a)
+"""
+)
+
+
+@register(
+    "st9_streaming_alert_incidents",
+    oracle=_ST9_ORACLE,
+    doc="§2.7/m17: in-flight alert-incident grouping via session windows",
+)
+def st9_streaming_alert_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    name = f"st9_out_{uuid.uuid4().hex[:8]}"
+    stream = sensor_stream(spark, sf_dir).filter(F.col("anomaly_score") > 0)
+    agg = (
+        stream.withWatermark("ts", f"{_ST9_WM_MIN} minutes")
+        .groupBy(
+            F.session_window("ts", f"{_ST9_GAP_MIN} minutes").alias("sw"),
+            "vehicle_id",
+            "sensor_type",
+        )
+        .agg(
+            F.count("*").alias("n_alerts"),
+            fround(F.max("anomaly_score"), 6).alias("max_anomaly_score"),
+        )
+        .select(
+            "vehicle_id",
+            "sensor_type",
+            F.col("sw.start").alias("incident_start"),
+            F.col("sw.end").alias("incident_end"),
+            "n_alerts",
+            "max_anomaly_score",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
