@@ -1235,3 +1235,134 @@ def t13_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.withColumn(
         "cumulative_vocab", F.sum("new_tokens").over(w).cast("bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# DP7 — build training shards END TO END: the full corpus-preparation
+# pipeline as ONE declarative plan. dp2's cleaning chain (near-dup
+# canonical filter via prefix-join edges + connected components, quality
+# + length gates, exact dedup) selects the surviving documents; dp5's
+# concat-and-chunk packing lays exactly those survivors out as fixed
+# 2048-token sequences. This is the composition a training run actually
+# executes — and because every stage is a DataFrame transform, Catalyst
+# sees the WHOLE pipeline (one optimization boundary, no materialized
+# handoffs except the CC iteration's checkpoints).
+# ---------------------------------------------------------------------------
+@register(
+    "dp7_training_shards",
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+shs AS (SELECT doc_id, {X.sql_shingles_from_tokens("toks", 3)} AS sh FROM tok),
+szs AS (SELECT doc_id, sh, len(sh) AS sz FROM shs WHERE len(sh) > 0),
+exs AS (SELECT doc_id, sz, unnest(sh) AS s FROM szs),
+co AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         a.sz AS sz_a, b.sz AS sz_b, count(*) AS o
+  FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+edges AS (
+  SELECT src, dst FROM co
+  WHERE CAST(o AS DOUBLE) / (sz_a + sz_b - o) >= 0.5
+),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+reach AS (
+  SELECT a AS node, b AS peer FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.peer = s.a
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min(peer)) AS cluster_id
+  FROM reach GROUP BY node
+),
+survivors AS (
+  SELECT d.* FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+),
+scored AS (
+  SELECT doc_id, lang, text,
+         {X.sql_token_count("text")} AS token_count,
+         {X.sql_quality_score("text")} AS q
+  FROM survivors
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE token_count >= {_DP1_MIN_TOKENS} AND q >= {_DP1_MIN_QUALITY}
+),
+kept AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+d5 AS (
+  SELECT doc_id, lang, {X.sql_bpe_token_count("text")} AS tok
+  FROM kept WHERE {X.sql_bpe_token_count("text")} > 0
+),
+placed AS (
+  SELECT doc_id, lang, tok,
+         CAST(sum(tok) OVER w - tok AS BIGINT) AS start_tok
+  FROM d5
+  WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+),
+spans AS (
+  SELECT lang, doc_id, tok, start_tok,
+         start_tok // {_DP5_SEQ_TOKENS} AS first_seq,
+         (start_tok + tok - 1) // {_DP5_SEQ_TOKENS} AS last_seq
+  FROM placed
+),
+x AS (
+  SELECT lang, doc_id, tok, start_tok, first_seq,
+         unnest(generate_series(first_seq, last_seq)) AS seq_id
+  FROM spans
+)
+SELECT lang, seq_id,
+       count(*) AS n_docs,
+       count(CASE WHEN first_seq = seq_id THEN 1 END) AS n_starts,
+       CAST(sum(least(start_tok + tok, (seq_id + 1) * {_DP5_SEQ_TOKENS})
+                - greatest(start_tok, seq_id * {_DP5_SEQ_TOKENS})) AS BIGINT)
+         AS filled_tokens
+FROM x
+GROUP BY lang, seq_id
+""",
+    doc="DP7: cleaned-corpus training shards — dp2 cleaning composed with dp5 packing",
+)
+def dp7_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.prefix import exclusive_prefix_sum
+
+    B = _DP5_SEQ_TOKENS
+    kept = dp2_corpus_clean_neardup(spark, sf_dir).select("doc_id")
+    d = (
+        _docs(spark, sf_dir)
+        .join(kept, "doc_id")
+        .select("doc_id", "lang", X.bpe_token_count("text").alias("tok"))
+        .filter(F.col("tok") > 0)
+    )
+    placed = exclusive_prefix_sum(
+        d, group_col="lang", order_col="doc_id", value_col="tok",
+        out_col="start_tok",
+    )
+    end_tok = F.col("start_tok") + F.col("tok")
+    spans = placed.withColumn(
+        "first_seq", F.floor(F.col("start_tok") / B)
+    ).withColumn("last_seq", F.floor((end_tok - 1) / B))
+    x = spans.withColumn(
+        "seq_id", F.explode(F.sequence("first_seq", "last_seq"))
+    )
+    seq_lo = F.col("seq_id") * B
+    seq_hi = (F.col("seq_id") + 1) * B
+    return x.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("first_seq") == F.col("seq_id"), 1)).alias(
+            "n_starts"
+        ),
+        F.sum(
+            F.least(F.col("start_tok") + F.col("tok"), seq_hi)
+            - F.greatest(F.col("start_tok"), seq_lo)
+        )
+        .cast("bigint")
+        .alias("filled_tokens"),
+    )

@@ -182,11 +182,11 @@ _LOADED = False
 # s6 (IVF-SQ8) and adv12 (median/MAD outliers), added late in r4, stay
 # OUT of the window deliberately: s6's certificate failure modes are a
 # strict subset of s2's + s5's, adv12's cross-engine risk (percentile
-# interpolation) is exactly adv6's, t13 is pure count arithmetic, and
-# st9's session-window closure semantics are exactly st2's — all covered
-# by in-window risk twins — so a slot spent on any of them re-verifies
-# nothing new; they lead the r5 never-checked rotation instead
-# (mirror-green on current data).
+# interpolation) is exactly adv6's, t13 is pure count arithmetic, st9's
+# session-window closure semantics are exactly st2's, and dp7 composes
+# dp2 + dp5 (both in-window) — all covered by in-window risk twins — so
+# a slot spent on any of them re-verifies nothing new; they lead the r5
+# never-checked rotation instead (mirror-green on current data).
 # Everything r3-green (r3 ran on post-regeneration data) keeps its module
 # registration order after these.
 _WINDOW_FIRST = [
