@@ -165,20 +165,24 @@ def main() -> None:
         times[name] = round(min(samples), 3)
 
     total = round(sum(times.values()), 3)
-    # stdout carries ONLY the contract fields, compact-separated: the
-    # driver keeps a bounded tail of stdout and parses the JSON line from
-    # it — r3's line (deltas + env notes inline) overflowed that capture
-    # and BENCH_r03.json landed with parsed:null. Everything beyond the
-    # contract goes to BENCH_DETAIL.json next to this script instead.
+    # stdout carries ONLY the contract fields plus the 10 slowest queries,
+    # compact-separated: the driver keeps a ~2 KB tail of stdout and parses
+    # the JSON line from it — the full 74-query map (~2.8 KB) overflowed
+    # that capture in r3 AND r4 and both BENCH files landed with
+    # parsed:null. The complete per-query map goes to BENCH_DETAIL.json
+    # next to this script instead.
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": slowest,
+        "n_queries": len(times),
         "sf": sf,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     detail = dict(out)
+    detail["queries"] = times  # full map — detail file only
     # machine context: sustained background load inflates wall times ~1.5x
     # (observed 45 s vs 67 s totals for identical code) — record it so
     # cross-round deltas are interpretable. The START sample is the
@@ -207,30 +211,41 @@ def main() -> None:
 
 
 def _latest_prev_bench():
-    """Newest BENCH_r{N}.json next to this script → (N, parsed) or (None,
+    """Previous round's full per-query map → (round_n, data) or (None,
     None). Lets each round's report carry per-query regressions vs the
-    previous round mechanically."""
+    previous round mechanically. The committed BENCH_DETAIL.json (read
+    BEFORE this run overwrites it) is the primary source — since r5 the
+    stdout line, and therefore BENCH_r{N}.json's parsed map, carries only
+    the slowest queries. Falls back to the newest parseable BENCH_r*.json."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best = None, None
+    best_n = None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
-            continue
-        n = int(m.group(1))
-        if best_n is None or n > best_n:
-            try:
-                with open(path) as f:
-                    data = json.load(f)
-            except (OSError, ValueError):
-                continue
-            # the driver wraps our JSON line under "parsed"
-            if "queries" not in data and isinstance(data.get("parsed"), dict):
-                data = data["parsed"]
-            best_n, best = n, data
-    return best_n, best
+        if m and (best_n is None or int(m.group(1)) > best_n):
+            best_n = int(m.group(1))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            detail = json.load(f)
+        if isinstance(detail.get("queries"), dict) and detail["queries"]:
+            return best_n, detail
+    except (OSError, ValueError):
+        pass
+    if best_n is None:
+        return None, None
+    try:
+        with open(os.path.join(here, f"BENCH_r{best_n:02d}.json")) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return best_n, None
+    # the driver wraps our JSON line under "parsed"
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    if not isinstance(data.get("queries"), dict):
+        return best_n, None
+    return best_n, data
 
 
 if __name__ == "__main__":

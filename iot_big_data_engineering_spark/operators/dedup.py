@@ -358,20 +358,37 @@ ORDER BY doc_id
     doc="D4: MinHash(32)+LSH(8×4) planted-duplicate certificate",
 )
 def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same pipeline stages as minhash_lsh_pairs (signatures → banding →
+    # bucket join → exact-Jaccard verify), inlined so the certificate can
+    # (a) derive the ELIGIBILITY set from the persisted signature table —
+    # a planted copy signed ⟺ its (text-identical) original passed the
+    # >=3-token shingle gate — instead of re-running tokenize over raw
+    # text, and (b) skip minhash_lsh_pairs' global orderBy: the
+    # certificate consumes the verified PAIR SET, not a similarity
+    # ranking, so sorting every pair before the jaccard==1.0 filter was
+    # pure shuffle waste.
     d = _docs_par(spark, sf_dir)
-    pairs = minhash_lsh_pairs(_plant_copies(d))
-    eligible = (
-        d.filter(F.col("doc_id") < _N_PLANT)
-        .filter(F.size(X.tokens("text")) >= 3)
-        .select("doc_id")
+    sigs = track(minhash_signatures(_plant_copies(d)).persist())
+    cands = lsh_candidate_pairs(sigs)
+    sh = sigs.select("doc_id", "sh")
+    verified = cands.join(
+        sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
+        "doc_a",
+    ).join(
+        sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
+        "doc_b",
     )
-    return _certify_planted_pairs(
-        # require full similarity, not just presence: an exact copy that
-        # came back with jaccard < 1 would certify a verify-stage bug
-        pairs.filter(F.col("jaccard") == 1.0),
-        eligible,
-        "planted_dup_found",
-    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = verified.select(
+        "doc_a",
+        "doc_b",
+        fround(inter.cast("double") / union, _R).alias("jaccard"),
+    # require full similarity, not just presence: an exact copy that
+    # came back with jaccard < 1 would certify a verify-stage bug
+    ).filter(F.col("jaccard") == 1.0)
+    eligible = sigs.filter(F.col("doc_id") < _N_PLANT).select("doc_id")
+    return _certify_planted_pairs(pairs, eligible, "planted_dup_found")
 
 
 # ---------------------------------------------------------------------------

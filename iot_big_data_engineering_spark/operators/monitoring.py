@@ -464,9 +464,15 @@ def m17_alert_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = quality_checked(spark, sf_dir).filter(F.col("anomaly_score") > 0)
     w = Window.partitionBy("vehicle_id", "sensor_type").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # compare full-precision timestamps, exactly as the oracle's
+    # `ts - lag(ts) > INTERVAL 60 MINUTE` does — cast('long') truncates
+    # sub-second fractions and a 3600.5 s gap would split here but not
+    # there, a latent cross-engine hash mismatch on fractional data
+    prev_ts = F.lag("ts").over(w)
     is_new = F.when(
-        F.lag("ts").over(w).isNull() | (gap > _M17_GAP_MIN * 60), 1
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr(f"INTERVAL {_M17_GAP_MIN} MINUTES")),
+        1,
     ).otherwise(0)
     s = a.withColumn("is_new", is_new).withColumn(
         "incident_id",

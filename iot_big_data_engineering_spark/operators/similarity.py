@@ -897,8 +897,17 @@ def quantize_vectors(e: DataFrame) -> DataFrame:
     doc="S6: IVF-SQ8 ANN — planted-duplicate certificate over the quantized stack",
 )
 def s6_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus, q = _corpus_queries_planted(spark, sf_dir)
+    corpus, _ = _corpus_queries_planted(spark, sf_dir)
     quant = quantize_vectors(corpus).select(
         "vec_id", F.col("dv").alias("v")
+    )
+    # the QUERY vectors go through the same quantization (they are corpus
+    # rows of the quantized table, so query qv == planted dv bit-for-bit):
+    # probe cells ranked from the raw vector could, near a Voronoi
+    # boundary, exclude the cell the quantized copy was assigned to —
+    # with identical vectors the copy's argmax cell IS the top-1 probe,
+    # restoring the structural s2-style guarantee
+    q = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return _certify_planted(ivf_topk(quant, q), q)

@@ -305,8 +305,18 @@ def parquet_file_stats(path: str, column: str) -> list[tuple]:
 # ---------------------------------------------------------------------------
 def zorder_value(scaled_cols: list, bits: int = 16):
     """Morton interleave of pre-scaled non-negative int columns (each in
-    [0, 2^bits)): bit i of column j lands at position i*ncols + j."""
+    [0, 2^bits)): bit i of column j lands at position i*ncols + j.
+
+    ncols*bits must stay within the 63 value bits of a long — one bit
+    higher lands on the sign bit, flipping affected Z-values negative and
+    silently inverting the repartitionByRange clustering."""
     ncols = len(scaled_cols)
+    if ncols * bits > 63:
+        raise ValueError(
+            f"zorder_value: {ncols} cols x {bits} bits = {ncols * bits} "
+            "interleaved bits exceeds the 63 usable bits of a long; "
+            "lower bits (write_zordered auto-shrinks to 63 // ncols)"
+        )
     z = F.lit(0).cast("long")
     for j, c in enumerate(scaled_cols):
         for i in range(bits):
@@ -326,6 +336,10 @@ def write_zordered(
     long). Query-time benefit needs no reader support — parquet min/max
     stats on the ORIGINAL columns are what prune, and Z-clustering is
     what makes those stats tight per file in every listed dimension."""
+    # more dimensions than value bits allow at the requested depth →
+    # shrink depth rather than overflow into the sign bit (the clustering
+    # granularity drops, the property survives)
+    bits = min(bits, 63 // max(len(cols), 1))
     aggs = []
     for c in cols:
         lc = F.col(c).cast("long")
@@ -336,10 +350,15 @@ def write_zordered(
     for c in cols:
         lo, hi = cal[f"_min_{c}"], cal[f"_max_{c}"]
         span = max(int(hi) - int(lo), 1)
+        # scale in DOUBLE: (col-lo)*top in long arithmetic overflows int64
+        # for spans past ~2^47 (epoch-nanos, synthetic bigints) — double
+        # loses low-order bits instead, harmless at a <=63-bit target grid
         scaled.append(
-            ((F.col(c).cast("long") - F.lit(int(lo))) * top / F.lit(span)).cast(
-                "long"
-            )
+            (
+                (F.col(c).cast("long") - F.lit(int(lo))).cast("double")
+                * top
+                / F.lit(span)
+            ).cast("long")
         )
     out = df.withColumn("_z", zorder_value(scaled, bits))
     (

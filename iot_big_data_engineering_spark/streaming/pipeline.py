@@ -723,12 +723,17 @@ def st7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # raw data per run, SensorDataAnalytics.scala:40-44).
 #
 # Unlike st1-st7 (single-file bounded streams pinned to ONE micro-batch),
-# st8 deliberately splits the input into several files and streams them
-# maxFilesPerTrigger=1, then ASSERTS >= 2 data batches — so the driver's
-# hash row certifies the cross-batch merge path, not a degenerate
-# single-batch run. Oracle = the full recompute (A17's), so any
-# double-count / dropped-group / sketch-union regression across batch
-# boundaries fails the gate.
+# st8 deliberately splits the input into several files — one per
+# DETERMINISTIC key slice (pmod(xxhash64(event_id), N), so every
+# slice is non-empty on any non-degenerate corpus, unlike repartition(N)
+# whose round-robin makes no emptiness promise on tiny inputs) — and
+# streams them maxFilesPerTrigger=1, then RAISES unless >= 2 data batches
+# ran (RuntimeError, not assert: `python -O` strips asserts and a
+# single-batch run would silently certify). So the driver's hash row
+# certifies the cross-batch merge path, not a degenerate single-batch
+# run. Oracle = the full recompute (A17's), so any double-count /
+# dropped-group / sketch-union regression across batch boundaries fails
+# the gate.
 # ---------------------------------------------------------------------------
 from ..operators.sketches import (  # noqa: E402
     A17_ORACLE,
@@ -747,15 +752,20 @@ _ST8_N_SPLITS = 3
     doc="§2.7/A17: foreachBatch incremental rollup — per-batch delta states merged ≡ full recompute",
 )
 def st8_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="iotx_st8_")
     in_dir = os.path.join(tmp, "in")
     state_dir = os.path.join(tmp, "state")
-    # split the bounded input into N files → N micro-batches at
-    # maxFilesPerTrigger=1 (ts round-trips through the rewrite unchanged:
-    # the stream reader re-normalizes from the actual footer type)
-    load_table(spark, sf_dir, "events").repartition(_ST8_N_SPLITS).write.parquet(
-        in_dir
-    )
+    # split the bounded input into N single-file key slices → N
+    # micro-batches at maxFilesPerTrigger=1 (ts round-trips through the
+    # rewrite unchanged: the stream reader re-normalizes from the actual
+    # footer type). Slicing on a hash of the raw event_id is deterministic
+    # and spreads any real corpus across all N slices.
+    ev = load_table(spark, sf_dir, "events")
+    slice_of = F.pmod(F.xxhash64("event_id"), F.lit(_ST8_N_SPLITS))
+    for i in range(_ST8_N_SPLITS):
+        ev.filter(slice_of == i).coalesce(1).write.mode("append").parquet(in_dir)
     stream = sensor_stream(
         spark, in_dir, glob="*.parquet", max_files_per_trigger=1
     )
@@ -785,10 +795,11 @@ def st8_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     )
     q.awaitTermination()
     data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
-    assert len(data_batches) >= 2, (
-        f"st8 needs >=2 data micro-batches to certify the cross-batch "
-        f"merge; got {len(data_batches)}"
-    )
+    if len(data_batches) < 2:  # RuntimeError, not assert: -O strips asserts
+        raise RuntimeError(
+            f"st8 needs >=2 data micro-batches to certify the cross-batch "
+            f"merge; got {len(data_batches)}"
+        )
 
     merged = merge_states(spark.read.parquet(state_dir).drop("epoch_id"))
     exact = (
@@ -797,7 +808,7 @@ def st8_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.countDistinct("vehicle_id").alias("exact_veh"))
     )
     est = F.hll_sketch_estimate("veh_sketch")
-    return (
+    result = (
         merged.join(exact, "sensor_type")
         .select(
             "sensor_type",
@@ -813,6 +824,12 @@ def st8_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
         )
     )
+    # |sensor_type| rows — bounded; materialize so the scratch dirs (input
+    # slices, state partitions, checkpoint) can be deleted instead of
+    # leaking one mkdtemp per run
+    rows = result.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
 
 
 # ---------------------------------------------------------------------------
