@@ -314,9 +314,27 @@ def ivf_topk(
 # collision proofs) in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 _PLANT_OFFSET = 10_000_000  # far above any real vec_id at any SF
+_PERTURB_OFFSET = 2 * _PLANT_OFFSET  # near-copies for the recall column
 
+# s6 (quantized stack) keeps the exact-copy-only certificate
 _ANN_CERT_ORACLE = f"""
 SELECT vec_id AS query_id, TRUE AS planted_dup_found
+FROM embeddings WHERE vec_id < {N_QUERIES}
+ORDER BY query_id
+"""
+
+# s2/s3 additionally hash the APPROXIMATE-recall guarantee: planted
+# near-copies (deterministic perturbation, cosine ≈ 0.9997 — the same
+# scheme tests/test_similarity.py property-tests) must be retrieved at
+# ≥ the stated recall. Unlike the exact-copy boolean this is empirical,
+# not structural — but with wide margin: an IVF miss needs the copy's
+# cell OUTSIDE the query's nprobe=4 probe set (the perturbation at most
+# swaps cells ranked #1/#2), an LSH miss needs a sign-bit flip in ALL
+# ntables=4 tables (P ≈ 5e-6 at this perturbation angle). Verified at
+# sf0.001/0.01/0.1 on current data (5/5 retrieved at every SF).
+_ANN_CERT_RECALL_ORACLE = f"""
+SELECT vec_id AS query_id, TRUE AS planted_dup_found,
+       TRUE AS near_dup_recall_ok
 FROM embeddings WHERE vec_id < {N_QUERIES}
 ORDER BY query_id
 """
@@ -334,6 +352,72 @@ def _corpus_queries_planted(spark: SparkSession, sf_dir: str):
         "vec_id", F.col("vec_id") + F.lit(_PLANT_OFFSET)
     )
     return e.unionByName(planted), q
+
+
+def perturbed_copies(
+    base: DataFrame, n_plant: int, offset: int = _PERTURB_OFFSET
+) -> DataFrame:
+    """Deterministic NEAR-copies of vec_id < n_plant at id + offset:
+    roll the vector for a pseudo-random direction, orthogonalize against
+    it, scale to 2.5% of the norm → cosine ≈ 0.9997 with the original.
+    Pure data-derived (no RNG), so identical on every run/engine.
+
+    Driver-side numpy over the COLLECTED plant rows — bounded by
+    construction (n_plant ≤ 50, independent of corpus size)."""
+    np = _np()
+    spark = base.sparkSession
+    rows = base.filter(F.col("vec_id") < n_plant).select("vec_id", "v").collect()
+    data = []
+    for r in rows:
+        v = np.asarray(r.v, dtype=np.float64)
+        d = np.roll(v, 7)
+        vv = float(v @ v)
+        if vv > 0.0:
+            d = d - (d @ v) / vv * v  # orthogonalize
+        nd = np.linalg.norm(d)
+        p = v if nd == 0.0 else v + d / nd * 0.025 * np.sqrt(vv)
+        data.append((int(r.vec_id) + offset, [float(x) for x in p]))
+    return spark.createDataFrame(data, "vec_id long, v array<double>")
+
+
+def _certify_planted_recall(
+    topk: DataFrame, q: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """_certify_planted plus the aggregate near-dup recall boolean: the
+    fraction of perturbed plants (query_id + _PERTURB_OFFSET) retrieved
+    in the top-k must reach ``threshold``. Emitted as one scalar repeated
+    per row (the oracle states TRUE) so the driver hashes the recall
+    guarantee, not just the exact-copy one."""
+    found = (
+        topk.filter(F.col("vec_id") == F.col("query_id") + F.lit(_PLANT_OFFSET))
+        .select("query_id")
+        .withColumn("hit", F.lit(True))
+    )
+    pfound = (
+        topk.filter(F.col("vec_id") == F.col("query_id") + F.lit(_PERTURB_OFFSET))
+        .select("query_id")
+        .withColumn("phit", F.lit(True))
+    )
+    base = (
+        q.select("query_id")
+        .join(found, "query_id", "left")
+        .join(pfound, "query_id", "left")
+    )
+    recall = base.agg(
+        (
+            F.sum(F.coalesce(F.col("phit"), F.lit(False)).cast("int"))
+            >= F.lit(threshold) * F.count("*")
+        ).alias("near_dup_recall_ok")
+    )
+    return (
+        base.crossJoin(F.broadcast(recall))  # 1-row scalar aggregate
+        .select(
+            "query_id",
+            F.coalesce("hit", F.lit(False)).alias("planted_dup_found"),
+            "near_dup_recall_ok",
+        )
+        .orderBy("query_id")
+    )
 
 
 def _certify_planted(topk: DataFrame, q: DataFrame) -> DataFrame:
@@ -374,12 +458,14 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s2_knn_ivf",
-    oracle=_ANN_CERT_ORACLE,
-    doc="S2: IVF ANN — planted-duplicate certificate over the full pipeline",
+    oracle=_ANN_CERT_RECALL_ORACLE,
+    doc="S2: IVF ANN — planted exact-copy + near-dup-recall certificate",
 )
 def s2_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, q = _corpus_queries_planted(spark, sf_dir)
-    return _certify_planted(ivf_topk(corpus, q), q)
+    pert = perturbed_copies(corpus, N_QUERIES)
+    topk = ivf_topk(corpus.unionByName(pert, allowMissingColumns=True), q)
+    return _certify_planted_recall(topk, q)
 
 
 # ---------------------------------------------------------------------------
@@ -565,15 +651,17 @@ def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s3_knn_lsh",
-    oracle=_ANN_CERT_ORACLE,
-    doc="S3: LSH ANN — planted-duplicate certificate over the full pipeline",
+    oracle=_ANN_CERT_RECALL_ORACLE,
+    doc="S3: LSH ANN — planted exact-copy + near-dup-recall certificate",
 )
 def s3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical copy → identical sign bits under every hyperplane → shares
     # ALL ntables buckets with its query → guaranteed candidate, reranks
     # at cosine 1.0 (see the certificate block comment above)
     corpus, q = _corpus_queries_planted(spark, sf_dir)
-    return _certify_planted(lsh_topk(corpus, q), q)
+    pert = perturbed_copies(corpus, N_QUERIES)
+    topk = lsh_topk(corpus.unionByName(pert, allowMissingColumns=True), q)
+    return _certify_planted_recall(topk, q)
 
 
 # ---------------------------------------------------------------------------
@@ -732,12 +820,20 @@ def semantic_dedup_dropped(e: DataFrame, tau: float = D9_TAU, nlist: int = 16) -
 
 @register(
     "d9_semantic_dedup",
+    # planted_removed (exact copies) is structural — always TRUE. The
+    # near_dup_recall_ok column hashes the APPROXIMATE guarantee: ≥ 80%
+    # of planted perturbed near-copies (cosine ≈ 0.9997 ≥ τ with their
+    # originals) must also be removed — the cell-straddle miss rate IS
+    # the SemDeDup trade this operator documents, and the driver now pins
+    # it (the property test that motivated this bound lives in
+    # tests/test_similarity.py::test_d9_near_duplicate_recall_vs_exact).
     oracle=f"""
-SELECT vec_id AS orig_id, TRUE AS planted_removed
+SELECT vec_id AS orig_id, TRUE AS planted_removed,
+       TRUE AS near_dup_recall_ok
 FROM embeddings WHERE vec_id < {_N_PLANT_D9}
 ORDER BY orig_id
 """,
-    doc="D9: SemDeDup via IVF cells — planted-copy removal certificate",
+    doc="D9: SemDeDup via IVF cells — exact-removal + near-dup-recall certificate",
 )
 def d9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -746,16 +842,35 @@ def d9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = e.filter(F.col("vec_id") < _N_PLANT_D9).withColumn(
         "vec_id", F.col("vec_id") + F.lit(_PLANT_OFFSET)
     )
-    dropped = semantic_dedup_dropped(e.unionByName(planted))
+    pert = perturbed_copies(e, _N_PLANT_D9)
+    dropped = track(
+        semantic_dedup_dropped(e.unionByName(planted).unionByName(pert)).persist()
+    )
     expected = e.filter(F.col("vec_id") < _N_PLANT_D9).select(
         F.col("vec_id").alias("orig_id")
     )
-    hit = dropped.select(
+    hit = dropped.filter(
+        (F.col("vec_id") >= _PLANT_OFFSET) & (F.col("vec_id") < _PERTURB_OFFSET)
+    ).select(
         (F.col("vec_id") - F.lit(_PLANT_OFFSET)).alias("orig_id")
     ).withColumn("h", F.lit(True))
+    phit = dropped.filter(F.col("vec_id") >= _PERTURB_OFFSET).select(
+        (F.col("vec_id") - F.lit(_PERTURB_OFFSET)).alias("orig_id")
+    ).withColumn("ph", F.lit(True))
+    base = expected.join(hit, "orig_id", "left").join(phit, "orig_id", "left")
+    recall = base.agg(
+        (
+            F.sum(F.coalesce(F.col("ph"), F.lit(False)).cast("int"))
+            >= F.lit(0.8) * F.count("*")
+        ).alias("near_dup_recall_ok")
+    )
     return (
-        expected.join(hit, "orig_id", "left")
-        .select("orig_id", F.coalesce("h", F.lit(False)).alias("planted_removed"))
+        base.crossJoin(F.broadcast(recall))  # 1-row scalar aggregate
+        .select(
+            "orig_id",
+            F.coalesce("h", F.lit(False)).alias("planted_removed"),
+            "near_dup_recall_ok",
+        )
         .orderBy("orig_id")
     )
 

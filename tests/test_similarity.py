@@ -69,10 +69,12 @@ def test_registered_ann_certificates_all_true(spark):
     driver's hash gate pins against the SQL oracle)."""
     from iot_big_data_engineering_spark.operators.similarity import s3_knn_lsh
 
-    for q, flag in ((s2_knn_ivf, "planted_dup_found"), (s3_knn_lsh, "planted_dup_found")):
+    for q in (s2_knn_ivf, s3_knn_lsh):
         rows = q(spark, SF_SMOKE).collect()
         assert [r.query_id for r in rows] == list(range(5))
-        assert all(r[flag] for r in rows), rows
+        assert all(r.planted_dup_found for r in rows), rows
+        # the recall guarantee is driver-hashed too since r5
+        assert all(r.near_dup_recall_ok for r in rows), rows
 
 
 def test_bruteforce_rank_properties(spark):
