@@ -99,6 +99,8 @@ HEADLINE = [
     "s6_knn_ivf_sq8",
     "adv12_robust_outliers",
     "t13_vocab_growth",
+    # round 5 additions: multi-period backfill through the state table
+    "a17b_rollup_backfill",
 ]
 
 

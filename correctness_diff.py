@@ -44,8 +44,42 @@ def load_rounds(here: str) -> dict[int, dict[str, str]]:
     return rounds
 
 
+_REGEN_ROUND = 3  # the driver regenerated all testdata at the r3 boundary;
+# greens earned before it are stale evidence (VERDICT r3/r4)
+
+
+def coverage(here: str) -> dict:
+    """Post-regeneration evidence coverage: which registered queries hold
+    a green driver row earned on CURRENT data (round >= _REGEN_ROUND), and
+    whether the CURRENT window closes the gap. Run with --coverage; after
+    the r5 gate runs, `uncovered_after_window` empty proves VERDICT r4
+    demand #1 mechanically."""
+    sys.path.insert(0, here)
+    from iot_big_data_engineering_spark import registry
+
+    rounds = load_rounds(here)
+    current_green: set[str] = set()
+    for n, statuses in rounds.items():
+        if n >= _REGEN_ROUND:
+            current_green |= {q for q, s in statuses.items() if s == "green"}
+    names = set(registry.all_queries())
+    uncovered = sorted(names - current_green)
+    window = set(registry._WINDOW_FIRST)
+    return {
+        "rounds_counted": sorted(n for n in rounds if n >= _REGEN_ROUND),
+        "registered": len(names),
+        "current_data_green": len(names & current_green),
+        "uncovered": uncovered,
+        "uncovered_in_window": sorted(set(uncovered) & window),
+        "uncovered_after_window": sorted(set(uncovered) - window),
+    }
+
+
 def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
+    if "--coverage" in sys.argv:
+        print(json.dumps(coverage(here)))
+        return 0
     rounds = load_rounds(here)
     if not rounds:
         print(json.dumps({"error": "no CORRECTNESS_r*.json files found"}))

@@ -403,18 +403,23 @@ def _certify_planted_recall(
         .join(found, "query_id", "left")
         .join(pfound, "query_id", "left")
     )
-    recall = base.agg(
-        (
-            F.sum(F.coalesce(F.col("phit"), F.lit(False)).cast("int"))
-            >= F.lit(threshold) * F.count("*")
-        ).alias("near_dup_recall_ok")
+    # attach the aggregate as an UNPARTITIONED window over the certificate
+    # frame — safe precisely because that frame is plant-count-sized
+    # (bounded by construction, never corpus-sized), and it keeps the plan
+    # free of the BroadcastNestedLoopJoin a 1-row crossJoin would add
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    phits = F.sum(
+        F.coalesce(F.col("phit"), F.lit(False)).cast("int")
+    ).over(w_all)
     return (
-        base.crossJoin(F.broadcast(recall))  # 1-row scalar aggregate
-        .select(
+        base.select(
             "query_id",
             F.coalesce("hit", F.lit(False)).alias("planted_dup_found"),
-            "near_dup_recall_ok",
+            (phits >= F.lit(threshold) * F.count("*").over(w_all)).alias(
+                "near_dup_recall_ok"
+            ),
         )
         .orderBy("query_id")
     )
@@ -858,18 +863,19 @@ def d9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") - F.lit(_PERTURB_OFFSET)).alias("orig_id")
     ).withColumn("ph", F.lit(True))
     base = expected.join(hit, "orig_id", "left").join(phit, "orig_id", "left")
-    recall = base.agg(
-        (
-            F.sum(F.coalesce(F.col("ph"), F.lit(False)).cast("int"))
-            >= F.lit(0.8) * F.count("*")
-        ).alias("near_dup_recall_ok")
+    # unpartitioned window over the plant-count-sized certificate frame
+    # (bounded by construction) — no BroadcastNestedLoopJoin in the plan
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    phits = F.sum(F.coalesce(F.col("ph"), F.lit(False)).cast("int")).over(w_all)
     return (
-        base.crossJoin(F.broadcast(recall))  # 1-row scalar aggregate
-        .select(
+        base.select(
             "orig_id",
             F.coalesce("h", F.lit(False)).alias("planted_removed"),
-            "near_dup_recall_ok",
+            (phits >= F.lit(0.8) * F.count("*").over(w_all)).alias(
+                "near_dup_recall_ok"
+            ),
         )
         .orderBy("orig_id")
     )

@@ -33,6 +33,8 @@ value or a boolean and fails the hash gate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.rounding import fround
@@ -199,6 +201,74 @@ def a18_sketch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
         )
     )
+
+
+@register(
+    "a17b_rollup_backfill",
+    # oracle = the full recompute, exactly a17's: if replaying a period
+    # through maintain_rollup_state double-counted its partition (append
+    # instead of epoch-keyed overwrite), record_count/avg/unique columns
+    # all diverge and the hash gate fails
+    oracle=A17_ORACLE,
+    doc="A17b: multi-period backfill through maintain_rollup_state, one period replayed — merged state ≡ full recompute",
+)
+def a17b_rollup_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production maintenance loop a17 only demonstrates in-plan:
+    fold THREE disjoint period deltas into the parquet-backed state table
+    via maintain_rollup_state, then RE-DELIVER period 1 (at-least-once
+    replay / backfill re-run) before finalizing. The replay must be a
+    no-op — its dynamic overwrite replaces exactly its own partition with
+    identical state rows — so the merged state still equals the full
+    recompute the oracle performs. This hash-checks the idempotent-
+    overwrite contract itself, not just the merge algebra a17 covers."""
+    import shutil
+    import tempfile
+
+    from ..caching import track
+
+    tmp = tempfile.mkdtemp(prefix="iotx_a17b_")
+    state_path = os.path.join(tmp, "state")
+    q = track(
+        quality_checked(spark, sf_dir)
+        .withColumn(
+            # deterministic 3-way period split on the day ordinal — the
+            # stand-in for "one delivery per ingest day" (a date-range
+            # split would also work; modulo keeps every period non-empty
+            # on any corpus spanning >= 3 days)
+            "period",
+            F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")), F.lit(3)),
+        )
+        .persist()
+    )
+    merged = None
+    for pid in (0, 1, 2, 1):  # period 1 re-delivered — replay under test
+        delta = q.filter(F.col("period") == pid).drop("period")
+        merged = maintain_rollup_state(spark, state_path, delta, pid)
+
+    exact = q.groupBy("sensor_type").agg(
+        F.countDistinct("vehicle_id").alias("exact_veh")
+    )
+    est = F.hll_sketch_estimate("veh_sketch")
+    result = (
+        merged.join(exact, "sensor_type")
+        .select(
+            "sensor_type",
+            F.col("n").alias("record_count"),
+            fround(
+                F.col("sq").cast("double") / (F.lit(5.0) * F.col("n").cast("double")),
+                _R,
+            ).alias("avg_quality_score"),
+            F.col("min_ts").alias("first_reading"),
+            F.col("max_ts").alias("last_reading"),
+            F.col("exact_veh").alias("unique_vehicles"),
+            _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
+        )
+    )
+    # |sensor_type| rows — bounded; materialize so the scratch state dir
+    # can be deleted instead of leaking one mkdtemp per run
+    rows = result.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
 
 
 def maintain_rollup_state(

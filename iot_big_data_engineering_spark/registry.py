@@ -140,110 +140,133 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round; this list pins the round-4 window. The driver regenerated all
-# testdata (and swapped VMs) at the r3 boundary, so r4's priority is the
-# VERDICT r3 #1 demand: re-earn green rows ON CURRENT DATA for queries
-# whose only driver greens predate the regeneration, plus every query
-# whose form changed this round. In order:
-# - w5/mm7/d8b/t9/dp2/t10/dc1/st7/t11/dp3/dp4: BRAND NEW this round —
-#   zero driver rows anywhere; a query that has never faced the external
-#   gate outranks re-verifying one the local mirror already re-proved on
-#   current data;
-# - mm4: converted from the last rows-only query to a full-value
-#   byte-histogram oracle (first-ever hash row);
-# - s2/s3/d4/d5: converted from rows-only to self-certifying
-#   planted-duplicate certificates (first-ever hash rows);
-# - d6: capped to the deterministic vec_id<1000 anchor slice (semantics
-#   changed); d7_full: new (full-corpus CC over d8 edges);
-# - d7: unchanged but r1/r2-vintage, and it rides the guarded prefix join;
-# - a17/a18 (mergeable-state rollups), dq1/dq2 (skew + join-size
-#   pre-flights), d9 (SemDeDup cell routing), st8 (streaming incremental
-#   rollup), t12 (rarity quality score), m17 (alert incidents), dp5
-#   (sequence packing), s5 (SQ8 quantization audit), a19 (regular-grid
-#   resample + forward fill), u4 (snapshot diff), dq3 (referential
-#   integrity audit), a20 (seasonality profile): added mid-round-4,
-#   never driver-checked — same never-faced-the-gate priority as the
-#   first group;
-# - the remaining 16 slots: the highest-risk stalest queries, r1/r2
-#   greens only — streaming st1/st2, the d3 anchor, t6 tf-idf,
-#   adv1/adv6, the nine r1-vintage joins, m15.
-# Thirty-seven queries don't fit the 50-slot window this round: ten
-# point-lookup/monitoring predicate scans (m10-m14, o1, o1b, p7, p8, p10)
-# plus twenty-seven deterministic count/hash/certificate queries deferred
-# to make room for the never-checked group (u1, u2, adv3, adv4, adv5,
-# adv6b, adv8, adv9, adv10, d1, d2, g1, g2, mm1, mm2, mm3, t1, t2, t3,
-# t4, t5, t7, w1, w2, w3, s1, o4 — pure count/set/hash/sequence/
-# decimal/lag/ranked-tiebreak/fold-ordered arithmetic or always-TRUE
-# certificate columns, the lowest hash-mismatch-risk shapes in the
-# registry). All thirty-seven are r1/r2-green and re-verified on
-# current data by the local strict mirror (tests/test_oracle_parity.py,
-# run every round over ALL oracled queries) — they rotate into the r5
-# window.
-# s6 (IVF-SQ8) and adv12 (median/MAD outliers), added late in r4, stay
-# OUT of the window deliberately: s6's certificate failure modes are a
-# strict subset of s2's + s5's, adv12's cross-engine risk (percentile
-# interpolation) is exactly adv6's, t13 is pure count arithmetic, st9's
-# session-window closure semantics are exactly st2's, and dp7 composes
-# dp2 + dp5 (both in-window) — all covered by in-window risk twins — so
-# a slot spent on any of them re-verifies nothing new; they lead the r5
-# never-checked rotation instead (mirror-green on current data).
-# Everything r3-green (r3 ran on post-regeneration data) keeps its module
-# registration order after these.
+# round; this list pins the round-5 window. After r4 (50/50 green), every
+# registered query is SOMEWHERE-green but 42 lack a green earned on the
+# current (post-r3-regeneration) testdata — VERDICT r4 demand #1 says
+# spend this window clearing exactly that debt. In order:
+# - s6/adv12/t13/st9/dp7: never faced the external gate at all (late-r4
+#   additions, held out behind in-window risk twins); a17b: NEW this
+#   round (VERDICT demand #6 — maintain_rollup_state backfill+replay);
+# - s2/s3/d9 (near-dup-recall certificate column added, VERDICT demand
+#   #5), d4 (certificate now derives eligibility/certify from the cached
+#   signature table, demand #4), m17 (full-precision timestamp gap per
+#   ADVICE), st8 (deterministic key-slice splitting per ADVICE): all
+#   r4-green but CHANGED FORM this round — their old green no longer
+#   covers the current code;
+# - the 37 whose only driver greens are r1/r2-vintage (pre-regeneration):
+#   monitoring predicate scans m10-m14, pagination/listing o1/o1b/o4,
+#   serving scans p7/p8/p10, brute-force kNN s1, exact dedup d1/d2, text
+#   t1-t5/t7, multimodal mm1-mm3, advanced adv3/adv4/adv5/adv6b/adv8/
+#   adv9/adv10, grouping g1/g2, set-ops u1/u2, windows w1-w3 — all
+#   re-proved on current data by the local strict mirror every round,
+#   now due their external rows;
+# - the 1 remaining slot: d8 (the guarded prefix join — the riskiest of
+#   the r3 greens, per VERDICT's spare-slot ranking).
+# Everything else (92 queries, _WINDOW_DEFERRED) already holds a green
+# driver row earned on current data in its current form (r3 or r4) and
+# is re-proved by tests/test_oracle_parity.py each round;
+# test_registry_window.py asserts the two lists exactly tile the
+# registry so a new query can never silently miss the rotation.
 _WINDOW_FIRST = [
-    # brand-new this round — never driver-checked at all
-    "w5_trailing_hour_aggs",
-    "mm7_stratified_sample",
-    "d8b_jaccard_join_df_prefix",
-    "t9_pii_scan",
-    "dp2_corpus_clean_neardup",
-    "t10_repetition_profile",
-    "dc1_benchmark_contamination",
-    "st7_stream_stream_join",
-    "t11_inverted_index",
-    "dp3_training_mix",
-    "dp4_cleaning_audit",
-    "m16_burn_rate",
-    # changed/new this round — no green row in current form
-    "mm4_payload_features",
+    # never driver-checked at all
+    "s6_knn_ivf_sq8",
+    "adv12_robust_outliers",
+    "t13_vocab_growth",
+    "st9_streaming_alert_incidents",
+    "dp7_training_shards",
+    "a17b_rollup_backfill",
+    # r4-green but changed form in r5 — re-earn on current code
     "s2_knn_ivf",
     "s3_knn_lsh",
-    "d4_minhash_lsh_dedup",
-    "d5_simhash_neardup",
-    "d6_embedding_neardup",
-    "d7_dedup_clusters_full",
-    "d7_dedup_clusters",
-    # added mid-round-4 — never driver-checked at all
-    "a17_incremental_rollup",
-    "a18_sketch_cube",
-    "dq1_key_skew_audit",
-    "dq2_join_size_preflight",
     "d9_semantic_dedup",
-    "st8_streaming_incremental_rollup",
-    "t12_rarity_score",
+    "d4_minhash_lsh_dedup",
     "m17_alert_incidents",
-    "dp5_sequence_packing",
-    "s5_scalar_quantization",
-    "a19_resample_ffill",
-    "u4_snapshot_diff",
-    "dq3_referential_audit",
-    "a20_seasonality_profile",
-    # stalest greens (pre-regeneration r1/r2 rows only)
-    "st1_streaming_microbatch_analytics",
-    "st2_streaming_session_windows",
-    "d3_jaccard_pairs",
-    "t6_tfidf_top_terms",
-    "adv1_sessionize",
-    "adv6_percentiles",
-    "j2_min_price_per_brand",
-    "j4_priority_late_ship",
-    "j6_forecast_revenue",
-    "j7_nation_volume_shipping",
-    "j10b_returned_revenue_topk",
-    "j14_promo_revenue",
-    "j15_top_supplier",
-    "j18_large_orders",
-    "j19_bracket_revenue",
-    "m15_alerts",
+    "st8_streaming_incremental_rollup",
+    # only driver greens predate the r3 testdata regeneration
+    "m10_hourly_quality",
+    "m11_liveness",
+    "m12_latency",
+    "m13_throughput",
+    "m14_anomaly_rate",
+    "o1_filtered_scan_paginated",
+    "o1b_filtered_scan_keyset",
+    "o4_anomaly_listing",
+    "p7_vehicle_scan",
+    "p8_date_bucket",
+    "p10_json_extract",
+    "s1_knn_bruteforce",
+    "d1_exact_dedup_stats",
+    "d2_exact_dedup_keep_first",
+    "t1_token_stats",
+    "t2_doc_quality",
+    "t3_langid_confusion",
+    "t4_fingerprints",
+    "t5_top_terms",
+    "t7_documents_profile",
+    "mm1_media_manifest",
+    "mm2_media_type_stats",
+    "mm3_frame_sample",
+    "adv3_pivot_daily_counts",
+    "adv4_salted_agg",
+    "adv5_value_histogram",
+    "adv6b_approx_percentiles",
+    "adv8_hash_sample_stats",
+    "adv9_latest_per_key",
+    "adv10_unpivot_daily_metrics",
+    "g1_rollup_order_stats",
+    "g2_cube_event_stats",
+    "u1_active_keys_union",
+    "u2_key_overlap",
+    "w1_top_orders_per_customer",
+    "w2_user_running_value",
+    "w3_event_gaps",
+    # riskiest unchanged r3 green (VERDICT spare-slot ranking)
+    "d8_jaccard_join_prefix",
+]
+
+# Queries NOT in this round's 50-slot window — every one already carries
+# a green driver row earned on post-regeneration data in its current
+# form (r3 or r4, see CORRECTNESS_r03/r04.json) and is value-checked
+# against its DuckDB oracle on current data by the local mirror
+# (tests/test_oracle_parity.py) every round. Membership is asserted
+# exhaustive + disjoint by tests/test_registry_window.py.
+_WINDOW_DEFERRED = [
+    "w5_trailing_hour_aggs", "mm7_stratified_sample",
+    "d8b_jaccard_join_df_prefix", "t9_pii_scan", "dp2_corpus_clean_neardup",
+    "t10_repetition_profile", "dc1_benchmark_contamination",
+    "st7_stream_stream_join", "t11_inverted_index", "dp3_training_mix",
+    "dp4_cleaning_audit", "m16_burn_rate", "mm4_payload_features",
+    "d5_simhash_neardup", "d6_embedding_neardup", "d7_dedup_clusters_full",
+    "d7_dedup_clusters", "a17_incremental_rollup", "a18_sketch_cube",
+    "dq1_key_skew_audit", "dq2_join_size_preflight", "t12_rarity_score",
+    "dp5_sequence_packing", "s5_scalar_quantization", "a19_resample_ffill",
+    "u4_snapshot_diff", "dq3_referential_audit", "a20_seasonality_profile",
+    "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
+    "d3_jaccard_pairs", "t6_tfidf_top_terms", "adv1_sessionize",
+    "adv6_percentiles", "j2_min_price_per_brand", "j4_priority_late_ship",
+    "j6_forecast_revenue", "j7_nation_volume_shipping",
+    "j10b_returned_revenue_topk", "j14_promo_revenue", "j15_top_supplier",
+    "j18_large_orders", "j19_bracket_revenue", "m15_alerts",
+    "a1_windowed_analytics", "a2_daily_analytics",
+    "a3_sensor_type_measurements", "a4_vehicle_analytics",
+    "a5_quality_histogram", "a6_anomaly_analytics", "a7_summary_report",
+    "a8_sensor_type_report", "a9_vehicle_topk", "a15_daily_sensor_summary",
+    "a16_vehicle_daily_summary", "a2_daily_analytics_approx",
+    "a1_windowed_analytics_approx", "a4_vehicle_analytics_approx",
+    "a7_summary_report_approx", "a2_weekly_analytics", "a2_monthly_analytics",
+    "j1_pricing_summary", "j3_shipping_priority", "j5_region_supplier_volume",
+    "j10_order_rollup", "j11_brand_revenue", "j12_customer_order_presence",
+    "j13_events_enriched", "g3_groupingsets_order_stats",
+    "j17_small_quantity_revenue", "j22_dormant_customers", "j8_market_share",
+    "j9_profit_by_nation", "j16_supplier_part_counts",
+    "j13b_order_count_distribution", "j21_lone_late_supplier",
+    "j20_excess_stock_suppliers", "j11b_supplier_value_share",
+    "j12b_priority_by_returnflag", "w4_value_deciles",
+    "u3_key_overlap_multiset", "st3_streaming_watermarked_windows",
+    "st4_stream_static_join", "st5_streaming_dedup",
+    "st6_stateful_running_totals", "mm5_payload_dedup", "mm6_shard_plan",
+    "s4_label_centroids", "t8_bpe_token_stats", "dp1_corpus_clean",
+    "adv2_asof_join", "adv11_range_join",
 ]
 
 
