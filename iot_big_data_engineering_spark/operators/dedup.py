@@ -173,24 +173,14 @@ _PERM_A = [(2 * i + 1) * 2654435761 % _HASH_MOD | 1 for i in range(N_PERM)]
 _PERM_B = [(i * 40503 + 12345) % _HASH_MOD for i in range(N_PERM)]
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id, lang, sh (shingles), sig (minhash signature).
-
-    Shingle hashing stays JVM-side (xxhash64, codegen — once per shingle,
-    not per shingle×permutation). The 32-permutation min-fold is an
-    Arrow-batched numpy kernel: one `minimum.reduceat` sweep per
-    permutation over the concatenated hash array — measured ~10× faster
-    than the equivalent 32 interpreted `array_min(transform(...))` Column
-    folds, and it's pure map-side (no shuffle) so it scales with input
-    splits."""
-    import numpy as np
-    import pandas as pd
-
-    # Materialize the shingle arrays once (tracked persist): projection
-    # collapse would otherwise re-run the tokenize→shingle tree for the hs
-    # derivation AND the size filter on top of the sh column itself —
-    # 3 evaluations in the signature build (measured ~3× wall at sf0.1).
-    shingled = track(
+def shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, sh) for docs passing the >=3-token shingle gate,
+    as a TRACKED PERSIST: the signature kernel and the exact-Jaccard
+    verify stage both read it (projection collapse would otherwise re-run
+    the tokenize→shingle tree per consumer — measured ~3× wall at sf0.1).
+    At real scale this is the materialized shingle/signature side table a
+    dedup service maintains."""
+    return track(
         docs.withColumn("toks", X.tokens("text"))
         .filter(F.size("toks") >= 3)
         .select(
@@ -200,11 +190,35 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         )
         .persist()
     )
-    base = shingled.withColumn(
-        "hs",
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id, sig (minhash signature) for docs with >= 3 tokens."""
+    return signatures_from_shingles(shingle_table(docs))
+
+
+def signatures_from_shingles(shingled: DataFrame) -> DataFrame:
+    """(doc_id, sh, ...) → (doc_id, sig).
+
+    Shingle hashing stays JVM-side (xxhash64, codegen — once per shingle,
+    not per shingle×permutation). The 32-permutation min-fold is an
+    Arrow-batched numpy kernel: one `minimum.reduceat` sweep per
+    permutation over the concatenated hash array — measured ~10× faster
+    than the equivalent 32 interpreted `array_min(transform(...))` Column
+    folds, and it's pure map-side (no shuffle) so it scales with input
+    splits. The kernel's Arrow boundary carries ONLY (doc_id, hs) in and
+    (doc_id, sig) out — the shingle string arrays themselves never cross
+    into Python (they used to ride through as dead weight, ~25% of d4's
+    wall); consumers that need them (verify) join the shingle table
+    JVM-side by doc_id instead."""
+    import numpy as np
+    import pandas as pd
+
+    base = shingled.select(
+        "doc_id",
         F.transform(
             F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_MOD))
-        ),
+        ).alias("hs"),
     )
     A = np.asarray(_PERM_A, dtype=np.uint64)
     B = np.asarray(_PERM_B, dtype=np.uint64)
@@ -223,17 +237,22 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
             for i in range(N_PERM):
                 v = (H * A[i] + B[i]) % mod
                 sigs[:, i] = np.minimum.reduceat(v, offs)
-            out = pdf[["doc_id", "lang", "sh"]].copy()
-            out["sig"] = [row.astype(np.int64).tolist() for row in sigs]
-            yield out
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig": [row.astype(np.int64).tolist() for row in sigs],
+                }
+            )
 
-    return base.mapInPandas(
-        kernel, schema="doc_id bigint, lang string, sh array<string>, sig array<bigint>"
-    )
+    return base.mapInPandas(kernel, schema="doc_id bigint, sig array<bigint>")
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signatures, bucket-join: pairs sharing any band bucket."""
+def lsh_candidate_pairs(sigs: DataFrame, dedupe: bool = True) -> DataFrame:
+    """Band the signatures, bucket-join: pairs sharing any band bucket.
+    ``dedupe=False`` skips the global distinct — for consumers that
+    tolerate (or re-dedupe) multi-band collisions downstream, e.g. the
+    d4 certificate, which dedupes at its plant-count-sized tail instead
+    of paying an exchange over every candidate pair."""
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -255,7 +274,7 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -265,8 +284,8 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    return pairs.distinct() if dedupe else pairs
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -274,14 +293,19 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     candidates → exact-Jaccard verify ≥ 0.5. Returns (doc_a, doc_b,
     jaccard) ordered by similarity.
 
-    The plan references the signatures 3× (banding + both verify sides);
-    without persist the tokenize→shingle→minhash pipeline runs 3× (at
-    scale: write sigs to a table once, then band/verify read it).
-    Cleanup is caller-owned via caching.release_caches() — unpersisting
-    here would evict before the lazy result is ever materialized."""
-    sigs = track(minhash_signatures(docs).persist())
+    The shingle table is referenced 3× (signature kernel + both verify
+    sides); without persist the tokenize→shingle pipeline runs 3× (at
+    scale: write shingles/sigs to tables once, then band/verify read
+    them). Cleanup is caller-owned via caching.release_caches() —
+    unpersisting here would evict before the lazy result is ever
+    materialized."""
+    shingled = shingle_table(docs)
+    # the banding self-join references the signature output twice; the
+    # persist is slim now (doc_id + 32 longs — shingles live JVM-side in
+    # the shingle table)
+    sigs = track(signatures_from_shingles(shingled).persist())
     cands = lsh_candidate_pairs(sigs)
-    sh = sigs.select("doc_id", "sh")
+    sh = shingled.select("doc_id", "sh")
     verified = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -335,6 +359,10 @@ def _certify_planted_pairs(
             & (F.col("doc_b") == F.col("doc_a") + F.lit(_PLANT_OFFSET))
         )
         .select(F.col("doc_a").alias("doc_id"))
+        # callers may feed non-deduped candidate pairs (d4's dedupe=False
+        # path); collapse here, at plant-count size, so the left join
+        # below can never fan out a certificate row
+        .dropDuplicates(["doc_id"])
         .withColumn("hit", F.lit(True))
     )
     return (
@@ -358,19 +386,23 @@ ORDER BY doc_id
     doc="D4: MinHash(32)+LSH(8×4) planted-duplicate certificate",
 )
 def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Same pipeline stages as minhash_lsh_pairs (signatures → banding →
-    # bucket join → exact-Jaccard verify), inlined so the certificate can
-    # (a) derive the ELIGIBILITY set from the persisted signature table —
-    # a planted copy signed ⟺ its (text-identical) original passed the
-    # >=3-token shingle gate — instead of re-running tokenize over raw
-    # text, and (b) skip minhash_lsh_pairs' global orderBy: the
+    # Same pipeline stages as minhash_lsh_pairs (shingles → signatures →
+    # banding → bucket join → exact-Jaccard verify), inlined so the
+    # certificate can (a) derive the ELIGIBILITY set from the persisted
+    # shingle table — a planted copy shingled ⟺ its (text-identical)
+    # original passed the >=3-token gate — instead of re-running tokenize
+    # over raw text, and (b) skip minhash_lsh_pairs' global orderBy: the
     # certificate consumes the verified PAIR SET, not a similarity
     # ranking, so sorting every pair before the jaccard==1.0 filter was
     # pure shuffle waste.
     d = _docs_par(spark, sf_dir)
-    sigs = track(minhash_signatures(_plant_copies(d)).persist())
-    cands = lsh_candidate_pairs(sigs)
-    sh = sigs.select("doc_id", "sh")
+    shingled = shingle_table(_plant_copies(d))
+    sigs = track(signatures_from_shingles(shingled).persist())
+    # dedupe=False: multi-band collisions re-verify a pair (bounded ×8),
+    # cheaper than the global distinct exchange; _certify_planted_pairs
+    # below dedupes at the plant-count-sized tail
+    cands = lsh_candidate_pairs(sigs, dedupe=False)
+    sh = shingled.select("doc_id", "sh")
     verified = cands.join(
         sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
         "doc_a",
@@ -387,7 +419,7 @@ def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # require full similarity, not just presence: an exact copy that
     # came back with jaccard < 1 would certify a verify-stage bug
     ).filter(F.col("jaccard") == 1.0)
-    eligible = sigs.filter(F.col("doc_id") < _N_PLANT).select("doc_id")
+    eligible = shingled.filter(F.col("doc_id") < _N_PLANT).select("doc_id")
     return _certify_planted_pairs(pairs, eligible, "planted_dup_found")
 
 

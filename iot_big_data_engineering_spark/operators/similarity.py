@@ -468,7 +468,13 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s2_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, q = _corpus_queries_planted(spark, sf_dir)
-    pert = perturbed_copies(corpus, N_QUERIES)
+    # derive the near-copies from q (plain-table lineage, filter pushed to
+    # the scan) — collecting through the union corpus would evaluate the
+    # planted branch too, a measured ~0.5 s of pure waste at sf0.1
+    pert = perturbed_copies(
+        q.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v")),
+        N_QUERIES,
+    )
     topk = ivf_topk(corpus.unionByName(pert, allowMissingColumns=True), q)
     return _certify_planted_recall(topk, q)
 
@@ -664,7 +670,10 @@ def s3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ALL ntables buckets with its query → guaranteed candidate, reranks
     # at cosine 1.0 (see the certificate block comment above)
     corpus, q = _corpus_queries_planted(spark, sf_dir)
-    pert = perturbed_copies(corpus, N_QUERIES)
+    pert = perturbed_copies(  # from q's plain-table lineage, as in s2
+        q.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v")),
+        N_QUERIES,
+    )
     topk = lsh_topk(corpus.unionByName(pert, allowMissingColumns=True), q)
     return _certify_planted_recall(topk, q)
 
