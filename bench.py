@@ -99,8 +99,13 @@ HEADLINE = [
     "s6_knn_ivf_sq8",
     "adv12_robust_outliers",
     "t13_vocab_growth",
-    # round 5 additions: multi-period backfill through the state table
+    # round 5 additions: multi-period backfill through the state table,
+    # histogram-quantile merge, incremental delta dedup, semi-join
+    # pre-filter
     "a17b_rollup_backfill",
+    "a21_histogram_quantile_rollup",
+    "d10_dedup_delta",
+    "dq4_semijoin_prefilter",
 ]
 
 

@@ -247,13 +247,13 @@ def signatures_from_shingles(shingled: DataFrame) -> DataFrame:
     return base.mapInPandas(kernel, schema="doc_id bigint, sig array<bigint>")
 
 
-def lsh_candidate_pairs(sigs: DataFrame, dedupe: bool = True) -> DataFrame:
-    """Band the signatures, bucket-join: pairs sharing any band bucket.
-    ``dedupe=False`` skips the global distinct — for consumers that
-    tolerate (or re-dedupe) multi-band collisions downstream, e.g. the
-    d4 certificate, which dedupes at its plant-count-sized tail instead
-    of paying an exchange over every candidate pair."""
-    bands = sigs.select(
+def band_table(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): one row per signature band — the LSH index
+    layout itself. At scale this IS the stored dedup state: written once
+    partitioned/bucketed by (band, bucket), it serves both the full
+    self-join (d4) and incremental delta lookups (d10) as key-only
+    joins."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -272,6 +272,15 @@ def lsh_candidate_pairs(sigs: DataFrame, dedupe: bool = True) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, dedupe: bool = True) -> DataFrame:
+    """Band the signatures, bucket-join: pairs sharing any band bucket.
+    ``dedupe=False`` skips the global distinct — for consumers that
+    tolerate (or re-dedupe) multi-band collisions downstream, e.g. the
+    d4 certificate, which dedupes at its plant-count-sized tail instead
+    of paying an exchange over every candidate pair."""
+    bands = band_table(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -420,6 +429,74 @@ def d4_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # came back with jaccard < 1 would certify a verify-stage bug
     ).filter(F.col("jaccard") == 1.0)
     eligible = shingled.filter(F.col("doc_id") < _N_PLANT).select("doc_id")
+    return _certify_planted_pairs(pairs, eligible, "planted_dup_found")
+
+
+# ---------------------------------------------------------------------------
+# D10 — INCREMENTAL dedup maintenance: the daily-arrival complement of d4.
+# A production corpus is not re-deduplicated from scratch per batch; the
+# shingle/signature/band tables are materialized state, and a new DELTA
+# batch is shingled/signed/banded map-only and joined against the stored
+# band table. Candidate generation is delta ⋈ state — O(|delta| · bands)
+# probe rows against a (band, bucket)-partitioned index — never the
+# corpus² self-join, and corpus text is touched only to verify the
+# delta's own candidates. This is the shape a 100 TB ingest pipeline
+# actually runs daily; d4 is its bootstrap.
+#
+# Certificate (d4's contract): the delta is planted as exact copies of
+# doc_id < 5, so every eligible copy must surface its (orig, copy) pair
+# through the delta-side banding → state join → verify at jaccard 1.0.
+# ---------------------------------------------------------------------------
+@register(
+    "d10_dedup_delta",
+    oracle=f"""
+SELECT doc_id, TRUE AS planted_dup_found
+FROM documents
+WHERE doc_id < {_N_PLANT} AND len({X.sql_tokens("text")}) >= 3
+ORDER BY doc_id
+""",
+    doc="D10: incremental dedup — delta batch banded against the corpus state, planted-copy certificate",
+)
+def d10_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_par(spark, sf_dir)
+    # corpus state — in production these three are tables written once
+    # (shingles, signatures, bands) and only READ here
+    shingled = shingle_table(d)
+    corpus_bands = band_table(
+        track(signatures_from_shingles(shingled).persist())
+    )
+    # the arriving delta: planted copies of 5 existing docs
+    delta = d.filter(F.col("doc_id") < _N_PLANT).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
+    delta_sh = shingle_table(delta)
+    delta_bands = band_table(signatures_from_shingles(delta_sh))
+    cands = (
+        delta_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        # corpus doc = doc_a (small id), delta doc = doc_b; multi-band
+        # collisions stay (certify dedupes at its plant-count tail)
+        .select(
+            F.col("c.doc_id").alias("doc_a"), F.col("n.doc_id").alias("doc_b")
+        )
+    )
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = delta_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cands.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = verified.select(
+        "doc_a",
+        "doc_b",
+        fround(inter.cast("double") / union, _R).alias("jaccard"),
+    ).filter(F.col("jaccard") == 1.0)
+    eligible = delta_sh.select(
+        (F.col("doc_id") - F.lit(_PLANT_OFFSET)).alias("doc_id")
+    )
     return _certify_planted_pairs(pairs, eligible, "planted_dup_found")
 
 

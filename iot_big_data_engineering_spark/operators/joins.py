@@ -1824,3 +1824,61 @@ def u4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(v1, v2)
+
+
+# ---------------------------------------------------------------------------
+# DQ4 — SEMI-JOIN PRE-FILTER (Bloom-style bucket filter): the shuffle-
+# reduction pattern for a selective big⋈big join. Joining 100 TB of
+# lineitem against the ~20% of orders that are URGENT shuffles EVERY
+# lineitem row on the bare join; the fix is to ship a compact membership
+# summary of the filtered build side to the probe side first. Spark's
+# runtime row-level Bloom filter does this opportunistically; dq4 states
+# the pattern declaratively with public primitives so it works on any
+# engine and any join the optimizer misses: hash the build keys into a
+# FIXED bucket domain (m = 2^16 — independent of SF, so the distinct
+# bucket list is bounded at ~0.5 MB forever), LEFT SEMI join the probe
+# side on the bucket (planner broadcasts it — no hint needed at this
+# size), then run the real key join on the survivors. False positives
+# (bucket collisions) are eliminated by the real join, so the pre-filter
+# is semantically transparent — which is exactly why the DuckDB oracle is
+# the PLAIN join: any row the filter wrongly dropped, or any double-count
+# from a mis-joined bucket, fails the hash gate.
+# ---------------------------------------------------------------------------
+_DQ4_M = 1 << 16  # bucket domain — fixed, never scales with data
+
+
+@register(
+    "dq4_semijoin_prefilter",
+    oracle=f"""
+SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+       count(*) AS n_items,
+       round(CAST(sum({_SQL_DISC_PRICE.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP)
+""",
+    doc="DQ4: bucket-filter semi-join pre-reduction before a selective big-big join (oracle = plain join)",
+)
+def dq4_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    buckets = o.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(_DQ4_M)).alias("kb")
+    ).distinct()
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "kb", F.pmod(F.xxhash64("l_orderkey"), F.lit(_DQ4_M))
+    )
+    survivors = l.join(buckets, "kb", "left_semi")
+    joined = survivors.join(o, survivors["l_orderkey"] == o["o_orderkey"])
+    return (
+        joined.groupBy(
+            F.date_trunc("month", "l_shipdate").alias("ship_month")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            fround(_sum_dbl(_disc_price()), 2).alias("revenue"),
+        )
+    )

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.rounding import fround
 from ..registry import register
@@ -269,6 +269,139 @@ def a17b_rollup_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = result.collect()
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+# ---------------------------------------------------------------------------
+# A21 — mergeable HISTOGRAM-QUANTILE rollup: the quantile counterpart to
+# a17's HLL story. Exact quantiles are not mergeable (you cannot combine
+# two medians), so a continuously-maintained p50/p95/p99 at 100 TB needs a
+# mergeable summary; fixed-bin histograms are the simplest one — per-group
+# (bin, count) rows add under merge with NO approximation beyond the fixed
+# bin width, and the quantile finalizes from the merged counts alone.
+# (Spark's percentile_approx is also mergeable internally, but its state
+# is opaque — it cannot be stored/merged across jobs from SQL; the
+# histogram state is a plain table any engine can maintain.)
+#
+# Like a17, the demo SPLITS the corpus at its last day, builds the two
+# histogram states independently, merges, and finalizes — while the
+# DuckDB oracle computes the same floor-binned quantiles from raw rows in
+# one pass, so a merge bug (double count / dropped bin) shifts a quantile
+# or a count and fails the hash gate. Full-value oracle: every emitted
+# number is deterministic double/int arithmetic shared by both engines.
+# ---------------------------------------------------------------------------
+_A21_NBINS = 256
+_A21_PS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
+
+_A21_SQL_BIN = f"""CASE WHEN c.dmax = c.dmin THEN 0
+              ELSE CAST(least(floor((value - c.dmin) / ((c.dmax - c.dmin) / {_A21_NBINS}.0)), {_A21_NBINS - 1}) AS INTEGER) END"""
+
+A21_ORACLE = (
+    SENSOR_ORACLE_CTE
+    + f"""
+, cal AS (
+  SELECT min(value) AS dmin, max(value) AS dmax FROM sensor_quality_checked
+),
+b AS (
+  SELECT sensor_type, {_A21_SQL_BIN} AS bin
+  FROM sensor_quality_checked, cal c
+),
+h AS (SELECT sensor_type, bin, count(*) AS cnt FROM b GROUP BY sensor_type, bin),
+f AS (
+  SELECT sensor_type, bin,
+         CAST(sum(cnt) OVER (PARTITION BY sensor_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY sensor_type) AS BIGINT) AS total
+  FROM h
+),
+qb AS (
+  SELECT sensor_type, max(total) AS n_rows,
+         {", ".join(
+             f"min(CASE WHEN cum >= CAST(ceil({p} * total) AS BIGINT) THEN bin END) AS {name}_bin"
+             for name, p in _A21_PS
+         )}
+  FROM f GROUP BY sensor_type
+)
+SELECT sensor_type, n_rows,
+       {", ".join(
+           f"round(c.dmin + {name}_bin * ((c.dmax - c.dmin) / {_A21_NBINS}.0), {_R}) AS {name}_lo"
+           for name, _ in _A21_PS
+       )}
+FROM qb, cal c
+"""
+)
+
+
+@register(
+    "a21_histogram_quantile_rollup",
+    oracle=A21_ORACLE,
+    doc="A21: mergeable fixed-bin histogram state — split ⊕ merge quantiles ≡ one-pass recompute",
+)
+def a21_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track
+
+    q = track(
+        quality_checked(spark, sf_dir)
+        .withColumn("d", F.to_date("ts"))
+        .persist()
+    )
+    # one calibration aggregate: bin domain + the history/delta split
+    # point, joined in as a 1-row broadcast (no driver collect)
+    cal = q.agg(
+        F.min("value").alias("dmin"),
+        F.max("value").alias("dmax"),
+        F.max("d").alias("split_d"),
+    )
+    width = (F.col("dmax") - F.col("dmin")) / _A21_NBINS
+    bin_ = (
+        F.when(F.col("dmax") == F.col("dmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("dmin")) / width),
+                F.lit(_A21_NBINS - 1),
+            )
+        )
+        .cast("int")
+    )
+    binned = q.join(F.broadcast(cal)).withColumn("bin", bin_)
+
+    def state(part: DataFrame) -> DataFrame:
+        return part.groupBy("sensor_type", "bin").agg(F.count("*").alias("cnt"))
+
+    merged = (
+        state(binned.filter(F.col("d") < F.col("split_d")))
+        .unionByName(state(binned.filter(F.col("d") == F.col("split_d"))))
+        .groupBy("sensor_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cum = F.sum("cnt").over(
+        Window.partitionBy("sensor_type").orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    total = F.sum("cnt").over(Window.partitionBy("sensor_type"))
+    f = merged.withColumn("cum", cum).withColumn("total", total)
+    qb = f.groupBy("sensor_type").agg(
+        F.max("total").alias("n_rows"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(p) * F.col("total")),
+                    F.col("bin"),
+                )
+            ).alias(f"{name}_bin")
+            for name, p in _A21_PS
+        ],
+    )
+    return qb.join(F.broadcast(cal)).select(
+        "sensor_type",
+        "n_rows",
+        *[
+            fround(F.col("dmin") + F.col(f"{name}_bin") * width, _R).alias(
+                f"{name}_lo"
+            )
+            for name, _ in _A21_PS
+        ],
+    )
 
 
 def maintain_rollup_state(

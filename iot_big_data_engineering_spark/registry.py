@@ -267,6 +267,12 @@ _WINDOW_DEFERRED = [
     "st6_stateful_running_totals", "mm5_payload_dedup", "mm6_shard_plan",
     "s4_label_centroids", "t8_bpe_token_stats", "dp1_corpus_clean",
     "adv2_asof_join", "adv11_range_join",
+    # added mid-round-5, after the window was pinned on the r4 evidence
+    # debt (42 queries without current-data greens outrank brand-new
+    # shapes this round) — mirror-green on current data; they lead the
+    # r6 never-checked rotation
+    "a21_histogram_quantile_rollup", "d10_dedup_delta",
+    "dq4_semijoin_prefilter",
 ]
 
 

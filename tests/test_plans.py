@@ -451,3 +451,51 @@ def test_dq2_never_materializes_the_join(spark):
     assert cache_reads >= 2, p
     assert p.count("events.parquet") <= cache_reads, p
     assert p.count("orders.parquet") <= cache_reads, p
+
+
+def test_dq4_prefilter_is_semi_join_no_cartesian(spark):
+    """The bucket pre-filter must plan as a LEFT SEMI join on the fixed
+    bucket domain (the planner broadcasts it unhinted at this size), and
+    the priority filter must reach the orders scan."""
+    from iot_big_data_engineering_spark.operators.joins import (
+        dq4_semijoin_prefilter,
+    )
+
+    df = dq4_semijoin_prefilter(spark, SF_SMOKE)
+    assert_hint_count(df, 0)
+    assert_no_cartesian(df)
+    assert_pushed_filter(df, "o_orderpriority")
+    p = plan_str(df, mode="simple")
+    assert "LeftSemi" in p, p
+
+
+def test_d10_delta_probes_state_not_self_join(spark):
+    """Incremental dedup's candidate stage joins DELTA bands against the
+    corpus band state — the plan must stay free of cartesian products and
+    of any NestedLoop fallback."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        d10_dedup_delta,
+    )
+
+    df = d10_dedup_delta(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    p = plan_str(df, mode="simple")
+    assert "NestedLoop" not in p, p
+
+
+def test_a21_state_window_is_bin_bounded(spark):
+    """a21's quantile window runs over the merged HISTOGRAM STATE
+    (<= nbins x |types| rows), never over raw rows: the plan's Window
+    nodes must sit above the (sensor_type, bin) aggregate."""
+    from iot_big_data_engineering_spark.operators.sketches import (
+        a21_histogram_quantile_rollup,
+    )
+
+    df = a21_histogram_quantile_rollup(spark, SF_SMOKE)
+    p = plan_str(df, mode="simple")
+    assert "Window" in p, p
+    # the raw-row pre-aggregation (partial hash aggregate on sensor_type,
+    # bin) must appear BELOW the window in the tree (deeper indentation =
+    # later in string for explain output children)
+    win_at = p.index("Window")
+    assert "HashAggregate" in p[win_at:], p
