@@ -42,14 +42,21 @@ def _rewrite_rounds(sql: str) -> str:
     so they disagree on boundary values like 0.5183125; floor(x·10ⁿ+0.5)/10ⁿ
     evaluated in double is bit-identical across engines. The Spark side
     uses functions.rounding.fround, the exact same arithmetic."""
+    def _in_string_literal(pos: int) -> bool:
+        # a match is inside a single-quoted SQL string iff an odd number
+        # of quotes precede it ('' escapes pair up and keep parity even)
+        return sql.count("'", 0, pos) % 2 == 1
+
     out = []
     i = 0
     low = sql.lower()
     while True:
         j = low.find("round(", i)
         # skip matches inside identifiers (e.g. "around(") — require a
-        # non-word char before
-        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+        # non-word char before — and inside quoted string literals
+        while j > 0 and (
+            sql[j - 1].isalnum() or sql[j - 1] == "_" or _in_string_literal(j)
+        ):
             j = low.find("round(", j + 1)
         if j == -1:
             out.append(sql[i:])

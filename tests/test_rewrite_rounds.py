@@ -28,6 +28,16 @@ def test_basic_rewrite_shapes():
     # nested round-in-round rewrites the whole outer expr then the inner
     out = _rewrite_rounds("round(round(x, 2) + y, 3)")
     assert out.count("floor") == 2 and "round(" not in out
+    # "round(" spelled inside a quoted string literal stays verbatim
+    assert (
+        _rewrite_rounds("SELECT 'use round(x, 2) here' AS note")
+        == "SELECT 'use round(x, 2) here' AS note"
+    )
+    # ...while a real round() after a closed literal still rewrites
+    assert (
+        _rewrite_rounds("SELECT 'lit' AS s, round(x, 2) AS r")
+        == "SELECT 'lit' AS s, (floor((x) * 100.0 + 0.5) / 100.0) AS r"
+    )
 
 
 @given(
