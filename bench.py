@@ -106,6 +106,7 @@ HEADLINE = [
     "a21_histogram_quantile_rollup",
     "d10_dedup_delta",
     "dq4_semijoin_prefilter",
+    "dp8_document_chunking",
 ]
 
 

@@ -1366,3 +1366,65 @@ def dp7_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("filled_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DP8 — OVERLAPPING DOCUMENT CHUNKING: dp5's complement. Packing (dp5)
+# concatenates short docs into fixed training sequences; chunking splits
+# LONG docs into overlapping context windows (the RAG / long-doc
+# pre-training splitter: chunk C tokens, stride S < C, so consecutive
+# chunks share C−S tokens of context). Pure projection + explode — no
+# shuffle anywhere, output ~ n_tokens/S rows per doc, trivially
+# map-parallel at any corpus size. Full-value oracle: both engines
+# tokenize with the shared parity-proven splitter and hash each chunk's
+# joined text, so a boundary slip (off-by-one slice, wrong stride,
+# dropped tail chunk) changes an md5 and fails the gate.
+# ---------------------------------------------------------------------------
+_DP8_CHUNK = 256   # tokens per chunk
+_DP8_STRIDE = 192  # chunk start distance → 64-token overlap
+
+
+@register(
+    "dp8_document_chunking",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks,
+         CAST(len({X.sql_tokens("text")}) AS INTEGER) AS n
+  FROM documents
+),
+e AS (
+  SELECT doc_id, toks, CAST(g.s AS INTEGER) AS start
+  FROM t, unnest(generate_series(0, n - 1, {_DP8_STRIDE})) AS g(s)
+  WHERE n >= 1
+)
+SELECT doc_id,
+       CAST(start // {_DP8_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(len(list_slice(toks, start + 1, start + {_DP8_CHUNK})) AS INTEGER)
+         AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, start + {_DP8_CHUNK}), ' '))
+         AS chunk_md5
+FROM e
+""",
+    doc="DP8: overlapping context-window chunking (256-token chunks, 192 stride), per-chunk md5 oracle",
+)
+def dp8_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", X.tokens("text").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+    ch = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_DP8_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start") + 1, F.lit(_DP8_CHUNK))
+    return ch.select(
+        "doc_id",
+        (F.col("start") / _DP8_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -279,7 +279,7 @@ _WINDOW_DEFERRED = [
     # shapes this round) — mirror-green on current data; they lead the
     # r6 never-checked rotation
     "a21_histogram_quantile_rollup", "d10_dedup_delta",
-    "dq4_semijoin_prefilter",
+    "dq4_semijoin_prefilter", "dp8_document_chunking",
 ]
 
 
