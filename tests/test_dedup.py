@@ -208,3 +208,32 @@ def test_prefix_join_equals_brute_force(spark):
                 ).collect()
             }
             assert got == want, (tau, order_by_df, got ^ want)
+
+
+def test_band_table_shape_and_copy_collision(spark, docs):
+    """band_table emits exactly N_BANDS rows per signed doc, and an
+    exact text copy collides with its original in EVERY band — the
+    invariant both d4's self-join and d10's delta-vs-state lookup rely
+    on."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        N_BANDS,
+        band_table,
+        minhash_signatures,
+    )
+
+    base = docs.limit(5)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    bands = band_table(minhash_signatures(base.unionAll(dup)))
+    per_doc = bands.groupBy("doc_id").count().collect()
+    assert all(r["count"] == N_BANDS for r in per_doc), per_doc
+    joined = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.doc_id") + 100000 == F.col("b.doc_id"))
+            & (F.col("a.band") == F.col("b.band")),
+        )
+        .filter(F.col("a.bucket") == F.col("b.bucket"))
+    )
+    # every (orig, copy) pair collides in all N_BANDS bands
+    assert joined.count() == len(per_doc) // 2 * N_BANDS

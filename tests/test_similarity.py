@@ -226,3 +226,30 @@ def test_d9_near_duplicate_recall_vs_exact(spark):
     # near-copies co-locate with their original unless the tiny
     # perturbation flips the argmax cell at a Voronoi boundary
     assert recall >= 0.8, f"near-dup recall {recall} ({hits}/{len(planted)})"
+
+
+def test_perturbed_copies_deterministic_and_near(spark):
+    """The recall-certificate plants must be (a) bit-identical across
+    calls (no RNG — the driver reruns the query and hashes), and (b)
+    genuinely NEAR copies: cosine >= 0.999 with their original but not
+    exact (so the recall column measures the index, not the exact-copy
+    guarantee again)."""
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _PERTURB_OFFSET,
+        perturbed_copies,
+    )
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "v")
+    a = {r.vec_id: r.v for r in perturbed_copies(e, 5).collect()}
+    b = {r.vec_id: r.v for r in perturbed_copies(e, 5).collect()}
+    assert a == b, "perturbation is not deterministic"
+    orig = {r.vec_id: r.v for r in e.filter(F.col("vec_id") < 5).collect()}
+    for vid, pv in a.items():
+        ov = np.asarray(orig[vid - _PERTURB_OFFSET])
+        pv = np.asarray(pv)
+        cos = float(
+            ov @ pv / (np.linalg.norm(ov) * np.linalg.norm(pv))
+        )
+        assert 0.999 <= cos < 1.0, (vid, cos)
