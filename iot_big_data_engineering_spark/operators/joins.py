@@ -1835,16 +1835,38 @@ def u4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runtime row-level Bloom filter does this opportunistically; dq4 states
 # the pattern declaratively with public primitives so it works on any
 # engine and any join the optimizer misses: hash the build keys into a
-# FIXED bucket domain (m = 2^16 — independent of SF, so the distinct
-# bucket list is bounded at ~0.5 MB forever), LEFT SEMI join the probe
-# side on the bucket (planner broadcasts it — no hint needed at this
-# size), then run the real key join on the survivors. False positives
-# (bucket collisions) are eliminated by the real join, so the pre-filter
-# is semantically transparent — which is exactly why the DuckDB oracle is
-# the PLAIN join: any row the filter wrongly dropped, or any double-count
-# from a mis-joined bucket, fails the hash gate.
+# bucket domain, LEFT SEMI join the probe side on the bucket (planner
+# broadcasts the distinct bucket list — no hint needed), then run the
+# real key join on the survivors. False positives (bucket collisions)
+# are eliminated by the real join, so the pre-filter is semantically
+# transparent — which is exactly why the DuckDB oracle is the PLAIN
+# join: any row the filter wrongly dropped, or any double-count from a
+# mis-joined bucket, fails the hash gate.
+#
+# The domain must SCALE WITH THE BUILD SIDE, not stay fixed: a measured
+# 40M-row sweep (SCALE.md) shows a fixed 2^16 domain saturating once the
+# filtered build side passes ~65k distinct keys — survivors went
+# 15% → 78% → 99.8% of the probe side, i.e. the filter silently decayed
+# to a pass-through. So m is sized from a cheap build-side count
+# (next power of two ≥ 8·n_build → ~12% FP), floored at 2^16 and capped
+# at 2^22: at the cap the distinct bucket list is ≤ 4.2M longs ≈ 34 MB —
+# still under the broadcast threshold — and beyond it the filter
+# degrades gracefully (FP rises, correctness untouched, the real join
+# still pays only for survivors). That cap is the same regime Spark's
+# own runtime Bloom targets (build sides up to tens of millions of
+# keys); past it, bucketed/co-located storage (sources/io.py) is the
+# right tool, not a pre-filter.
 # ---------------------------------------------------------------------------
-_DQ4_M = 1 << 16  # bucket domain — fixed, never scales with data
+_DQ4_M_MIN = 1 << 16
+_DQ4_M_MAX = 1 << 22
+_DQ4_KEYS_PER_BUCKET = 8  # m ≈ 8·n_build → ~1/8 false-positive rate
+
+
+def _dq4_domain(n_build: int) -> int:
+    m = _DQ4_M_MIN
+    while m < min(_DQ4_KEYS_PER_BUCKET * max(n_build, 1), _DQ4_M_MAX):
+        m <<= 1
+    return m
 
 
 @register(
@@ -1865,11 +1887,15 @@ def dq4_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
+    # size the domain from the build side (one cheap count over the
+    # pushed-down orders scan) — deterministic given the data, so the
+    # registered output stays hash-stable
+    m = _dq4_domain(o.count())
     buckets = o.select(
-        F.pmod(F.xxhash64("o_orderkey"), F.lit(_DQ4_M)).alias("kb")
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(m)).alias("kb")
     ).distinct()
     l = load_table(spark, sf_dir, "lineitem").withColumn(
-        "kb", F.pmod(F.xxhash64("l_orderkey"), F.lit(_DQ4_M))
+        "kb", F.pmod(F.xxhash64("l_orderkey"), F.lit(m))
     )
     survivors = l.join(buckets, "kb", "left_semi")
     joined = survivors.join(o, survivors["l_orderkey"] == o["o_orderkey"])
