@@ -202,7 +202,9 @@ def main() -> None:
         detail["loadavg_at_end"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
-    prev_round, prev = _latest_prev_bench()
+    this_round = _current_round()
+    detail["round"] = this_round
+    prev_round, prev = _latest_prev_bench(this_round)
     if prev is not None and prev.get("sf") == sf:
         pq = prev.get("queries", {})
         detail["prev_round"] = prev_round
@@ -212,37 +214,64 @@ def main() -> None:
         if isinstance(prev.get("value"), (int, float)):
             detail["delta_total_vs_prev"] = round(total - prev["value"], 3)
     here = os.path.dirname(os.path.abspath(__file__))
+    # BENCH_DETAIL.json is a SCRATCH pointer (latest run, any load);
+    # BENCH_DETAIL_r{N}.json is the immutable per-round record — written
+    # once per round (first run wins: the builder commits an idle run, and
+    # a later loaded driver rerun must not clobber it — VERDICT r5 #1).
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
+    # pin only runs at the contract SF (default sf0.1) — a local sf0.001
+    # iteration loop must not claim the round's immutable slot
+    if this_round is not None and sf_dir == "/root/testdata/sf0.1":
+        pinned = os.path.join(here, f"BENCH_DETAIL_r{this_round:02d}.json")
+        if not os.path.exists(pinned):
+            with open(pinned, "w") as f:
+                json.dump(detail, f, indent=1)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 
-def _latest_prev_bench():
-    """Previous round's full per-query map → (round_n, data) or (None,
-    None). Lets each round's report carry per-query regressions vs the
-    previous round mechanically. The committed BENCH_DETAIL.json (read
-    BEFORE this run overwrites it) is the primary source — since r5 the
-    stdout line, and therefore BENCH_r{N}.json's parsed map, carries only
-    the slowest queries. Falls back to the newest parseable BENCH_r*.json."""
+def _current_round() -> int | None:
+    """This bench run's round number: newest committed BENCH_r*.json + 1
+    (the driver writes BENCH_r{N}.json only AFTER the round's bench runs),
+    overridable via $SPARK_GRAFT_ROUND. None if neither source exists."""
     import glob
     import re
 
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env and env.isdigit():
+        return int(env)
     here = os.path.dirname(os.path.abspath(__file__))
     best_n = None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m and (best_n is None or int(m.group(1)) > best_n):
             best_n = int(m.group(1))
-    try:
-        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
-            detail = json.load(f)
-        if isinstance(detail.get("queries"), dict) and detail["queries"]:
-            return best_n, detail
-    except (OSError, ValueError):
-        pass
-    if best_n is None:
+    return None if best_n is None else best_n + 1
+
+
+def _latest_prev_bench(this_round: int | None):
+    """Previous round's full per-query map → (round_n, data) or (None,
+    None). The immutable BENCH_DETAIL_r{N-1}.json is the primary source,
+    and the round label comes from the file's own "round" field (ADVICE
+    r5: labeling from BENCH_r file names while sourcing the map from the
+    mutable BENCH_DETAIL.json could attribute a delta to the wrong run).
+    Falls back to the newest parseable BENCH_r*.json."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    if this_round is not None and this_round >= 2:
+        try:
+            path = os.path.join(
+                here, f"BENCH_DETAIL_r{this_round - 1:02d}.json"
+            )
+            with open(path) as f:
+                detail = json.load(f)
+            if isinstance(detail.get("queries"), dict) and detail["queries"]:
+                return detail.get("round", this_round - 1), detail
+        except (OSError, ValueError):
+            pass
+    if this_round is None or this_round < 2:
         return None, None
+    best_n = this_round - 1
     try:
         with open(os.path.join(here, f"BENCH_r{best_n:02d}.json")) as f:
             data = json.load(f)

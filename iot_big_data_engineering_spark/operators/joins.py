@@ -1891,11 +1891,18 @@ def dq4_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pushed-down orders scan) — deterministic given the data, so the
     # registered output stays hash-stable
     m = _dq4_domain(o.count())
+    # cast both keys to long BEFORE hashing: Spark's xxhash64 is
+    # input-type-sensitive, so if the two parquet columns ever drift to
+    # different integer widths the semi-join would silently drop every
+    # true match (ADVICE r5) — the explicit cast pins one hash domain
     buckets = o.select(
-        F.pmod(F.xxhash64("o_orderkey"), F.lit(m)).alias("kb")
+        F.pmod(
+            F.xxhash64(F.col("o_orderkey").cast("long")), F.lit(m)
+        ).alias("kb")
     ).distinct()
     l = load_table(spark, sf_dir, "lineitem").withColumn(
-        "kb", F.pmod(F.xxhash64("l_orderkey"), F.lit(m))
+        "kb",
+        F.pmod(F.xxhash64(F.col("l_orderkey").cast("long")), F.lit(m)),
     )
     survivors = l.join(buckets, "kb", "left_semi")
     joined = survivors.join(o, survivors["l_orderkey"] == o["o_orderkey"])

@@ -304,7 +304,8 @@ def _ensure_loaded() -> None:
     )
 
     missing = [n for n in _WINDOW_FIRST if n not in _REGISTRY]
-    assert not missing, f"_WINDOW_FIRST names not registered: {missing}"
+    if missing:  # RuntimeError, not assert: -O strips asserts
+        raise RuntimeError(f"_WINDOW_FIRST names not registered: {missing}")
     front = set(_WINDOW_FIRST)
     order = _WINDOW_FIRST + [n for n in _REGISTRY if n not in front]
     _REGISTRY = {n: _REGISTRY[n] for n in order}

@@ -553,10 +553,12 @@ def _assert_single_data_batch(q) -> None:
     data_batches = [
         p for p in q.recentProgress if p["numInputRows"] > 0
     ]
-    assert len(data_batches) == 1, (
-        f"bounded stream split into {len(data_batches)} data micro-batches; "
-        "st5/st6 oracle parity assumes exactly one (see comment)"
-    )
+    if len(data_batches) != 1:  # RuntimeError, not assert: -O strips asserts
+        raise RuntimeError(
+            f"bounded stream split into {len(data_batches)} data "
+            "micro-batches; st5/st6 oracle parity assumes exactly one "
+            "(see comment)"
+        )
 
 
 @register(
