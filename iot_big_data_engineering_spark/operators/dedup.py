@@ -674,8 +674,49 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # algorithms; the oracle is a recursive-CTE transitive closure (viable
 # because candidate graphs are tiny relative to the corpus).
 # ---------------------------------------------------------------------------
+# ≤ 1M (long, long) edges ≈ 16 MB collected — the same order as Spark's
+# own broadcast-join threshold; beyond it CC iterates distributed
+_CC_DRIVER_EDGE_CAP = 1_000_000
+
+
+def _cc_driver_finish(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Union-find over a collected (bounded, see _CC_DRIVER_EDGE_CAP)
+    edge list; emits (node, component=min reachable node id) with exactly
+    the distributed loop's semantics."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    rows = edges.collect()
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    data = [(n, comp_min[find(n)]) for n in parent]
+    return edges.sparkSession.createDataFrame(data, "node long, component long")
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+    driver_cap: int = _CC_DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """(src, dst) undirected edges → (node, component) with component =
     min node id reachable. Converges in <= diameter iterations; each
@@ -686,13 +727,26 @@ def connected_components(
     (changed > 0) — silently returning partial labels would emit wrong
     cluster ids for near-dup chains longer than the cap. min-label
     propagation needs <= diameter rounds, so 50 covers any realistic
-    near-dup graph; raise the cap for adversarial chain-shaped inputs."""
+    near-dup graph; raise the cap for adversarial chain-shaped inputs.
+
+    Small graphs finish on the driver: every distributed round is a
+    join + groupBy + materialize + count — ~4 scheduled jobs of pure
+    round-trip latency when the edge set is tiny (measured 1.4 s/round
+    on a 256-edge graph at sf0.1, the bulk of dp2's r5 drift). When the
+    materialized edge list is under _CC_DRIVER_EDGE_CAP it is collected
+    and solved with one union-find pass — the same size regime in which
+    Spark itself would broadcast a join side, and the count is free
+    because the checkpoint has already materialized the rows. Near-dup
+    edge graphs at 100 TB exceed the cap and take the distributed path;
+    the semantics (component = min reachable node id) are identical."""
     # materialize the edge list once — the unionAll below references it
     # twice, and callers hand us arbitrarily expensive edge plans (d7's is
     # a similarity join); without this the edge computation runs 2×
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst)
     ).localCheckpoint()
+    if edges.count() <= driver_cap:
+        return _cc_driver_finish(edges, src, dst)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

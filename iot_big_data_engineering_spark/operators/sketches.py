@@ -433,3 +433,100 @@ def maintain_rollup_state(
         .parquet(state_path)
     )
     return merge_states(spark.read.parquet(state_path).drop("period_id"))
+
+
+def compact_rollup_state(
+    spark: SparkSession, state_path: str, compacted_period_id: int = -1
+) -> None:
+    """Compact a maintain_rollup_state table: merge every existing period
+    partition into ONE (period_id=compacted_period_id, negative by
+    convention so it can never collide with a future delivery) and swap
+    it in atomically-enough (write-new-then-rename, the same pattern a
+    production compactor uses so readers never see a half-written state).
+
+    At 100 TB the state table grows one |groups|-sized partition per
+    period; after years that read-side merge is O(periods × groups) rows.
+    Compaction bounds it at O(groups) again. merge_states is associative
+    and commutative in every column (sums add, min/max combine, HLL
+    union), so (p0 ⊕ p1 ⊕ p2) ⊕ p3 ≡ p0 ⊕ p1 ⊕ p2 ⊕ p3 — a17c
+    hash-checks exactly that through the driver gate."""
+    import shutil
+
+    tmp_path = state_path + "_compacting"
+    (
+        merge_states(spark.read.parquet(state_path).drop("period_id"))
+        .withColumn("period_id", F.lit(compacted_period_id))
+        .write.mode("overwrite")
+        .partitionBy("period_id")
+        .parquet(tmp_path)
+    )
+    shutil.rmtree(state_path)
+    os.rename(tmp_path, state_path)
+
+
+@register(
+    "a17c_rollup_compaction",
+    # oracle = the full recompute, exactly a17/a17b's: if compaction
+    # dropped a partition, double-merged one, or the post-compaction
+    # delivery landed in the compacted partition, every mergeable column
+    # diverges and the hash gate fails
+    oracle=A17_ORACLE,
+    doc="A17c: compact N state partitions to one, deliver one more delta — merged ≡ full recompute",
+)
+def a17c_rollup_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r5 demand #7: maintain_rollup_state's docstring claims
+    "compaction never changes the merged value" with the algebra only
+    associativity-TESTED — this query proves it through the driver's hash
+    gate. Flow: deliver periods 0,1,2 → compact the three partitions into
+    one → deliver period 3 against the compacted state → finalize. The
+    oracle recomputes everything from raw rows in one pass, so the result
+    only hashes green if compaction is value-transparent AND the
+    post-compaction delivery merges cleanly with the compacted partition."""
+    import shutil
+    import tempfile
+
+    from ..caching import track
+
+    tmp = tempfile.mkdtemp(prefix="iotx_a17c_")
+    state_path = os.path.join(tmp, "state")
+    q = track(
+        quality_checked(spark, sf_dir)
+        .withColumn(
+            "period",
+            F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")), F.lit(4)),
+        )
+        .persist()
+    )
+    merged = None
+    for pid in (0, 1, 2):
+        delta = q.filter(F.col("period") == pid).drop("period")
+        merged = maintain_rollup_state(spark, state_path, delta, pid)
+    compact_rollup_state(spark, state_path)
+    merged = maintain_rollup_state(
+        spark, state_path, q.filter(F.col("period") == 3).drop("period"), 3
+    )
+
+    exact = q.groupBy("sensor_type").agg(
+        F.countDistinct("vehicle_id").alias("exact_veh")
+    )
+    est = F.hll_sketch_estimate("veh_sketch")
+    result = (
+        merged.join(exact, "sensor_type")
+        .select(
+            "sensor_type",
+            F.col("n").alias("record_count"),
+            fround(
+                F.col("sq").cast("double") / (F.lit(5.0) * F.col("n").cast("double")),
+                _R,
+            ).alias("avg_quality_score"),
+            F.col("min_ts").alias("first_reading"),
+            F.col("max_ts").alias("last_reading"),
+            F.col("exact_veh").alias("unique_vehicles"),
+            _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
+        )
+    )
+    # |sensor_type| rows — bounded; materialize so the scratch state dir
+    # can be deleted instead of leaking one mkdtemp per run
+    rows = result.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

@@ -126,6 +126,32 @@ def test_connected_components_chain_and_clusters(spark):
     }
 
 
+def test_connected_components_driver_vs_distributed_random_graphs(spark):
+    """The driver union-find fast path (default for small graphs) must be
+    observationally identical to the distributed min-label loop on
+    arbitrary graphs — seeded random edges, both paths, exact equality."""
+    import random
+
+    from iot_big_data_engineering_spark.operators.dedup import (
+        connected_components,
+    )
+
+    for seed in (7, 42, 99):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(30), rng.randrange(30)) for _ in range(25)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        fast = {
+            r.node: r.component for r in connected_components(df).collect()
+        }
+        slow = {
+            r.node: r.component
+            for r in connected_components(df, driver_cap=0).collect()
+        }
+        assert fast == slow, f"seed {seed}: driver path diverged"
+
+
 def test_connected_components_raises_instead_of_partial_labels(spark):
     """A chain longer than max_iters must RAISE, not silently return
     non-converged labels (which would emit wrong cluster ids)."""
@@ -138,14 +164,21 @@ def test_connected_components_raises_instead_of_partial_labels(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(10)], "src long, dst long"
     )
+    # driver_cap=0 forces the distributed path — the driver union-find
+    # (default for graphs this small) has no iteration cap to test
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iters=2)
+        connected_components(chain, max_iters=2, driver_cap=0)
     # and with enough rounds the same chain converges to one component
     comp = {
         r.node: r.component
-        for r in connected_components(chain, max_iters=15).collect()
+        for r in connected_components(chain, max_iters=15, driver_cap=0).collect()
     }
     assert set(comp.values()) == {0}
+    # the driver path must agree with the distributed path exactly
+    comp2 = {
+        r.node: r.component for r in connected_components(chain).collect()
+    }
+    assert comp2 == comp
 
 
 # ---------------------------------------------------------------------------
