@@ -75,8 +75,29 @@ def coverage(here: str) -> dict:
     }
 
 
+def write_coverage_artifact(here: str) -> str:
+    """Write COVERAGE_r{N}_window.json for the UPCOMING round (newest
+    CORRECTNESS round + 1 — the round whose window registry._WINDOW_FIRST
+    currently pins), regenerated mechanically from the registry + the
+    correctness files so `registered` can never disagree with
+    len(all_queries()) (VERDICT r5 demand #5 — the r5 artifact went stale
+    when a query landed after it was hand-generated).
+    tests/test_coverage_artifact.py fails whenever the committed file
+    differs from a fresh regeneration."""
+    rounds = load_rounds(here)
+    n = (max(rounds) if rounds else 0) + 1
+    path = os.path.join(here, f"COVERAGE_r{n:02d}_window.json")
+    with open(path, "w") as f:
+        json.dump(coverage(here), f)
+        f.write("\n")
+    return path
+
+
 def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
+    if "--write-coverage" in sys.argv:
+        print(write_coverage_artifact(here))
+        return 0
     if "--coverage" in sys.argv:
         print(json.dumps(coverage(here)))
         return 0

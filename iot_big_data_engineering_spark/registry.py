@@ -147,120 +147,35 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round; this list pins the round-5 window. After r4 (50/50 green), every
-# registered query is SOMEWHERE-green but 42 lack a green earned on the
-# current (post-r3-regeneration) testdata — VERDICT r4 demand #1 says
-# spend this window clearing exactly that debt. In order:
-# - s6/adv12/t13/st9/dp7: never faced the external gate at all (late-r4
-#   additions, held out behind in-window risk twins); a17b: NEW this
-#   round (VERDICT demand #6 — maintain_rollup_state backfill+replay);
-# - s2/s3/d9 (near-dup-recall certificate column added, VERDICT demand
-#   #5), d4 (certificate now derives eligibility/certify from the cached
-#   signature table, demand #4), m17 (full-precision timestamp gap per
-#   ADVICE), st8 (deterministic key-slice splitting per ADVICE): all
-#   r4-green but CHANGED FORM this round — their old green no longer
-#   covers the current code;
-# - the 37 whose only driver greens are r1/r2-vintage (pre-regeneration):
-#   monitoring predicate scans m10-m14, pagination/listing o1/o1b/o4,
-#   serving scans p7/p8/p10, brute-force kNN s1, exact dedup d1/d2, text
-#   t1-t5/t7, multimodal mm1-mm3, advanced adv3/adv4/adv5/adv6b/adv8/
-#   adv9/adv10, grouping g1/g2, set-ops u1/u2, windows w1-w3 — all
-#   re-proved on current data by the local strict mirror every round,
-#   now due their external rows;
-# - the 1 remaining slot: d8 (the guarded prefix join — the riskiest of
-#   the r3 greens, per VERDICT's spare-slot ranking).
-# Everything else (92 queries, _WINDOW_DEFERRED) already holds a green
-# driver row earned on current data in its current form (r3 or r4) and
-# is re-proved by tests/test_oracle_parity.py each round;
-# test_registry_window.py asserts the two lists exactly tile the
-# registry so a new query can never silently miss the rotation.
+# round; this list pins the round-6 window. r5 closed the evidence debt
+# (142/146 then-registered queries green on current data); this window
+# spends its slots on:
+# - the 5 queries that have NEVER faced the external gate: the four
+#   mid-r5 additions (a21, d10, dq4, dp8 — pinned to lead r6 by the r5
+#   deferral note and VERDICT r5 demand #1) plus a17c, NEW this round
+#   (VERDICT r5 demand #7 — the compaction-transparency proof for
+#   maintain_rollup_state);
+# - 45 of the 48 queries whose newest green is r3-vintage — the oldest
+#   evidence in the registry (VERDICT r5 demand #1: fill the remaining
+#   slots with the r3 bulk so evidence age stays bounded).
+# The 3 r3-vintage queries deferred to r7 are the a2 rollup twins
+# (a2_daily_analytics_approx, a2_weekly_analytics, a2_monthly_analytics):
+# their exact base a2_daily_analytics IS in-window, they share its
+# lineage end-to-end, and all three are re-proved on current data by the
+# local strict mirror (tests/test_oracle_parity.py) every round.
+# Everything else (_WINDOW_DEFERRED) holds a green driver row earned on
+# current data in its current form (r3/r4/r5); test_registry_window.py
+# asserts the two lists exactly tile the registry so a new query can
+# never silently miss the rotation.
 _WINDOW_FIRST = [
-    # never driver-checked at all
-    "s6_knn_ivf_sq8",
-    "adv12_robust_outliers",
-    "t13_vocab_growth",
-    "st9_streaming_alert_incidents",
-    "dp7_training_shards",
-    "a17b_rollup_backfill",
-    # r4-green but changed form in r5 — re-earn on current code
-    "s2_knn_ivf",
-    "s3_knn_lsh",
-    "d9_semantic_dedup",
-    "d4_minhash_lsh_dedup",
-    "m17_alert_incidents",
-    "st8_streaming_incremental_rollup",
-    # only driver greens predate the r3 testdata regeneration
-    "m10_hourly_quality",
-    "m11_liveness",
-    "m12_latency",
-    "m13_throughput",
-    "m14_anomaly_rate",
-    "o1_filtered_scan_paginated",
-    "o1b_filtered_scan_keyset",
-    "o4_anomaly_listing",
-    "p7_vehicle_scan",
-    "p8_date_bucket",
-    "p10_json_extract",
-    "s1_knn_bruteforce",
-    "d1_exact_dedup_stats",
-    "d2_exact_dedup_keep_first",
-    "t1_token_stats",
-    "t2_doc_quality",
-    "t3_langid_confusion",
-    "t4_fingerprints",
-    "t5_top_terms",
-    "t7_documents_profile",
-    "mm1_media_manifest",
-    "mm2_media_type_stats",
-    "mm3_frame_sample",
-    "adv3_pivot_daily_counts",
-    "adv4_salted_agg",
-    "adv5_value_histogram",
-    "adv6b_approx_percentiles",
-    "adv8_hash_sample_stats",
-    "adv9_latest_per_key",
-    "adv10_unpivot_daily_metrics",
-    "g1_rollup_order_stats",
-    "g2_cube_event_stats",
-    "u1_active_keys_union",
-    "u2_key_overlap",
-    "w1_top_orders_per_customer",
-    "w2_user_running_value",
-    "w3_event_gaps",
-    # riskiest unchanged r3 green (VERDICT spare-slot ranking)
-    "d8_jaccard_join_prefix",
-]
-
-# Queries NOT in this round's 50-slot window — every one already carries
-# a green driver row earned on post-regeneration data in its current
-# form (r3 or r4, see CORRECTNESS_r03/r04.json) and is value-checked
-# against its DuckDB oracle on current data by the local mirror
-# (tests/test_oracle_parity.py) every round. Membership is asserted
-# exhaustive + disjoint by tests/test_registry_window.py.
-_WINDOW_DEFERRED = [
-    "w5_trailing_hour_aggs", "mm7_stratified_sample",
-    "d8b_jaccard_join_df_prefix", "t9_pii_scan", "dp2_corpus_clean_neardup",
-    "t10_repetition_profile", "dc1_benchmark_contamination",
-    "st7_stream_stream_join", "t11_inverted_index", "dp3_training_mix",
-    "dp4_cleaning_audit", "m16_burn_rate", "mm4_payload_features",
-    "d5_simhash_neardup", "d6_embedding_neardup", "d7_dedup_clusters_full",
-    "d7_dedup_clusters", "a17_incremental_rollup", "a18_sketch_cube",
-    "dq1_key_skew_audit", "dq2_join_size_preflight", "t12_rarity_score",
-    "dp5_sequence_packing", "s5_scalar_quantization", "a19_resample_ffill",
-    "u4_snapshot_diff", "dq3_referential_audit", "a20_seasonality_profile",
-    "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
-    "d3_jaccard_pairs", "t6_tfidf_top_terms", "adv1_sessionize",
-    "adv6_percentiles", "j2_min_price_per_brand", "j4_priority_late_ship",
-    "j6_forecast_revenue", "j7_nation_volume_shipping",
-    "j10b_returned_revenue_topk", "j14_promo_revenue", "j15_top_supplier",
-    "j18_large_orders", "j19_bracket_revenue", "m15_alerts",
-    "a1_windowed_analytics", "a2_daily_analytics",
+    "a21_histogram_quantile_rollup", "d10_dedup_delta",
+    "dq4_semijoin_prefilter", "dp8_document_chunking",
+    "a17c_rollup_compaction", "a1_windowed_analytics", "a2_daily_analytics",
     "a3_sensor_type_measurements", "a4_vehicle_analytics",
     "a5_quality_histogram", "a6_anomaly_analytics", "a7_summary_report",
     "a8_sensor_type_report", "a9_vehicle_topk", "a15_daily_sensor_summary",
-    "a16_vehicle_daily_summary", "a2_daily_analytics_approx",
-    "a1_windowed_analytics_approx", "a4_vehicle_analytics_approx",
-    "a7_summary_report_approx", "a2_weekly_analytics", "a2_monthly_analytics",
+    "a16_vehicle_daily_summary", "a1_windowed_analytics_approx",
+    "a4_vehicle_analytics_approx", "a7_summary_report_approx",
     "j1_pricing_summary", "j3_shipping_priority", "j5_region_supplier_volume",
     "j10_order_rollup", "j11_brand_revenue", "j12_customer_order_presence",
     "j13_events_enriched", "g3_groupingsets_order_stats",
@@ -274,12 +189,52 @@ _WINDOW_DEFERRED = [
     "st6_stateful_running_totals", "mm5_payload_dedup", "mm6_shard_plan",
     "s4_label_centroids", "t8_bpe_token_stats", "dp1_corpus_clean",
     "adv2_asof_join", "adv11_range_join",
-    # added mid-round-5, after the window was pinned on the r4 evidence
-    # debt (42 queries without current-data greens outrank brand-new
-    # shapes this round) — mirror-green on current data; they lead the
-    # r6 never-checked rotation
-    "a21_histogram_quantile_rollup", "d10_dedup_delta",
-    "dq4_semijoin_prefilter", "dp8_document_chunking",
+]
+
+# Queries NOT in this round's 50-slot window — every one already carries
+# a green driver row earned on post-regeneration data in its current
+# form (r3, r4 or r5 — see CORRECTNESS_r0{3,4,5}.json) and is
+# value-checked against its DuckDB oracle on current data by the local
+# mirror (tests/test_oracle_parity.py) every round. Membership is
+# asserted exhaustive + disjoint by tests/test_registry_window.py.
+_WINDOW_DEFERRED = [
+    "s6_knn_ivf_sq8", "adv12_robust_outliers", "t13_vocab_growth",
+    "st9_streaming_alert_incidents", "dp7_training_shards",
+    "a17b_rollup_backfill", "s2_knn_ivf", "s3_knn_lsh", "d9_semantic_dedup",
+    "d4_minhash_lsh_dedup", "m17_alert_incidents",
+    "st8_streaming_incremental_rollup", "m10_hourly_quality", "m11_liveness",
+    "m12_latency", "m13_throughput", "m14_anomaly_rate",
+    "o1_filtered_scan_paginated", "o1b_filtered_scan_keyset",
+    "o4_anomaly_listing", "p7_vehicle_scan", "p8_date_bucket",
+    "p10_json_extract", "s1_knn_bruteforce", "d1_exact_dedup_stats",
+    "d2_exact_dedup_keep_first", "t1_token_stats", "t2_doc_quality",
+    "t3_langid_confusion", "t4_fingerprints", "t5_top_terms",
+    "t7_documents_profile", "mm1_media_manifest", "mm2_media_type_stats",
+    "mm3_frame_sample", "adv3_pivot_daily_counts", "adv4_salted_agg",
+    "adv5_value_histogram", "adv6b_approx_percentiles",
+    "adv8_hash_sample_stats", "adv9_latest_per_key",
+    "adv10_unpivot_daily_metrics", "g1_rollup_order_stats",
+    "g2_cube_event_stats", "u1_active_keys_union", "u2_key_overlap",
+    "w1_top_orders_per_customer", "w2_user_running_value", "w3_event_gaps",
+    "d8_jaccard_join_prefix", "a2_daily_analytics_approx",
+    "a2_weekly_analytics", "a2_monthly_analytics", "a19_resample_ffill",
+    "a20_seasonality_profile", "j2_min_price_per_brand",
+    "j4_priority_late_ship", "j6_forecast_revenue", "j14_promo_revenue",
+    "j18_large_orders", "j19_bracket_revenue", "j15_top_supplier",
+    "j7_nation_volume_shipping", "j10b_returned_revenue_topk",
+    "w5_trailing_hour_aggs", "u4_snapshot_diff",
+    "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
+    "st7_stream_stream_join", "a17_incremental_rollup", "a18_sketch_cube",
+    "mm4_payload_features", "mm7_stratified_sample", "d3_jaccard_pairs",
+    "d5_simhash_neardup", "d6_embedding_neardup", "d7_dedup_clusters",
+    "d7_dedup_clusters_full", "d8b_jaccard_join_df_prefix",
+    "dc1_benchmark_contamination", "s5_scalar_quantization",
+    "t6_tfidf_top_terms", "t9_pii_scan", "dp2_corpus_clean_neardup",
+    "t10_repetition_profile", "t11_inverted_index", "dp3_training_mix",
+    "dp4_cleaning_audit", "t12_rarity_score", "dp5_sequence_packing",
+    "adv1_sessionize", "adv6_percentiles", "dq1_key_skew_audit",
+    "dq2_join_size_preflight", "dq3_referential_audit", "m15_alerts",
+    "m16_burn_rate",
 ]
 
 
