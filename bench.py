@@ -107,6 +107,9 @@ HEADLINE = [
     "d10_dedup_delta",
     "dq4_semijoin_prefilter",
     "dp8_document_chunking",
+    # round 6 additions: state compaction proof, leakage-safe split
+    "a17c_rollup_compaction",
+    "dp9_leakage_safe_split",
 ]
 
 

@@ -1428,3 +1428,147 @@ def dp8_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DP9 — leakage-safe train/eval split: the decontamination step a
+# training-data pipeline runs AFTER near-dup detection. A random per-doc
+# split leaks: two near-duplicate documents can land on opposite sides,
+# and the eval set then scores memorization. The unit of assignment must
+# be the near-dup CLUSTER (d8 edges at tau=0.5 → connected components,
+# dp2's stage-1 machinery), with the side chosen by a deterministic hash
+# of the cluster id — here the Knuth multiplicative hash
+# (cluster_id·2654435761 mod 2^32, shared exactly by both engines as
+# plain BIGINT arithmetic; no engine-native hash is cross-checkable)
+# against a 90% cut.
+#
+# The certificate is NOT vacuous: split-by-cluster makes "no cluster
+# straddles" true by construction, so the hashed boolean instead checks
+# that every d8 EDGE connects same-side docs — i.e. that the component
+# labels are transitively closed over the edge set. The DuckDB oracle
+# recomputes edges + components + split independently (recursive CTE),
+# so a Spark CC bug (dropped edge, non-converged label) flips the
+# boolean or shifts the per-side doc/cluster counts and fails the gate.
+#
+# Scale: d8 + CC are the near-linear paths proven by d8/d7_full; the
+# split itself is a map-side hash; the certificate join ships |edges|
+# (src, dst) rows against the doc-keyed split table — at 100 TB both
+# sides partition on doc_id and the join co-locates. Nothing quadratic.
+# ---------------------------------------------------------------------------
+_DP9_MULT = 2654435761        # Knuth multiplicative hash (2^32/phi)
+_DP9_MOD = 4_294_967_296      # 2^32
+_DP9_TRAIN_CUT = 3_865_470_566  # floor(0.9 * 2^32) → ~90% train
+
+
+@register(
+    "dp9_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+shs AS (SELECT doc_id, {X.sql_shingles_from_tokens("toks", 3)} AS sh FROM tok),
+szs AS (SELECT doc_id, sh, len(sh) AS sz FROM shs WHERE len(sh) > 0),
+exs AS (SELECT doc_id, sz, unnest(sh) AS s FROM szs),
+co AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         a.sz AS sz_a, b.sz AS sz_b, count(*) AS o
+  FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+edges AS (
+  SELECT src, dst FROM co
+  WHERE CAST(o AS DOUBLE) / (sz_a + sz_b - o) >= 0.5
+),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+reach AS (
+  SELECT a AS node, b AS peer FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.peer = s.a
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min(peer)) AS cluster_id
+  FROM reach GROUP BY node
+),
+splits AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         CASE WHEN (COALESCE(c.cluster_id, d.doc_id) * {_DP9_MULT})
+                   % {_DP9_MOD} < {_DP9_TRAIN_CUT}
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+viol AS (
+  SELECT count(*) AS v FROM edges e
+  JOIN splits a ON e.src = a.doc_id
+  JOIN splits b ON e.dst = b.doc_id
+  WHERE a.split <> b.split
+)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT cluster_id) AS n_clusters,
+       (SELECT v FROM viol) = 0 AS edges_respect_split
+FROM splits GROUP BY split ORDER BY split
+""",
+    doc="DP9: near-dup-cluster-keyed train/eval split — no d8 edge crosses the split",
+)
+def dp9_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _docs_par, connected_components, prefix_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    # one materialization, two consumers (CC + the certificate join) —
+    # without it the d8 prefix-join subplan would execute twice
+    edges = (
+        prefix_jaccard_pairs(_docs_par(spark, sf_dir), 0.5)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+    splits = track(
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col("doc_id")))
+        .withColumn(
+            "split",
+            F.when(
+                F.pmod(
+                    F.col("cluster_id") * F.lit(_DP9_MULT), F.lit(_DP9_MOD)
+                )
+                < F.lit(_DP9_TRAIN_CUT),
+                F.lit("train"),
+            ).otherwise(F.lit("eval")),
+        )
+        .select("doc_id", "cluster_id", "split")
+        .persist()  # read by the certificate join AND the final groupBy
+    )
+    viol = (
+        edges.join(
+            splits.select(
+                F.col("doc_id").alias("src"), F.col("split").alias("split_a")
+            ),
+            "src",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("dst"), F.col("split").alias("split_b")
+            ),
+            "dst",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count("*").alias("v"))
+    )
+    return (
+        splits.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .join(F.broadcast(viol))  # 1-row scalar aggregate
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            (F.col("v") == 0).alias("edges_respect_split"),
+        )
+        .orderBy("split")
+    )

@@ -150,19 +150,22 @@ _LOADED = False
 # round; this list pins the round-6 window. r5 closed the evidence debt
 # (142/146 then-registered queries green on current data); this window
 # spends its slots on:
-# - the 5 queries that have NEVER faced the external gate: the four
+# - the 6 queries that have NEVER faced the external gate: the four
 #   mid-r5 additions (a21, d10, dq4, dp8 — pinned to lead r6 by the r5
 #   deferral note and VERDICT r5 demand #1) plus a17c, NEW this round
 #   (VERDICT r5 demand #7 — the compaction-transparency proof for
-#   maintain_rollup_state);
-# - 45 of the 48 queries whose newest green is r3-vintage — the oldest
+#   maintain_rollup_state) and dp9 (near-dup-cluster-keyed train/eval
+#   split, new r6 surface);
+# - 44 of the 48 queries whose newest green is r3-vintage — the oldest
 #   evidence in the registry (VERDICT r5 demand #1: fill the remaining
 #   slots with the r3 bulk so evidence age stays bounded).
-# The 3 r3-vintage queries deferred to r7 are the a2 rollup twins
-# (a2_daily_analytics_approx, a2_weekly_analytics, a2_monthly_analytics):
-# their exact base a2_daily_analytics IS in-window, they share its
-# lineage end-to-end, and all three are re-proved on current data by the
-# local strict mirror (tests/test_oracle_parity.py) every round.
+# - dp9 (leakage-safe split, NEW this round) takes one more slot.
+# The 4 r3-vintage queries deferred to r7 are approx/rollup twins
+# (a2_daily_analytics_approx, a2_weekly_analytics, a2_monthly_analytics,
+# a1_windowed_analytics_approx): their exact bases ARE in-window, they
+# share those bases' lineage end-to-end, and all four are re-proved on
+# current data by the local strict mirror (tests/test_oracle_parity.py)
+# every round.
 # Everything else (_WINDOW_DEFERRED) holds a green driver row earned on
 # current data in its current form (r3/r4/r5); test_registry_window.py
 # asserts the two lists exactly tile the registry so a new query can
@@ -174,7 +177,7 @@ _WINDOW_FIRST = [
     "a3_sensor_type_measurements", "a4_vehicle_analytics",
     "a5_quality_histogram", "a6_anomaly_analytics", "a7_summary_report",
     "a8_sensor_type_report", "a9_vehicle_topk", "a15_daily_sensor_summary",
-    "a16_vehicle_daily_summary", "a1_windowed_analytics_approx",
+    "a16_vehicle_daily_summary", "dp9_leakage_safe_split",
     "a4_vehicle_analytics_approx", "a7_summary_report_approx",
     "j1_pricing_summary", "j3_shipping_priority", "j5_region_supplier_volume",
     "j10_order_rollup", "j11_brand_revenue", "j12_customer_order_presence",
@@ -217,6 +220,7 @@ _WINDOW_DEFERRED = [
     "g2_cube_event_stats", "u1_active_keys_union", "u2_key_overlap",
     "w1_top_orders_per_customer", "w2_user_running_value", "w3_event_gaps",
     "d8_jaccard_join_prefix", "a2_daily_analytics_approx",
+    "a1_windowed_analytics_approx",
     "a2_weekly_analytics", "a2_monthly_analytics", "a19_resample_ffill",
     "a20_seasonality_profile", "j2_min_price_per_brand",
     "j4_priority_late_ship", "j6_forecast_revenue", "j14_promo_revenue",
