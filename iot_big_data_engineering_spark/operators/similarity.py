@@ -456,22 +456,23 @@ def _certify_planted_recall(
     fraction of perturbed plants (query_id + _PERTURB_OFFSET) retrieved
     in the top-k must reach ``threshold``. Emitted as one scalar repeated
     per row (the oracle states TRUE) so the driver hashes the recall
-    guarantee, not just the exact-copy one."""
-    found = (
-        topk.filter(F.col("vec_id") == F.col("query_id") + F.lit(_PLANT_OFFSET))
-        .select("query_id")
-        .withColumn("hit", F.lit(True))
+    guarantee, not just the exact-copy one.
+
+    Both flags come from ONE aggregation over topk — the r5 form read
+    topk twice (exact-hit filter + perturbed-hit filter), duplicating
+    the entire index-pipeline subtree in the plan; at scale that is 2×
+    the work, and the persist() that would fix it costs a serial
+    materialization barrier locally. A single groupBy reference needs
+    neither."""
+    flags = topk.groupBy("query_id").agg(
+        F.max(
+            F.col("vec_id") == F.col("query_id") + F.lit(_PLANT_OFFSET)
+        ).alias("hit"),
+        F.max(
+            F.col("vec_id") == F.col("query_id") + F.lit(_PERTURB_OFFSET)
+        ).alias("phit"),
     )
-    pfound = (
-        topk.filter(F.col("vec_id") == F.col("query_id") + F.lit(_PERTURB_OFFSET))
-        .select("query_id")
-        .withColumn("phit", F.lit(True))
-    )
-    base = (
-        q.select("query_id")
-        .join(found, "query_id", "left")
-        .join(pfound, "query_id", "left")
-    )
+    base = q.select("query_id").join(flags, "query_id", "left")
     # attach the aggregate as an UNPARTITIONED window over the certificate
     # frame — safe precisely because that frame is plant-count-sized
     # (bounded by construction, never corpus-sized), and it keeps the plan
@@ -542,10 +543,6 @@ def s2_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus would evaluate the planted branch too, measured ~0.5 s waste
     pert = perturbed_plants(spark, sf_dir, N_QUERIES)
     topk = ivf_topk(corpus.unionByName(pert, allowMissingColumns=True), q)
-    # the certificate reads topk TWICE (exact-hit + perturbed-hit
-    # branches); without a persist the whole IVF pipeline subtree runs
-    # twice — the bulk of r5's +1 s certificate cost. n_queries·k rows.
-    topk = track(topk.persist())
     return _certify_planted_recall(topk, q)
 
 
@@ -742,8 +739,6 @@ def s3_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, q = _corpus_queries_planted(spark, sf_dir)
     pert = perturbed_plants(spark, sf_dir, N_QUERIES)  # memoized, as in s2
     topk = lsh_topk(corpus.unionByName(pert, allowMissingColumns=True), q)
-    # persist: the certificate reads topk twice (see s2)
-    topk = track(topk.persist())
     return _certify_planted_recall(topk, q)
 
 
@@ -927,21 +922,31 @@ def d9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each was another filter branch over the parquet scan
     planted = planted_exact_copies(spark, sf_dir, _N_PLANT_D9)
     pert = perturbed_plants(spark, sf_dir, _N_PLANT_D9)
-    dropped = track(
-        semantic_dedup_dropped(e.unionByName(planted).unionByName(pert)).persist()
+    dropped = semantic_dedup_dropped(
+        e.unionByName(planted).unionByName(pert)
     )
     expected = plant_queries(spark, sf_dir, _N_PLANT_D9).select(
         F.col("query_id").alias("orig_id")
     )
-    hit = dropped.filter(
-        (F.col("vec_id") >= _PLANT_OFFSET) & (F.col("vec_id") < _PERTURB_OFFSET)
-    ).select(
-        (F.col("vec_id") - F.lit(_PLANT_OFFSET)).alias("orig_id")
-    ).withColumn("h", F.lit(True))
-    phit = dropped.filter(F.col("vec_id") >= _PERTURB_OFFSET).select(
-        (F.col("vec_id") - F.lit(_PERTURB_OFFSET)).alias("orig_id")
-    ).withColumn("ph", F.lit(True))
-    base = expected.join(hit, "orig_id", "left").join(phit, "orig_id", "left")
+    # both flags from ONE aggregation over dropped (single plan
+    # reference — no duplicated kernel subtree, no persist barrier;
+    # same rationale as _certify_planted_recall)
+    is_pert = F.col("vec_id") >= _PERTURB_OFFSET
+    flags = (
+        dropped.filter(F.col("vec_id") >= _PLANT_OFFSET)
+        .select(
+            F.when(is_pert, F.col("vec_id") - F.lit(_PERTURB_OFFSET))
+            .otherwise(F.col("vec_id") - F.lit(_PLANT_OFFSET))
+            .alias("orig_id"),
+            is_pert.alias("is_pert"),
+        )
+        .groupBy("orig_id")
+        .agg(
+            F.max(~F.col("is_pert")).alias("h"),
+            F.max(F.col("is_pert")).alias("ph"),
+        )
+    )
+    base = expected.join(flags, "orig_id", "left")
     # unpartitioned window over the plant-count-sized certificate frame
     # (bounded by construction) — no BroadcastNestedLoopJoin in the plan
     w_all = Window.rowsBetween(
