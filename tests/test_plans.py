@@ -499,3 +499,25 @@ def test_a21_state_window_is_bin_bounded(spark):
     # later in string for explain output children)
     win_at = p.index("Window")
     assert "HashAggregate" in p[win_at:], p
+
+
+def test_dp9_certificate_reuses_checkpointed_edges(spark):
+    """dp9 consumes the d8 edge list twice (components + the
+    edge-respects-split certificate); the plan must read the
+    localCheckpoint (ExistingRDD) both times rather than re-deriving the
+    prefix-join subtree, and the documents parquet itself must be
+    scanned exactly once (the doc_id projection)."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp9_leakage_safe_split,
+    )
+
+    df = dp9_leakage_safe_split(spark, SF_SMOKE)
+    p = plan_str(df, mode="simple")
+    # edges enter as the checkpointed RDD, never a re-derived prefix join
+    assert "ExistingRDD" in p, p
+    # the split table is served from cache for both consumers (the
+    # per-split aggregate and the certificate join) — its parquet
+    # lineage appears only inside InMemoryRelation printouts
+    assert "InMemoryTableScan" in p, p
+    assert "shingle" not in p.lower(), p  # no re-derived edge subtree
+    assert "CartesianProduct" not in p, p

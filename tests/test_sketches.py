@@ -99,3 +99,33 @@ def test_maintain_rollup_state_accumulates_and_is_replay_idempotent(
     # replay period 1: state must be unchanged
     replayed = sk.maintain_rollup_state(spark, path, parts[1], period_id=1)
     assert _finalized(replayed) == direct
+
+
+def test_compact_rollup_state_is_value_transparent(spark, tmp_path):
+    """Compacting N period partitions into one must not change the merged
+    value, must leave exactly the compacted partition on disk, and a
+    delivery AFTER compaction must still merge cleanly (a17c's contract,
+    unit form)."""
+    import os
+
+    import iot_big_data_engineering_spark.operators.sketches as sk
+
+    q = quality_checked(spark, SF_SMOKE)
+    parts = [
+        q.filter(F.pmod(F.xxhash64("sensor_id", "ts"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    path = str(tmp_path / "state")
+    for i, p in enumerate(parts[:2]):
+        merged = sk.maintain_rollup_state(spark, path, p, period_id=i)
+    before = _finalized(merged)
+    sk.compact_rollup_state(spark, path)
+    assert _finalized(
+        sk.merge_states(spark.read.parquet(path).drop("period_id"))
+    ) == before
+    # exactly one (negative) period partition remains
+    pdirs = [d for d in os.listdir(path) if d.startswith("period_id=")]
+    assert pdirs == ["period_id=-1"], pdirs
+    # post-compaction delivery still merges to the full recompute
+    merged = sk.maintain_rollup_state(spark, path, parts[2], period_id=2)
+    assert _finalized(merged) == _finalized(sk._partial_state(q))
