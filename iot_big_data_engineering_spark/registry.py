@@ -239,6 +239,10 @@ _WINDOW_DEFERRED = [
     "adv1_sessionize", "adv6_percentiles", "dq1_key_skew_audit",
     "dq2_join_size_preflight", "dq3_referential_audit", "m15_alerts",
     "m16_burn_rate",
+    # added mid-round-6, after the window was pinned on the never-checked
+    # backlog (VERDICT r5 demand #1) — mirror-green on current data
+    # (tests/test_oracle_parity.py); leads the r7 rotation
+    "st10_streaming_histogram_rollup",
 ]
 
 

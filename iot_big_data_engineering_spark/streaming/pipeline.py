@@ -928,3 +928,133 @@ def st9_streaming_alert_incidents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming query #10: a21's streaming twin — continuous
+# QUANTILE maintenance through the mergeable fixed-bin histogram state.
+# Exact quantiles are not mergeable, so a21 keeps per-group (bin, count)
+# rows as its state; st10 runs that maintenance as a stream: each
+# micro-batch bins its rows against the FIXED calibration domain and
+# epoch-key-overwrites its own (sensor_type, bin) count delta (the same
+# replay-idempotent sink recipe as st8), and the final quantiles
+# finalize from the merged counts alone. The calibration (bin domain)
+# must be shared by every delta — in production it comes from a
+# historical calibration table; here it is one bounded 2-value aggregate
+# over the corpus. Oracle = a21's one-pass recompute: a binning drift,
+# dropped epoch, double-counted replay or cum/total window bug shifts a
+# quantile or a count and fails the hash gate.
+# ---------------------------------------------------------------------------
+from ..operators.sketches import _A21_NBINS, _A21_PS, A21_ORACLE  # noqa: E402
+
+
+@register(
+    "st10_streaming_histogram_rollup",
+    oracle=A21_ORACLE,
+    doc="§2.7/A21: foreachBatch mergeable histogram-quantile state — per-batch deltas merged ≡ one-pass recompute",
+)
+def st10_streaming_histogram_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import Window
+
+    tmp = tempfile.mkdtemp(prefix="iotx_st10_")
+    in_dir = os.path.join(tmp, "in")
+    state_dir = os.path.join(tmp, "state")
+    ev = load_table(spark, sf_dir, "events")
+    slice_of = F.pmod(F.xxhash64("event_id"), F.lit(_ST8_N_SPLITS))
+    for i in range(_ST8_N_SPLITS):
+        ev.filter(slice_of == i).coalesce(1).write.mode("append").parquet(in_dir)
+
+    # the shared bin domain: one 2-value aggregate (bounded by
+    # construction); every batch must bin against the SAME domain or the
+    # counts are not mergeable
+    cal = (
+        quality_checked(spark, sf_dir)
+        .agg(F.min("value").alias("dmin"), F.max("value").alias("dmax"))
+        .collect()[0]
+    )
+    dmin, dmax = float(cal.dmin), float(cal.dmax)
+    width = (dmax - dmin) / _A21_NBINS
+    bin_ = (
+        F.lit(0)
+        if dmax == dmin
+        else F.least(
+            F.floor((F.col("value") - F.lit(dmin)) / F.lit(width)),
+            F.lit(_A21_NBINS - 1),
+        ).cast("int")
+    )
+
+    stream = sensor_stream(
+        spark, in_dir, glob="*.parquet", max_files_per_trigger=1
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # epoch-keyed dynamic overwrite — replay-idempotent (see st8)
+        (
+            batch_df.withColumn("bin", bin_)
+            .groupBy("sensor_type", "bin")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("epoch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(state_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    if len(data_batches) < 2:  # RuntimeError, not assert: -O strips asserts
+        raise RuntimeError(
+            f"st10 needs >=2 data micro-batches to certify the cross-batch "
+            f"histogram merge; got {len(data_batches)}"
+        )
+
+    merged = (
+        spark.read.parquet(state_dir)
+        .drop("epoch_id")
+        .groupBy("sensor_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cum = F.sum("cnt").over(
+        Window.partitionBy("sensor_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = F.sum("cnt").over(Window.partitionBy("sensor_type"))
+    hist = merged.withColumn("cum", cum).withColumn("total", total)
+    qb = hist.groupBy("sensor_type").agg(
+        F.max("total").alias("n_rows"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(p) * F.col("total")),
+                    F.col("bin"),
+                )
+            ).alias(f"{name}_bin")
+            for name, p in _A21_PS
+        ],
+    )
+    result = qb.select(
+        "sensor_type",
+        "n_rows",
+        *[
+            fround(F.lit(dmin) + F.col(f"{name}_bin") * F.lit(width), 6).alias(
+                f"{name}_lo"
+            )
+            for name, _ in _A21_PS
+        ],
+    )
+    # |sensor_type| rows — bounded; materialize so the scratch dirs can
+    # be deleted instead of leaking one mkdtemp per run
+    rows = result.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
