@@ -155,7 +155,17 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
-        if max(samples) > 1.5 * min(samples) and max(samples) - min(samples) > 0.3:
+        # third sample when the first two disagree (>1.5x AND >0.3 s
+        # spread) OR when the best sample is already mid-range heavy
+        # (>3 s): r6 caught a contaminated d8 window where BOTH samples
+        # were inflated (4.41 s vs 1.45 s solo) yet agreed closely
+        # enough to skip the retry — a best-of-3 floor for heavy-looking
+        # queries bounds that failure mode at a few seconds of extra
+        # bench wall
+        if (
+            max(samples) > 1.5 * min(samples)
+            and max(samples) - min(samples) > 0.3
+        ) or min(samples) > 3.0:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()

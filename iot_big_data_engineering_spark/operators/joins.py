@@ -1915,3 +1915,56 @@ def dq4_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(_sum_dbl(_disc_price()), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W6 — cohort retention matrix: the canonical product-analytics rollup
+# (users grouped by first-activity day; distinct active users per
+# (cohort, day-offset) cell). Two shuffle rounds at any scale: (1) the
+# per-user MIN(first day) aggregate partitions on user_id, and (2) the
+# activity join consumes that SAME hash partitioning (both sides keyed
+# on user_id — Catalyst elides the second exchange on the aggregate
+# side), then the (cohort_day, day_offset) distinct-count aggregate
+# moves one compact row per (cell, user). Nothing is windowed and no
+# side is collected; at 100 TB the cohort table is |users| rows and the
+# matrix |days|² cells. The 100 TB twin for the distinct count is the
+# HLL sketch (a17/a18's contract) — this query is its exact anchor.
+# ---------------------------------------------------------------------------
+@register(
+    "w6_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+         e.user_id
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       count(DISTINCT user_id) AS active_users
+FROM cells
+GROUP BY 1, 2
+""",
+    doc="W6: cohort retention matrix — distinct active users per (first-day cohort, day offset)",
+)
+def w6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    cells = e.join(firsts, "user_id").select(
+        "cohort_day",
+        F.datediff("d", "cohort_day").alias("day_offset"),
+        "user_id",
+    )
+    return cells.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("active_users")
+    ).select(
+        F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "active_users",
+    )

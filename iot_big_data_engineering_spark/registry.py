@@ -241,8 +241,8 @@ _WINDOW_DEFERRED = [
     "m16_burn_rate",
     # added mid-round-6, after the window was pinned on the never-checked
     # backlog (VERDICT r5 demand #1) — mirror-green on current data
-    # (tests/test_oracle_parity.py); leads the r7 rotation
-    "st10_streaming_histogram_rollup",
+    # (tests/test_oracle_parity.py); lead the r7 rotation
+    "st10_streaming_histogram_rollup", "w6_cohort_retention",
 ]
 
 
