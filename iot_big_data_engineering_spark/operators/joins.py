@@ -1882,10 +1882,17 @@ GROUP BY CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP)
     doc="DQ4: bucket-filter semi-join pre-reduction before a selective big-big join (oracle = plain join)",
 )
 def dq4_semijoin_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = (
+    from ..caching import track
+
+    # the filtered 1-column build side is consumed THREE times (domain
+    # count, bucket distinct, final key join) — persist it so the orders
+    # parquet is scanned once, not three times (the count materializes
+    # the cache; both plan references read it back)
+    o = track(
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
+        .persist()
     )
     # size the domain from the build side (one cheap count over the
     # pushed-down orders scan) — deterministic given the data, so the
