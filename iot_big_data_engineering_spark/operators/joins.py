@@ -1975,3 +1975,62 @@ def w6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_offset").cast("long").alias("day_offset"),
         "active_users",
     )
+
+
+# ---------------------------------------------------------------------------
+# W6b — w6's sketch twin: the 100 TB form of the retention matrix. An
+# exact per-cell countDistinct(user_id) shuffles one row per (cell,
+# user); the HLL form ships one fixed-size sketch per cell instead (the
+# same exact-anchor/sketch-twin contract as a1/a2/a4/a7's approx twins
+# and a17/a18's merges). Exact values are also emitted and the sketch
+# estimate certifies against them (|est − exact| ≤ 3·rsd·exact, floor 1);
+# the DuckDB oracle recomputes the exact cells and states the boolean.
+# ---------------------------------------------------------------------------
+_W6_RSD = 0.01
+
+
+@register(
+    "w6b_cohort_retention_approx",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+         e.user_id
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       count(DISTINCT user_id) AS active_users,
+       TRUE AS actives_within_3rsd
+FROM cells
+GROUP BY 1, 2
+""",
+    doc="W6b: cohort retention via approx_count_distinct — sketch twin of w6's exact anchor",
+)
+def w6b_cohort_retention_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    cells = e.join(firsts, "user_id").select(
+        "cohort_day",
+        F.datediff("d", "cohort_day").alias("day_offset"),
+        "user_id",
+    )
+    ev = F.countDistinct("user_id")
+    av = F.approx_count_distinct("user_id", _W6_RSD)
+    ok = F.abs(av.cast("double") - ev.cast("double")) <= F.greatest(
+        F.lit(3 * _W6_RSD) * ev.cast("double"), F.lit(1.0)
+    )
+    return cells.groupBy("cohort_day", "day_offset").agg(
+        ev.alias("active_users"), ok.alias("actives_within_3rsd")
+    ).select(
+        F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "active_users",
+        "actives_within_3rsd",
+    )

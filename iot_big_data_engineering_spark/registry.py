@@ -243,6 +243,7 @@ _WINDOW_DEFERRED = [
     # backlog (VERDICT r5 demand #1) — mirror-green on current data
     # (tests/test_oracle_parity.py); lead the r7 rotation
     "st10_streaming_histogram_rollup", "w6_cohort_retention",
+    "w6b_cohort_retention_approx",
 ]
 
 
