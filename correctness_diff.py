@@ -18,7 +18,29 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
+
+
+def _tracked_correctness_files(here: str) -> set[str] | None:
+    """Basenames of git-TRACKED CORRECTNESS files, or None when git is
+    unavailable. The driver drops CORRECTNESS_r{N}.json into the tree
+    AFTER the builder's final commit of round N, so at judge time an
+    untracked r{N} file exists that the builder could not have seen;
+    counting it made tests/test_coverage_artifact.py demand a
+    COVERAGE_r{N+1} artifact that cannot exist yet (VERDICT r6 What's
+    wrong #1 / demand #2). Round inference therefore uses only files
+    committed to git — the ones the builder actually had."""
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+    if out.returncode != 0:
+        return None
+    return {os.path.basename(p) for p in out.stdout.split() if p}
 
 
 def _status(row: dict) -> str:
@@ -30,10 +52,16 @@ def _status(row: dict) -> str:
 
 
 def load_rounds(here: str) -> dict[int, dict[str, str]]:
+    """Load per-round statuses from git-TRACKED correctness files only
+    (see _tracked_correctness_files for why untracked driver drops are
+    excluded); falls back to every file on disk when git is missing."""
+    tracked = _tracked_correctness_files(here)
     rounds: dict[int, dict[str, str]] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
+            continue
+        if tracked is not None and os.path.basename(path) not in tracked:
             continue
         try:
             with open(path) as f:

@@ -147,30 +147,59 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round; this list pins the round-6 window. r5 closed the evidence debt
-# (142/146 then-registered queries green on current data); this window
-# spends its slots on:
-# - the 6 queries that have NEVER faced the external gate: the four
-#   mid-r5 additions (a21, d10, dq4, dp8 — pinned to lead r6 by the r5
-#   deferral note and VERDICT r5 demand #1) plus a17c, NEW this round
-#   (VERDICT r5 demand #7 — the compaction-transparency proof for
-#   maintain_rollup_state) and dp9 (near-dup-cluster-keyed train/eval
-#   split, new r6 surface);
-# - 44 of the 48 queries whose newest green is r3-vintage — the oldest
-#   evidence in the registry (VERDICT r5 demand #1: fill the remaining
-#   slots with the r3 bulk so evidence age stays bounded).
-# - dp9 (leakage-safe split, NEW this round) takes one more slot.
-# The 4 r3-vintage queries deferred to r7 are approx/rollup twins
-# (a2_daily_analytics_approx, a2_weekly_analytics, a2_monthly_analytics,
-# a1_windowed_analytics_approx): their exact bases ARE in-window, they
-# share those bases' lineage end-to-end, and all four are re-proved on
-# current data by the local strict mirror (tests/test_oracle_parity.py)
-# every round.
-# Everything else (_WINDOW_DEFERRED) holds a green driver row earned on
-# current data in its current form (r3/r4/r5); test_registry_window.py
-# asserts the two lists exactly tile the registry so a new query can
-# never silently miss the rotation.
+# round; this list pins the round-7 window (VERDICT r6 demand #1). r6
+# closed the never-checked backlog except the 3 mid-r6 additions; this
+# window spends its slots on:
+# - the 3 queries that have NEVER faced the external gate (st10, w6,
+#   w6b — mid-r6 additions, mirror-green, pinned to lead r7 by the r6
+#   deferral note). st10's flow now includes a stop/restart-from-
+#   checkpoint boundary (VERDICT r6 demand #5), so its r7 row proves
+#   recovery, not just replay;
+# - the 4 queries whose newest green is r3-vintage — the oldest evidence
+#   in the registry (the approx/rollup twins deferred from r6);
+# - 43 of the 44 queries whose newest green is r4-vintage (the d/t/mm/
+#   adv/dq/m bulk from CORRECTNESS_r04), so after r7 no registered
+#   query's newest green is older than r4 — and only one (see below)
+#   older than r5.
+# The single r4-vintage query deferred to r8 is d7_dedup_clusters: its
+# twin d7_dedup_clusters_full IS in-window and shares the entire
+# edge->connected-components lineage (same _cc_assign code path, driver/
+# distributed hybrid property-tested on random graphs in
+# tests/test_dedup.py); d7 only post-aggregates the same cluster
+# assignment. Everything else (_WINDOW_DEFERRED) holds a green driver
+# row earned on current data in its current form (r5/r6);
+# test_registry_window.py asserts the two lists exactly tile the
+# registry so a new query can never silently miss the rotation.
 _WINDOW_FIRST = [
+    "st10_streaming_histogram_rollup", "w6_cohort_retention",
+    "w6b_cohort_retention_approx", "a2_daily_analytics_approx",
+    "a1_windowed_analytics_approx", "a2_weekly_analytics",
+    "a2_monthly_analytics", "a19_resample_ffill", "a20_seasonality_profile",
+    "j2_min_price_per_brand", "j4_priority_late_ship", "j6_forecast_revenue",
+    "j14_promo_revenue", "j18_large_orders", "j19_bracket_revenue",
+    "j15_top_supplier", "j7_nation_volume_shipping",
+    "j10b_returned_revenue_topk", "w5_trailing_hour_aggs", "u4_snapshot_diff",
+    "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
+    "st7_stream_stream_join", "a17_incremental_rollup", "a18_sketch_cube",
+    "mm4_payload_features", "mm7_stratified_sample", "d3_jaccard_pairs",
+    "d5_simhash_neardup", "d6_embedding_neardup", "d7_dedup_clusters_full",
+    "d8b_jaccard_join_df_prefix", "dc1_benchmark_contamination",
+    "s5_scalar_quantization", "t6_tfidf_top_terms", "t9_pii_scan",
+    "dp2_corpus_clean_neardup", "t10_repetition_profile",
+    "t11_inverted_index", "dp3_training_mix", "dp4_cleaning_audit",
+    "t12_rarity_score", "dp5_sequence_packing", "adv1_sessionize",
+    "adv6_percentiles", "dq1_key_skew_audit", "dq2_join_size_preflight",
+    "dq3_referential_audit", "m15_alerts", "m16_burn_rate",
+]
+
+# Queries NOT in this round's 50-slot window — every one already carries
+# a green driver row earned on post-regeneration data in its current
+# form (r4, r5 or r6 — see CORRECTNESS_r0{4,5,6}.json; d7_dedup_clusters
+# is the one r4-vintage deferral, rationale above) and is value-checked
+# against its DuckDB oracle on current data by the local mirror
+# (tests/test_oracle_parity.py) every round. Membership is asserted
+# exhaustive + disjoint by tests/test_registry_window.py.
+_WINDOW_DEFERRED = [
     "a21_histogram_quantile_rollup", "d10_dedup_delta",
     "dq4_semijoin_prefilter", "dp8_document_chunking",
     "a17c_rollup_compaction", "a1_windowed_analytics", "a2_daily_analytics",
@@ -191,59 +220,25 @@ _WINDOW_FIRST = [
     "st4_stream_static_join", "st5_streaming_dedup",
     "st6_stateful_running_totals", "mm5_payload_dedup", "mm6_shard_plan",
     "s4_label_centroids", "t8_bpe_token_stats", "dp1_corpus_clean",
-    "adv2_asof_join", "adv11_range_join",
-]
-
-# Queries NOT in this round's 50-slot window — every one already carries
-# a green driver row earned on post-regeneration data in its current
-# form (r3, r4 or r5 — see CORRECTNESS_r0{3,4,5}.json) and is
-# value-checked against its DuckDB oracle on current data by the local
-# mirror (tests/test_oracle_parity.py) every round. Membership is
-# asserted exhaustive + disjoint by tests/test_registry_window.py.
-_WINDOW_DEFERRED = [
-    "s6_knn_ivf_sq8", "adv12_robust_outliers", "t13_vocab_growth",
-    "st9_streaming_alert_incidents", "dp7_training_shards",
-    "a17b_rollup_backfill", "s2_knn_ivf", "s3_knn_lsh", "d9_semantic_dedup",
-    "d4_minhash_lsh_dedup", "m17_alert_incidents",
-    "st8_streaming_incremental_rollup", "m10_hourly_quality", "m11_liveness",
-    "m12_latency", "m13_throughput", "m14_anomaly_rate",
-    "o1_filtered_scan_paginated", "o1b_filtered_scan_keyset",
-    "o4_anomaly_listing", "p7_vehicle_scan", "p8_date_bucket",
-    "p10_json_extract", "s1_knn_bruteforce", "d1_exact_dedup_stats",
-    "d2_exact_dedup_keep_first", "t1_token_stats", "t2_doc_quality",
+    "adv2_asof_join", "adv11_range_join", "w1_top_orders_per_customer",
+    "w2_user_running_value", "g1_rollup_order_stats", "u1_active_keys_union",
+    "u2_key_overlap", "g2_cube_event_stats", "a17b_rollup_backfill",
+    "st8_streaming_incremental_rollup", "st9_streaming_alert_incidents",
+    "mm1_media_manifest", "mm2_media_type_stats", "mm3_frame_sample",
+    "d1_exact_dedup_stats", "d2_exact_dedup_keep_first",
+    "d4_minhash_lsh_dedup", "d7_dedup_clusters", "d8_jaccard_join_prefix",
+    "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_lsh", "d9_semantic_dedup",
+    "s6_knn_ivf_sq8", "t1_token_stats", "t2_doc_quality",
     "t3_langid_confusion", "t4_fingerprints", "t5_top_terms",
-    "t7_documents_profile", "mm1_media_manifest", "mm2_media_type_stats",
-    "mm3_frame_sample", "adv3_pivot_daily_counts", "adv4_salted_agg",
-    "adv5_value_histogram", "adv6b_approx_percentiles",
-    "adv8_hash_sample_stats", "adv9_latest_per_key",
-    "adv10_unpivot_daily_metrics", "g1_rollup_order_stats",
-    "g2_cube_event_stats", "u1_active_keys_union", "u2_key_overlap",
-    "w1_top_orders_per_customer", "w2_user_running_value", "w3_event_gaps",
-    "d8_jaccard_join_prefix", "a2_daily_analytics_approx",
-    "a1_windowed_analytics_approx",
-    "a2_weekly_analytics", "a2_monthly_analytics", "a19_resample_ffill",
-    "a20_seasonality_profile", "j2_min_price_per_brand",
-    "j4_priority_late_ship", "j6_forecast_revenue", "j14_promo_revenue",
-    "j18_large_orders", "j19_bracket_revenue", "j15_top_supplier",
-    "j7_nation_volume_shipping", "j10b_returned_revenue_topk",
-    "w5_trailing_hour_aggs", "u4_snapshot_diff",
-    "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
-    "st7_stream_stream_join", "a17_incremental_rollup", "a18_sketch_cube",
-    "mm4_payload_features", "mm7_stratified_sample", "d3_jaccard_pairs",
-    "d5_simhash_neardup", "d6_embedding_neardup", "d7_dedup_clusters",
-    "d7_dedup_clusters_full", "d8b_jaccard_join_df_prefix",
-    "dc1_benchmark_contamination", "s5_scalar_quantization",
-    "t6_tfidf_top_terms", "t9_pii_scan", "dp2_corpus_clean_neardup",
-    "t10_repetition_profile", "t11_inverted_index", "dp3_training_mix",
-    "dp4_cleaning_audit", "t12_rarity_score", "dp5_sequence_packing",
-    "adv1_sessionize", "adv6_percentiles", "dq1_key_skew_audit",
-    "dq2_join_size_preflight", "dq3_referential_audit", "m15_alerts",
-    "m16_burn_rate",
-    # added mid-round-6, after the window was pinned on the never-checked
-    # backlog (VERDICT r5 demand #1) — mirror-green on current data
-    # (tests/test_oracle_parity.py); lead the r7 rotation
-    "st10_streaming_histogram_rollup", "w6_cohort_retention",
-    "w6b_cohort_retention_approx",
+    "t7_documents_profile", "t13_vocab_growth", "dp7_training_shards",
+    "adv3_pivot_daily_counts", "adv4_salted_agg", "adv5_value_histogram",
+    "adv6b_approx_percentiles", "w3_event_gaps", "adv8_hash_sample_stats",
+    "adv9_latest_per_key", "adv10_unpivot_daily_metrics",
+    "adv12_robust_outliers", "o1_filtered_scan_paginated",
+    "o1b_filtered_scan_keyset", "p7_vehicle_scan", "p8_date_bucket",
+    "p10_json_extract", "o4_anomaly_listing", "m10_hourly_quality",
+    "m11_liveness", "m12_latency", "m13_throughput", "m14_anomaly_rate",
+    "m17_alert_incidents",
 ]
 
 
