@@ -157,16 +157,25 @@ _LOADED = False
 #   recovery, not just replay;
 # - the 4 queries whose newest green is r3-vintage — the oldest evidence
 #   in the registry (the approx/rollup twins deferred from r6);
-# - 43 of the 44 queries whose newest green is r4-vintage (the d/t/mm/
+# - dp9, whose split hash changed this round (the overflow-exact chunked
+#   Knuth multiply, VERDICT r6 demand #3) — its r6 green covered the old
+#   output values, so the new form must re-face the gate;
+# - 42 of the 44 queries whose newest green is r4-vintage (the d/t/mm/
 #   adv/dq/m bulk from CORRECTNESS_r04), so after r7 no registered
-#   query's newest green is older than r4 — and only one (see below)
+#   query's newest green is older than r4 — and only two (see below)
 #   older than r5.
-# The single r4-vintage query deferred to r8 is d7_dedup_clusters: its
-# twin d7_dedup_clusters_full IS in-window and shares the entire
-# edge->connected-components lineage (same _cc_assign code path, driver/
-# distributed hybrid property-tested on random graphs in
-# tests/test_dedup.py); d7 only post-aggregates the same cluster
-# assignment. Everything else (_WINDOW_DEFERRED) holds a green driver
+# The two r4-vintage queries deferred to r8, each with an in-window
+# superset proof of its code path:
+# - d7_dedup_clusters: its twin d7_dedup_clusters_full IS in-window and
+#   shares the entire edge->connected-components lineage (same
+#   _cc_assign code path, driver/distributed hybrid property-tested on
+#   random graphs in tests/test_dedup.py); d7 only post-aggregates the
+#   same cluster assignment.
+# - a17_incremental_rollup: displaced by dp9's re-entry; its r6-green
+#   superset proof a17c_rollup_compaction drives the same
+#   maintain_rollup_state + finalize path through deliver x3 + compact +
+#   deliver against a full-recompute oracle.
+# Everything else (_WINDOW_DEFERRED) holds a green driver
 # row earned on current data in its current form (r5/r6);
 # test_registry_window.py asserts the two lists exactly tile the
 # registry so a new query can never silently miss the rotation.
@@ -180,7 +189,7 @@ _WINDOW_FIRST = [
     "j15_top_supplier", "j7_nation_volume_shipping",
     "j10b_returned_revenue_topk", "w5_trailing_hour_aggs", "u4_snapshot_diff",
     "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
-    "st7_stream_stream_join", "a17_incremental_rollup", "a18_sketch_cube",
+    "st7_stream_stream_join", "dp9_leakage_safe_split", "a18_sketch_cube",
     "mm4_payload_features", "mm7_stratified_sample", "d3_jaccard_pairs",
     "d5_simhash_neardup", "d6_embedding_neardup", "d7_dedup_clusters_full",
     "d8b_jaccard_join_df_prefix", "dc1_benchmark_contamination",
@@ -206,7 +215,7 @@ _WINDOW_DEFERRED = [
     "a3_sensor_type_measurements", "a4_vehicle_analytics",
     "a5_quality_histogram", "a6_anomaly_analytics", "a7_summary_report",
     "a8_sensor_type_report", "a9_vehicle_topk", "a15_daily_sensor_summary",
-    "a16_vehicle_daily_summary", "dp9_leakage_safe_split",
+    "a16_vehicle_daily_summary", "a17_incremental_rollup",
     "a4_vehicle_analytics_approx", "a7_summary_report_approx",
     "j1_pricing_summary", "j3_shipping_priority", "j5_region_supplier_volume",
     "j10_order_rollup", "j11_brand_revenue", "j12_customer_order_presence",
