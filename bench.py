@@ -147,6 +147,7 @@ def main() -> None:
     # so a query's persist() from run 1 cannot serve run 2 — each run
     # re-executes the full pipeline; only JVM/codegen warmth carries over.
     times: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         samples: list[float] = []
@@ -184,6 +185,7 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
             retries += 1
         times[name] = round(min(samples), 3)
+        all_samples[name] = [round(s, 3) for s in samples]
 
     total = round(sum(times.values()), 3)
     # stdout carries ONLY the contract fields plus the 10 slowest queries,
@@ -204,6 +206,11 @@ def main() -> None:
     }
     detail = dict(out)
     detail["queries"] = times  # full map — detail file only
+    # EVERY timed sample per query, not just the min: a contaminated pin
+    # (r6's dp2 at 2.90 s when three idle runs measured 1.65-1.97 s) is
+    # self-evident machine-readably when the full spread is recorded
+    # (VERDICT r6 demand #4)
+    detail["samples"] = all_samples
     # machine context: sustained background load inflates wall times ~1.5x
     # (observed 45 s vs 67 s totals for identical code) — record it so
     # cross-round deltas are interpretable. The START sample is the
@@ -236,12 +243,65 @@ def main() -> None:
     # pin only runs at the contract SF (default sf0.1) — a local sf0.001
     # iteration loop must not claim the round's immutable slot
     if this_round is not None and sf_dir == "/root/testdata/sf0.1":
-        pinned = os.path.join(here, f"BENCH_DETAIL_r{this_round:02d}.json")
-        if not os.path.exists(pinned):
-            with open(pinned, "w") as f:
-                json.dump(detail, f, indent=1)
+        _maybe_pin(here, this_round, detail)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
+
+
+def _maybe_pin(here: str, this_round: int, detail: dict) -> None:
+    """Write the round's immutable BENCH_DETAIL_r{N}.json, guarding two
+    failure modes the mutable scratch file doesn't have:
+
+    - Premature pin (ADVICE r6): the driver writes BENCH_r{N}.json
+      mid-round, BEFORE the round's correctness/verdict land, so a bench
+      rerun in that window infers round N+1 and would claim N+1's slot
+      with a run from the wrong (often judge-loaded) machine state.
+      Unless $SPARK_GRAFT_ROUND pins the round explicitly, refuse when
+      round N (the inference base) isn't fully closed — its
+      CORRECTNESS_r{N}.json not yet on disk.
+    - Contaminated pin (VERDICT r6 demand #4): first-run-wins once froze
+      a noisy sample (r6 dp2 at 2.90 s vs 1.54-1.97 s everywhere else).
+      Allow exactly ONE re-pin per round, only when the new run
+      contradicts the committed record by >1.5x AND >0.5 s on some query
+      — i.e. when the pin is machine-readably implausible, not merely
+      jittery. The replaced record's samples are preserved under
+      "repinned_over" so the history stays auditable.
+    """
+    if not os.environ.get("SPARK_GRAFT_ROUND", "").isdigit() and this_round > 1:
+        base = os.path.join(here, f"CORRECTNESS_r{this_round - 1:02d}.json")
+        if not os.path.exists(base):
+            return
+    pinned_path = os.path.join(here, f"BENCH_DETAIL_r{this_round:02d}.json")
+    if not os.path.exists(pinned_path):
+        with open(pinned_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        return
+    try:
+        with open(pinned_path) as f:
+            pinned = json.load(f)
+    except (OSError, ValueError):
+        return
+    if pinned.get("repinned"):  # one re-pin per round, ever
+        return
+    old_q = pinned.get("queries", {})
+    new_q = detail.get("queries", {})
+    contradicted = [
+        n
+        for n, t_old in old_q.items()
+        if n in new_q and t_old > 1.5 * new_q[n] and t_old - new_q[n] > 0.5
+    ]
+    if not contradicted:
+        return
+    repin = dict(detail)
+    repin["repinned"] = True
+    repin["repin_contradicted"] = sorted(contradicted)
+    repin["repinned_over"] = {
+        "queries": old_q,
+        "samples": pinned.get("samples"),
+        "loadavg_at_start": pinned.get("loadavg_at_start"),
+    }
+    with open(pinned_path, "w") as f:
+        json.dump(repin, f, indent=1)
 
 
 def _current_round() -> int | None:

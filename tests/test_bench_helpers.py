@@ -60,3 +60,54 @@ def test_prev_bench_falls_back_to_driver_wrapped_bench_file(
     # round 1 (or unknown) has no previous round
     assert bench._latest_prev_bench(1) == (None, None)
     assert bench._latest_prev_bench(None) == (None, None)
+
+
+def _detail(queries, **extra):
+    d = {
+        "round": 7,
+        "sf": 0.1,
+        "value": sum(queries.values()),
+        "queries": queries,
+        "samples": {n: [t, t + 0.1] for n, t in queries.items()},
+    }
+    d.update(extra)
+    return d
+
+
+def test_maybe_pin_refuses_premature_round(tmp_path, monkeypatch):
+    # driver wrote BENCH_r07 mid-round -> a rerun infers round 8, but
+    # round 7 isn't closed (no CORRECTNESS_r07) -> no premature pin
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    bench._maybe_pin(str(tmp_path), 8, _detail({"q1": 1.0}))
+    assert not (tmp_path / "BENCH_DETAIL_r08.json").exists()
+    # once round 7 closes, round 8's pin is legitimate
+    (tmp_path / "CORRECTNESS_r07.json").write_text("{}")
+    bench._maybe_pin(str(tmp_path), 8, _detail({"q1": 1.0}))
+    assert (tmp_path / "BENCH_DETAIL_r08.json").exists()
+    # explicit env override bypasses the closure check
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "9")
+    bench._maybe_pin(str(tmp_path), 9, _detail({"q1": 1.0}))
+    assert (tmp_path / "BENCH_DETAIL_r09.json").exists()
+
+
+def test_maybe_pin_first_run_wins_unless_contradicted(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    (tmp_path / "CORRECTNESS_r06.json").write_text("{}")
+    first = _detail({"dp2": 2.9, "q2": 1.0})
+    bench._maybe_pin(str(tmp_path), 7, first)
+    # a merely-jittery rerun (within 1.5x or under 0.5 s) does not re-pin
+    bench._maybe_pin(str(tmp_path), 7, _detail({"dp2": 2.2, "q2": 0.7}))
+    pinned = json.loads((tmp_path / "BENCH_DETAIL_r07.json").read_text())
+    assert pinned["queries"] == {"dp2": 2.9, "q2": 1.0}
+    assert "repinned" not in pinned
+    # a >1.5x AND >0.5 s contradiction re-pins, preserving the old record
+    bench._maybe_pin(str(tmp_path), 7, _detail({"dp2": 1.5, "q2": 1.0}))
+    pinned = json.loads((tmp_path / "BENCH_DETAIL_r07.json").read_text())
+    assert pinned["queries"]["dp2"] == 1.5
+    assert pinned["repinned"] is True
+    assert pinned["repin_contradicted"] == ["dp2"]
+    assert pinned["repinned_over"]["queries"]["dp2"] == 2.9
+    # ...and only once per round: a second contradiction is refused
+    bench._maybe_pin(str(tmp_path), 7, _detail({"dp2": 0.5, "q2": 1.0}))
+    pinned = json.loads((tmp_path / "BENCH_DETAIL_r07.json").read_text())
+    assert pinned["queries"]["dp2"] == 1.5
