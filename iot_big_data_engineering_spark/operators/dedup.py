@@ -675,17 +675,33 @@ def d6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # because candidate graphs are tiny relative to the corpus).
 # ---------------------------------------------------------------------------
 # ≤ 1M (long, long) edges ≈ 16 MB collected — the same order as Spark's
-# own broadcast-join threshold; beyond it CC iterates distributed
+# own broadcast-join threshold; beyond it CC iterates distributed. The
+# 16 MB is honest because the collect goes through Arrow into flat int64
+# arrays — NOT collect()'s per-Row Python objects, which cost ~100× that
+# for the same edges and could stall a default-memory driver right at
+# the cap (ADVICE r6); the union-find state is two more int64 arrays of
+# |nodes|, so peak driver memory stays a few × the raw edge bytes.
 _CC_DRIVER_EDGE_CAP = 1_000_000
 
 
 def _cc_driver_finish(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Union-find over a collected (bounded, see _CC_DRIVER_EDGE_CAP)
     edge list; emits (node, component=min reachable node id) with exactly
-    the distributed loop's semantics."""
-    parent: dict = {}
+    the distributed loop's semantics. Arrow-columnar end to end: int64
+    numpy arrays in, dense index-based union-find, pandas out."""
+    import numpy as np
 
-    def find(x):
+    tbl = edges.toArrow()  # flat int64 columns — no Row materialization
+    a = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    if len(nodes) == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node long, component long"
+        )
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
         r = x
         while parent[r] != r:
             r = parent[r]
@@ -693,22 +709,24 @@ def _cc_driver_finish(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    rows = edges.collect()
-    for r in rows:
-        a, b = r[0], r[1]
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    comp_min: dict = {}
-    for n in parent:
-        r = find(n)
-        m = comp_min.get(r)
-        if m is None or n < m:
-            comp_min[r] = n
-    data = [(n, comp_min[find(n)]) for n in parent]
-    return edges.sparkSession.createDataFrame(data, "node long, component long")
+    for x, y in zip(
+        np.searchsorted(nodes, a).tolist(), np.searchsorted(nodes, b).tolist()
+    ):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    roots = np.fromiter(
+        (find(i) for i in range(len(nodes))), dtype=np.int64, count=len(nodes)
+    )
+    # component label = min node id reachable: scatter-min node ids onto
+    # their roots, then gather per node
+    mins = np.full(len(nodes), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(mins, roots, nodes)
+    import pandas as pd
+
+    return edges.sparkSession.createDataFrame(
+        pd.DataFrame({"node": nodes, "component": mins[roots]})
+    )
 
 
 def connected_components(

@@ -40,6 +40,8 @@ training-data pipeline extension (BASELINE.json north star).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..caching import track
@@ -367,13 +369,27 @@ def _corpus_queries_planted(spark: SparkSession, sf_dir: str):
 # key). Everything below it stays data-derived and deterministic: the one
 # collect reads the actual parquet rows, and every derived relation is a
 # pure function of them.
-_PLANT_MEMO: dict[tuple[str, int], list] = {}
+_PLANT_MEMO: dict[tuple, list] = {}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, size) of the embeddings parquet — cheap stat, part of
+    the memo key so a testdata regeneration WITHIN a session invalidates
+    the memo instead of certifying against rows that no longer exist in
+    the corpus (ADVICE r6)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:  # non-local path (e.g. s3://) — fall back to path-only
+        return ()
 
 
 def _plant_rows(spark: SparkSession, sf_dir: str, n_plant: int) -> list:
     """[(vec_id, v)] for the first ``n_plant`` embeddings rows — one
-    filter-pushdown collect per (sf_dir, n_plant) per session."""
-    key = (sf_dir, n_plant)
+    filter-pushdown collect per (sf_dir, n_plant, data fingerprint) per
+    session."""
+    key = (sf_dir, n_plant, _embeddings_fingerprint(sf_dir))
     if key not in _PLANT_MEMO:
         base = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", V.to_double("embedding").alias("v")

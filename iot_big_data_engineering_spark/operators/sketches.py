@@ -441,8 +441,16 @@ def compact_rollup_state(
     """Compact a maintain_rollup_state table: merge every existing period
     partition into ONE (period_id=compacted_period_id, negative by
     convention so it can never collide with a future delivery) and swap
-    it in atomically-enough (write-new-then-rename, the same pattern a
-    production compactor uses so readers never see a half-written state).
+    it in via write-new, rename-aside, rename-in, delete-old. A reader
+    can never observe a HALF-WRITTEN state (the compacted copy is built
+    entirely off to the side), and a crash at any step loses no data:
+    before the second rename both the old (possibly renamed aside) and
+    compacted copies exist on disk. The swap itself is two renames, so
+    a reader racing exactly between them can see a missing directory —
+    single-writer maintenance windows are assumed, as with any
+    filesystem-level compactor; table formats with a transactional
+    commit log (Iceberg/Delta) are the 100 TB answer when readers must
+    overlap compaction (ADVICE r6).
 
     At 100 TB the state table grows one |groups|-sized partition per
     period; after years that read-side merge is O(periods × groups) rows.
@@ -460,8 +468,17 @@ def compact_rollup_state(
         .partitionBy("period_id")
         .parquet(tmp_path)
     )
-    shutil.rmtree(state_path)
+    # rename the live state ASIDE before renaming the compacted copy in:
+    # the previous rmtree-then-rename order had a crash window where the
+    # live state was already deleted and the compacted copy still
+    # stranded at *_compacting — i.e. data loss requiring manual repair
+    # (ADVICE r6). With rename-aside, every crash point leaves at least
+    # one complete copy under a well-known name.
+    old_path = state_path + "_old"
+    shutil.rmtree(old_path, ignore_errors=True)  # debris from a prior crash
+    os.rename(state_path, old_path)
     os.rename(tmp_path, state_path)
+    shutil.rmtree(old_path)
 
 
 @register(
