@@ -256,39 +256,73 @@ def ivf_topk(
     (nq × nlist) matmul; the candidate scan is then a broadcast join on
     `cell` — at real scale, a partition-pruned read of nprobe/nlist of the
     corpus."""
-    np = _np()
     spark = e.sparkSession
+    empty = spark.createDataFrame(
+        [], "query_id long, vec_id long, cosine double, rank int"
+    )
+    e = track(e.persist())
+    cent = kmeans_centroids(e, nlist=nlist, iters=iters)
+    if cent.shape[0] == 0:  # empty corpus → empty result, stable schema
+        return empty
+    indexed = assign_cells(e, cent)
+    return ivf_probe_search(indexed, cent, queries, k=k, nprobe=nprobe)
+
+
+def ivf_probe_search(
+    indexed: DataFrame,
+    cent,
+    queries: DataFrame,
+    k: int = K,
+    nprobe: int = 4,
+    match_label: bool = False,
+) -> DataFrame:
+    """Probe selection + candidate scan + exact rerank over an ALREADY
+    indexed corpus (`assign_cells` output) and trained centroid matrix —
+    the index-consuming half of ivf_topk, factored out so the index can
+    be built differently per query family: s2 trains fresh, s7 filters
+    candidates by the query's label, s8 unions a delta batch assigned
+    with yesterday's centroids (no retrain).
+
+    With ``match_label`` the query relation must carry (query_id, qv,
+    qlabel) and `indexed` a `label` column; candidates are filtered to
+    label == qlabel BETWEEN the cell scan and the rerank — the standard
+    filtered-ANN shape: the predicate rides the probed-cell scan (at
+    scale: partition-pruned on cell, predicate-pushed on label), never a
+    post-rerank filter that could return < k survivors."""
+    np = _np()
+    spark = indexed.sparkSession
     empty = spark.createDataFrame(
         [], "query_id long, vec_id long, cosine double, rank int"
     )
     qrows = queries.collect()
     if not qrows:  # empty query set → np.asarray([]) is 1-D and
         return empty  # _normalize_rows would raise AxisError
-    e = track(e.persist())
-    cent = kmeans_centroids(e, nlist=nlist, iters=iters)
-    if cent.shape[0] == 0:  # empty corpus → empty result, stable schema
+    if cent.shape[0] == 0:
         return empty
-    indexed = assign_cells(e, cent)
     qn = _normalize_rows(
         np.asarray([r.qv for r in qrows], dtype=np.float64)
     )
     order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")  # ties → lowest cell
+    probe_rows = [
+        (r.query_id, list(r.qv), int(c))
+        + ((r.qlabel,) if match_label else ())
+        for r, row in zip(qrows, order)
+        for c in row[:nprobe]
+    ]
     probes = spark.createDataFrame(
-        [
-            (r.query_id, list(r.qv), int(c))
-            for r, row in zip(qrows, order)
-            for c in row[:nprobe]
-        ],
-        "query_id long, qv array<double>, cell long",
+        probe_rows,
+        "query_id long, qv array<double>, cell long"
+        + (", qlabel long" if match_label else ""),
     )
-    scored = (
-        indexed.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
-        )
+    cand = indexed.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    if match_label:
+        cand = cand.filter(F.col("label") == F.col("qlabel"))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -1132,3 +1166,143 @@ def s6_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return _certify_planted(ivf_topk(quant, q), q)
+
+
+# ---------------------------------------------------------------------------
+# S7 — filtered ANN: top-k restricted to rows matching a metadata
+# predicate (here: label == the query's own label) — the
+# vector+predicate search every production retrieval system needs
+# (tenant isolation, language-restricted retrieval, source filters).
+# The predicate applies BETWEEN the cell scan and the rerank
+# (ivf_probe_search(match_label=True)): post-rerank filtering is wrong
+# (returns < k survivors), and pre-index per-predicate partitions don't
+# compose across predicates. At 100 TB the corpus is partitioned by
+# `cell` and the label predicate pushes into the probed-cell parquet
+# scan — the filter costs candidate-set work, never a corpus pass.
+#
+# Certificate: the planted exact copy carries the query's OWN label, so
+# it must still be retrieved (planted_dup_found); and every returned
+# row must satisfy the predicate (results_respect_filter — joins the
+# top-k back to the corpus labels, so a pipeline that drops the filter
+# flips it FALSE on any query whose probed cells are label-mixed).
+# ---------------------------------------------------------------------------
+_PLANT_LABEL_MEMO: dict[tuple, dict[int, int]] = {}
+
+
+def _plant_labels(spark: SparkSession, sf_dir: str, n_plant: int) -> dict[int, int]:
+    """{vec_id: label} for the first ``n_plant`` embeddings rows — same
+    bounded memoized-collect pattern as _plant_rows."""
+    key = (sf_dir, n_plant, _embeddings_fingerprint(sf_dir))
+    if key not in _PLANT_LABEL_MEMO:
+        _PLANT_LABEL_MEMO[key] = {
+            int(r.vec_id): int(r.label)
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "label")
+            .filter(F.col("vec_id") < n_plant)
+            .collect()
+        }
+    return _PLANT_LABEL_MEMO[key]
+
+
+@register(
+    "s7_knn_filtered",
+    oracle=f"""
+SELECT vec_id AS query_id, TRUE AS planted_dup_found,
+       TRUE AS results_respect_filter
+FROM embeddings WHERE vec_id < {N_QUERIES}
+ORDER BY query_id
+""",
+    doc="S7: filtered ANN — label predicate rides the probed-cell scan; planted-copy + filter-respect certificate",
+)
+def s7_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _plant_labels(spark, sf_dir, N_QUERIES)
+    planted = planted_exact_copies(spark, sf_dir, N_QUERIES).withColumn(
+        "label",
+        F.coalesce(
+            *[
+                F.when(
+                    F.col("vec_id") == vid + _PLANT_OFFSET, F.lit(lab)
+                )
+                for vid, lab in labels.items()
+            ]
+        ),
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.to_double("embedding").alias("v")
+    )
+    corpus = track(e.unionByName(planted.select("vec_id", "label", "v")).persist())
+    q = spark.createDataFrame(
+        [
+            (vid, v, labels[vid])
+            for vid, v in _plant_rows(spark, sf_dir, N_QUERIES)
+        ],
+        "query_id long, qv array<double>, qlabel long",
+    )
+    cent = kmeans_centroids(corpus)
+    indexed = assign_cells(corpus, cent)
+    topk = ivf_probe_search(indexed, cent, q, match_label=True)
+    # filter-respect: every top-k row's corpus label must equal qlabel
+    labeled = topk.join(
+        corpus.select("vec_id", "label"), "vec_id"
+    ).join(q.select("query_id", "qlabel"), "query_id")
+    flags = labeled.groupBy("query_id").agg(
+        F.max(
+            F.col("vec_id") == F.col("query_id") + F.lit(_PLANT_OFFSET)
+        ).alias("hit"),
+        F.min(F.col("label") == F.col("qlabel")).alias("respects"),
+    )
+    return (
+        q.select("query_id")
+        .join(flags, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hit", F.lit(False)).alias("planted_dup_found"),
+            F.coalesce("respects", F.lit(False)).alias(
+                "results_respect_filter"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 — incremental IVF delta-add: the ANN counterpart of d10's delta
+# dedup, and the shape a daily embedding ingest actually runs. The base
+# corpus's centroids are trained ONCE ("yesterday's index"); the new
+# batch is assigned to cells with those same centroids — one map-only
+# Arrow pass over the delta, zero retraining, zero base-corpus work —
+# and search probes the unioned index. At 100 TB this is the difference
+# between an O(|delta|) nightly job and an O(corpus) rebuild; the known
+# cost is drift (cells go stale as the distribution moves), repaired by
+# periodic retrains exactly like compaction repairs a17's state growth.
+#
+# Certificate: the planted exact copies live ONLY in the delta batch, so
+# retrieving them (planted_dup_found) proves delta rows entered the
+# probed index through the no-retrain path — a pipeline that forgets to
+# union the delta, or assigns it against different centroids than the
+# probe ranking uses, strands the plants in unprobed cells and flips
+# the boolean.
+# ---------------------------------------------------------------------------
+_S8_N_DELTA = 100  # "today's ingest": the first 100 vec_ids + the plants
+
+
+@register(
+    "s8_knn_ivf_delta_add",
+    oracle=_ANN_CERT_ORACLE,
+    doc="S8: incremental IVF delta-add — new batch indexed map-only with yesterday's centroids; planted-copy certificate",
+)
+def s8_knn_ivf_delta_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.to_double("embedding").alias("v")
+    )
+    base = track(e.filter(F.col("vec_id") >= _S8_N_DELTA).persist())
+    delta = e.filter(F.col("vec_id") < _S8_N_DELTA).unionByName(
+        planted_exact_copies(spark, sf_dir, N_QUERIES),
+        allowMissingColumns=True,
+    )
+    cent = kmeans_centroids(base)  # yesterday's index — never retrained
+    indexed = assign_cells(base, cent).unionByName(
+        assign_cells(delta, cent)  # map-only delta add
+    )
+    q = plant_queries(spark, sf_dir, N_QUERIES)
+    return _certify_planted(ivf_probe_search(indexed, cent, q), q)

@@ -248,6 +248,10 @@ _WINDOW_DEFERRED = [
     "p10_json_extract", "o4_anomaly_listing", "m10_hourly_quality",
     "m11_liveness", "m12_latency", "m13_throughput", "m14_anomaly_rate",
     "m17_alert_incidents",
+    # added mid-round-7, after the window was pinned on the never-checked
+    # backlog + dp9 re-entry — mirror-green on current data
+    # (tests/test_oracle_parity.py); lead the r8 rotation
+    "s7_knn_filtered", "s8_knn_ivf_delta_add",
 ]
 
 

@@ -253,3 +253,73 @@ def test_perturbed_copies_deterministic_and_near(spark):
             ov @ pv / (np.linalg.norm(ov) * np.linalg.norm(pv))
         )
         assert 0.999 <= cos < 1.0, (vid, cos)
+
+
+def test_s7_filter_certificate_not_vacuous(spark):
+    """s7's results_respect_filter must certify real behavior: the SAME
+    index searched WITHOUT the label filter returns label-mixed top-k
+    for at least one query (otherwise the filter column proves nothing),
+    while the registered filtered form returns all-TRUE."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        N_QUERIES,
+        _plant_labels,
+        assign_cells,
+        ivf_probe_search,
+        kmeans_centroids,
+        s7_knn_filtered,
+    )
+
+    rows = s7_knn_filtered(spark, SF_SMOKE).collect()
+    assert len(rows) == N_QUERIES
+    assert all(r.planted_dup_found and r.results_respect_filter for r in rows)
+
+    e = _emb(spark, SF_SMOKE)
+    cent = kmeans_centroids(e)
+    indexed = assign_cells(e, cent)
+    labels = _plant_labels(spark, SF_SMOKE, N_QUERIES)
+    q = spark.createDataFrame(
+        [
+            (int(r.vec_id), list(r.v), labels[int(r.vec_id)])
+            for r in e.filter(F.col("vec_id") < N_QUERIES).collect()
+        ],
+        "query_id long, qv array<double>, qlabel long",
+    )
+    unfiltered = (
+        ivf_probe_search(indexed, cent, q)  # no match_label
+        .join(e.select("vec_id", "label"), "vec_id")
+        .join(q.select("query_id", "qlabel"), "query_id")
+    )
+    mixed = unfiltered.filter(F.col("label") != F.col("qlabel")).count()
+    assert mixed > 0, (
+        "unfiltered top-k is already label-pure — the filter certificate "
+        "would be vacuous on this corpus"
+    )
+
+
+def test_s8_delta_add_certificate_not_vacuous(spark):
+    """s8's planted_dup_found must hinge on the delta union: searching
+    yesterday's base index alone (the forgotten-delta bug) finds NO
+    plants, while the registered delta-added form finds all of them."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _S8_N_DELTA,
+        N_QUERIES,
+        _certify_planted,
+        assign_cells,
+        ivf_probe_search,
+        kmeans_centroids,
+        plant_queries,
+        s8_knn_ivf_delta_add,
+    )
+
+    rows = s8_knn_ivf_delta_add(spark, SF_SMOKE).collect()
+    assert len(rows) == N_QUERIES
+    assert all(r.planted_dup_found for r in rows)
+
+    e = _emb(spark, SF_SMOKE)
+    base = e.filter(F.col("vec_id") >= _S8_N_DELTA)
+    cent = kmeans_centroids(base)
+    q = plant_queries(spark, SF_SMOKE, N_QUERIES)
+    base_only = _certify_planted(
+        ivf_probe_search(assign_cells(base, cent), cent, q), q
+    ).collect()
+    assert not any(r.planted_dup_found for r in base_only)
