@@ -110,9 +110,11 @@ HEADLINE = [
     # round 6 additions: state compaction proof, leakage-safe split
     "a17c_rollup_compaction",
     "dp9_leakage_safe_split",
-    # round 7 additions: filtered ANN, incremental IVF delta-add
+    # round 7 additions: filtered ANN, incremental IVF delta-add,
+    # staged event funnel
     "s7_knn_filtered",
     "s8_knn_ivf_delta_add",
+    "w7_event_funnel",
 ]
 
 

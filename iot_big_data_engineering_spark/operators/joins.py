@@ -2034,3 +2034,122 @@ def w6b_cohort_retention_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_users",
         "actives_within_3rsd",
     )
+
+
+# ---------------------------------------------------------------------------
+# W7 — ordered event funnel: view → click → purchase, each step's first
+# qualifying event strictly after the previous step's, all inside a
+# 7-day conversion window anchored at the user's first view. The
+# canonical product-analytics sequence query — and deliberately NOT the
+# window-function form: sorting every user's full event history
+# (Window.partitionBy(user).orderBy(ts)) shuffles and sorts the whole
+# events table; the staged per-step form below reduces each step to a
+# filtered per-user MIN aggregation joined to the survivors of the
+# previous step. Each stage shuffles only (user_id, one timestamp), all
+# three stages hash-partition on user_id, so Catalyst reuses the same
+# exchange across the chain (the w6 pattern, asserted for w6 in
+# test_plans). The funnel summary is 3 rows; the conversion ratios ride
+# a size-3 unpartitioned window.
+# ---------------------------------------------------------------------------
+_W7_WINDOW_DAYS = 7
+
+
+@register(
+    "w7_event_funnel",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL {_W7_WINDOW_DAYS} DAY
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.t2
+    AND e.ts <= c.t1 + INTERVAL {_W7_WINDOW_DAYS} DAY
+  GROUP BY e.user_id
+),
+n AS (
+  SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM v
+  UNION ALL SELECT 2, 'click', count(*) FROM c
+  UNION ALL SELECT 3, 'purchase', count(*) FROM p
+)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(CAST(n_users AS DOUBLE)
+             / lag(n_users, 1, n_users) OVER (ORDER BY step_idx), 6)
+         AS conv_from_prev,
+       round(CAST(n_users AS DOUBLE)
+             / first_value(n_users) OVER (ORDER BY step_idx), 6)
+         AS conv_from_first
+FROM n ORDER BY step_idx
+""",
+    doc="W7: ordered 3-step funnel — staged per-user MIN joins, no full-history sort",
+)
+def w7_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    win = F.expr(f"INTERVAL {_W7_WINDOW_DAYS} DAYS")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)))
+    )
+    n = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("step_idx"), F.lit("view").alias("step"), "n_users")
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("step_idx"), F.lit("click").alias("step"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("step_idx"), F.lit("purchase").alias("step"), "n_users"
+            )
+        )
+    )
+    w = Window.orderBy("step_idx")  # 3-row funnel summary — bounded
+    return (
+        n.select(
+            F.col("step_idx").cast("long").alias("step_idx"),
+            "step",
+            F.col("n_users").cast("long").alias("n_users"),
+            fround(
+                F.col("n_users").cast("double")
+                / F.lag("n_users", 1, None).over(w).cast("double"),
+                6,
+            ).alias("conv_from_prev"),
+            fround(
+                F.col("n_users").cast("double")
+                / F.first("n_users").over(w).cast("double"),
+                6,
+            ).alias("conv_from_first"),
+        )
+        .withColumn(
+            "conv_from_prev", F.coalesce("conv_from_prev", F.lit(1.0))
+        )
+        .orderBy("step_idx")
+    )

@@ -251,7 +251,7 @@ _WINDOW_DEFERRED = [
     # added mid-round-7, after the window was pinned on the never-checked
     # backlog + dp9 re-entry — mirror-green on current data
     # (tests/test_oracle_parity.py); lead the r8 rotation
-    "s7_knn_filtered", "s8_knn_ivf_delta_add",
+    "s7_knn_filtered", "s8_knn_ivf_delta_add", "w7_event_funnel",
 ]
 
 
