@@ -2096,19 +2096,29 @@ FROM n ORDER BY step_idx
 def w7_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..caching import track
+
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     win = F.expr(f"INTERVAL {_W7_WINDOW_DAYS} DAYS")
-    v = (
+    # v and c are each consumed twice (next stage + the step count);
+    # without persist Spark recomputes the whole upstream chain per
+    # reference — measured 15 exchanges with one runtime ReusedExchange
+    # for this 3-row result. The frames are per-user aggregates (|users|
+    # rows, two columns), the same bounded regime dp9 persists its
+    # splits in; p is consumed once and stays lazy.
+    v = track(
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
-    c = (
+    c = track(
         e.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+        .persist()
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
