@@ -115,6 +115,7 @@ HEADLINE = [
     "s7_knn_filtered",
     "s8_knn_ivf_delta_add",
     "w7_event_funnel",
+    "adv13_salted_join",
 ]
 
 

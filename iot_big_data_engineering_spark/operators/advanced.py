@@ -915,3 +915,65 @@ def adv12_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ADV13 — salted replicate JOIN: the join-side counterpart of adv4's
+# two-stage salted aggregation. When a large-large equi-join has a few
+# hot keys, the hot keys' rows all land in the same shuffle partitions
+# and one straggler task dominates the stage. The manual cure: salt the
+# FACT side with pmod(hash(unique_id), S) and replicate the DIM side S×
+# (crossJoin with a size-S salt range), joining on (key, salt) — each
+# hot key now spreads over S tasks at the cost of an S× dim blow-up.
+# First choice at 100 TB is AQE's runtime skew-join split
+# (spark.sql.adaptive.skewJoin.enabled splits oversized partitions
+# after seeing shuffle stats); manual salting remains the tool when the
+# skewed join feeds a same-key aggregation AQE can't re-split, or when
+# the dim side must stay un-broadcast (too big) yet replicates cheaply
+# (S× a PER-KEY table ≪ fact size). dq1's skew audit supplies S.
+#
+# Certificate of transparency: the oracle is the PLAIN join + agg —
+# salting must not change a single row. A salt/key mismatch (fact
+# salt range ≠ replicated range, hash on a non-unique column, dropped
+# salt in the join condition) duplicates or drops fact rows and flips
+# counts/sums through the hash gate.
+# ---------------------------------------------------------------------------
+@register(
+    "adv13_salted_join",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day, e.event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS total_value
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    doc="ADV13: salted replicate join ≡ plain join (skew-mitigation transparency)",
+)
+def adv13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", F.to_date("ts").alias("d")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    # fact side: salt from the row-unique event_id — NEVER from the join
+    # key (hot keys must spread, and a non-unique hash would correlate
+    # salt with key and re-concentrate them)
+    fact = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALT)))
+    # dim side: replicate each per-user row across the full salt range
+    dim = firsts.join(
+        spark.range(_N_SALT).select(F.col("id").alias("salt")), how="cross"
+    )
+    joined = fact.join(dim, ["user_id", "salt"])
+    return joined.groupBy(
+        F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        fround(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("total_value"),
+    )

@@ -521,3 +521,50 @@ def test_dp9_certificate_reuses_checkpointed_edges(spark):
     assert "InMemoryTableScan" in p, p
     assert "shingle" not in p.lower(), p  # no re-derived edge subtree
     assert "CartesianProduct" not in p, p
+
+
+def test_w6_join_reuses_aggregate_partitioning(spark):
+    """w6's activity join must consume the per-user MIN aggregate on the
+    aggregate's own hash partitioning: with broadcast disabled (the
+    100 TB regime — firsts is |users|-sized), the plan carries exactly
+    three exchanges (events→agg, events→join, final cell agg) and the
+    aggregate side enters the SortMergeJoin with no fourth exchange."""
+    from iot_big_data_engineering_spark.operators.joins import (
+        w6_cohort_retention,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        p = plan_str(w6_cohort_retention(spark, SF_SMOKE), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert p.count("SortMergeJoin") == 1, p
+    assert p.count("Exchange") == 3, p
+
+
+def test_adv13_salted_join_spreads_on_salt(spark):
+    """The salted replicate join must actually join on (user_id, salt) —
+    with broadcast disabled, one SortMergeJoin whose keys include the
+    salt column, so each hot user spreads over _N_SALT shuffle
+    partitions. A dropped salt key would re-concentrate the hot keys
+    (and, if the replication survived, duplicate rows S× — caught by
+    the oracle)."""
+    import re
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        adv13_salted_join,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        p = plan_str(adv13_salted_join(spark, SF_SMOKE), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert p.count("SortMergeJoin") == 1, p
+    m = re.search(r"SortMergeJoin \[([^\]]*)\], \[([^\]]*)\]", p)
+    assert m is not None, p
+    left, right = m.group(1), m.group(2)
+    assert "salt" in left and "salt" in right, (left, right)
+    assert "user_id" in left and "user_id" in right, (left, right)
