@@ -568,3 +568,82 @@ def test_adv13_salted_join_spreads_on_salt(spark):
     left, right = m.group(1), m.group(2)
     assert "salt" in left and "salt" in right, (left, right)
     assert "user_id" in left and "user_id" in right, (left, right)
+
+
+def test_w7_funnel_matches_bruteforce_random_events(spark):
+    """The staged per-step MIN-join funnel must equal a per-user Python
+    brute force (scan each user's sorted history, advance through the
+    step sequence inside the window) on seeded random event frames —
+    including users who click before ever viewing, convert exactly at
+    the window edge, or purchase before clicking."""
+    import datetime as dt
+    import random
+
+    from iot_big_data_engineering_spark.operators.joins import (
+        _W7_WINDOW_DAYS,
+        w7_event_funnel,
+    )
+    from iot_big_data_engineering_spark.operators import joins as J
+    from iot_big_data_engineering_spark.sources import tables as TBL
+
+    base = dt.datetime(2024, 1, 1)
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        rows = []
+        for eid in range(400):
+            rows.append(
+                (
+                    eid,
+                    rng.randrange(40),  # user
+                    rng.choice(["view", "click", "purchase", "error"]),
+                    base + dt.timedelta(minutes=rng.randrange(0, 60 * 24 * 20)),
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+
+        # brute force
+        window = dt.timedelta(days=_W7_WINDOW_DAYS)
+        per_user: dict = {}
+        for _, uid, et, ts in rows:
+            per_user.setdefault(uid, []).append((ts, et))
+        n1 = n2 = n3 = 0
+        for hist in per_user.values():
+            hist.sort()
+            t1 = min((ts for ts, et in hist if et == "view"), default=None)
+            if t1 is None:
+                continue
+            n1 += 1
+            t2 = min(
+                (ts for ts, et in hist if et == "click" and t1 < ts <= t1 + window),
+                default=None,
+            )
+            if t2 is None:
+                continue
+            n2 += 1
+            if any(
+                et == "purchase" and t2 < ts <= t1 + window for ts, et in hist
+            ):
+                n3 += 1
+
+        # run the registered operator against the synthetic frame by
+        # stubbing the events load
+        orig = TBL.load_table
+        try:
+            TBL.load_table = lambda s, d, t, _df=df, _o=orig: (
+                _df if t == "events" else _o(s, d, t)
+            )
+            J.load_table = TBL.load_table
+            got = {
+                r.step: r.n_users
+                for r in w7_event_funnel(spark, "unused").collect()
+            }
+        finally:
+            TBL.load_table = orig
+            J.load_table = orig
+        assert got == {"view": n1, "click": n2, "purchase": n3}, (
+            seed,
+            got,
+            (n1, n2, n3),
+        )
