@@ -274,8 +274,21 @@ def _maybe_pin(here: str, this_round: int, detail: dict) -> None:
       "repinned_over" so the history stays auditable.
     """
     if not os.environ.get("SPARK_GRAFT_ROUND", "").isdigit() and this_round > 1:
-        base = os.path.join(here, f"CORRECTNESS_r{this_round - 1:02d}.json")
-        if not os.path.exists(base):
+        # "closed" means git-TRACKED, not merely on disk: the driver
+        # drops CORRECTNESS_r{N}.json untracked at judge time — exactly
+        # the judge-loaded window this guard exists to refuse — and it
+        # only becomes tracked at the round-boundary commit (the same
+        # rule correctness_diff.load_rounds applies, reused here)
+        import correctness_diff as cd
+
+        tracked = cd._tracked_correctness_files(here)
+        base = f"CORRECTNESS_r{this_round - 1:02d}.json"
+        closed = (
+            base in tracked
+            if tracked is not None
+            else os.path.exists(os.path.join(here, base))
+        )
+        if not closed:
             return
     pinned_path = os.path.join(here, f"BENCH_DETAIL_r{this_round:02d}.json")
     if not os.path.exists(pinned_path):

@@ -2142,24 +2142,31 @@ def w7_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("step_idx")  # 3-row funnel summary — bounded
+    # try_divide, with the oracle's lag(n, 1, n) default mirrored via
+    # coalesce: an empty funnel step makes the next ratio 0/0, which
+    # must be NULL on BOTH engines (DuckDB yields NULL on /0; Spark's
+    # plain `/` throws under ANSI mode and the session must not dictate
+    # the result) — never a crash, and never a coalesce-to-1.0 that
+    # would claim a 100% conversion out of an empty step
+    prev = F.coalesce(F.lag("n_users", 1).over(w), F.col("n_users"))
     return (
         n.select(
             F.col("step_idx").cast("long").alias("step_idx"),
             "step",
             F.col("n_users").cast("long").alias("n_users"),
             fround(
-                F.col("n_users").cast("double")
-                / F.lag("n_users", 1, None).over(w).cast("double"),
+                F.try_divide(
+                    F.col("n_users").cast("double"), prev.cast("double")
+                ),
                 6,
             ).alias("conv_from_prev"),
             fround(
-                F.col("n_users").cast("double")
-                / F.first("n_users").over(w).cast("double"),
+                F.try_divide(
+                    F.col("n_users").cast("double"),
+                    F.first("n_users").over(w).cast("double"),
+                ),
                 6,
             ).alias("conv_from_first"),
-        )
-        .withColumn(
-            "conv_from_prev", F.coalesce("conv_from_prev", F.lit(1.0))
         )
         .orderBy("step_idx")
     )

@@ -260,6 +260,8 @@ def ivf_topk(
     empty = spark.createDataFrame(
         [], "query_id long, vec_id long, cosine double, rank int"
     )
+    if queries.isEmpty():  # before persist + k-means: an empty query set
+        return empty  # must not pay (and then discard) index training
     e = track(e.persist())
     cent = kmeans_centroids(e, nlist=nlist, iters=iters)
     if cent.shape[0] == 0:  # empty corpus → empty result, stable schema
@@ -420,16 +422,18 @@ def _embeddings_fingerprint(sf_dir: str) -> tuple:
 
 
 def _plant_rows(spark: SparkSession, sf_dir: str, n_plant: int) -> list:
-    """[(vec_id, v)] for the first ``n_plant`` embeddings rows — one
-    filter-pushdown collect per (sf_dir, n_plant, data fingerprint) per
-    session."""
+    """[(vec_id, v, label)] for the first ``n_plant`` embeddings rows —
+    one filter-pushdown collect per (sf_dir, n_plant, data fingerprint)
+    per session; label rides the same collect so s7's filtered
+    certificate needs no second scan. Consumers that only want
+    (vec_id, v) unpack the first two fields."""
     key = (sf_dir, n_plant, _embeddings_fingerprint(sf_dir))
     if key not in _PLANT_MEMO:
         base = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", V.to_double("embedding").alias("v")
+            "vec_id", V.to_double("embedding").alias("v"), "label"
         )
         _PLANT_MEMO[key] = [
-            (int(r.vec_id), list(r.v))
+            (int(r.vec_id), list(r.v), int(r.label))
             for r in base.filter(F.col("vec_id") < n_plant).collect()
         ]
     return _PLANT_MEMO[key]
@@ -439,7 +443,8 @@ def plant_queries(spark: SparkSession, sf_dir: str, n_plant: int) -> DataFrame:
     """The certificate query set (query_id, qv) as a driver-local
     relation — no parquet scan branch per use."""
     return spark.createDataFrame(
-        _plant_rows(spark, sf_dir, n_plant), "query_id long, qv array<double>"
+        [(vid, v) for vid, v, _ in _plant_rows(spark, sf_dir, n_plant)],
+        "query_id long, qv array<double>",
     )
 
 
@@ -448,7 +453,7 @@ def planted_exact_copies(
 ) -> DataFrame:
     """Exact copies of the plant rows at vec_id + offset, driver-local."""
     return spark.createDataFrame(
-        [(vid + offset, v) for vid, v in _plant_rows(spark, sf_dir, n_plant)],
+        [(vid + offset, v) for vid, v, _ in _plant_rows(spark, sf_dir, n_plant)],
         "vec_id long, v array<double>",
     )
 
@@ -465,7 +470,7 @@ def perturbed_plants(
     np = _np()
     data = [
         _perturb_one(np, vid, v, offset)
-        for vid, v in _plant_rows(spark, sf_dir, n_plant)
+        for vid, v, _ in _plant_rows(spark, sf_dir, n_plant)
     ]
     return spark.createDataFrame(data, "vec_id long, v array<double>")
 
@@ -1186,22 +1191,13 @@ def s6_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top-k back to the corpus labels, so a pipeline that drops the filter
 # flips it FALSE on any query whose probed cells are label-mixed).
 # ---------------------------------------------------------------------------
-_PLANT_LABEL_MEMO: dict[tuple, dict[int, int]] = {}
-
-
 def _plant_labels(spark: SparkSession, sf_dir: str, n_plant: int) -> dict[int, int]:
-    """{vec_id: label} for the first ``n_plant`` embeddings rows — same
-    bounded memoized-collect pattern as _plant_rows."""
-    key = (sf_dir, n_plant, _embeddings_fingerprint(sf_dir))
-    if key not in _PLANT_LABEL_MEMO:
-        _PLANT_LABEL_MEMO[key] = {
-            int(r.vec_id): int(r.label)
-            for r in load_table(spark, sf_dir, "embeddings")
-            .select("vec_id", "label")
-            .filter(F.col("vec_id") < n_plant)
-            .collect()
-        }
-    return _PLANT_LABEL_MEMO[key]
+    """{vec_id: label} for the first ``n_plant`` embeddings rows — a
+    view over _plant_rows' single memoized collect (label rides the
+    same scan; no second memo, no second parquet pass)."""
+    return {
+        vid: lab for vid, _, lab in _plant_rows(spark, sf_dir, n_plant)
+    }
 
 
 @register(
@@ -1234,7 +1230,7 @@ def s7_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = spark.createDataFrame(
         [
             (vid, v, labels[vid])
-            for vid, v in _plant_rows(spark, sf_dir, N_QUERIES)
+            for vid, v, _ in _plant_rows(spark, sf_dir, N_QUERIES)
         ],
         "query_id long, qv array<double>, qlabel long",
     )

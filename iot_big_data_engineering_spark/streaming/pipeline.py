@@ -978,160 +978,164 @@ def st10_streaming_histogram_rollup(
     from pyspark.sql import Window
 
     tmp = tempfile.mkdtemp(prefix="iotx_st10_")
-    in_dir = os.path.join(tmp, "in")
-    state_dir = os.path.join(tmp, "state")
-    ckpt_dir = os.path.join(tmp, "ckpt")
-    ev = load_table(spark, sf_dir, "events")
-    slice_of = F.pmod(F.xxhash64("event_id"), F.lit(_ST8_N_SPLITS))
-    # phase 1 gets slices [0, N-1); the last slice arrives only after the
-    # kill, so the restarted query ALWAYS has fresh input to prove the
-    # offset recovery on
-    for i in range(_ST8_N_SPLITS - 1):
-        ev.filter(slice_of == i).coalesce(1).write.mode("append").parquet(in_dir)
+    # every exit — including the restart-proof RuntimeErrors — must
+    # release the scratch tree (a full sliced copy of events)
+    try:
+        in_dir = os.path.join(tmp, "in")
+        state_dir = os.path.join(tmp, "state")
+        ckpt_dir = os.path.join(tmp, "ckpt")
+        ev = load_table(spark, sf_dir, "events")
+        slice_of = F.pmod(F.xxhash64("event_id"), F.lit(_ST8_N_SPLITS))
+        # phase 1 gets slices [0, N-1); the last slice arrives only after the
+        # kill, so the restarted query ALWAYS has fresh input to prove the
+        # offset recovery on
+        for i in range(_ST8_N_SPLITS - 1):
+            ev.filter(slice_of == i).coalesce(1).write.mode("append").parquet(in_dir)
 
-    # the shared bin domain: one 2-value aggregate (bounded by
-    # construction); every batch must bin against the SAME domain or the
-    # counts are not mergeable
-    cal = (
-        quality_checked(spark, sf_dir)
-        .agg(F.min("value").alias("dmin"), F.max("value").alias("dmax"))
-        .collect()[0]
-    )
-    dmin, dmax = float(cal.dmin), float(cal.dmax)
-    width = (dmax - dmin) / _A21_NBINS
-    bin_ = (
-        F.lit(0)
-        if dmax == dmin
-        else F.least(
-            F.floor((F.col("value") - F.lit(dmin)) / F.lit(width)),
-            F.lit(_A21_NBINS - 1),
-        ).cast("int")
-    )
+        # the shared bin domain: one 2-value aggregate (bounded by
+        # construction); every batch must bin against the SAME domain or the
+        # counts are not mergeable
+        cal = (
+            quality_checked(spark, sf_dir)
+            .agg(F.min("value").alias("dmin"), F.max("value").alias("dmax"))
+            .collect()[0]
+        )
+        dmin, dmax = float(cal.dmin), float(cal.dmax)
+        width = (dmax - dmin) / _A21_NBINS
+        bin_ = (
+            F.lit(0)
+            if dmax == dmin
+            else F.least(
+                F.floor((F.col("value") - F.lit(dmin)) / F.lit(width)),
+                F.lit(_A21_NBINS - 1),
+            ).cast("int")
+        )
 
-    stream = sensor_stream(
-        spark, in_dir, glob="*.parquet", max_files_per_trigger=1
-    )
+        stream = sensor_stream(
+            spark, in_dir, glob="*.parquet", max_files_per_trigger=1
+        )
 
-    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # epoch-keyed dynamic overwrite — replay-idempotent (see st8)
+        def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            # epoch-keyed dynamic overwrite — replay-idempotent (see st8)
+            (
+                batch_df.withColumn("bin", bin_)
+                .groupBy("sensor_type", "bin")
+                .agg(F.count("*").alias("cnt"))
+                .withColumn("epoch_id", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(state_dir)
+            )
+
+        # ---- phase 1: run continuously, then KILL the query mid-stream ----
+        q1 = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        deadline = time.monotonic() + 120.0
+        while (
+            sum(1 for p in q1.recentProgress if p["numInputRows"] > 0) < 1
+            and time.monotonic() < deadline
+        ):
+            time.sleep(0.2)
+        n1 = sum(1 for p in q1.recentProgress if p["numInputRows"] > 0)
+        q1.stop()  # the kill: the last slice has not even been written yet
+        if n1 < 1:  # RuntimeError, not assert: -O strips asserts
+            raise RuntimeError("st10 phase 1 processed no data batch before kill")
+
+        # ---- simulate the crash artifact: a torn, uncommitted state epoch ----
+        # the next batch id = newest entry in the checkpoint's commits log + 1
+        # (batch ids are consecutive; the restart reuses this id for its first
+        # batch, committed or not)
+        commits = [
+            int(f)
+            for f in os.listdir(os.path.join(ckpt_dir, "commits"))
+            if f.isdigit()
+        ]
+        torn_epoch = (max(commits) + 1) if commits else 0
         (
-            batch_df.withColumn("bin", bin_)
-            .groupBy("sensor_type", "bin")
-            .agg(F.count("*").alias("cnt"))
-            .withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            spark.createDataFrame(
+                [("__torn__", 0, 999_999), ("temperature", 0, 1)],
+                "sensor_type string, bin int, cnt long",
+            )
+            .withColumn("epoch_id", F.lit(torn_epoch))
+            .write.mode("append")
             .partitionBy("epoch_id")
             .parquet(state_dir)
         )
 
-    # ---- phase 1: run continuously, then KILL the query mid-stream ----
-    q1 = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", ckpt_dir)
-        .start()
-    )
-    deadline = time.monotonic() + 120.0
-    while (
-        sum(1 for p in q1.recentProgress if p["numInputRows"] > 0) < 1
-        and time.monotonic() < deadline
-    ):
-        time.sleep(0.2)
-    n1 = sum(1 for p in q1.recentProgress if p["numInputRows"] > 0)
-    q1.stop()  # the kill: the last slice has not even been written yet
-    if n1 < 1:  # RuntimeError, not assert: -O strips asserts
-        raise RuntimeError("st10 phase 1 processed no data batch before kill")
-
-    # ---- simulate the crash artifact: a torn, uncommitted state epoch ----
-    # the next batch id = newest entry in the checkpoint's commits log + 1
-    # (batch ids are consecutive; the restart reuses this id for its first
-    # batch, committed or not)
-    commits = [
-        int(f)
-        for f in os.listdir(os.path.join(ckpt_dir, "commits"))
-        if f.isdigit()
-    ]
-    torn_epoch = (max(commits) + 1) if commits else 0
-    (
-        spark.createDataFrame(
-            [("__torn__", 0, 999_999), ("temperature", 0, 1)],
-            "sensor_type string, bin int, cnt long",
+        # ---- phase 2: deliver the last slice, restart from the checkpoint ----
+        ev.filter(slice_of == _ST8_N_SPLITS - 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q2 = (
+            stream.writeStream.foreachBatch(process_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
         )
-        .withColumn("epoch_id", F.lit(torn_epoch))
-        .write.mode("append")
-        .partitionBy("epoch_id")
-        .parquet(state_dir)
-    )
-
-    # ---- phase 2: deliver the last slice, restart from the checkpoint ----
-    ev.filter(slice_of == _ST8_N_SPLITS - 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(in_dir)
-    q2 = (
-        stream.writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .start()
-    )
-    q2.awaitTermination()
-    n2 = sum(1 for p in q2.recentProgress if p["numInputRows"] > 0)
-    if n2 < 1 or n1 + n2 < 2:
-        raise RuntimeError(
-            f"st10 needs data batches on BOTH sides of the restart boundary "
-            f"to certify recovery; got {n1} before / {n2} after"
-        )
-    # the restarted batch must have replaced the torn partition wholesale —
-    # a surviving sentinel means dynamic overwrite failed (the hash gate
-    # would also fail, via the extra sensor_type group; this check names
-    # the cause)
-    torn_left = (
-        spark.read.parquet(state_dir)
-        .filter(F.col("sensor_type") == "__torn__")
-        .count()
-    )
-    if torn_left:
-        raise RuntimeError(
-            f"torn epoch {torn_epoch} survived the restart: dynamic "
-            f"partition overwrite did not replace the crashed state write"
-        )
-
-    merged = (
-        spark.read.parquet(state_dir)
-        .drop("epoch_id")
-        .groupBy("sensor_type", "bin")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    cum = F.sum("cnt").over(
-        Window.partitionBy("sensor_type")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    total = F.sum("cnt").over(Window.partitionBy("sensor_type"))
-    hist = merged.withColumn("cum", cum).withColumn("total", total)
-    qb = hist.groupBy("sensor_type").agg(
-        F.max("total").alias("n_rows"),
-        *[
-            F.min(
-                F.when(
-                    F.col("cum") >= F.ceil(F.lit(p) * F.col("total")),
-                    F.col("bin"),
-                )
-            ).alias(f"{name}_bin")
-            for name, p in _A21_PS
-        ],
-    )
-    result = qb.select(
-        "sensor_type",
-        "n_rows",
-        *[
-            fround(F.lit(dmin) + F.col(f"{name}_bin") * F.lit(width), 6).alias(
-                f"{name}_lo"
+        q2.awaitTermination()
+        n2 = sum(1 for p in q2.recentProgress if p["numInputRows"] > 0)
+        if n2 < 1 or n1 + n2 < 2:
+            raise RuntimeError(
+                f"st10 needs data batches on BOTH sides of the restart boundary "
+                f"to certify recovery; got {n1} before / {n2} after"
             )
-            for name, _ in _A21_PS
-        ],
-    )
-    # |sensor_type| rows — bounded; materialize so the scratch dirs can
-    # be deleted instead of leaking one mkdtemp per run
-    rows = result.collect()
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, result.schema)
+        # the restarted batch must have replaced the torn partition wholesale —
+        # a surviving sentinel means dynamic overwrite failed (the hash gate
+        # would also fail, via the extra sensor_type group; this check names
+        # the cause)
+        torn_left = (
+            spark.read.parquet(state_dir)
+            .filter(F.col("sensor_type") == "__torn__")
+            .count()
+        )
+        if torn_left:
+            raise RuntimeError(
+                f"torn epoch {torn_epoch} survived the restart: dynamic "
+                f"partition overwrite did not replace the crashed state write"
+            )
+
+        merged = (
+            spark.read.parquet(state_dir)
+            .drop("epoch_id")
+            .groupBy("sensor_type", "bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        cum = F.sum("cnt").over(
+            Window.partitionBy("sensor_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        total = F.sum("cnt").over(Window.partitionBy("sensor_type"))
+        hist = merged.withColumn("cum", cum).withColumn("total", total)
+        qb = hist.groupBy("sensor_type").agg(
+            F.max("total").alias("n_rows"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(F.lit(p) * F.col("total")),
+                        F.col("bin"),
+                    )
+                ).alias(f"{name}_bin")
+                for name, p in _A21_PS
+            ],
+        )
+        result = qb.select(
+            "sensor_type",
+            "n_rows",
+            *[
+                fround(F.lit(dmin) + F.col(f"{name}_bin") * F.lit(width), 6).alias(
+                    f"{name}_lo"
+                )
+                for name, _ in _A21_PS
+            ],
+        )
+        # |sensor_type| rows — bounded; materialize so the scratch dirs can
+        # be deleted instead of leaking one mkdtemp per run
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

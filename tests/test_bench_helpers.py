@@ -111,3 +111,24 @@ def test_maybe_pin_first_run_wins_unless_contradicted(tmp_path, monkeypatch):
     bench._maybe_pin(str(tmp_path), 7, _detail({"dp2": 0.5, "q2": 1.0}))
     pinned = json.loads((tmp_path / "BENCH_DETAIL_r07.json").read_text())
     assert pinned["queries"]["dp2"] == 1.5
+
+
+def test_maybe_pin_requires_git_tracked_closure(tmp_path, monkeypatch):
+    """In a git repo, an UNTRACKED correctness drop (the driver's
+    judge-time state) must not count as round closure — only the
+    round-boundary commit does."""
+    import subprocess
+
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    subprocess.run(
+        ["git", "init", "-q"], cwd=tmp_path, check=True, capture_output=True
+    )
+    (tmp_path / "CORRECTNESS_r07.json").write_text("{}")  # untracked
+    bench._maybe_pin(str(tmp_path), 8, _detail({"q1": 1.0}))
+    assert not (tmp_path / "BENCH_DETAIL_r08.json").exists()
+    subprocess.run(
+        ["git", "add", "CORRECTNESS_r07.json"],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    bench._maybe_pin(str(tmp_path), 8, _detail({"q1": 1.0}))
+    assert (tmp_path / "BENCH_DETAIL_r08.json").exists()

@@ -647,3 +647,52 @@ def test_w7_funnel_matches_bruteforce_random_events(spark):
             got,
             (n1, n2, n3),
         )
+
+
+def test_w7_empty_step_yields_null_ratio_matching_oracle(spark):
+    """A funnel with an empty step must not crash under ANSI division
+    and must match the DuckDB oracle cell-for-cell: 0/0 (a ratio out of
+    an empty previous step) is NULL on both engines, 0/n is 0.0."""
+    import datetime as dt
+
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators import joins as J
+    from iot_big_data_engineering_spark.operators.joins import w7_event_funnel
+    from iot_big_data_engineering_spark.registry import all_queries
+    from iot_big_data_engineering_spark.sources import tables as TBL
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, i % 3, "view", base + dt.timedelta(hours=i)) for i in range(6)
+    ]  # views only: click and purchase steps are empty
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    orig = TBL.load_table
+    try:
+        TBL.load_table = lambda s, d, t, _df=df, _o=orig: (
+            _df if t == "events" else _o(s, d, t)
+        )
+        J.load_table = TBL.load_table
+        got = [tuple(r) for r in w7_event_funnel(spark, "unused").collect()]
+    finally:
+        TBL.load_table = orig
+        J.load_table = orig
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({eid}, {uid}, '{et}', TIMESTAMP '{ts}')"
+            for eid, uid, et, ts in rows
+        )
+        + ") t(event_id, user_id, event_type, ts)"
+    )
+    oracle = all_queries()["w7_event_funnel"].oracle
+    want = [tuple(r) for r in con.execute(oracle).fetchall()]
+    assert got == want, (got, want)
+    by_step = {r[1]: r for r in got}
+    assert by_step["view"][3] == 1.0
+    assert by_step["click"][3] == 0.0  # 0 / 3 views
+    assert by_step["purchase"][3] is None  # 0 / 0 clicks — NULL, not crash
