@@ -116,6 +116,7 @@ HEADLINE = [
     "s8_knn_ivf_delta_add",
     "w7_event_funnel",
     "adv13_salted_join",
+    "s9_knn_index_reload",
 ]
 
 

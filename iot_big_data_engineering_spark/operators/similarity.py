@@ -1302,3 +1302,75 @@ def s8_knn_ivf_delta_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = plant_queries(spark, sf_dir, N_QUERIES)
     return _certify_planted(ivf_probe_search(indexed, cent, q), q)
+
+
+# ---------------------------------------------------------------------------
+# S9 — IVF index persist + reload: the index LIFECYCLE the docstrings
+# above keep promising ("at 100 TB the corpus is stored partitioned by
+# cell id") actually exercised end to end. The trained index is two
+# tables: the centroid matrix (nlist·dim rows — tiny) and the cell
+# assignments, written `partitionBy("cell")` — the physical layout that
+# turns a probe into a partition-pruned scan of nprobe/nlist of the
+# corpus. A fresh lineage then RELOADS both from parquet and serves the
+# same search; nothing from the build side (no memo, no cached frame,
+# no driver numpy) may leak into the serving side.
+#
+# Certificate: planted_dup_found from the RELOADED search, plus
+# reload_matches_fresh — the reloaded top-k must equal the in-memory
+# build's top-k row-for-row (both are deterministic given the
+# centroids; doubles round-trip parquet bit-exactly, so any divergence
+# means the persisted index dropped/garbled rows, reordered centroid
+# ids, or lost vector precision). Both top-k sets are nq·k rows —
+# bounded — so the comparison is a driver-side set equality.
+# ---------------------------------------------------------------------------
+@register(
+    "s9_knn_index_reload",
+    oracle=f"""
+SELECT vec_id AS query_id, TRUE AS planted_dup_found,
+       TRUE AS reload_matches_fresh
+FROM embeddings WHERE vec_id < {N_QUERIES}
+ORDER BY query_id
+""",
+    doc="S9: IVF index persisted partitionBy(cell) + centroid table, reloaded in a fresh lineage — search identical",
+)
+def s9_knn_index_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    np = _np()
+    corpus, q = _corpus_queries_planted(spark, sf_dir)
+    corpus = track(corpus.persist())
+    cent = kmeans_centroids(corpus)
+    indexed = assign_cells(corpus, cent)
+    tmp = tempfile.mkdtemp(prefix="iotx_s9_")
+    try:
+        assign_path = os.path.join(tmp, "assignments")
+        cent_path = os.path.join(tmp, "centroids")
+        indexed.write.partitionBy("cell").parquet(assign_path)
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(cent)],
+            "cell long, centroid array<double>",
+        ).write.parquet(cent_path)
+
+        # ---- serving side: everything below reads only the two tables ----
+        cent_rows = (
+            spark.read.parquet(cent_path).orderBy("cell").collect()
+        )  # nlist rows — bounded
+        cent2 = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+        indexed2 = spark.read.parquet(assign_path)
+        topk_fresh = ivf_probe_search(indexed, cent, q)
+        topk_reload = ivf_probe_search(indexed2, cent2, q)
+        fresh = {tuple(r) for r in topk_fresh.collect()}  # nq·k rows
+        reload_ = {tuple(r) for r in topk_reload.collect()}
+        matches = fresh == reload_
+        out = (
+            _certify_planted(topk_reload, q)
+            .withColumn("reload_matches_fresh", F.lit(matches))
+            .orderBy("query_id")
+        )
+        # materialize the nq-row certificate BEFORE the scratch index is
+        # deleted — the plan reads the reloaded parquet lazily
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

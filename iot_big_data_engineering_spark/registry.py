@@ -252,7 +252,7 @@ _WINDOW_DEFERRED = [
     # backlog + dp9 re-entry — mirror-green on current data
     # (tests/test_oracle_parity.py); lead the r8 rotation
     "s7_knn_filtered", "s8_knn_ivf_delta_add", "w7_event_funnel",
-    "adv13_salted_join",
+    "adv13_salted_join", "s9_knn_index_reload",
 ]
 
 
