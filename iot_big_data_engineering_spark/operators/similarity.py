@@ -1316,18 +1316,22 @@ def s8_knn_ivf_delta_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no driver numpy) may leak into the serving side.
 #
 # Certificate: planted_dup_found from the RELOADED search, plus
-# reload_matches_fresh — the reloaded top-k must equal the in-memory
-# build's top-k row-for-row (both are deterministic given the
-# centroids; doubles round-trip parquet bit-exactly, so any divergence
-# means the persisted index dropped/garbled rows, reordered centroid
-# ids, or lost vector precision). Both top-k sets are nq·k rows —
-# bounded — so the comparison is a driver-side set equality.
+# index_roundtrip_exact — the reloaded index must CONTAIN exactly what
+# was built: same centroid matrix (driver-side array equality; doubles
+# round-trip parquet bit-exactly) and same assignment rows (count +
+# order-independent XOR of xxhash64(vec_id, cell, vector) computed on
+# both sides — one map-side aggregate each, no second search). Search
+# equality follows: ivf_probe_search is a deterministic function of
+# (index, centroids, queries), so equal inputs give the identical
+# top-k — proven once by the planted certificate on the reloaded side.
+# (An earlier form ran the search twice and set-compared the top-k;
+# same guarantee, but the second search doubled the query's wall.)
 # ---------------------------------------------------------------------------
 @register(
     "s9_knn_index_reload",
     oracle=f"""
 SELECT vec_id AS query_id, TRUE AS planted_dup_found,
-       TRUE AS reload_matches_fresh
+       TRUE AS index_roundtrip_exact
 FROM embeddings WHERE vec_id < {N_QUERIES}
 ORDER BY query_id
 """,
@@ -1341,12 +1345,22 @@ def s9_knn_index_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, q = _corpus_queries_planted(spark, sf_dir)
     corpus = track(corpus.persist())
     cent = kmeans_centroids(corpus)
-    indexed = assign_cells(corpus, cent)
+    # persisted: consumed by the partitioned write AND the build-side
+    # fingerprint — one Arrow assignment pass, not two
+    indexed = track(assign_cells(corpus, cent).persist())
     tmp = tempfile.mkdtemp(prefix="iotx_s9_")
     try:
         assign_path = os.path.join(tmp, "assignments")
         cent_path = os.path.join(tmp, "centroids")
-        indexed.write.partitionBy("cell").parquet(assign_path)
+        # cluster by cell BEFORE the partitioned write: without it every
+        # upstream task contributes a sliver file to every cell directory
+        # (tasks × cells tiny files — measured 2.5× the whole query's
+        # wall); with it each cell directory is written by the task that
+        # owns the cell. This shuffle IS the one-time index-build cost
+        # the layout story assumes.
+        indexed.repartition("cell").write.partitionBy("cell").parquet(
+            assign_path
+        )
         spark.createDataFrame(
             [(i, [float(x) for x in row]) for i, row in enumerate(cent)],
             "cell long, centroid array<double>",
@@ -1358,14 +1372,35 @@ def s9_knn_index_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
         )  # nlist rows — bounded
         cent2 = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
         indexed2 = spark.read.parquet(assign_path)
-        topk_fresh = ivf_probe_search(indexed, cent, q)
+
+        def _fingerprint(df: DataFrame):
+            # count + order-independent XOR of per-row hashes (XOR, not
+            # sum: overflow-free under ANSI mode, order-independent by
+            # construction); the vector participates via its string
+            # form, deterministic within Spark on both sides
+            # cell is cast long BEFORE hashing: the partitioned write
+            # round-trips the partition column as INT while the built
+            # index carries BIGINT, and xxhash64 is input-type-sensitive
+            # (the dq4 lesson) — without the cast this fingerprint
+            # false-alarmed on identical row CONTENTS
+            return df.agg(
+                F.count("*").alias("n"),
+                F.expr(
+                    "bit_xor(xxhash64(vec_id, cast(cell AS long),"
+                    " cast(v AS string)))"
+                ).alias("h"),
+            ).collect()[0]
+
+        fp_mem, fp_reload = _fingerprint(indexed), _fingerprint(indexed2)
+        matches = (
+            tuple(fp_mem) == tuple(fp_reload)
+            and cent.shape == cent2.shape
+            and bool(np.array_equal(cent, cent2))
+        )
         topk_reload = ivf_probe_search(indexed2, cent2, q)
-        fresh = {tuple(r) for r in topk_fresh.collect()}  # nq·k rows
-        reload_ = {tuple(r) for r in topk_reload.collect()}
-        matches = fresh == reload_
         out = (
             _certify_planted(topk_reload, q)
-            .withColumn("reload_matches_fresh", F.lit(matches))
+            .withColumn("index_roundtrip_exact", F.lit(matches))
             .orderBy("query_id")
         )
         # materialize the nq-row certificate BEFORE the scratch index is
