@@ -696,3 +696,25 @@ def test_w7_empty_step_yields_null_ratio_matching_oracle(spark):
     assert by_step["view"][3] == 1.0
     assert by_step["click"][3] == 0.0  # 0 / 3 views
     assert by_step["purchase"][3] is None  # 0 / 0 clicks — NULL, not crash
+
+    # fully-empty events: all three steps at 0, every ratio NULL — and
+    # the oracle agrees cell-for-cell
+    empty = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    try:
+        TBL.load_table = lambda s, d, t, _df=empty, _o=orig: (
+            _df if t == "events" else _o(s, d, t)
+        )
+        J.load_table = TBL.load_table
+        got0 = [tuple(r) for r in w7_event_funnel(spark, "unused").collect()]
+    finally:
+        TBL.load_table = orig
+        J.load_table = orig
+    con0 = duckdb.connect()
+    con0.execute(
+        "CREATE TABLE events (event_id BIGINT, user_id BIGINT, "
+        "event_type VARCHAR, ts TIMESTAMP)"
+    )
+    assert got0 == [tuple(r) for r in con0.execute(oracle).fetchall()]
+    assert all(r[2] == 0 and r[3] is None and r[4] is None for r in got0)
