@@ -577,7 +577,11 @@ def d5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted_pairs = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            # eqNullSafe: a planted copy shares its original's lang BY
+            # CONSTRUCTION, including lang = NULL (nullable per schema) —
+            # plain == would evaluate NULL, silently drop the pair, and
+            # fail the certificate on a doc the oracle counts eligible
+            F.col("a.lang").eqNullSafe(F.col("b.lang"))
             & (F.col("a.doc_id") < F.lit(_N_PLANT))
             & (F.col("b.doc_id") == F.col("a.doc_id") + F.lit(_PLANT_OFFSET)),
         )
@@ -1159,7 +1163,16 @@ def contamination_scan(
     selected by ``bench_pred`` (a boolean Column over the docs frame):
     distinct shared n-grams and distinct benchmark documents matched.
     Corpus grams stream map-only through a broadcast hash join against
-    the (fixed-cardinality) benchmark gram table — no corpus shuffle."""
+    the benchmark gram table — no corpus shuffle.
+
+    CONTRACT: the broadcast is sound only because a real benchmark set
+    (MMLU/HellaSwag-class eval suites) is FIXED-cardinality — it does
+    not grow with the corpus, so its gram table stays MB-scale at any
+    SF. ``bench_pred`` must select such a bounded set; the registered
+    dc1's modulo slice is a gate-data STAND-IN that scales with the
+    synthetic corpus and must not be read as the production predicate —
+    at 100 TB the benchmark table is a separate bounded input, never a
+    corpus slice."""
     grams = docs.withColumn("toks", X.tokens("text")).select(
         "doc_id",
         "lang",

@@ -436,6 +436,10 @@ SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
          AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+HAVING count(*) > 0  -- empty-corpus parity: Spark's rollup/cube emits no
+-- rows on empty input while SQL GROUP BY ROLLUP/CUBE/() emits the
+-- grand-total row; every real grouping row aggregates >=1 input row,
+-- so this only suppresses the empty-corpus phantom
 """,
     doc="G1: ROLLUP hierarchy totals over orders",
 )
@@ -807,6 +811,10 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
        round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
 FROM events
 GROUP BY CUBE (event_type, CAST(year(ts) AS INTEGER))
+HAVING count(*) > 0  -- empty-corpus parity: Spark's rollup/cube emits no
+-- rows on empty input while SQL GROUP BY ROLLUP/CUBE/() emits the
+-- grand-total row; every real grouping row aggregates >=1 input row,
+-- so this only suppresses the empty-corpus phantom
 """,
     doc="G2: CUBE over (event_type, year) — all grouping-set combinations",
 )
@@ -844,6 +852,10 @@ SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
          AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+HAVING count(*) > 0  -- empty-corpus parity: Spark's rollup/cube emits no
+-- rows on empty input while SQL GROUP BY ROLLUP/CUBE/() emits the
+-- grand-total row; every real grouping row aggregates >=1 input row,
+-- so this only suppresses the empty-corpus phantom
 """,
     doc="G3: GROUPING SETS — independent slices + grand total in one pass",
 )

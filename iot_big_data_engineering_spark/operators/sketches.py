@@ -160,6 +160,10 @@ SELECT sensor_type,
        TRUE AS sketch_within_3rse
 FROM sensor_quality_checked
 GROUP BY ROLLUP (sensor_type)
+HAVING count(*) > 0  -- empty-corpus parity: Spark's rollup/cube emits no
+-- rows on empty input while SQL GROUP BY ROLLUP/CUBE/() emits the
+-- grand-total row; every real grouping row aggregates >=1 input row,
+-- so this only suppresses the empty-corpus phantom
 """
 )
 
@@ -227,48 +231,54 @@ def a17b_rollup_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import track
 
     tmp = tempfile.mkdtemp(prefix="iotx_a17b_")
-    state_path = os.path.join(tmp, "state")
-    q = track(
-        quality_checked(spark, sf_dir)
-        .withColumn(
-            # deterministic 3-way period split on the day ordinal — the
-            # stand-in for "one delivery per ingest day" (a date-range
-            # split would also work; modulo keeps every period non-empty
-            # on any corpus spanning >= 3 days)
-            "period",
-            F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")), F.lit(3)),
+    # scratch state released on every exit (matching st8/st10)
+    try:
+        state_path = os.path.join(tmp, "state")
+        q = track(
+            quality_checked(spark, sf_dir)
+            .withColumn(
+                # deterministic 3-way period split on the day ordinal — the
+                # stand-in for "one delivery per ingest day". A period CAN
+                # be empty (sparse/short corpora: a single-day corpus fills
+                # one residue; days {d, d+3, ...} fill one); empty
+                # deliveries are handled — maintain_rollup_state reads the
+                # state back with an explicit schema, and merge_states over
+                # zero rows yields zero groups
+                "period",
+                F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")), F.lit(3)),
+            )
+            .persist()
         )
-        .persist()
-    )
-    merged = None
-    for pid in (0, 1, 2, 1):  # period 1 re-delivered — replay under test
-        delta = q.filter(F.col("period") == pid).drop("period")
-        merged = maintain_rollup_state(spark, state_path, delta, pid)
+        merged = None
+        for pid in (0, 1, 2, 1):  # period 1 re-delivered — replay under test
+            delta = q.filter(F.col("period") == pid).drop("period")
+            merged = maintain_rollup_state(spark, state_path, delta, pid)
 
-    exact = q.groupBy("sensor_type").agg(
-        F.countDistinct("vehicle_id").alias("exact_veh")
-    )
-    est = F.hll_sketch_estimate("veh_sketch")
-    result = (
-        merged.join(exact, "sensor_type")
-        .select(
-            "sensor_type",
-            F.col("n").alias("record_count"),
-            fround(
-                F.col("sq").cast("double") / (F.lit(5.0) * F.col("n").cast("double")),
-                _R,
-            ).alias("avg_quality_score"),
-            F.col("min_ts").alias("first_reading"),
-            F.col("max_ts").alias("last_reading"),
-            F.col("exact_veh").alias("unique_vehicles"),
-            _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
+        exact = q.groupBy("sensor_type").agg(
+            F.countDistinct("vehicle_id").alias("exact_veh")
         )
-    )
-    # |sensor_type| rows — bounded; materialize so the scratch state dir
-    # can be deleted instead of leaking one mkdtemp per run
-    rows = result.collect()
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, result.schema)
+        est = F.hll_sketch_estimate("veh_sketch")
+        result = (
+            merged.join(exact, "sensor_type")
+            .select(
+                "sensor_type",
+                F.col("n").alias("record_count"),
+                fround(
+                    F.col("sq").cast("double") / (F.lit(5.0) * F.col("n").cast("double")),
+                    _R,
+                ).alias("avg_quality_score"),
+                F.col("min_ts").alias("first_reading"),
+                F.col("max_ts").alias("last_reading"),
+                F.col("exact_veh").alias("unique_vehicles"),
+                _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
+            )
+        )
+        # |sensor_type| rows — bounded; materialize so the scratch state dir
+        # can be deleted instead of leaking one mkdtemp per run
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -304,6 +314,7 @@ A21_ORACLE = (
 b AS (
   SELECT sensor_type, {_A21_SQL_BIN} AS bin
   FROM sensor_quality_checked, cal c
+  WHERE value IS NOT NULL
 ),
 h AS (SELECT sensor_type, bin, count(*) AS cnt FROM b GROUP BY sensor_type, bin),
 f AS (
@@ -362,7 +373,17 @@ def a21_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .cast("int")
     )
-    binned = q.join(F.broadcast(cal)).withColumn("bin", bin_)
+    # NULL readings carry no quantile information and MUST stay out of
+    # the histogram: a NULL value bins to a NULL bin, and the cumulative
+    # window then diverges cross-engine (Spark sorts NULLS FIRST
+    # ascending, DuckDB NULLS LAST), inflating every real bin's cum on
+    # one side only. Filtered identically in the oracle (WHERE value IS
+    # NOT NULL); min/max calibration already ignores NULLs on both.
+    binned = (
+        q.filter(F.col("value").isNotNull())
+        .join(F.broadcast(cal))
+        .withColumn("bin", bin_)
+    )
 
     def state(part: DataFrame) -> DataFrame:
         return part.groupBy("sensor_type", "bin").agg(F.count("*").alias("cnt"))
@@ -424,15 +445,20 @@ def maintain_rollup_state(
     compaction job may periodically merge old partitions into one; the
     algebra is associative (tested), so compaction never changes the
     merged value."""
+    state = _partial_state(delta).withColumn("period_id", F.lit(period_id))
     (
-        _partial_state(delta)
-        .withColumn("period_id", F.lit(period_id))
-        .write.mode("overwrite")
+        state.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("period_id")
         .parquet(state_path)
     )
-    return merge_states(spark.read.parquet(state_path).drop("period_id"))
+    # read back with the state's OWN schema: an empty delta (a period
+    # with no rows — empty corpus, sparse day coverage) writes a state
+    # dir with no data files, and schema inference would throw
+    # "Unable to infer schema for Parquet" on the very first delivery
+    return merge_states(
+        spark.read.schema(state.schema).parquet(state_path).drop("period_id")
+    )
 
 
 def compact_rollup_state(
@@ -505,45 +531,48 @@ def a17c_rollup_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import track
 
     tmp = tempfile.mkdtemp(prefix="iotx_a17c_")
-    state_path = os.path.join(tmp, "state")
-    q = track(
-        quality_checked(spark, sf_dir)
-        .withColumn(
-            "period",
-            F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")), F.lit(4)),
+    # scratch state released on every exit (matching st8/st10)
+    try:
+        state_path = os.path.join(tmp, "state")
+        q = track(
+            quality_checked(spark, sf_dir)
+            .withColumn(
+                "period",
+                F.pmod(F.datediff(F.to_date("ts"), F.lit("1970-01-01")), F.lit(4)),
+            )
+            .persist()
         )
-        .persist()
-    )
-    merged = None
-    for pid in (0, 1, 2):
-        delta = q.filter(F.col("period") == pid).drop("period")
-        merged = maintain_rollup_state(spark, state_path, delta, pid)
-    compact_rollup_state(spark, state_path)
-    merged = maintain_rollup_state(
-        spark, state_path, q.filter(F.col("period") == 3).drop("period"), 3
-    )
+        merged = None
+        for pid in (0, 1, 2):
+            delta = q.filter(F.col("period") == pid).drop("period")
+            merged = maintain_rollup_state(spark, state_path, delta, pid)
+        compact_rollup_state(spark, state_path)
+        merged = maintain_rollup_state(
+            spark, state_path, q.filter(F.col("period") == 3).drop("period"), 3
+        )
 
-    exact = q.groupBy("sensor_type").agg(
-        F.countDistinct("vehicle_id").alias("exact_veh")
-    )
-    est = F.hll_sketch_estimate("veh_sketch")
-    result = (
-        merged.join(exact, "sensor_type")
-        .select(
-            "sensor_type",
-            F.col("n").alias("record_count"),
-            fround(
-                F.col("sq").cast("double") / (F.lit(5.0) * F.col("n").cast("double")),
-                _R,
-            ).alias("avg_quality_score"),
-            F.col("min_ts").alias("first_reading"),
-            F.col("max_ts").alias("last_reading"),
-            F.col("exact_veh").alias("unique_vehicles"),
-            _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
+        exact = q.groupBy("sensor_type").agg(
+            F.countDistinct("vehicle_id").alias("exact_veh")
         )
-    )
-    # |sensor_type| rows — bounded; materialize so the scratch state dir
-    # can be deleted instead of leaking one mkdtemp per run
-    rows = result.collect()
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, result.schema)
+        est = F.hll_sketch_estimate("veh_sketch")
+        result = (
+            merged.join(exact, "sensor_type")
+            .select(
+                "sensor_type",
+                F.col("n").alias("record_count"),
+                fround(
+                    F.col("sq").cast("double") / (F.lit(5.0) * F.col("n").cast("double")),
+                    _R,
+                ).alias("avg_quality_score"),
+                F.col("min_ts").alias("first_reading"),
+                F.col("max_ts").alias("last_reading"),
+                F.col("exact_veh").alias("unique_vehicles"),
+                _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
+            )
+        )
+        # |sensor_type| rows — bounded; materialize so the scratch state dir
+        # can be deleted instead of leaking one mkdtemp per run
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

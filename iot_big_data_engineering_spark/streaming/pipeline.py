@@ -244,9 +244,32 @@ from ..registry import register  # noqa: E402
 def st1_streaming_microbatch_analytics(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    import shutil
+
     out_dir = tempfile.mkdtemp(prefix="iotx_stream_")
-    paths = run_microbatch_pipeline(spark, sf_dir, out_dir)
-    return spark.read.parquet(paths["analytics"]).drop("epoch_id")
+    # the analytics result is windows×types rows — bounded; materialize
+    # it so the scratch sinks (a full quality-checked copy of the corpus
+    # per run) are deleted instead of leaked, exactly like st8/st10
+    try:
+        paths = run_microbatch_pipeline(spark, sf_dir, out_dir)
+        raw = spark.read.parquet(paths["analytics"])
+        # same single-batch assumption st5/st6 pin with
+        # _assert_single_data_batch: per-batch windows equal the batch A1
+        # oracle only when ALL input lands in one micro-batch (a split
+        # source emits two rows per straddled window). Proven here from
+        # the sink itself: one data batch ⇔ one epoch partition.
+        n_epochs = raw.select("epoch_id").distinct().count()
+        if n_epochs != 1:  # RuntimeError, not assert: -O strips asserts
+            raise RuntimeError(
+                f"st1's bounded source split into {n_epochs} data "
+                "micro-batches; per-batch-window oracle parity assumes "
+                "exactly one"
+            )
+        result = raw.drop("epoch_id")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -423,6 +446,9 @@ def st3_streaming_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _assert_single_data_batch(q)  # same assumption as st5/st6: append-mode
+    # window closure only matches the oracle when ALL input lands in one
+    # micro-batch (a split source drops still-open windows silently)
     return spark.table(name)
 
 
@@ -758,81 +784,84 @@ def st8_streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     import shutil
 
     tmp = tempfile.mkdtemp(prefix="iotx_st8_")
-    in_dir = os.path.join(tmp, "in")
-    state_dir = os.path.join(tmp, "state")
-    # split the bounded input into N single-file key slices → N
-    # micro-batches at maxFilesPerTrigger=1 (ts round-trips through the
-    # rewrite unchanged: the stream reader re-normalizes from the actual
-    # footer type). Slicing on a hash of the raw event_id is deterministic
-    # and spreads any real corpus across all N slices.
-    ev = load_table(spark, sf_dir, "events")
-    slice_of = F.pmod(F.xxhash64("event_id"), F.lit(_ST8_N_SPLITS))
-    for i in range(_ST8_N_SPLITS):
-        ev.filter(slice_of == i).coalesce(1).write.mode("append").parquet(in_dir)
-    stream = sensor_stream(
-        spark, in_dir, glob="*.parquet", max_files_per_trigger=1
-    )
-
-    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # delta state only — one tiny row group per (batch, sensor_type).
-        # EPOCH-KEYED DYNAMIC OVERWRITE, not append: foreachBatch is
-        # at-least-once (a crash between sink write and checkpoint commit
-        # replays the epoch), and an appended replay would double-count
-        # that batch's state forever. Overwriting exactly the epoch's own
-        # partition makes the sink replay-idempotent — the exactly-once
-        # recipe SCALE.md states for every foreachBatch sink here.
-        (
-            _partial_state(batch_df)
-            .withColumn("epoch_id", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch_id")
-            .parquet(state_dir)
+    # scratch tree released on EVERY exit, including the <2-batch raise
+    try:
+        in_dir = os.path.join(tmp, "in")
+        state_dir = os.path.join(tmp, "state")
+        # split the bounded input into N single-file key slices → N
+        # micro-batches at maxFilesPerTrigger=1 (ts round-trips through the
+        # rewrite unchanged: the stream reader re-normalizes from the actual
+        # footer type). Slicing on a hash of the raw event_id is deterministic
+        # and spreads any real corpus across all N slices.
+        ev = load_table(spark, sf_dir, "events")
+        slice_of = F.pmod(F.xxhash64("event_id"), F.lit(_ST8_N_SPLITS))
+        for i in range(_ST8_N_SPLITS):
+            ev.filter(slice_of == i).coalesce(1).write.mode("append").parquet(in_dir)
+        stream = sensor_stream(
+            spark, in_dir, glob="*.parquet", max_files_per_trigger=1
         )
 
-    q = (
-        stream.writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .start()
-    )
-    q.awaitTermination()
-    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
-    if len(data_batches) < 2:  # RuntimeError, not assert: -O strips asserts
-        raise RuntimeError(
-            f"st8 needs >=2 data micro-batches to certify the cross-batch "
-            f"merge; got {len(data_batches)}"
-        )
+        def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            # delta state only — one tiny row group per (batch, sensor_type).
+            # EPOCH-KEYED DYNAMIC OVERWRITE, not append: foreachBatch is
+            # at-least-once (a crash between sink write and checkpoint commit
+            # replays the epoch), and an appended replay would double-count
+            # that batch's state forever. Overwriting exactly the epoch's own
+            # partition makes the sink replay-idempotent — the exactly-once
+            # recipe SCALE.md states for every foreachBatch sink here.
+            (
+                _partial_state(batch_df)
+                .withColumn("epoch_id", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(state_dir)
+            )
 
-    merged = merge_states(spark.read.parquet(state_dir).drop("epoch_id"))
-    exact = (
-        quality_checked(spark, sf_dir)
-        .groupBy("sensor_type")
-        .agg(F.countDistinct("vehicle_id").alias("exact_veh"))
-    )
-    est = F.hll_sketch_estimate("veh_sketch")
-    result = (
-        merged.join(exact, "sensor_type")
-        .select(
-            "sensor_type",
-            F.col("n").alias("record_count"),
-            fround(
-                F.col("sq").cast("double")
-                / (F.lit(5.0) * F.col("n").cast("double")),
-                6,
-            ).alias("avg_quality_score"),
-            F.col("min_ts").alias("first_reading"),
-            F.col("max_ts").alias("last_reading"),
-            F.col("exact_veh").alias("unique_vehicles"),
-            _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
         )
-    )
-    # |sensor_type| rows — bounded; materialize so the scratch dirs (input
-    # slices, state partitions, checkpoint) can be deleted instead of
-    # leaking one mkdtemp per run
-    rows = result.collect()
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, result.schema)
+        q.awaitTermination()
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(data_batches) < 2:  # RuntimeError, not assert: -O strips asserts
+            raise RuntimeError(
+                f"st8 needs >=2 data micro-batches to certify the cross-batch "
+                f"merge; got {len(data_batches)}"
+            )
+
+        merged = merge_states(spark.read.parquet(state_dir).drop("epoch_id"))
+        exact = (
+            quality_checked(spark, sf_dir)
+            .groupBy("sensor_type")
+            .agg(F.countDistinct("vehicle_id").alias("exact_veh"))
+        )
+        est = F.hll_sketch_estimate("veh_sketch")
+        result = (
+            merged.join(exact, "sensor_type")
+            .select(
+                "sensor_type",
+                F.col("n").alias("record_count"),
+                fround(
+                    F.col("sq").cast("double")
+                    / (F.lit(5.0) * F.col("n").cast("double")),
+                    6,
+                ).alias("avg_quality_score"),
+                F.col("min_ts").alias("first_reading"),
+                F.col("max_ts").alias("last_reading"),
+                F.col("exact_veh").alias("unique_vehicles"),
+                _sketch_ok(est, F.col("exact_veh")).alias("sketch_within_3rse"),
+            )
+        )
+        # |sensor_type| rows — bounded; materialize so the scratch dirs (input
+        # slices, state partitions, checkpoint) can be deleted instead of
+        # leaking one mkdtemp per run
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1000,6 +1029,14 @@ def st10_streaming_histogram_rollup(
             .agg(F.min("value").alias("dmin"), F.max("value").alias("dmax"))
             .collect()[0]
         )
+        if cal.dmin is None:  # empty/all-NULL corpus: no quantiles to
+            # maintain — return empty with the stable schema (a21's
+            # lazy path does the same) instead of float(None) crashing
+            return spark.createDataFrame(
+                [],
+                "sensor_type string, n_rows long, "
+                + ", ".join(f"{name}_lo double" for name, _ in _A21_PS),
+            )
         dmin, dmax = float(cal.dmin), float(cal.dmax)
         width = (dmax - dmin) / _A21_NBINS
         bin_ = (
@@ -1018,7 +1055,9 @@ def st10_streaming_histogram_rollup(
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             # epoch-keyed dynamic overwrite — replay-idempotent (see st8)
             (
-                batch_df.withColumn("bin", bin_)
+                batch_df.filter(F.col("value").isNotNull())  # see a21:
+                # NULL bins diverge cross-engine in the cum window
+                .withColumn("bin", bin_)
                 .groupBy("sensor_type", "bin")
                 .agg(F.count("*").alias("cnt"))
                 .withColumn("epoch_id", F.lit(epoch_id))
