@@ -317,6 +317,17 @@ def _maybe_pin(here: str, this_round: int, detail: dict) -> None:
     repin = dict(detail)
     repin["repinned"] = True
     repin["repin_contradicted"] = sorted(contradicted)
+    # per-query MINIMA across old and new records (ADVICE r7): a
+    # wholesale swap would silently freeze WORSE times for every query
+    # the (possibly load-contaminated) new run happened to measure
+    # slower, with repinned=True then blocking any correction. The min
+    # is the right merge for a lower-bound-seeking wall-time record;
+    # both raw runs stay auditable (samples + repinned_over).
+    repin["queries"] = {
+        n: min(t for t in (old_q.get(n), new_q.get(n)) if t is not None)
+        for n in set(old_q) | set(new_q)
+    }
+    repin["value"] = round(sum(repin["queries"].values()), 3)
     repin["repinned_over"] = {
         "queries": old_q,
         "samples": pinned.get("samples"),

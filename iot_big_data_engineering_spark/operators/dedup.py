@@ -699,6 +699,16 @@ def _cc_driver_finish(edges: DataFrame, src: str, dst: str) -> DataFrame:
     import numpy as np
 
     tbl = edges.toArrow()  # flat int64 columns — no Row materialization
+    # fail loudly on NULL endpoints: the null→NaN-float→int64 cast below
+    # would otherwise silently mint garbage node ids and wrong components
+    # (r7 ADVICE). Current callers produce non-null edges (inner joins),
+    # so this is a tripwire for future callers, not a live path.
+    for ci in (0, 1):
+        if tbl.column(ci).null_count:
+            raise ValueError(
+                f"_cc_driver_finish: edge column {tbl.column_names[ci]!r} "
+                f"has {tbl.column(ci).null_count} NULL endpoint(s)"
+            )
     a = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
     b = tbl.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
     nodes = np.unique(np.concatenate([a, b]))

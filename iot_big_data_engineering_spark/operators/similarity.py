@@ -1212,6 +1212,16 @@ ORDER BY query_id
 )
 def s7_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _plant_labels(spark, sf_dir, N_QUERIES)
+    if not labels:
+        # empty / sub-N_QUERIES corpus: zero query rows is the correct
+        # certificate (the oracle's vec_id < N predicate returns none),
+        # and the N-way coalesce below would raise on zero args — the
+        # same stable-schema hardening st10/w7 carry (r7 ADVICE)
+        return spark.createDataFrame(
+            [],
+            "query_id long, planted_dup_found boolean, "
+            "results_respect_filter boolean",
+        )
     planted = planted_exact_copies(spark, sf_dir, N_QUERIES).withColumn(
         "label",
         F.coalesce(

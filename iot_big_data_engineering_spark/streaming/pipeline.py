@@ -1054,14 +1054,31 @@ def st10_streaming_histogram_rollup(
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
             # epoch-keyed dynamic overwrite — replay-idempotent (see st8)
-            (
+            delta = (
                 batch_df.filter(F.col("value").isNotNull())  # see a21:
                 # NULL bins diverge cross-engine in the cum window
                 .withColumn("bin", bin_)
                 .groupBy("sensor_type", "bin")
                 .agg(F.count("*").alias("cnt"))
                 .withColumn("epoch_id", F.lit(epoch_id))
-                .write.mode("overwrite")
+                .localCheckpoint()  # one computation: counted AND written
+            )
+            if delta.count() == 0:
+                # dynamic overwrite of an EMPTY frame touches no
+                # partitions, so a crashed (torn) write of this epoch
+                # would silently survive a replay that produced zero
+                # post-filter rows (r7 ADVICE: sparse/NULL-heavy
+                # corpora). "Write the empty epoch" explicitly: the
+                # epoch's true content is nothing, so clear its
+                # partition — at real scale this is the partition-prefix
+                # delete an object-store sink issues for the same case.
+                shutil.rmtree(
+                    os.path.join(state_dir, f"epoch_id={int(epoch_id)}"),
+                    ignore_errors=True,
+                )
+                return
+            (
+                delta.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("epoch_id")
                 .parquet(state_dir)

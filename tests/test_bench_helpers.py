@@ -100,10 +100,14 @@ def test_maybe_pin_first_run_wins_unless_contradicted(tmp_path, monkeypatch):
     pinned = json.loads((tmp_path / "BENCH_DETAIL_r07.json").read_text())
     assert pinned["queries"] == {"dp2": 2.9, "q2": 1.0}
     assert "repinned" not in pinned
-    # a >1.5x AND >0.5 s contradiction re-pins, preserving the old record
-    bench._maybe_pin(str(tmp_path), 7, _detail({"dp2": 1.5, "q2": 1.0}))
+    # a >1.5x AND >0.5 s contradiction re-pins, preserving the old record.
+    # The merged record keeps per-query MINIMA (ADVICE r7): q2, which the
+    # contradicting run happened to measure SLOWER, must not be frozen
+    # worse just because dp2 was implausible.
+    bench._maybe_pin(str(tmp_path), 7, _detail({"dp2": 1.5, "q2": 1.8}))
     pinned = json.loads((tmp_path / "BENCH_DETAIL_r07.json").read_text())
-    assert pinned["queries"]["dp2"] == 1.5
+    assert pinned["queries"] == {"dp2": 1.5, "q2": 1.0}
+    assert pinned["value"] == 2.5
     assert pinned["repinned"] is True
     assert pinned["repin_contradicted"] == ["dp2"]
     assert pinned["repinned_over"]["queries"]["dp2"] == 2.9

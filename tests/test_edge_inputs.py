@@ -420,3 +420,45 @@ def test_compact_rollup_state_single_partition_is_noop_value(spark, tmp_path):
         .collect()
     )
     assert after == before
+
+
+def test_s7_filtered_on_empty_corpus(spark, tmp_path):
+    """An empty embeddings corpus yields zero plant labels; the N-way
+    label coalesce would raise on zero args, so s7 must return the
+    stable-schema empty certificate instead (r7 ADVICE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s7_knn_filtered,
+    )
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }
+    )
+    pq.write_table(empty, str(tmp_path / "embeddings.parquet"))
+    df = s7_knn_filtered(spark, str(tmp_path))
+    assert df.columns == [
+        "query_id", "planted_dup_found", "results_respect_filter",
+    ]
+    assert df.count() == 0
+
+
+def test_cc_driver_finish_rejects_null_endpoints(spark):
+    """NULL edge endpoints must raise, not silently corrupt components
+    via the null -> NaN -> int64 cast (r7 ADVICE)."""
+    import pytest as _pytest
+
+    from iot_big_data_engineering_spark.operators.dedup import (
+        _cc_driver_finish,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, None)], "src long, dst long"
+    )
+    with _pytest.raises(ValueError, match="NULL endpoint"):
+        _cc_driver_finish(edges, "src", "dst")

@@ -375,3 +375,36 @@ def test_st8_state_sink_is_replay_idempotent(spark):
         spark.read.parquet(state_dir).select("epoch_id").distinct().count()
     )
     assert n_epochs == 2
+
+
+def test_st10_sparse_restart_batches_tolerated(spark, tmp_path):
+    """A corpus whose post-kill slices carry only NULL values used to
+    raise 'torn epoch survived': the restarted batch had zero
+    post-filter rows, dynamic overwrite touched no partitions, and the
+    crash sentinel outlived a recovery that actually worked (r7
+    ADVICE). The empty epoch is now written explicitly (partition
+    cleared), so the strict sentinel check passes."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.sources.tables import load_table
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        _ST8_N_SPLITS,
+        st10_streaming_histogram_rollup,
+    )
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    sliced = ev.withColumn(
+        "value",
+        F.when(
+            F.pmod(F.xxhash64("event_id"), F.lit(_ST8_N_SPLITS)) == 0,
+            F.col("value"),
+        ),  # slices 1..N-1 (everything after the first phase-1 file): NULL
+    )
+    sliced.toPandas().to_parquet(str(tmp_path / "events.parquet"))
+
+    out = st10_streaming_histogram_rollup(spark, str(tmp_path))
+    rows = out.collect()
+    assert rows, "slice-0 data must survive the merge"
+    assert sum(r.n_rows for r in rows) > 0
