@@ -116,6 +116,8 @@ HEADLINE = [
     "s8_knn_ivf_delta_add",
     "w7_event_funnel",
     "adv13_salted_join",
+    # round 8 addition: cross-document boilerplate removal
+    "dp10_boilerplate_removal",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost
