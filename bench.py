@@ -116,8 +116,12 @@ HEADLINE = [
     "s8_knn_ivf_delta_add",
     "w7_event_funnel",
     "adv13_salted_join",
-    # round 8 addition: cross-document boilerplate removal
+    # round 8 additions: cross-document boilerplate removal, Zipf
+    # profile, count-min heavy hitters, product-quantization ANN
     "dp10_boilerplate_removal",
+    "t14_zipf_profile",
+    "a22_cms_heavy_hitters",
+    "s10_knn_pq",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost

@@ -1419,3 +1419,182 @@ def s9_knn_index_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# S10 — PRODUCT QUANTIZATION ANN (ADC): the third leg of the
+# quantization family — s5 proves scalar (SQ8) calibration, s6 composes
+# IVF over SQ8 codes, s10 adds the PQ codebook form that production
+# vector stores (faiss IVF-PQ) actually ship at billion-vector scale:
+# each vector is m=8 one-byte codes (32× smaller than the raw float64
+# row), and search scores candidates WITHOUT reconstructing them, by
+# per-query lookup tables (asymmetric distance computation).
+#
+# Scale shape: codebooks train driver-side on a BOUNDED deterministic
+# sample (vec_id < 2048 — a pushed-down scan predicate; rows are sorted
+# by vec_id after collect so Lloyd's is order-deterministic). Encoding
+# is one map-only Arrow kernel pass (argmin against the broadcast
+# (m, ks, sub) codebooks). Search broadcasts per-query (m × ks) LUTs —
+# k·m doubles per query — and each Arrow batch scores n·m table lookups
+# with zero shuffle; only the top-k window shuffles (query_id, vec_id,
+# adc) rows. At 100 TB the corpus pass reads CODES (8 B/vector), not
+# vectors — the entire point of PQ.
+#
+# Certificate: a planted exact copy normalizes identically to its
+# query, therefore quantizes to the IDENTICAL codes, and its ADC
+# distance equals the query's own quantization error — the global
+# minimum over the corpus (any other vector's per-subspace codeword is
+# at-best-equal by argmin construction). So rank-1 retrieval of the
+# plant is STRUCTURAL, not empirical, up to exact-code ties (which
+# still land in the top-k); a wrong codebook broadcast, encode/LUT
+# disagreement, or subspace misalignment breaks the guarantee and
+# flips the hashed boolean.
+# ---------------------------------------------------------------------------
+_PQ_M = 8        # subspaces (64-dim embeddings → 8 dims each)
+_PQ_KS = 16      # codewords per subspace (4-bit codes here)
+_PQ_TRAIN = 2048  # deterministic training sample: vec_id < _PQ_TRAIN
+_PQ_ITERS = 5    # Lloyd's iterations per subspace (driver-side numpy)
+
+
+def pq_train_codebooks(e: DataFrame, m: int = _PQ_M, ks: int = _PQ_KS):
+    """(m, ks, dim/m) codebooks from a bounded, order-deterministic
+    sample. Returns None on an empty corpus."""
+    np = _np()
+    rows = (
+        e.filter(F.col("vec_id") < _PQ_TRAIN)  # pushed to the scan
+        .select("vec_id", "v")
+        .collect()
+    )
+    if not rows:
+        return None
+    rows.sort(key=lambda r: r.vec_id)  # fix float-sum order
+    X = _normalize_rows(
+        np.stack([np.asarray(r.v) for r in rows]).astype(np.float64)
+    )
+    n, dim = X.shape
+    sub = dim // m
+    books = np.zeros((m, ks, sub))
+    k = min(ks, n)
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        cb = Xs[:k].copy()  # deterministic seed: first k sample rows
+        for _ in range(_PQ_ITERS):
+            d2 = ((Xs[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)  # ties → lowest codeword id
+            for j in range(k):
+                mask = a == j
+                if mask.any():
+                    cb[j] = Xs[mask].mean(0)
+        books[s, :k] = cb
+    return books
+
+
+def pq_encode(e: DataFrame, books) -> DataFrame:
+    """(vec_id, codes array<int>) — one map-only Arrow kernel pass."""
+    import pandas as pd
+
+    np = _np()
+    bc = e.sparkSession.sparkContext.broadcast(books)
+
+    def kernel(batches):
+        B = bc.value
+        m, ks, sub = B.shape
+        sq = (B**2).sum(-1)  # (m, ks) codeword norms, hoisted
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Mx = _normalize_rows(
+                np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                Xs = Mx[:, s * sub : (s + 1) * sub]
+                d2 = sq[s][None, :] - 2.0 * (Xs @ B[s].T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": [row.tolist() for row in codes],
+                }
+            )
+
+    return e.select("vec_id", "v").mapInPandas(
+        kernel, schema="vec_id long, codes array<int>"
+    )
+
+
+def pq_adc_topk(codes_df: DataFrame, books, queries: DataFrame, k: int = K) -> DataFrame:
+    """ADC search over an encoded corpus: per-query (m × ks) distance
+    LUTs broadcast; each Arrow batch scores by table lookup only."""
+    import pandas as pd
+
+    np = _np()
+    spark = codes_df.sparkSession
+    empty = spark.createDataFrame(
+        [], "query_id long, vec_id long, adc double, rank int"
+    )
+    qrows = queries.collect()
+    if not qrows or books is None:
+        return empty
+    m, ks, sub = books.shape
+    qids = [int(r.query_id) for r in qrows]
+    Q = _normalize_rows(np.asarray([r.qv for r in qrows], dtype=np.float64))
+    luts = np.empty((len(qids), m, ks))
+    for s in range(m):
+        Qs = Q[:, s * sub : (s + 1) * sub]
+        luts[:, s, :] = ((Qs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+    bc = spark.sparkContext.broadcast((qids, luts))
+
+    def kernel(batches):
+        ids, L = bc.value
+        nq, mm, _ = L.shape
+        cols = np.arange(mm)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            vecs = pdf["vec_id"].to_numpy()
+            scores = np.empty((nq, len(pdf)))
+            for qi in range(nq):
+                scores[qi] = L[qi][cols, C].sum(1)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, len(pdf)),
+                    "vec_id": np.tile(vecs, nq),
+                    "adc": scores.reshape(-1),
+                }
+            )
+
+    scored = codes_df.mapInPandas(
+        kernel, schema="query_id long, vec_id long, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        fround("adc", 9).asc(), F.col("vec_id")
+    )
+    return (
+        scored.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", fround("adc", 9).alias("adc"), "rank")
+    )
+
+
+@register(
+    "s10_knn_pq",
+    oracle=_ANN_CERT_ORACLE,
+    doc=(
+        "S10: product-quantization ANN (ADC over m=8/ks=16 codebooks) — "
+        "structural planted-copy certificate (identical codes → minimum "
+        "ADC distance)"
+    ),
+)
+def s10_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, q = _corpus_queries_planted(spark, sf_dir)
+    corpus = track(corpus.persist())  # train sample + encode share the scan
+    books = pq_train_codebooks(corpus)
+    if books is None:  # empty corpus → empty certificate, stable schema
+        return spark.createDataFrame(
+            [], "query_id long, planted_dup_found boolean"
+        )
+    topk = pq_adc_topk(pq_encode(corpus, books), books, q)
+    return _certify_planted(topk, q)

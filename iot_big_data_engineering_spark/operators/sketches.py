@@ -37,6 +37,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions import hashing as _hashing
 from ..functions.rounding import fround
 from ..registry import register
 from ..sources.sensor_view import SENSOR_ORACLE_CTE, quality_checked
@@ -576,3 +577,167 @@ def a17c_rollup_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# A22 — COUNT-MIN SKETCH heavy hitters: the mergeable frequency sketch
+# that complements a18's HLL (distinct counts) with point-frequency
+# estimates. A CMS is a (depth × width) counter array; as a relation it
+# is just (depth, bucket, cnt) rows — at most depth·width of them no
+# matter the corpus size — built by ONE grouped aggregation whose
+# map-side partial combine IS the classic per-partition sketch build:
+# each task collapses its slice to ≤ depth·width partial counters before
+# the (bounded!) shuffle. Per-day CMS tables then merge by summing
+# counters — the same state-table pattern a17/st8 prove for exact
+# aggregates, extended to a sublinear sketch.
+#
+# Certificates, all driver-hashed:
+# - cms_estimate per top-k key: min over depth rows of the key's bucket
+#   counters. The oracle REBUILDS the identical sketch in SQL (the
+#   hash is the shared overflow-exact chunked Knuth multiply, seeded
+#   per depth row), so every estimate value is hash-checked exactly —
+#   not just bounded.
+# - overestimate = estimate − true ≥ 0 is CMS's one-sided guarantee; it
+#   is emitted as a value so a broken hash/bucket mapping (which would
+#   produce an UNDER-estimate) is visible, not just wrong.
+# - merge_consistent: two INDEPENDENTLY aggregated half-corpus sketches
+#   (split on event_id parity), summed counter-wise, must equal the
+#   one-pass sketch on every (depth, bucket) — the mergeability proof,
+#   computed from separate aggregation jobs so it cannot be vacuously
+#   true by plan sharing.
+#
+# Scale: the sketch relation is bounded (depth·width rows), so both the
+# membership join (broadcast) and the merge comparison (full outer join
+# of two bounded relations) are corpus-size-free; the only full-data
+# passes are the grouped counts with partial aggregation. At 100 TB the
+# one-pass build is a single shuffle of ≤ depth·width rows per task.
+# ---------------------------------------------------------------------------
+_CMS_D = 4          # depth (independent hash rows)
+_CMS_W = 1024       # width (buckets per row)
+_CMS_SEED = 1_000_003  # per-depth hash offset multiplier (prime)
+_CMS_TOPK = 20      # heavy hitters reported
+
+
+def _cms_bucket(key, depth, width: int = _CMS_W):
+    """Overflow-exact per-depth bucket: h_d(k) = knuth32(k + d·P) mod W."""
+    return F.pmod(
+        _hashing.knuth_hash32(key + depth * F.lit(_CMS_SEED)),
+        F.lit(width),
+    )
+
+
+def cms_table(
+    ev: DataFrame,
+    key: str = "user_id",
+    depth: int = _CMS_D,
+    width: int = _CMS_W,
+) -> DataFrame:
+    """(depth, bucket, cnt) counter relation — ≤ depth·width rows.
+    depth/width are parameters so tests can shrink the width to force
+    collisions and exercise the one-sided overestimate guarantee."""
+    return (
+        ev.select(F.col(key).alias("k"))
+        .withColumn(
+            "depth",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))),
+        )
+        .select(
+            "depth",
+            _cms_bucket(F.col("k"), F.col("depth"), width).alias("bucket"),
+        )
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_A22_HASH_CMS = _hashing.knuth_hash32_sql(
+    f"ev.user_id + dep.depth * {_CMS_SEED}"
+)
+_A22_HASH_TOP = _hashing.knuth_hash32_sql(
+    f"t.user_id + d.depth * {_CMS_SEED}"
+)
+
+
+@register(
+    "a22_cms_heavy_hitters",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL
+),
+dep AS (SELECT unnest(range({_CMS_D})) AS depth),
+cms AS (
+  SELECT dep.depth AS depth, {_A22_HASH_CMS} % {_CMS_W} AS bucket,
+         count(*) AS cnt
+  FROM ev CROSS JOIN dep GROUP BY 1, 2
+),
+top AS (
+  SELECT user_id, count(*) AS true_count FROM ev GROUP BY 1
+  ORDER BY true_count DESC, user_id LIMIT {_CMS_TOPK}
+),
+est AS (
+  SELECT t.user_id, t.true_count, min(c.cnt) AS cms_estimate
+  FROM top t CROSS JOIN dep d
+  JOIN cms c ON c.depth = d.depth
+            AND c.bucket = {_A22_HASH_TOP} % {_CMS_W}
+  GROUP BY 1, 2
+)
+SELECT user_id, true_count, cms_estimate,
+       cms_estimate - true_count AS overestimate,
+       TRUE AS merge_consistent
+FROM est ORDER BY true_count DESC, user_id
+""",
+    doc=(
+        "A22: count-min-sketch heavy hitters — bounded (depth,bucket,cnt) "
+        "sketch relation, exact-hashed estimates, split+merge ≡ one-pass "
+        "certificate"
+    ),
+)
+def a22_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    onepass = cms_table(ev)
+    # mergeability: two independent half-sketches summed == one-pass.
+    # Separate aggregation jobs by construction (different filters), so
+    # the equality is a real merge proof, not plan reuse.
+    halves = cms_table(ev.filter(F.pmod("event_id", F.lit(2)) == 0)).unionByName(
+        cms_table(ev.filter(F.pmod("event_id", F.lit(2)) == 1))
+    )
+    merged = halves.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+    consistent = (
+        onepass.withColumnRenamed("cnt", "a")
+        .join(merged.withColumnRenamed("cnt", "b"), ["depth", "bucket"], "full")
+        .agg(
+            F.coalesce(
+                F.bool_and(F.col("a").eqNullSafe(F.col("b"))), F.lit(True)
+            ).alias("merge_consistent")
+        )
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), "user_id")
+        .limit(_CMS_TOPK)
+    )
+    probe = top.withColumn(
+        "depth", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1)))
+    ).withColumn("bucket", _cms_bucket(F.col("user_id"), F.col("depth")))
+    est = (
+        probe.join(F.broadcast(onepass), ["depth", "bucket"])  # sketch is
+        # bounded (≤ D·W rows) — broadcast by construction
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return (
+        est.crossJoin(F.broadcast(consistent))  # 1-row scalar attach
+        .select(
+            "user_id",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+            "merge_consistent",
+        )
+        .orderBy(F.desc("true_count"), "user_id")
+    )

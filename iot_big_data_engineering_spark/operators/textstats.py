@@ -1738,3 +1738,81 @@ def boilerplate_removal(
             F.array_join(F.transform(kept, lambda x: x["seg_text"]), " ")
         ).alias("retained_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T14 — Zipf-law profile per language: fit ln(freq) ~ ln(rank) over each
+# language's top-100 terms by closed-form least squares (regr_slope /
+# regr_r2 — exact aggregate algebra, identical in both engines). Corpus
+# linguists use the slope (~ -1 for natural language) and fit quality as
+# a cheap "is this language's slice real text or extraction garbage"
+# screen — boilerplate-heavy or templated corpora flatten the head of
+# the curve and tank r^2, so the profile is a per-language quality gate
+# that needs no reference model.
+#
+# Scale: one (lang, term) count shuffle with map-side partial
+# aggregation, then a per-lang top-100 window (TakeOrdered-sized — the
+# rank window partitions by lang and every partition is cut at 100
+# before the regression, so the fit aggregates a BOUNDED frame per
+# group no matter the corpus size). The regression itself is a
+# single-pass numeric aggregate (sums of x, y, xy, x^2) — whole-stage
+# codegen, no UDF, no collect.
+#
+# Ref parity anchor: the reference's analytics surface is grouped
+# statistical aggregates over typed columns
+# (src/spark/analytics/SensorDataAnalytics.scala:61-96); t14 is the
+# same shape applied to the documents extension with a regression
+# aggregate instead of avg/stddev.
+# ---------------------------------------------------------------------------
+_T14_TOP = 100  # terms per language entering the fit
+
+
+@register(
+    "t14_zipf_profile",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest({X.sql_tokens("text")}) AS term FROM documents
+),
+tf AS (SELECT lang, term, count(*) AS freq FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, freq,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY freq DESC, term) AS rnk
+  FROM tf
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(freq), ln(rnk)), {_R}) AS zipf_slope,
+       round(regr_r2(ln(freq), ln(rnk)), {_R}) AS zipf_r2
+FROM ranked WHERE rnk <= {_T14_TOP}
+GROUP BY lang ORDER BY lang
+""",
+    doc=(
+        "T14: per-language Zipf fit over top-100 term frequencies "
+        "(regr_slope/regr_r2) — statistical text-quality screen"
+    ),
+)
+def t14_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("lang", F.explode(X.tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.col("term"))
+    ranked = tf.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _T14_TOP
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_terms"),
+            fround(
+                F.expr("regr_slope(ln(freq), ln(rnk))"), _R
+            ).alias("zipf_slope"),
+            fround(F.expr("regr_r2(ln(freq), ln(rnk))"), _R).alias("zipf_r2"),
+        )
+        .orderBy("lang")
+    )

@@ -251,6 +251,11 @@ _WINDOW_DEFERRED = [
     "u3_key_overlap_multiset", "u4_snapshot_diff", "w4_value_deciles",
     "w5_trailing_hour_aggs", "w6_cohort_retention",
     "w6b_cohort_retention_approx",
+    # added mid-round-8, BEFORE the round's final full test run (the
+    # dp10 lesson: no new @register in the snapshot commit) — each is
+    # mirror-green vs its DuckDB oracle at BOTH gate SFs and carries
+    # dedicated unit tests; they lead the r9 rotation
+    "t14_zipf_profile", "a22_cms_heavy_hitters", "s10_knn_pq",
 ]
 
 

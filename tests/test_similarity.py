@@ -323,3 +323,92 @@ def test_s8_delta_add_certificate_not_vacuous(spark):
         ivf_probe_search(assign_cells(base, cent), cent, q), q
     ).collect()
     assert not any(r.planted_dup_found for r in base_only)
+
+
+# ---------------------------------------------------------------------------
+# s10 product quantization (round-8 addition)
+# ---------------------------------------------------------------------------
+def test_pq_exact_copy_is_rank_one(spark):
+    """ADC structural guarantee: an exact copy shares its query's codes,
+    so its ADC distance is the global minimum — rank 1 up to exact-code
+    ties. Verified on the real corpus with planted copies."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _PLANT_OFFSET,
+        N_QUERIES,
+        _corpus_queries_planted,
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    from .conftest import SF_SMOKE
+
+    corpus, q = _corpus_queries_planted(spark, SF_SMOKE)
+    books = pq_train_codebooks(corpus)
+    topk = pq_adc_topk(pq_encode(corpus, books), books, q)
+    hits = (
+        topk.filter(F.col("vec_id") == F.col("query_id") + F.lit(_PLANT_OFFSET))
+        .select("query_id", "rank", "adc")
+        .collect()
+    )
+    assert len(hits) == N_QUERIES
+    for r in hits:
+        # ties can only come from identical codes; the plant's ADC is
+        # the minimum, so its distance equals the rank-1 distance
+        assert r.adc >= 0
+    best = {
+        r.query_id: r.adc
+        for r in topk.filter(F.col("rank") == 1).collect()
+    }
+    for r in hits:
+        assert abs(r.adc - best[r.query_id]) < 1e-9, r
+
+
+def test_pq_encode_matches_driver_reference(spark):
+    """The Arrow encode kernel must agree with a driver-side numpy
+    reference argmin on every vector and subspace."""
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _emb,
+        _normalize_rows,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    from .conftest import SF_SMOKE
+
+    e = _emb(spark, SF_SMOKE)
+    books = pq_train_codebooks(e)
+    m, ks, sub = books.shape
+    got = {r.vec_id: r.codes for r in pq_encode(e, books).collect()}
+    rows = e.collect()
+    X = _normalize_rows(
+        np.stack([np.asarray(r.v) for r in rows]).astype(np.float64)
+    )
+    for i, r in enumerate(rows):
+        for s in range(m):
+            xs = X[i, s * sub : (s + 1) * sub]
+            ref = int(np.argmin(((xs[None, :] - books[s]) ** 2).sum(-1)))
+            assert got[r.vec_id][s] == ref
+
+
+def test_s10_on_empty_corpus(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from iot_big_data_engineering_spark.operators.similarity import s10_knn_pq
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }
+    )
+    pq_.write_table(empty, str(tmp_path / "embeddings.parquet"))
+    df = s10_knn_pq(spark, str(tmp_path))
+    assert df.columns == ["query_id", "planted_dup_found"]
+    assert df.count() == 0

@@ -129,3 +129,101 @@ def test_compact_rollup_state_is_value_transparent(spark, tmp_path):
     # post-compaction delivery still merges to the full recompute
     merged = sk.maintain_rollup_state(spark, path, parts[2], period_id=2)
     assert _finalized(merged) == _finalized(sk._partial_state(q))
+
+
+# ---------------------------------------------------------------------------
+# a22 count-min sketch (round-8 addition)
+# ---------------------------------------------------------------------------
+def test_cms_overestimates_under_forced_collisions(spark):
+    """With width=2 every key collides; CMS must still satisfy its
+    one-sided guarantee (estimate >= true count for EVERY key) and the
+    bucket sums must conserve the total (each depth row counts every
+    event exactly once)."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.sketches import (
+        _cms_bucket,
+        cms_table,
+    )
+
+    rows = [(i, i % 7) for i in range(200)]  # 7 keys, skewed none
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    cms = cms_table(ev, depth=3, width=2).collect()
+    # conservation: every depth row sums to |events|
+    by_depth = {}
+    for r in cms:
+        by_depth[r.depth] = by_depth.get(r.depth, 0) + r.cnt
+    assert by_depth == {0: 200, 1: 200, 2: 200}
+
+    # point estimates: min over depths of the key's bucket counter
+    cnts = {(r.depth, r.bucket): r.cnt for r in cms}
+    probe = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .select(
+            "user_id", "d", _cms_bucket(F.col("user_id"), F.col("d"), 2).alias("b")
+        )
+        .collect()
+    )
+    import collections
+
+    true = collections.Counter(u for _, u in rows)
+    est = collections.defaultdict(lambda: float("inf"))
+    for r in probe:
+        est[r.user_id] = min(est[r.user_id], cnts[(r.d, r.b)])
+    for u, t in true.items():
+        assert est[u] >= t, (u, est[u], t)
+
+
+def test_cms_merge_equals_onepass_on_synthetic_split(spark):
+    """Summing two independently-built half sketches must equal the
+    one-pass sketch counter-for-counter — the mergeable-state property
+    a22's certificate hashes."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.sketches import cms_table
+
+    ev = spark.createDataFrame(
+        [(i, (i * 13) % 11) for i in range(500)], "event_id long, user_id long"
+    )
+    one = {
+        (r.depth, r.bucket): r.cnt for r in cms_table(ev, width=8).collect()
+    }
+    halves = (
+        cms_table(ev.filter(F.col("event_id") % 2 == 0), width=8)
+        .unionByName(cms_table(ev.filter(F.col("event_id") % 2 == 1), width=8))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    merged = {(r.depth, r.bucket): r.cnt for r in halves}
+    assert merged == one
+
+
+def test_a22_on_empty_events(spark, tmp_path):
+    """Stable schema + zero rows on an empty events table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iot_big_data_engineering_spark.operators.sketches import (
+        a22_cms_heavy_hitters,
+    )
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(empty, str(tmp_path / "events.parquet"))
+    df = a22_cms_heavy_hitters(spark, str(tmp_path))
+    assert df.columns == [
+        "user_id", "true_count", "cms_estimate", "overestimate",
+        "merge_consistent",
+    ]
+    assert df.count() == 0

@@ -369,3 +369,54 @@ def test_dp10_broadcast_gate(spark):
     assert _dp10_rows_to_dict(
         hinted.select(*cols).collect()
     ) == _dp10_rows_to_dict(gated.select(*cols).collect())
+
+
+def test_t14_zipf_hand_case(spark, tmp_path):
+    """Exact power-law frequencies -> closed-form least-squares slope;
+    compare against numpy's polyfit on the same (ln rank, ln freq)
+    points. A lang with one distinct term yields a NULL slope (no
+    regression from a single point). The registered DuckDB oracle runs
+    on the same corpus and must agree."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t14_zipf_profile,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    # freq: a=8, b=4, c=2, d=1 in lang en; lang xx has one term only
+    text_en = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    corpus = [(0, text_en, "en", "s", len(text_en)), (1, "solo", "xx", "s", 4)]
+    pd.DataFrame(
+        corpus, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.lang: r for r in t14_zipf_profile(spark, str(tmp_path)).collect()
+    }
+
+    x = np.log([1, 2, 3, 4])
+    y = np.log([8, 4, 2, 1])
+    slope, _ = np.polyfit(x, y, 1)
+    assert rows["en"].n_terms == 4
+    assert abs(rows["en"].zipf_slope - round(float(slope), 6)) < 1e-6
+    assert 0 <= rows["en"].zipf_r2 <= 1
+    assert rows["xx"].n_terms == 1
+    assert rows["xx"].zipf_slope is None  # single point: no regression
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            corpus, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+    )
+    duck = {
+        r[0]: r
+        for r in con.execute(all_queries()["t14_zipf_profile"].oracle).fetchall()
+    }
+    assert duck["en"][1:] == (
+        rows["en"].n_terms, rows["en"].zipf_slope, rows["en"].zipf_r2
+    )
+    assert duck["xx"][2] is None
