@@ -658,9 +658,7 @@ _A22_HASH_TOP = _hashing.knuth_hash32_sql(
 )
 
 
-@register(
-    "a22_cms_heavy_hitters",
-    oracle=f"""
+_A22_ORACLE = f"""
 WITH ev AS (
   SELECT event_id, user_id FROM events WHERE user_id IS NOT NULL
 ),
@@ -685,7 +683,47 @@ SELECT user_id, true_count, cms_estimate,
        cms_estimate - true_count AS overestimate,
        TRUE AS merge_consistent
 FROM est ORDER BY true_count DESC, user_id
-""",
+"""
+
+
+def cms_heavy_hitter_report(
+    ev: DataFrame, sketch: DataFrame, consistent: DataFrame
+) -> DataFrame:
+    """Top-k true counts probed against a (depth, bucket, cnt) sketch
+    relation, with the 1-row mergeability scalar attached — shared by
+    a22 (batch one-pass sketch) and st11 (sketch merged from streamed
+    per-epoch deltas)."""
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), "user_id")
+        .limit(_CMS_TOPK)
+    )
+    probe = top.withColumn(
+        "depth", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1)))
+    ).withColumn("bucket", _cms_bucket(F.col("user_id"), F.col("depth")))
+    est = (
+        probe.join(F.broadcast(sketch), ["depth", "bucket"])  # sketch is
+        # bounded (≤ D·W rows) — broadcast by construction
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return (
+        est.crossJoin(F.broadcast(consistent))  # 1-row scalar attach
+        .select(
+            "user_id",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+            "merge_consistent",
+        )
+        .orderBy(F.desc("true_count"), "user_id")
+    )
+
+
+@register(
+    "a22_cms_heavy_hitters",
+    oracle=_A22_ORACLE,
     doc=(
         "A22: count-min-sketch heavy hitters — bounded (depth,bucket,cnt) "
         "sketch relation, exact-hashed estimates, split+merge ≡ one-pass "
@@ -706,38 +744,19 @@ def a22_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_table(ev.filter(F.pmod("event_id", F.lit(2)) == 1))
     )
     merged = halves.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
-    consistent = (
-        onepass.withColumnRenamed("cnt", "a")
-        .join(merged.withColumnRenamed("cnt", "b"), ["depth", "bucket"], "full")
+    consistent = cms_merge_consistent(onepass, merged)
+    return cms_heavy_hitter_report(ev, onepass, consistent)
+
+
+def cms_merge_consistent(a: DataFrame, b: DataFrame) -> DataFrame:
+    """1-row scalar: do two sketch relations agree counter-for-counter?
+    (full outer join of two bounded relations — corpus-size-free)."""
+    return (
+        a.withColumnRenamed("cnt", "a")
+        .join(b.withColumnRenamed("cnt", "b"), ["depth", "bucket"], "full")
         .agg(
             F.coalesce(
                 F.bool_and(F.col("a").eqNullSafe(F.col("b"))), F.lit(True)
             ).alias("merge_consistent")
         )
-    )
-    top = (
-        ev.groupBy("user_id")
-        .agg(F.count("*").alias("true_count"))
-        .orderBy(F.desc("true_count"), "user_id")
-        .limit(_CMS_TOPK)
-    )
-    probe = top.withColumn(
-        "depth", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1)))
-    ).withColumn("bucket", _cms_bucket(F.col("user_id"), F.col("depth")))
-    est = (
-        probe.join(F.broadcast(onepass), ["depth", "bucket"])  # sketch is
-        # bounded (≤ D·W rows) — broadcast by construction
-        .groupBy("user_id", "true_count")
-        .agg(F.min("cnt").alias("cms_estimate"))
-    )
-    return (
-        est.crossJoin(F.broadcast(consistent))  # 1-row scalar attach
-        .select(
-            "user_id",
-            "true_count",
-            "cms_estimate",
-            (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
-            "merge_consistent",
-        )
-        .orderBy(F.desc("true_count"), "user_id")
     )

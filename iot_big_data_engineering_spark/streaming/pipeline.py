@@ -1195,3 +1195,117 @@ def st10_streaming_histogram_rollup(
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ST11 — STREAMING COUNT-MIN SKETCH MAINTENANCE (a22's streaming twin,
+# closing the mergeable-state triangle: exact aggregates st8, quantile
+# histograms st10, frequency sketches st11). Each micro-batch reduces to
+# its own bounded CMS delta — ≤ depth·width (depth, bucket, cnt) rows no
+# matter the batch size — written with the epoch-keyed dynamic-overwrite
+# recipe every foreachBatch sink here uses (at-least-once replay
+# re-OVERWRITES the epoch's own partition: idempotent). The serving-side
+# sketch is the counter-wise SUM across epochs; CMS is linear, so
+# merged-from-deltas must equal the one-pass sketch EXACTLY — that
+# equality is the hashed merge_consistent certificate, and the top-k
+# estimates are probed from the MERGED sketch, so the external oracle
+# (a22's, verbatim: it rebuilds the sketch in SQL from raw events)
+# value-checks the whole maintenance path, not just a boolean.
+#
+# Scale: the stream's state per epoch is corpus-size-free (bounded
+# sketch rows); merging reads only sketch partitions, never raw
+# history. This is exactly how a production pipeline serves "how often
+# did key X appear this month" without a per-key state store: per-epoch
+# sketch parquet, summed at query time or compacted like a17c.
+# ---------------------------------------------------------------------------
+from ..operators.sketches import _A22_ORACLE  # noqa: E402  (no cycle:
+# sketches never imports streaming; the driver window rotation happens
+# after all registration imports, so order is unaffected)
+
+
+@register(
+    "st11_streaming_cms_maintenance",
+    # a22's oracle VERBATIM: it rebuilds the sketch in SQL from raw
+    # events, so the streamed per-epoch maintenance is value-checked
+    # end-to-end, not just boolean-checked
+    oracle=_A22_ORACLE,
+    doc=(
+        "§2.7/A22: per-micro-batch CMS deltas (epoch-keyed overwrite) "
+        "merged ≡ one-pass sketch; heavy-hitter report value-checked by "
+        "a22's oracle"
+    ),
+)
+def st11_streaming_cms_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..operators.sketches import (
+        cms_heavy_hitter_report,
+        cms_merge_consistent,
+        cms_table,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="iotx_st11_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        state_dir = os.path.join(tmp, "state")
+        ev = load_table(spark, sf_dir, "events")
+        slice_of = F.pmod(F.xxhash64("event_id"), F.lit(_ST8_N_SPLITS))
+        for i in range(_ST8_N_SPLITS):
+            ev.filter(slice_of == i).coalesce(1).write.mode("append").parquet(
+                in_dir
+            )
+        stream = events_file_stream(
+            spark, in_dir, glob="*.parquet", max_files_per_trigger=1
+        )
+
+        def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            delta = cms_table(
+                batch_df.filter(F.col("user_id").isNotNull())
+            ).withColumn("epoch_id", F.lit(epoch_id))
+            if delta.isEmpty():
+                # "write the empty epoch" explicitly — same sparse-batch
+                # hardening as st10: an empty dynamic overwrite touches
+                # no partitions, so clear the epoch's dir instead
+                shutil.rmtree(
+                    os.path.join(state_dir, f"epoch_id={int(epoch_id)}"),
+                    ignore_errors=True,
+                )
+                return
+            (
+                delta.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(state_dir)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(data_batches) < 2:  # RuntimeError, not assert (-O strips)
+            raise RuntimeError(
+                f"st11 needs >=2 data micro-batches to certify the "
+                f"cross-epoch sketch merge; got {len(data_batches)}"
+            )
+
+        merged = (
+            spark.read.parquet(state_dir)
+            .groupBy("depth", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        evb = ev.filter(F.col("user_id").isNotNull())
+        consistent = cms_merge_consistent(cms_table(evb), merged)
+        result = cms_heavy_hitter_report(evb, merged, consistent)
+        # ≤ _CMS_TOPK rows — bounded; materialize so the scratch dirs can
+        # be deleted instead of leaking one mkdtemp per run
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+

@@ -408,3 +408,22 @@ def test_st10_sparse_restart_batches_tolerated(spark, tmp_path):
     rows = out.collect()
     assert rows, "slice-0 data must survive the merge"
     assert sum(r.n_rows for r in rows) > 0
+
+
+def test_st11_streamed_cms_matches_batch_invariants(spark):
+    """The merged-from-epochs sketch must satisfy CMS's one-sided
+    guarantee on every reported key and certify merge consistency (the
+    value-level check vs the SQL-rebuilt sketch runs in
+    test_oracle_parity)."""
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        st11_streaming_cms_maintenance,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = st11_streaming_cms_maintenance(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.merge_consistent, r
+        assert r.overestimate >= 0, r
+        assert r.cms_estimate == r.true_count + r.overestimate
