@@ -122,6 +122,7 @@ HEADLINE = [
     "t14_zipf_profile",
     "a22_cms_heavy_hitters",
     "s10_knn_pq",
+    "mm8_phash_neardup",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost

@@ -522,3 +522,181 @@ def mm7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# MM8 — PERCEPTUAL-HASH NEAR-DUP (aHash + banded candidates): the media
+# counterpart of d5's SimHash text pass. mm5 groups byte-identical
+# payloads; real media pipelines also need near-identical detection
+# (re-encoded thumbnails, brightness-shifted re-crawls), which runs on a
+# PERCEPTUAL hash of the decoded thumbnail, not on raw bytes. Here the
+# decode is the documented stand-in (resize_payloads' cycle-pad
+# thumbnail), but the pipeline is the production shape end-to-end:
+# thumbnail kernel → 62-bit aHash (bit j = sampled byte > mean of the
+# sampled bytes; 62 bits, not 64 — DuckDB raises on 1<<63, and a
+# cross-engine hash must stay in signed-int64 territory on BOTH
+# engines) → SimHash-style 16-bit banding for candidates (pairs must
+# share ≥1 of 4 bands — the LSH gate that keeps this linear: at 100 TB
+# candidates are per-bucket joins, never corpus²) → exact Hamming ≤ 6
+# verify on candidates only.
+#
+# Parity + non-vacuity: the oracle recomputes the hash from text bytes
+# (mm4's ASCII technique — payload is encode(text), so byte i is
+# ascii(substr(text, i, 1)); both engines restrict to ASCII docs by
+# construction). Five exact copies of the first five ASCII docs are
+# PLANTED at doc_id + 1e9 on both engines: identical payload →
+# identical thumbnail → identical phash → Hamming 0 through every band,
+# so the pair list is non-empty at every SF and a banding/hash/verify
+# bug breaks a guaranteed row, not a lucky one.
+# ---------------------------------------------------------------------------
+_MM8_BITS = 62        # see block comment: signed-int64-safe on both engines
+_MM8_STRIDE = 4       # sample thumb byte j*4 for bit j (covers bytes 0..244)
+_MM8_BANDS = 4        # 16-bit bands (last covers the top 14 bits)
+_MM8_HAM_MAX = 6      # exact-verify threshold on candidates
+_MM8_N_PLANT = 5      # planted exact copies (non-vacuity certificate)
+_MM8_PLANT_OFFSET = 1_000_000_000
+
+
+def phash_thumbs(thumbs: DataFrame) -> DataFrame:
+    """(doc_id, phash) — 62-bit aHash over strided thumbnail samples,
+    one Arrow kernel pass (the real-decode pipeline would differ only in
+    how `thumb` was produced)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        weights = (1 << np.arange(_MM8_BITS, dtype=np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hashes = []
+            for t in pdf["thumb"]:
+                sampled = np.frombuffer(t, dtype=np.uint8)[
+                    : _MM8_BITS * _MM8_STRIDE : _MM8_STRIDE
+                ].astype(np.float64)
+                bits = sampled > sampled.mean()
+                hashes.append(int((weights * bits).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    return thumbs.mapInPandas(kernel, schema="doc_id long, phash long")
+
+
+_MM8_BYTE = (
+    f"ascii(substr(text, ((j * {_MM8_STRIDE}) % length(text)) + 1, 1))"
+)
+
+_MM8_ORACLE = f"""
+WITH ascii_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE octet_length(encode(text)) = length(text) AND length(text) > 0
+),
+planted AS (
+  SELECT doc_id, text FROM ascii_docs
+  UNION ALL
+  SELECT doc_id + {_MM8_PLANT_OFFSET}, text FROM (
+    SELECT doc_id, text FROM ascii_docs
+    ORDER BY doc_id LIMIT {_MM8_N_PLANT}
+  )
+),
+sampled AS (
+  SELECT doc_id,
+         list_transform(range(0, {_MM8_BITS}),
+                        j -> {_MM8_BYTE}) AS bs
+  FROM planted
+),
+hashed AS (
+  SELECT doc_id,
+         (SELECT sum(CASE WHEN bs[j + 1] > m THEN (1::BIGINT << j)
+                          ELSE 0 END)
+          FROM (SELECT unnest(range(0, {_MM8_BITS})) AS j),
+               (SELECT CAST(list_sum(bs) AS DOUBLE) / {_MM8_BITS} AS m)
+         ) AS phash
+  FROM sampled
+),
+bands AS (
+  SELECT doc_id, phash, k.k AS k, (phash >> (16 * k.k)) & 65535 AS bv
+  FROM hashed, (SELECT unnest(range({_MM8_BANDS})) AS k) k
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ha,
+                  b.doc_id AS doc_b, b.phash AS hb
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_MM8_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "mm8_phash_neardup",
+    oracle=_MM8_ORACLE,
+    doc=(
+        "MM8: perceptual-hash (aHash-62) media near-dup — thumbnail "
+        "kernel, banded LSH candidates, exact Hamming verify; planted "
+        "exact copies guarantee non-vacuity"
+    ),
+)
+def mm8_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ascii_guard = (
+        F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
+    ) & (F.length("text") > 0)
+    docs = load_table(spark, sf_dir, "documents").filter(ascii_guard)
+    plants = (
+        docs.orderBy("doc_id")
+        .limit(_MM8_N_PLANT)
+        .select(
+            (F.col("doc_id") + _MM8_PLANT_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(plants)
+    thumbs = resize_payloads(with_binary_payload_from(corpus))
+    hashed = phash_thumbs(thumbs)
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(_MM8_BANDS - 1))).alias("k"),
+    ).withColumn(
+        # shiftright() takes a literal bit count; the per-row band shift
+        # needs the expression form
+        "bv", F.expr("(phash >> (k * 16)) & 65535")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= _MM8_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def with_binary_payload_from(docs: DataFrame) -> DataFrame:
+    """with_binary_payload over a frame that may carry only
+    (doc_id, text) — the planted-copy path has no source/lang meta."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )

@@ -140,3 +140,100 @@ def test_mm5_header_checksum_is_byte_faithful_for_multibyte_utf8(spark):
     ]
     con.close()
     assert duck == want
+
+
+# ---------------------------------------------------------------------------
+# mm8 perceptual-hash near-dup (round-8 addition)
+# ---------------------------------------------------------------------------
+def test_mm8_planted_copies_at_hamming_zero(spark):
+    """Every planted exact copy must pair with its original at Hamming 0
+    (identical payload → identical thumbnail → identical phash → shares
+    every band)."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.multimodal import (
+        _MM8_N_PLANT,
+        _MM8_PLANT_OFFSET,
+        mm8_phash_neardup,
+    )
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    ascii_ids = [
+        r.doc_id
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter(
+            (F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
+            & (F.length("text") > 0)
+        )
+        .orderBy("doc_id")
+        .limit(_MM8_N_PLANT)
+        .collect()
+    ]
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in mm8_phash_neardup(spark, SF_SMOKE).collect()
+    }
+    assert len(ascii_ids) == _MM8_N_PLANT
+    for did in ascii_ids:
+        assert pairs.get((did, did + _MM8_PLANT_OFFSET)) == 0, did
+
+
+def test_mm8_phash_kernel_matches_reference(spark):
+    """The Arrow phash kernel must equal a driver-side recompute of the
+    same aHash spec (strided sample of the cycle-padded thumbnail,
+    mean-threshold bits, weights 2^0..2^61)."""
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.multimodal import (
+        _MM8_BITS,
+        _MM8_STRIDE,
+        THUMB_BYTES,
+        phash_thumbs,
+        resize_payloads,
+        with_binary_payload_from,
+    )
+
+    texts = ["abcdefg", "a", "the quick brown fox jumps over the lazy dog"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.phash
+        for r in phash_thumbs(
+            resize_payloads(with_binary_payload_from(docs))
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        p = t.encode()
+        thumb = (p * (THUMB_BYTES // len(p) + 1))[:THUMB_BYTES]
+        sampled = np.frombuffer(thumb, dtype=np.uint8)[
+            : _MM8_BITS * _MM8_STRIDE : _MM8_STRIDE
+        ].astype(np.float64)
+        bits = sampled > sampled.mean()
+        ref = int((bits * (1 << np.arange(_MM8_BITS, dtype=np.int64))).sum())
+        assert got[i] == ref, (i, got[i], ref)
+
+
+def test_mm8_on_empty_corpus(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iot_big_data_engineering_spark.operators.multimodal import (
+        mm8_phash_neardup,
+    )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(empty, str(tmp_path / "documents.parquet"))
+    df = mm8_phash_neardup(spark, str(tmp_path))
+    assert df.columns == ["doc_a", "doc_b", "hamming"]
+    assert df.count() == 0
