@@ -665,26 +665,27 @@ def mm8_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bv", F.expr("(phash >> (k * 16)) & 65535")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    ham = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    ).cast("int")
+    return (
         a.join(
             b,
             (F.col("a.k") == F.col("b.k"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # Hamming verify BEFORE the pair dedup: bit_count is a few
+        # cycles per candidate, while distinct is a shuffle — filtering
+        # first shrinks that shuffle to only the ≤ threshold survivors
+        # (each duplicated at most _MM8_BANDS×)
+        .filter(ham <= _MM8_HAM_MAX)
         .select(
             F.col("a.doc_id").alias("doc_a"),
-            F.col("a.phash").alias("ha"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("b.phash").alias("hb"),
+            ham.alias("hamming"),
         )
         .distinct()
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= _MM8_HAM_MAX)
-        .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
 

@@ -718,3 +718,65 @@ def test_w7_empty_step_yields_null_ratio_matching_oracle(spark):
     )
     assert got0 == [tuple(r) for r in con0.execute(oracle).fetchall()]
     assert all(r[2] == 0 and r[3] is None and r[4] is None for r in got0)
+
+
+# ---------------------------------------------------------------------------
+# round-8 operator plan hygiene
+# ---------------------------------------------------------------------------
+def test_mm8_plan_no_cartesian_banded_equijoin(spark):
+    """The candidate join must be an equi-join on (band index, band
+    value) — the LSH gate that keeps the pass linear — never a
+    cartesian pair enumeration."""
+    from iot_big_data_engineering_spark.operators.multimodal import (
+        mm8_phash_neardup,
+    )
+
+    df = mm8_phash_neardup(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+
+
+def test_a22_plan_broadcast_sketch_probe(spark):
+    """The top-k probe joins against the bounded sketch relation via
+    broadcast (no full shuffle of the probe side against D*W rows)."""
+    from iot_big_data_engineering_spark.operators.sketches import (
+        a22_cms_heavy_hitters,
+    )
+
+    df = a22_cms_heavy_hitters(spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    assert "CartesianProduct" not in plan_str(df)
+
+
+def test_t14_plan_single_pruned_scan(spark):
+    """One column-pruned documents scan (text + lang only), partial
+    aggregation on the (lang, term) count, no join anywhere."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t14_zipf_profile,
+    )
+
+    df = t14_zipf_profile(spark, SF_SMOKE)
+    p = plan_str(df)
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+    assert "Join" not in p, p
+    assert "struct<text:string,lang:string>" in p, p
+
+
+def test_s10_codes_are_narrow(spark):
+    """The PQ codes relation ships (vec_id, codes[8] int32) — the 32x
+    scan compression that makes ADC the at-scale search path. Assert the
+    encode output schema is exactly that (a refactor that drags the raw
+    vector column through the scoring pass would break the entire
+    premise)."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _PQ_M,
+        _emb,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    e = _emb(spark, SF_SMOKE)
+    books = pq_train_codebooks(e)
+    codes = pq_encode(e, books)
+    assert [f.name for f in codes.schema.fields] == ["vec_id", "codes"]
+    first = codes.first()
+    assert len(first.codes) == _PQ_M
