@@ -28,15 +28,22 @@ from ..sources.tables import load_table
 _R = 6
 
 
+def media_type_col() -> F.Column:
+    """The deterministic media-type assignment (doc_id mod 3) — ONE
+    definition shared by every payload builder so the mapping cannot
+    silently diverge between paths (r8 code-review)."""
+    return F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+
+
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, media_type, payload binary, meta struct).
     media_type is a deterministic assignment (doc_id mod 3)."""
     return docs.select(
         "doc_id",
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("media_type"),
+        media_type_col().alias("media_type"),
         F.encode("text", "UTF-8").alias("payload"),
         F.struct(
             F.col("source").alias("origin"),
@@ -692,12 +699,10 @@ def mm8_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def with_binary_payload_from(docs: DataFrame) -> DataFrame:
     """with_binary_payload over a frame that may carry only
-    (doc_id, text) — the planted-copy path has no source/lang meta."""
+    (doc_id, text) — the planted-copy path has no source/lang meta.
+    Shares media_type_col so the two builders cannot diverge."""
     return docs.select(
         "doc_id",
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("media_type"),
+        media_type_col().alias("media_type"),
         F.encode("text", "UTF-8").alias("payload"),
     )

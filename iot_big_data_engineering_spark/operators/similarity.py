@@ -1444,11 +1444,12 @@ def s9_knn_index_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query, therefore quantizes to the IDENTICAL codes, and its ADC
 # distance equals the query's own quantization error — the global
 # minimum over the corpus (any other vector's per-subspace codeword is
-# at-best-equal by argmin construction). So rank-1 retrieval of the
-# plant is STRUCTURAL, not empirical, up to exact-code ties (which
-# still land in the top-k); a wrong codebook broadcast, encode/LUT
-# disagreement, or subspace misalignment breaks the guarantee and
-# flips the hashed boolean.
+# at-best-equal by argmin construction). Exact-code ties share that
+# minimum, so the top-k window breaks ADC ties by vec_id DESCENDING —
+# the plant holds the largest id, so it ranks FIRST among its ties and
+# rank-1 retrieval is STRUCTURAL with no corpus-shape caveat. A wrong
+# codebook broadcast, encode/LUT disagreement, or subspace
+# misalignment breaks the guarantee and flips the hashed boolean.
 # ---------------------------------------------------------------------------
 _PQ_M = 8        # subspaces (64-dim embeddings → 8 dims each)
 _PQ_KS = 16      # codewords per subspace (4-bit codes here)
@@ -1568,8 +1569,15 @@ def pq_adc_topk(codes_df: DataFrame, books, queries: DataFrame, k: int = K) -> D
     scored = codes_df.mapInPandas(
         kernel, schema="query_id long, vec_id long, adc double"
     )
+    # ties broken by vec_id DESCENDING, deliberately: exact-code ties
+    # all sit at the minimum ADC distance, and the planted certificate
+    # copy carries the LARGEST vec_id (query_id + plant offset) — an
+    # ascending tie-break would let >= k same-code corpus vectors evict
+    # the plant and fail the certificate on a correct implementation
+    # (r8 code-review). Descending ranks the plant first among its
+    # ties; ordering is still total and deterministic.
     w = Window.partitionBy("query_id").orderBy(
-        fround("adc", 9).asc(), F.col("vec_id")
+        fround("adc", 9).asc(), F.col("vec_id").desc()
     )
     return (
         scored.filter(F.col("vec_id") != F.col("query_id"))

@@ -619,9 +619,17 @@ _CMS_TOPK = 20      # heavy hitters reported
 
 
 def _cms_bucket(key, depth, width: int = _CMS_W):
-    """Overflow-exact per-depth bucket: h_d(k) = knuth32(k + d·P) mod W."""
+    """Overflow-exact per-depth bucket:
+    h_d(k) = knuth32((k mod 2^32) + d·P) mod W.
+    The key is reduced mod 2^32 BEFORE the per-depth seed is added —
+    a raw ``k + d·P`` would re-introduce exactly the int64
+    wrap/throw/promote divergence functions/hashing.py exists to
+    eliminate (Spark wraps, DuckDB raises) for keys within d·P of the
+    int64 boundary. After the reduction every operand is < 2^32 + 4·P,
+    exact int64 arithmetic on both engines for ANY int64 key."""
+    k32 = F.pmod(key.cast("long"), F.lit(_hashing.HASH32_MOD))
     return F.pmod(
-        _hashing.knuth_hash32(key + depth * F.lit(_CMS_SEED)),
+        _hashing.knuth_hash32(k32 + depth * F.lit(_CMS_SEED)),
         F.lit(width),
     )
 
@@ -650,12 +658,16 @@ def cms_table(
     )
 
 
-_A22_HASH_CMS = _hashing.knuth_hash32_sql(
-    f"ev.user_id + dep.depth * {_CMS_SEED}"
-)
-_A22_HASH_TOP = _hashing.knuth_hash32_sql(
-    f"t.user_id + d.depth * {_CMS_SEED}"
-)
+def _cms_bucket_sql(key: str, depth: str) -> str:
+    """DuckDB mirror of _cms_bucket's seeded hash, term for term
+    (same mod-2^32 reduction before the seed addition)."""
+    m = _hashing.HASH32_MOD
+    k32 = f"((({key}) % {m} + {m}) % {m})"
+    return _hashing.knuth_hash32_sql(f"{k32} + {depth} * {_CMS_SEED}")
+
+
+_A22_HASH_CMS = _cms_bucket_sql("ev.user_id", "dep.depth")
+_A22_HASH_TOP = _cms_bucket_sql("t.user_id", "d.depth")
 
 
 _A22_ORACLE = f"""

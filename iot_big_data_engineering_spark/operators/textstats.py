@@ -1707,15 +1707,18 @@ def boilerplate_removal(
         .withColumn("seg_md5", F.md5("seg_text"))
         .persist()  # read twice: df pass + membership join
     )
-    boiler = (
+    boiler = track(
         e.groupBy("seg_md5")
         .agg(F.countDistinct("doc_id").alias("ddf"))
         .filter(F.col("ddf") >= min_df)
         .select("seg_md5", F.lit(True).alias("removed"))
+        .persist()  # TINY post-filter relation; without the persist the
+        # preflight count and the membership join would each run the
+        # corpus-scale distinct-segment aggregation (r8 code-review)
     )
     # dq2-style preflight: broadcast only when the df-pass set is small
-    # enough (it reads the persisted segment table, so this is one cheap
-    # partial-agg job, not a corpus re-scan)
+    # enough (one aggregation over the persisted segment table, cached
+    # so the join's build side reuses it rather than re-aggregating)
     n_boiler = boiler.count()
     right = F.broadcast(boiler) if n_boiler <= bcast_max else boiler
     m = e.join(right, "seg_md5", "left").withColumn(

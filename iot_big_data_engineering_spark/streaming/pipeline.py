@@ -1251,6 +1251,18 @@ def st11_streaming_cms_maintenance(
         in_dir = os.path.join(tmp, "in")
         state_dir = os.path.join(tmp, "state")
         ev = load_table(spark, sf_dir, "events")
+        if ev.filter(F.col("user_id").isNotNull()).isEmpty():
+            # empty / all-NULL-key corpus: every delta would be empty, no
+            # state epoch would ever be written, and the merged read
+            # below would raise PATH_NOT_FOUND — while the oracle (and
+            # a22) return zero rows. Return the stable-schema empty
+            # report instead (r8 code-review finding; same hardening
+            # class as st10's sparse-batch fix).
+            return spark.createDataFrame(
+                [],
+                "user_id long, true_count long, cms_estimate long, "
+                "overestimate long, merge_consistent boolean",
+            )
         slice_of = F.pmod(F.xxhash64("event_id"), F.lit(_ST8_N_SPLITS))
         for i in range(_ST8_N_SPLITS):
             ev.filter(slice_of == i).coalesce(1).write.mode("append").parquet(

@@ -412,3 +412,33 @@ def test_s10_on_empty_corpus(spark, tmp_path):
     df = s10_knn_pq(spark, str(tmp_path))
     assert df.columns == ["query_id", "planted_dup_found"]
     assert df.count() == 0
+
+
+def test_pq_plant_survives_exact_code_tie_flood(spark):
+    """>= k corpus vectors identical to the query all tie with the
+    planted copy at the minimum ADC distance; the descending vec_id
+    tie-break must still rank the plant (largest id) into the top-k
+    (r8 code-review: an ascending tie-break evicted it)."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _PLANT_OFFSET,
+        K,
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    base = [float((i * 7) % 13) / 13.0 for i in range(64)]
+    other = [float((i * 5) % 11) / 11.0 for i in range(64)]
+    rows = [(0, base)] + [(j, base) for j in range(1, K + 5)]  # tie flood
+    rows += [(100 + j, other) for j in range(4)]  # some non-ties
+    rows += [(0 + _PLANT_OFFSET, base)]  # the planted exact copy
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = spark.createDataFrame([(0, base)], "query_id long, qv array<double>")
+    books = pq_train_codebooks(corpus)
+    topk = pq_adc_topk(pq_encode(corpus, books), books, q)
+    hit = topk.filter(
+        F.col("vec_id") == F.col("query_id") + F.lit(_PLANT_OFFSET)
+    ).collect()
+    assert len(hit) == 1 and hit[0].rank == 1, topk.collect()

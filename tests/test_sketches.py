@@ -227,3 +227,40 @@ def test_a22_on_empty_events(spark, tmp_path):
         "merge_consistent",
     ]
     assert df.count() == 0
+
+
+def test_cms_bucket_overflow_exact_at_int64_boundary(spark):
+    """The seeded bucket hash must agree across engines for keys within
+    depth*SEED of the int64 boundary — a raw key + d*P addition wraps on
+    Spark and raises on DuckDB (the r8 code-review finding)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.sketches import (
+        _CMS_D,
+        _cms_bucket,
+        _cms_bucket_sql,
+    )
+
+    keys = [2**63 - 1, 2**63 - 1_000_003, -(2**63), 0, 2**32 - 1, 123456789]
+    got = {
+        (r.k, r.d): r.b
+        for r in spark.createDataFrame([(k,) for k in keys], "k long")
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))))
+        .select("k", "d", _cms_bucket(F.col("k"), F.col("d")).alias("b"))
+        .collect()
+    }
+    con = duckdb.connect()
+    frag = _cms_bucket_sql("k", "d")
+    duck = {
+        (k, d): b
+        for k, d, b in con.execute(
+            f"SELECT k, d, {frag} % 1024 AS b"
+            f" FROM (SELECT unnest(?::BIGINT[]) AS k),"
+            f" (SELECT unnest(range({_CMS_D})) AS d)",
+            [keys],
+        ).fetchall()
+    }
+    spark_mod = {kk: v % 1024 for kk, v in got.items()}
+    assert spark_mod == duck

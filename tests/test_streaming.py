@@ -427,3 +427,29 @@ def test_st11_streamed_cms_matches_batch_invariants(spark):
         assert r.merge_consistent, r
         assert r.overestimate >= 0, r
         assert r.cms_estimate == r.true_count + r.overestimate
+
+
+def test_st11_on_all_null_user_ids(spark, tmp_path):
+    """An events corpus whose user_id is entirely NULL streams real
+    input rows but produces only empty sketch deltas; st11 must return
+    the stable-schema empty report (matching a22 and the oracle), not
+    crash on a never-created state directory (r8 code-review)."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.sources.tables import load_table
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        st11_streaming_cms_maintenance,
+    )
+
+    from .conftest import SF_SMOKE
+
+    pdf = load_table(spark, SF_SMOKE, "events").toPandas()
+    pdf["user_id"] = pd.array([None] * len(pdf), dtype="Int64")
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+
+    df = st11_streaming_cms_maintenance(spark, str(tmp_path))
+    assert df.columns == [
+        "user_id", "true_count", "cms_estimate", "overestimate",
+        "merge_consistent",
+    ]
+    assert df.count() == 0
