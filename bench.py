@@ -123,6 +123,7 @@ HEADLINE = [
     "a22_cms_heavy_hitters",
     "s10_knn_pq",
     "mm8_phash_neardup",
+    "dp11_split_decontamination",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost

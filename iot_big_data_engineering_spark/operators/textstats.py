@@ -1819,3 +1819,135 @@ def t14_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# DP11 — EVAL-SET DECONTAMINATION of a hash split: the step a training
+# pipeline runs AFTER choosing a train/eval split — any TRAIN document
+# sharing even one 8-gram with an EVAL document leaks the eval set into
+# training and inflates benchmark scores, so it is dropped from train
+# (eval is never modified: it is the fixed measurement set). This
+# composes the engine's existing primitives exactly the way dp7
+# composes dp2+dp5: dp9's overflow-exact Knuth hash chooses the split
+# (doc-level here — dp9 itself owns the near-dup-cluster leakage
+# dimension; production runs both) and dc1's n-gram scan finds the
+# contamination.
+#
+# Scale contract (same as dc1): the broadcast of the eval gram table is
+# sound because an EVAL set is bounded BY DESIGN (~10% cut here is a
+# gate-data stand-in; production eval sets are fixed benchmark suites
+# that do not grow with the corpus). The train-side gram stream then
+# joins map-only — no corpus shuffle. The verify pass re-joins the
+# CLEANED train grams against the eval grams and must find zero
+# overlap; it reads the persisted gram table, so the certificate costs
+# one more bounded-build broadcast join, not a re-tokenize.
+#
+# The certificate is not vacuous on the Spark side: a wrong removal set
+# (dropping the wrong docs, missing a contaminated doc) either leaves a
+# shared gram (clean_no_overlap flips FALSE vs the oracle's
+# independently-recomputed TRUE) or shifts n_removed/n_docs_after —
+# both hash-fail.
+# ---------------------------------------------------------------------------
+_DP11_N = 8  # n-gram width (dc1's benchmark-decontamination standard)
+
+
+@register(
+    "dp11_split_decontamination",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         ({hashing.knuth_hash32_sql("doc_id")} < {_DP9_TRAIN_CUT})
+           AS is_train
+  FROM t
+),
+g AS (
+  SELECT doc_id, is_train,
+         unnest({X.sql_shingles_from_tokens("toks", _DP11_N)}) AS gram
+  FROM s
+),
+eg AS (SELECT DISTINCT gram FROM g WHERE NOT is_train),
+bad AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE is_train AND gram IN (SELECT gram FROM eg)
+),
+counts AS (
+  SELECT 'train' AS split,
+         (SELECT count(*) FROM s WHERE is_train) AS n_docs_before,
+         (SELECT count(*) FROM bad) AS n_removed
+  UNION ALL
+  SELECT 'eval',
+         (SELECT count(*) FROM s WHERE NOT is_train), 0
+),
+verify AS (
+  SELECT count(*) AS shared FROM (
+    SELECT DISTINCT gram FROM g
+    WHERE is_train AND doc_id NOT IN (SELECT doc_id FROM bad)
+      AND gram IN (SELECT gram FROM eg)
+  )
+)
+SELECT split,
+       CAST(n_docs_before AS BIGINT) AS n_docs_before,
+       CAST(n_docs_before - n_removed AS BIGINT) AS n_docs_after,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       (SELECT shared FROM verify) = 0 AS clean_no_overlap
+FROM counts ORDER BY split
+""",
+    doc=(
+        "DP11: n-gram decontamination of a hash train/eval split — "
+        "contaminated train docs dropped; zero-overlap certificate"
+    ),
+)
+def dp11_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _docs_par
+
+    s = _docs_par(spark, sf_dir).select(
+        "doc_id",
+        X.tokens("text").alias("toks"),
+        (
+            hashing.knuth_hash32(F.col("doc_id")) < F.lit(_DP9_TRAIN_CUT)
+        ).alias("is_train"),
+    )
+    g = track(
+        s.select(
+            "doc_id",
+            "is_train",
+            F.explode(
+                X.shingles_from_tokens(F.col("toks"), _DP11_N)
+            ).alias("gram"),
+        ).persist()  # three consumers: eval build, train scan, verify
+    )
+    eg = g.filter(~F.col("is_train")).select("gram").distinct()
+    bad = (
+        g.filter(F.col("is_train"))
+        .join(F.broadcast(eg), "gram")  # bounded-by-design eval set
+        .select("doc_id")
+        .distinct()
+    )
+    n_bad = bad.count()  # drives the report AND keeps `bad` tiny/reusable
+    splits = s.groupBy("is_train").agg(F.count("*").alias("n"))
+    shared_after = (
+        g.filter(F.col("is_train"))
+        .join(bad, "doc_id", "left_anti")  # the CLEANED train grams
+        .join(F.broadcast(eg), "gram")
+        .count()
+    )
+    clean = F.lit(shared_after == 0)
+    return (
+        splits.select(
+            F.when(F.col("is_train"), "train").otherwise("eval").alias("split"),
+            F.col("n").cast("bigint").alias("n_docs_before"),
+            F.when(F.col("is_train"), F.col("n") - n_bad)
+            .otherwise(F.col("n"))
+            .cast("bigint")
+            .alias("n_docs_after"),
+            F.when(F.col("is_train"), F.lit(n_bad))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            clean.alias("clean_no_overlap"),
+        )
+        .orderBy("split")
+    )

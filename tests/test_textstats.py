@@ -420,3 +420,44 @@ def test_t14_zipf_hand_case(spark, tmp_path):
         rows["en"].n_terms, rows["en"].zipf_slope, rows["en"].zipf_r2
     )
     assert duck["xx"][2] is None
+
+
+def test_dp11_planted_contamination(spark, tmp_path):
+    """A train doc sharing one 8-gram with an eval doc must be removed;
+    a disjoint train doc must survive; the zero-overlap certificate
+    holds. Split sides are chosen by computing the split hash in
+    Python, so the plant is deterministic."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _DP9_TRAIN_CUT,
+        dp11_split_decontamination,
+    )
+
+    def is_train(doc_id: int) -> bool:
+        return (doc_id * 2654435761) % (2**32) < _DP9_TRAIN_CUT
+
+    train_ids = [i for i in range(100) if is_train(i)][:2]
+    eval_ids = [i for i in range(100) if not is_train(i)][:1]
+    assert len(train_ids) == 2 and len(eval_ids) == 1
+
+    leak = "l1 l2 l3 l4 l5 l6 l7 l8"
+    rows = [
+        (train_ids[0], f"prefix {leak} suffix tail pad pad2 pad3"),
+        (train_ids[1], "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  # clean
+        (eval_ids[0], f"{leak} e9 e10 e11"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="en", source="s", n_chars=10
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.split: r
+        for r in dp11_split_decontamination(spark, str(tmp_path)).collect()
+    }
+    assert got["train"].n_docs_before == 2
+    assert got["train"].n_removed == 1
+    assert got["train"].n_docs_after == 1
+    assert got["eval"].n_docs_before == 1
+    assert got["eval"].n_removed == 0
+    assert got["train"].clean_no_overlap and got["eval"].clean_no_overlap
