@@ -1,0 +1,142 @@
+"""Property coverage for the cross-engine deterministic-hash layer —
+the overflow-exact Knuth multiply (functions/hashing.py) and its
+consumers. These hashes decide SAMPLE MEMBERSHIP and SPLIT SIDES, so a
+divergence is silent data corruption, not a crash; the property tests
+pin Python-bigint ground truth against BOTH engines over adversarial
+int64 ranges, not just the handful of hand-picked boundary ids."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from iot_big_data_engineering_spark.functions import hashing
+
+_INT64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_INT64, min_size=1, max_size=50))
+def test_knuth_hash32_sql_matches_bigint_reference(ids):
+    """DuckDB fragment == arbitrary-precision (id*MULT) mod 2^32 for
+    ANY int64 — hypothesis hunts the boundary regions the fixed-id test
+    cannot."""
+    import duckdb
+
+    expected = [
+        (i * hashing.HASH32_MULT) % hashing.HASH32_MOD for i in ids
+    ]
+    con = duckdb.connect()
+    got = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {hashing.knuth_hash32_sql('k')} FROM "
+            f"(SELECT unnest(?::BIGINT[]) AS k)",
+            [ids],
+        ).fetchall()
+    ]
+    assert got == expected
+
+
+def test_knuth_hash32_spark_matches_bigint_reference_bulk(spark):
+    """Spark column == Python bigint over a seeded spread of 500 ids
+    covering the full signed-int64 range (one job, not per-example)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    ids = [int(x) for x in rng.integers(-(2**63), 2**63 - 1, 500)]
+    ids += [0, 1, -1, 2**63 - 1, -(2**63), 2**32, 2**32 - 1]
+    from pyspark.sql import functions as F
+
+    got = dict(
+        spark.createDataFrame([(i,) for i in ids], "k long")
+        .select("k", hashing.knuth_hash32(F.col("k")).alias("h"))
+        .collect()
+    )
+    for i in ids:
+        assert got[i] == (i * hashing.HASH32_MULT) % hashing.HASH32_MOD, i
+
+
+def test_cms_estimate_dominates_true_count_random_corpus(spark):
+    """CMS's one-sided guarantee (estimate >= true count, every key) on
+    a seeded random corpus with full-range int64 keys and a width small
+    enough to force collisions."""
+    import collections
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.sketches import (
+        _cms_bucket,
+        cms_table,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = [int(x) for x in rng.integers(-(2**63), 2**63 - 1, 60)]
+    rows = [
+        (i, keys[int(rng.integers(0, len(keys)))]) for i in range(2000)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    W = 16
+    cnts = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms_table(ev, depth=3, width=W).collect()
+    }
+    probe = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .select(
+            "user_id", "d",
+            _cms_bucket(F.col("user_id"), F.col("d"), W).alias("b"),
+        )
+        .collect()
+    )
+    true = collections.Counter(u for _, u in rows)
+    est = collections.defaultdict(lambda: float("inf"))
+    for r in probe:
+        est[r.user_id] = min(est[r.user_id], cnts[(r.d, r.b)])
+    for u, t in true.items():
+        assert est[u] >= t, (u, est[u], t)
+
+
+def test_mm8_phash_kernel_property_random_ascii(spark):
+    """The Arrow phash kernel equals the driver-side reference on 50
+    seeded random printable-ASCII payloads of varied lengths (including
+    length-1 and lengths straddling the 256-byte thumbnail)."""
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.multimodal import (
+        _MM8_BITS,
+        _MM8_STRIDE,
+        THUMB_BYTES,
+        phash_thumbs,
+        resize_payloads,
+        with_binary_payload_from,
+    )
+
+    rng = np.random.default_rng(11)
+    texts = []
+    for n in [1, 2, 7, 63, 255, 256, 257, 1000] + list(
+        rng.integers(1, 1200, 42)
+    ):
+        texts.append(
+            "".join(chr(int(c)) for c in rng.integers(33, 127, int(n)))
+        )
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.phash
+        for r in phash_thumbs(
+            resize_payloads(with_binary_payload_from(docs))
+        ).collect()
+    }
+    weights = 1 << np.arange(_MM8_BITS, dtype=np.int64)
+    for i, t in enumerate(texts):
+        p = t.encode()
+        thumb = (p * (THUMB_BYTES // len(p) + 1))[:THUMB_BYTES]
+        sampled = np.frombuffer(thumb, dtype=np.uint8)[
+            : _MM8_BITS * _MM8_STRIDE : _MM8_STRIDE
+        ].astype(np.float64)
+        ref = int(((sampled > sampled.mean()) * weights).sum())
+        assert got[i] == ref, (i, got[i], ref)
