@@ -124,6 +124,9 @@ HEADLINE = [
     "s10_knn_pq",
     "mm8_phash_neardup",
     "dp11_split_decontamination",
+    "dp12_quality_weighted_sample",
+    "dq5_table_profile",
+    "adv14_scd2_snapshot_merge",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost

@@ -980,3 +980,235 @@ def adv13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
         ).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ5 — table profile: the per-column data-profiling pre-flight every
+# large ingest runs before trusting a new drop (null counts, exact
+# cardinality, min/max) in long format, one row per column. Numeric
+# min/max surface as DOUBLE, string/timestamp min/max as VARCHAR, the
+# other pair NULL — a stable wide-ish schema any profiler UI can read.
+#
+# Scale shape: one UNION leg per column, each leg a COLUMN-PRUNED scan
+# (ReadSchema carries exactly one column) feeding a partial-agged
+# count/min/max plus one exact-distinct shuffle on that column's
+# values. Six pruned scans of one column each ≈ one full scan of the
+# six profiled columns, and each distinct is its own independent
+# key-space — deliberately NOT a single multi-countDistinct aggregate,
+# whose Expand node would multiply every input row by the number of
+# profiled columns before the shuffle. At 100 TB the exact distinct is
+# the anchor; the sketch twin (approx_count_distinct / a18's HLL
+# contract) is the serving path when ±2% suffices.
+# ---------------------------------------------------------------------------
+_DQ5_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_DQ5_STR = ["o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def _dq5_leg_sql(col: str, numeric: bool) -> str:
+    if numeric:
+        mins = (
+            f"CAST(min({col}) AS DOUBLE) AS num_min,"
+            f" CAST(max({col}) AS DOUBLE) AS num_max,"
+            f" CAST(NULL AS VARCHAR) AS str_min,"
+            f" CAST(NULL AS VARCHAR) AS str_max"
+        )
+    else:
+        mins = (
+            f"CAST(NULL AS DOUBLE) AS num_min,"
+            f" CAST(NULL AS DOUBLE) AS num_max,"
+            f" CAST(min({col}) AS VARCHAR) AS str_min,"
+            f" CAST(max({col}) AS VARCHAR) AS str_max"
+        )
+    return (
+        f"SELECT '{col}' AS column_name,"
+        f" count(*) AS n_rows,"
+        f" count(*) - count({col}) AS n_null,"
+        f" count(DISTINCT {col}) AS n_distinct, {mins}"
+        f" FROM orders"
+    )
+
+
+@register(
+    "dq5_table_profile",
+    oracle=" UNION ALL ".join(
+        [_dq5_leg_sql(c, True) for c in _DQ5_NUM]
+        + [_dq5_leg_sql(c, False) for c in _DQ5_STR]
+    ),
+    doc=(
+        "DQ5: per-column table profile — nulls, exact cardinality, "
+        "typed min/max, one pruned scan leg per column"
+    ),
+)
+def dq5_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    legs = []
+    for col in _DQ5_NUM + _DQ5_STR:
+        numeric = col in _DQ5_NUM
+        if numeric:
+            mins = [
+                F.min(col).cast("double").alias("num_min"),
+                F.max(col).cast("double").alias("num_max"),
+                F.min(F.lit(None).cast("string")).alias("str_min"),
+                F.max(F.lit(None).cast("string")).alias("str_max"),
+            ]
+        else:
+            mins = [
+                F.min(F.lit(None).cast("double")).alias("num_min"),
+                F.max(F.lit(None).cast("double")).alias("num_max"),
+                F.min(col).cast("string").alias("str_min"),
+                F.max(col).cast("string").alias("str_max"),
+            ]
+        legs.append(
+            o.select(col).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+                F.countDistinct(col).alias("n_distinct"),
+                *mins,
+            ).select(F.lit(col).alias("column_name"), "*")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ADV14 — SCD2 snapshot merge: reconcile a full dimension snapshot into
+# a type-2 history (valid_from / valid_to / is_current) — the lakehouse
+# MERGE INTO shape every warehouse dimension load runs nightly.
+# Deterministic fixture derived from `customer` via the shared Knuth
+# stream h = h32(c_custkey) % 10: the existing history holds every
+# customer except h=3 (those arrive NEW in the snapshot); the snapshot
+# holds every customer except h=2 (those went missing → full-snapshot
+# semantics close them); h=0 rows arrive with a changed balance
+# (+100.00). All four merge branches are therefore provably non-empty:
+#   current  — matched, value equal: the open row is carried unchanged
+#   closed   — matched, value changed: old version closed at T1
+#   updated  — matched, value changed: new open version from T1
+#   retired  — in history only: closed at T1 (full-snapshot semantics)
+#   inserted — in snapshot only: new open version from T1
+# The registered output is the FULL merged history (~1.1x |customers|
+# rows), so the driver's value hash certifies every branch row-for-row,
+# not just the branch counts.
+#
+# Scale shape: ONE full-outer sort-merge join co-partitioned on the
+# dimension key — exactly the shuffle Delta/Iceberg MERGE plans — then
+# a map-side conditional explode emits 1 or 2 history rows per key; no
+# window, no second shuffle, nothing collected. At 100 TB the open/
+# closed split is the partition key of the history table (is_current,
+# valid_to), so serving reads prune to the open slice; the snapshot
+# side joins at |dim| rows, never |fact|.
+# ---------------------------------------------------------------------------
+_ADV14_H_SQL = f"({hashing.knuth_hash32_sql('c_custkey')} % 10)"
+_ADV14_T0 = "2023-01-01"
+_ADV14_T1 = "2024-01-01"
+
+
+@register(
+    "adv14_scd2_snapshot_merge",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey, c_acctbal, {_ADV14_H_SQL} AS h FROM customer
+),
+d AS (SELECT c_custkey, c_acctbal AS bal_old FROM c WHERE h <> 3),
+s AS (
+  SELECT c_custkey,
+         CASE WHEN h = 0 THEN round(c_acctbal + 100.0, 2)
+              ELSE c_acctbal END AS bal_new
+  FROM c WHERE h <> 2
+),
+m AS (
+  SELECT coalesce(d.c_custkey, s.c_custkey) AS c_custkey,
+         d.c_custkey IS NOT NULL AS in_dim,
+         s.c_custkey IS NOT NULL AS in_snap,
+         d.bal_old, s.bal_new
+  FROM d FULL OUTER JOIN s ON d.c_custkey = s.c_custkey
+)
+SELECT c_custkey, bal_old AS acctbal,
+       CAST('{_ADV14_T0}' AS TIMESTAMP) AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to,
+       TRUE AS is_current, 'current' AS scd_action
+FROM m WHERE in_dim AND in_snap AND bal_old = bal_new
+UNION ALL
+SELECT c_custkey, bal_old, CAST('{_ADV14_T0}' AS TIMESTAMP),
+       CAST('{_ADV14_T1}' AS TIMESTAMP), FALSE, 'closed'
+FROM m WHERE in_dim AND in_snap AND bal_old <> bal_new
+UNION ALL
+SELECT c_custkey, bal_new, CAST('{_ADV14_T1}' AS TIMESTAMP),
+       CAST(NULL AS TIMESTAMP), TRUE, 'updated'
+FROM m WHERE in_dim AND in_snap AND bal_old <> bal_new
+UNION ALL
+SELECT c_custkey, bal_old, CAST('{_ADV14_T0}' AS TIMESTAMP),
+       CAST('{_ADV14_T1}' AS TIMESTAMP), FALSE, 'retired'
+FROM m WHERE in_dim AND NOT in_snap
+UNION ALL
+SELECT c_custkey, bal_new, CAST('{_ADV14_T1}' AS TIMESTAMP),
+       CAST(NULL AS TIMESTAMP), TRUE, 'inserted'
+FROM m WHERE in_snap AND NOT in_dim
+""",
+    doc=(
+        "ADV14: SCD2 snapshot merge — type-2 dimension history via one "
+        "full-outer join + conditional explode; all five branches live"
+    ),
+)
+def adv14_scd2_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t0 = F.lit(_ADV14_T0).cast("timestamp")
+    t1 = F.lit(_ADV14_T1).cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.pmod(hashing.knuth_hash32(F.col("c_custkey")), F.lit(10)).alias("h"),
+    )
+    dim = c.filter(F.col("h") != 3).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal_old"),
+        F.lit(True).alias("in_dim"),
+    )
+    snap = c.filter(F.col("h") != 2).select(
+        "c_custkey",
+        F.when(
+            F.col("h") == 0, F.round(F.col("c_acctbal") + F.lit(100.0), 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_new"),
+        F.lit(True).alias("in_snap"),
+    )
+    m = dim.join(snap, "c_custkey", "full_outer").select(
+        "c_custkey",
+        F.coalesce("in_dim", F.lit(False)).alias("in_dim"),
+        F.coalesce("in_snap", F.lit(False)).alias("in_snap"),
+        "bal_old",
+        "bal_new",
+    )
+
+    def ver(bal, vf, vt, cur, action):
+        return F.struct(
+            bal.alias("acctbal"),
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+            F.lit(cur).alias("is_current"),
+            F.lit(action).alias("scd_action"),
+        )
+
+    both = F.col("in_dim") & F.col("in_snap")
+    changed = both & (F.col("bal_old") != F.col("bal_new"))
+    versions = (
+        F.when(changed, F.array(
+            ver(F.col("bal_old"), t0, t1, False, "closed"),
+            ver(F.col("bal_new"), t1, null_ts, True, "updated"),
+        ))
+        .when(both, F.array(
+            ver(F.col("bal_old"), t0, null_ts, True, "current"),
+        ))
+        .when(F.col("in_dim"), F.array(
+            ver(F.col("bal_old"), t0, t1, False, "retired"),
+        ))
+        .otherwise(F.array(
+            ver(F.col("bal_new"), t1, null_ts, True, "inserted"),
+        ))
+    )
+    return m.select(
+        "c_custkey", F.explode(versions).alias("v")
+    ).select("c_custkey", "v.*")

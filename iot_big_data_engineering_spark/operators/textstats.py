@@ -1951,3 +1951,103 @@ def dp11_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# DP12 — quality-weighted sampling: keep-rate proportional to the doc's
+# quality tier. The curation pattern behind quality-pruned pretraining
+# corpora (FineWeb-Edu / DCLM style): instead of a hard quality cutoff
+# (dp1's gate), each quality decile keeps a deterministic fraction of
+# its docs — low tiers are thinned, not erased, preserving diversity
+# while shifting token mass toward high quality.
+#
+# Tiering: q10 = clamp(floor(round(quality_score, _R) * 10), 0, 9).
+# The ROUND-FIRST matters for cross-engine determinism: t2's hash-gated
+# row proves round(quality_score, _R) is bit-identical on both engines,
+# so the floor boundary is decided on an already-agreed double — a raw
+# floor(q*10) could flip a tier on a 1-ulp engine difference.
+# Keep-rate: pct = 10 + 9*q10 (10% for tier 0 up to 91% for tier 9),
+# decided by the shared overflow-exact Knuth stream h32(doc_id) % 100 —
+# partition-invariant, seedless, identical on any engine at any id
+# (functions/hashing.py).
+#
+# Scale shape: one pruned scan, a map-only keep decision (integer
+# hash + comparison, whole-stage codegen), and a ≤10-group aggregate —
+# no join, no window. At 100 TB the gate runs as a filter fused into
+# the scan of each input split; the certificate aggregate moves ten
+# rows per task.
+# ---------------------------------------------------------------------------
+_DP12_Q10_SQL = (
+    f"CAST(least(9, greatest(0, CAST(floor(round("
+    f"{X.sql_quality_score('text')}, {_R}) * 10) AS BIGINT))) AS INT)"
+)
+
+
+@register(
+    "dp12_quality_weighted_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         {X.sql_token_count("text")} AS token_count,
+         {_DP12_Q10_SQL} AS q10
+  FROM documents
+),
+r AS (
+  SELECT doc_id, token_count, q10,
+         CAST(10 + 9 * q10 AS BIGINT) AS keep_pct,
+         ({hashing.knuth_hash32_sql("doc_id")} % 100) < (10 + 9 * q10)
+           AS picked
+  FROM d
+)
+SELECT q10, keep_pct,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN picked THEN token_count ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       round(CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), {_R}) AS achieved_rate
+FROM r
+GROUP BY q10, keep_pct
+""",
+    doc=(
+        "DP12: quality-weighted sampling — per-quality-decile "
+        "deterministic keep-rates (10%..91%)"
+    ),
+)
+def dp12_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        X.token_count("text").alias("token_count"),
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(fround(X.quality_score("text"), _R) * 10).cast("int"),
+            ),
+        )
+        .cast("int")
+        .alias("q10"),
+    )
+    r = d.select(
+        "token_count",
+        "q10",
+        (F.lit(10) + F.lit(9) * F.col("q10")).cast("bigint").alias("keep_pct"),
+        (
+            F.pmod(hashing.knuth_hash32(F.col("doc_id")), F.lit(100))
+            < (F.lit(10) + F.lit(9) * F.col("q10"))
+        ).alias("picked"),
+    )
+    return r.groupBy("q10", "keep_pct").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("picked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_docs"),
+        F.sum(F.when(F.col("picked"), F.col("token_count")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        fround(
+            F.sum(F.when(F.col("picked"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            _R,
+        ).alias("achieved_rate"),
+    )

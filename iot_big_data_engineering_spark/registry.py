@@ -257,7 +257,8 @@ _WINDOW_DEFERRED = [
     # dedicated unit tests; they lead the r9 rotation
     "t14_zipf_profile", "a22_cms_heavy_hitters", "s10_knn_pq",
     "st11_streaming_cms_maintenance", "mm8_phash_neardup",
-    "dp11_split_decontamination",
+    "dp11_split_decontamination", "dp12_quality_weighted_sample",
+    "dq5_table_profile", "adv14_scd2_snapshot_merge",
 ]
 
 

@@ -462,3 +462,132 @@ def test_cc_driver_finish_rejects_null_endpoints(spark):
     )
     with _pytest.raises(ValueError, match="NULL endpoint"):
         _cc_driver_finish(edges, "src", "dst")
+
+
+def test_dq5_profile_counts_planted_nulls_and_dups(spark, tmp_path):
+    """Hand-built orders drop: planted NULLs, duplicate values, and
+    known extrema per column — every profile cell is checked exactly."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq5_table_profile,
+    )
+
+    d = dt.datetime
+    rows = [
+        (1, 10, "O", 100.5, d(2024, 1, 1), "1-URGENT"),
+        (2, 10, "F", 50.0, d(2024, 3, 1), "5-LOW"),
+        (3, None, "O", None, d(2024, 2, 1), None),
+        (4, 20, None, 200.25, None, "5-LOW"),
+    ]
+    pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    ).to_parquet(str(tmp_path / "orders.parquet"))
+
+    prof = {
+        r.column_name: r
+        for r in dq5_table_profile(spark, str(tmp_path)).collect()
+    }
+    assert set(prof) == {"o_orderkey", "o_custkey", "o_totalprice",
+                         "o_orderstatus", "o_orderpriority", "o_orderdate"}
+    for r in prof.values():
+        assert r.n_rows == 4
+
+    k = prof["o_custkey"]
+    assert (k.n_null, k.n_distinct, k.num_min, k.num_max) == (1, 2, 10.0, 20.0)
+    assert k.str_min is None and k.str_max is None
+    p = prof["o_totalprice"]
+    assert (p.n_null, p.n_distinct, p.num_min, p.num_max) == (
+        1, 3, 50.0, 200.25)
+    s = prof["o_orderstatus"]
+    assert (s.n_null, s.n_distinct, s.str_min, s.str_max) == (1, 2, "F", "O")
+    assert s.num_min is None and s.num_max is None
+    dd = prof["o_orderdate"]
+    assert dd.n_null == 1 and dd.n_distinct == 3
+    assert dd.str_min == "2024-01-01 00:00:00"
+    assert dd.str_max == "2024-03-01 00:00:00"
+    pr = prof["o_orderpriority"]
+    assert (pr.n_null, pr.n_distinct, pr.str_min, pr.str_max) == (
+        1, 2, "1-URGENT", "5-LOW")
+
+
+def test_adv14_scd2_branches_match_hash_replay(spark, tmp_path):
+    """SCD2 merge hand case: bucket membership (h = h32(key) % 10) is
+    replayed in Python big-int arithmetic, so each key's expected branch
+    — current / closed+updated / retired / inserted — is known a
+    priori, and the merged history is checked row-for-row including the
+    validity interval endpoints and the one-open-row-per-key invariant."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        adv14_scd2_snapshot_merge,
+    )
+
+    def h(key: int) -> int:
+        return (key * 2654435761) % (2**32) % 10
+
+    def first_key(bucket: int) -> int:
+        return next(k for k in range(1, 2000) if h(k) == bucket)
+
+    changed = first_key(0)    # in both, balance bumped +100
+    missing = first_key(2)    # history only -> retired
+    new = first_key(3)        # snapshot only -> inserted
+    steady = first_key(5)     # in both, unchanged -> current
+    keys = [changed, missing, new, steady]
+    pd.DataFrame(
+        [(k, f"c{k}", 1, 1000.0 + k, "BUILDING") for k in keys],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    ).to_parquet(str(tmp_path / "customer.parquet"))
+
+    hist = adv14_scd2_snapshot_merge(spark, str(tmp_path)).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r.c_custkey, []).append(r)
+
+    # every key has at most one open row; closed rows carry valid_to
+    for k, rows in by_key.items():
+        assert sum(r.is_current for r in rows) <= 1, k
+        for r in rows:
+            assert r.is_current == (r.valid_to is None), (k, r)
+
+    ch = sorted(by_key[changed], key=lambda r: r.scd_action)
+    assert [r.scd_action for r in ch] == ["closed", "updated"]
+    assert ch[0].acctbal == 1000.0 + changed and not ch[0].is_current
+    assert ch[1].acctbal == 1100.0 + changed and ch[1].is_current
+    assert str(ch[0].valid_to) == "2024-01-01 00:00:00"
+    assert str(ch[1].valid_from) == "2024-01-01 00:00:00"
+
+    (ret,) = by_key[missing]
+    assert ret.scd_action == "retired" and not ret.is_current
+    (ins,) = by_key[new]
+    assert ins.scd_action == "inserted" and ins.is_current
+    assert str(ins.valid_from) == "2024-01-01 00:00:00"
+    (cur,) = by_key[steady]
+    assert cur.scd_action == "current" and cur.is_current
+    assert str(cur.valid_from) == "2023-01-01 00:00:00"
+
+
+def test_adv14_empty_dimension(spark, tmp_path):
+    """An empty customer table merges to an empty history with the full
+    schema intact — no branch manufactures rows from nothing."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        adv14_scd2_snapshot_merge,
+    )
+
+    pd.DataFrame(
+        [], columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                     "c_mktsegment"],
+    ).astype({"c_custkey": "int64", "c_name": "str", "c_nationkey": "int32",
+              "c_acctbal": "float64", "c_mktsegment": "str"}
+    ).to_parquet(str(tmp_path / "customer.parquet"))
+    df = adv14_scd2_snapshot_merge(spark, str(tmp_path))
+    assert df.columns == ["c_custkey", "acctbal", "valid_from", "valid_to",
+                          "is_current", "scd_action"]
+    assert df.count() == 0

@@ -780,3 +780,52 @@ def test_s10_codes_are_narrow(spark):
     assert [f.name for f in codes.schema.fields] == ["vec_id", "codes"]
     first = codes.first()
     assert len(first.codes) == _PQ_M
+
+
+def test_dp12_plan_single_scan_no_join(spark):
+    """The quality-weighted sampler is one pruned documents scan (text +
+    doc_id) with the keep decision fused map-side — no join, no window;
+    the only exchange feeds the <=10-group certificate aggregate."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp12_quality_weighted_sample,
+    )
+
+    df = dp12_quality_weighted_sample(spark, SF_SMOKE)
+    p = plan_str(df)
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+
+
+def test_dq5_plan_pruned_legs_no_expand(spark):
+    """Six single-column pruned scan legs, and NO Expand node — the
+    profile deliberately avoids the multi-countDistinct plan whose
+    Expand multiplies every input row by the number of profiled
+    columns before the shuffle."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq5_table_profile,
+    )
+
+    df = dq5_table_profile(spark, SF_SMOKE)
+    p = plan_str(df)
+    assert "Expand" not in p, p
+    assert p.count("Location: InMemoryFileIndex") == 6, p
+    # every leg's parquet read carries exactly one column
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert len(schemas) == 6 and all(s.count(":") == 1 for s in schemas), p
+
+
+def test_adv14_plan_single_join_no_window(spark):
+    """The SCD2 merge is ONE join (the full-outer key reconciliation)
+    plus a map-side explode — no window function and no second join."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        adv14_scd2_snapshot_merge,
+    )
+
+    df = adv14_scd2_snapshot_merge(spark, SF_SMOKE)
+    p = plan_str(df, mode="simple")  # formatted lists each node twice
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1, p
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p

@@ -461,3 +461,80 @@ def test_dp11_planted_contamination(spark, tmp_path):
     assert got["eval"].n_docs_before == 1
     assert got["eval"].n_removed == 0
     assert got["train"].clean_no_overlap and got["eval"].clean_no_overlap
+
+
+def test_dp12_uniform_tier_exact_hash_replay(spark, tmp_path):
+    """100 identical docs land in ONE quality tier; the kept count must
+    equal a Python big-int replay of the shared Knuth stream's
+    h32(id) % 100 < keep_pct rule — any drift in the chunked multiply,
+    the tier expression, or the pct formula flips this exact count."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp12_quality_weighted_sample,
+    )
+
+    text = " ".join(["word"] * 200)  # tc=200, sw=0, avg_len 4: tier 8
+    rows = [(i, text, "en", "s", len(text)) for i in range(100)]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    out = dp12_quality_weighted_sample(spark, str(tmp_path)).collect()
+    assert len(out) == 1  # identical docs -> one tier
+    r = out[0]
+    # score = 0.4 (length, saturated) + 0.3 (no stopwords) + 0.15
+    # (avg_len 4/8) = 0.85 -> tier 8
+    assert r.q10 == 8
+    assert r.keep_pct == 10 + 9 * r.q10
+    expected = sum(
+        1
+        for i in range(100)
+        if (i * 2654435761) % (2**32) % 100 < r.keep_pct
+    )
+    assert r.n_docs == 100
+    assert r.kept_docs == expected
+    assert r.kept_tokens == expected * 200
+
+
+def test_dp12_clamps_saturated_score_to_tier_nine(spark, tmp_path):
+    """A doc whose quality score computes to exactly 1.0 (long text,
+    zero stopwords, long words) must land in tier 9 with keep_pct 91 —
+    the un-clamped floor(1.0 * 10) = 10 would otherwise mint an
+    eleventh tier with a 100% keep-rate."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp12_quality_weighted_sample,
+    )
+
+    text = " ".join(["abcdefghij"] * 200)  # avg_len 10 > 8: all terms max
+    rows = [(7, text, "en", "s", len(text))]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = dp12_quality_weighted_sample(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].q10 == 9
+    assert out[0].keep_pct == 91
+
+
+def test_dp12_empty_corpus_stable_schema(spark, tmp_path):
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp12_quality_weighted_sample,
+    )
+
+    pd.DataFrame(
+        [], columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype(
+        {"doc_id": "int64", "text": "str", "lang": "str", "source": "str",
+         "n_chars": "int64"}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    df = dp12_quality_weighted_sample(spark, str(tmp_path))
+    assert df.columns == [
+        "q10", "keep_pct", "n_docs", "kept_docs", "kept_tokens",
+        "achieved_rate",
+    ]
+    assert df.count() == 0
