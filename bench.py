@@ -127,6 +127,7 @@ HEADLINE = [
     "dp12_quality_weighted_sample",
     "dq5_table_profile",
     "adv14_scd2_snapshot_merge",
+    "dp13_reproducible_shuffle",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost

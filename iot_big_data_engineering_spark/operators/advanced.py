@@ -1103,10 +1103,9 @@ _ADV14_H_SQL = f"({hashing.knuth_hash32_sql('c_custkey')} % 10)"
 _ADV14_T0 = "2023-01-01"
 _ADV14_T1 = "2024-01-01"
 
-
-@register(
-    "adv14_scd2_snapshot_merge",
-    oracle=f"""
+# module-level so st12 (the streaming maintenance twin) can register with
+# the SAME oracle verbatim — the a22/st11 pattern
+_ADV14_ORACLE = f"""
 WITH c AS (
   SELECT c_custkey, c_acctbal, {_ADV14_H_SQL} AS h FROM customer
 ),
@@ -1145,17 +1144,14 @@ UNION ALL
 SELECT c_custkey, bal_new, CAST('{_ADV14_T1}' AS TIMESTAMP),
        CAST(NULL AS TIMESTAMP), TRUE, 'inserted'
 FROM m WHERE in_snap AND NOT in_dim
-""",
-    doc=(
-        "ADV14: SCD2 snapshot merge — type-2 dimension history via one "
-        "full-outer join + conditional explode; all five branches live"
-    ),
-)
-def adv14_scd2_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t0 = F.lit(_ADV14_T0).cast("timestamp")
-    t1 = F.lit(_ADV14_T1).cast("timestamp")
-    null_ts = F.lit(None).cast("timestamp")
+"""
 
+
+def scd2_inputs(spark: SparkSession, sf_dir: str):
+    """The deterministic (dim, snapshot) fixture shared by adv14 and its
+    streaming twin st12: history = customers with h != 3, snapshot =
+    customers with h != 2, h = 0 rows carry a +100.00 balance change
+    (h = shared Knuth stream mod 10)."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_acctbal",
@@ -1175,13 +1171,18 @@ def adv14_scd2_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_new"),
         F.lit(True).alias("in_snap"),
     )
-    m = dim.join(snap, "c_custkey", "full_outer").select(
-        "c_custkey",
-        F.coalesce("in_dim", F.lit(False)).alias("in_dim"),
-        F.coalesce("in_snap", F.lit(False)).alias("in_snap"),
-        "bal_old",
-        "bal_new",
-    )
+    return dim, snap
+
+
+def scd2_history_rows(m: DataFrame) -> DataFrame:
+    """Explode a reconciled frame (c_custkey, in_dim, in_snap, bal_old,
+    bal_new) into SCD2 history rows. Map-side only — the caller owns the
+    join that produced ``m``; adv14 feeds it the whole full-outer join,
+    st12 feeds it per-micro-batch left joins plus the end-of-snapshot
+    retired remainder, so both paths share the branch expressions."""
+    t0 = F.lit(_ADV14_T0).cast("timestamp")
+    t1 = F.lit(_ADV14_T1).cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
 
     def ver(bal, vf, vt, cur, action):
         return F.struct(
@@ -1212,3 +1213,23 @@ def adv14_scd2_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "c_custkey", F.explode(versions).alias("v")
     ).select("c_custkey", "v.*")
+
+
+@register(
+    "adv14_scd2_snapshot_merge",
+    oracle=_ADV14_ORACLE,
+    doc=(
+        "ADV14: SCD2 snapshot merge — type-2 dimension history via one "
+        "full-outer join + conditional explode; all five branches live"
+    ),
+)
+def adv14_scd2_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim, snap = scd2_inputs(spark, sf_dir)
+    m = dim.join(snap, "c_custkey", "full_outer").select(
+        "c_custkey",
+        F.coalesce("in_dim", F.lit(False)).alias("in_dim"),
+        F.coalesce("in_snap", F.lit(False)).alias("in_snap"),
+        "bal_old",
+        "bal_new",
+    )
+    return scd2_history_rows(m)

@@ -2051,3 +2051,88 @@ def dp12_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             _R,
         ).alias("achieved_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DP13 — reproducible global shuffle + shard assignment. Training runs
+# need the SAME document order every epoch/restart regardless of input
+# partitioning, executor count, or engine — a seeded permutation, not
+# whatever order the scan happens to produce. Mechanism: shard =
+# h32(doc_id) % N (the shared overflow-exact Knuth stream), in-shard
+# position = rank by a SECOND decorrelated stream h2 = h32(h1 + low32
+# (doc_id)) (re-hashing h1 + the raw low bits; every intermediate
+# < 2^33, so the add is int64-exact on both engines for any id), ties
+# broken by doc_id. The certificate is per shard: count, the first doc
+# in shuffle order, and a position-weighted XOR fingerprint — XOR of
+# (pos % 9973)·(h2 % 9973) + pos — which any transposition of two docs
+# flips, and which never overflows (terms < 2^27), unlike a positional
+# SUM that would wrap int64 on Spark but promote to HUGEINT on DuckDB
+# at billions of rows.
+#
+# Scale shape: ONE hash exchange on shard + an in-shard sort — exactly
+# repartition(shard).sortWithinPartitions, the physical write path of a
+# shard writer (dp7's layout). No global sort, no driver-side state;
+# shard count scales with the corpus, and the row_number window is
+# per-shard, so its sort is the sort the shard file needs anyway.
+# ---------------------------------------------------------------------------
+_DP13_N_SHARDS = 8
+_DP13_H1_SQL = hashing.knuth_hash32_sql("doc_id")
+_DP13_LOW32_SQL = "((doc_id % 4294967296 + 4294967296) % 4294967296)"
+
+
+@register(
+    "dp13_reproducible_shuffle",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_DP13_H1_SQL} AS h1 FROM documents
+),
+d2 AS (
+  SELECT doc_id, h1 % {_DP13_N_SHARDS} AS shard,
+         {hashing.knuth_hash32_sql(f"h1 + {_DP13_LOW32_SQL}")} AS h2
+  FROM d
+),
+s AS (
+  SELECT doc_id, shard, h2,
+         row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos
+  FROM d2
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+       CAST(bit_xor((pos % 9973) * (h2 % 9973) + pos) AS BIGINT)
+         AS order_fingerprint
+FROM s GROUP BY shard
+""",
+    doc=(
+        "DP13: reproducible global shuffle — hash shard + in-shard "
+        "seeded order, permutation certified by positional XOR"
+    ),
+)
+def dp13_reproducible_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", hashing.knuth_hash32(F.col("doc_id")).alias("h1")
+    )
+    d2 = d.select(
+        "doc_id",
+        F.pmod(F.col("h1"), F.lit(_DP13_N_SHARDS)).alias("shard"),
+        hashing.knuth_hash32(
+            F.col("h1") + F.pmod(F.col("doc_id"), F.lit(4294967296))
+        ).alias("h2"),
+    )
+    s = d2.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy("h2", "doc_id")
+        ),
+    )
+    return s.groupBy(F.col("shard").cast("int").alias("shard")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("first_doc"),
+        F.expr("bit_xor((pos % 9973) * (h2 % 9973) + pos)")
+        .cast("bigint")
+        .alias("order_fingerprint"),
+    )

@@ -259,6 +259,7 @@ _WINDOW_DEFERRED = [
     "st11_streaming_cms_maintenance", "mm8_phash_neardup",
     "dp11_split_decontamination", "dp12_quality_weighted_sample",
     "dq5_table_profile", "adv14_scd2_snapshot_merge",
+    "st12_streaming_scd2_maintenance", "dp13_reproducible_shuffle",
 ]
 
 

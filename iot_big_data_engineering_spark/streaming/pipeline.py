@@ -1321,3 +1321,168 @@ def st11_streaming_cms_maintenance(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+
+
+# ---------------------------------------------------------------------------
+# ST12 — STREAMING SCD2 MAINTENANCE (adv14's streaming twin, extending
+# the mergeable-state family from aggregates/histograms/sketches to
+# DIMENSION HISTORY). The snapshot arrives as a stream of micro-batches;
+# each batch reconciles against the STATIC dimension (the st4
+# stream-static shape: per-key decisions need no cross-batch state
+# because a full snapshot carries each key exactly once) and writes its
+# history fragment with the epoch-keyed dynamic-overwrite recipe every
+# foreachBatch sink here uses — at-least-once replay re-overwrites the
+# epoch's own partition, so the fragment store is replay-idempotent.
+# Full-snapshot retire semantics are inherently end-of-snapshot facts
+# ("key X never arrived"), so the retired pass runs once at snapshot
+# close: dim ANTI-JOIN the keys seen across all epochs. The assembled
+# history must equal adv14's one-shot batch merge EXACTLY — st12
+# registers with adv14's oracle VERBATIM, so the external gate
+# value-checks the streamed maintenance row-for-row, not just a boolean.
+#
+# Scale: each micro-batch shuffles |batch| snapshot rows against the
+# dim (or broadcast-joins when the dim fits); fragment writes are
+# O(|batch|); the retired pass reads only fragment KEYS, never raw
+# history. This is how a production lakehouse ingests dimension
+# snapshots that arrive in parts (per-region extracts, paged API
+# dumps) without holding the full snapshot in memory — and the nightly
+# compaction of epoch fragments is a17c's contract.
+# ---------------------------------------------------------------------------
+from ..operators.advanced import (  # noqa: E402  (no cycle: advanced
+    # never imports streaming; registration order is unaffected because
+    # the registry rotation happens after all imports)
+    _ADV14_ORACLE,
+    scd2_history_rows,
+    scd2_inputs,
+)
+
+_ST12_SCHEMA = (
+    "c_custkey long, acctbal double, valid_from timestamp, "
+    "valid_to timestamp, is_current boolean, scd_action string"
+)
+
+
+@register(
+    "st12_streaming_scd2_maintenance",
+    # adv14's oracle VERBATIM: the streamed per-epoch maintenance plus
+    # the end-of-snapshot retired pass must reproduce the batch merge
+    oracle=_ADV14_ORACLE,
+    doc=(
+        "§2.7/ADV14: snapshot streamed in micro-batches, per-epoch SCD2 "
+        "fragments (epoch-keyed overwrite) + end-of-snapshot retire "
+        "pass ≡ adv14's one-shot batch merge"
+    ),
+)
+def st12_streaming_scd2_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    cols = [
+        "c_custkey", "acctbal", "valid_from", "valid_to", "is_current",
+        "scd_action",
+    ]
+    dim, snap = scd2_inputs(spark, sf_dir)
+    if snap.isEmpty():
+        if dim.isEmpty():  # empty corpus: stable-schema empty history
+            return spark.createDataFrame([], _ST12_SCHEMA)
+        # a snapshot stream that delivers nothing retires every dim key —
+        # no epochs exist, so the stream/merge machinery has nothing to do
+        m = dim.withColumn("in_snap", F.lit(False)).withColumn(
+            "bal_new", F.lit(None).cast("double")
+        )
+        return scd2_history_rows(
+            m.select("c_custkey", "in_dim", "in_snap", "bal_old", "bal_new")
+        )
+
+    tmp = tempfile.mkdtemp(prefix="iotx_st12_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        state_dir = os.path.join(tmp, "state")
+        # the dim is consumed once per micro-batch plus the retired pass —
+        # persist so the customer parquet is scanned once, not N+1 times
+        dim = dim.persist()
+        slice_of = F.pmod(F.xxhash64("c_custkey"), F.lit(_ST8_N_SPLITS))
+        for i in range(_ST8_N_SPLITS):
+            (
+                snap.filter(slice_of == i)
+                .select("c_custkey", "bal_new")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(in_dir)
+            )
+        stream = (
+            spark.readStream.schema("c_custkey long, bal_new double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+        def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            mb = (
+                batch_df.withColumn("in_snap", F.lit(True))
+                .join(dim, "c_custkey", "left")
+                .select(
+                    "c_custkey",
+                    F.coalesce("in_dim", F.lit(False)).alias("in_dim"),
+                    "in_snap",
+                    "bal_old",
+                    "bal_new",
+                )
+            )
+            frag = scd2_history_rows(mb).withColumn(
+                "epoch_id", F.lit(int(epoch_id))
+            )
+            if frag.isEmpty():
+                # write-the-empty-epoch hardening (st10/st11): an empty
+                # dynamic overwrite touches no partitions, so clear the
+                # epoch's dir instead — replay of an emptied epoch stays
+                # idempotent
+                shutil.rmtree(
+                    os.path.join(state_dir, f"epoch_id={int(epoch_id)}"),
+                    ignore_errors=True,
+                )
+                return
+            (
+                frag.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(state_dir)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(data_batches) < 2:  # RuntimeError, not assert (-O strips)
+            raise RuntimeError(
+                f"st12 needs >=2 data micro-batches to certify the "
+                f"cross-epoch history assembly; got {len(data_batches)}"
+            )
+
+        frags = spark.read.parquet(state_dir).select(*cols)
+        # full-snapshot retire semantics: keys the stream NEVER delivered.
+        # Fragment keys only — the anti-join probe is |snapshot keys|, not
+        # history rows
+        seen = frags.select("c_custkey").distinct()
+        retired_m = (
+            dim.join(seen, "c_custkey", "left_anti")
+            .withColumn("in_snap", F.lit(False))
+            .withColumn("bal_new", F.lit(None).cast("double"))
+        )
+        retired = scd2_history_rows(
+            retired_m.select(
+                "c_custkey", "in_dim", "in_snap", "bal_old", "bal_new"
+            )
+        )
+        result = frags.unionByName(retired)
+        # ~1.1x |customers| rows at gate SFs — materialize so the scratch
+        # dirs can be deleted instead of leaking one mkdtemp per run
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        dim.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)

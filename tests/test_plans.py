@@ -829,3 +829,20 @@ def test_adv14_plan_single_join_no_window(spark):
     assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1, p
     assert "Window" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_dp13_plan_one_exchange_no_join(spark):
+    """One pruned scan (doc_id only), one hash exchange on shard feeding
+    the in-shard row_number sort, no join — physically the shard
+    writer's repartition().sortWithinPartitions() path."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp13_reproducible_shuffle,
+    )
+
+    df = dp13_reproducible_shuffle(spark, SF_SMOKE)
+    p = plan_str(df)
+    assert "Join" not in p, p
+    assert "struct<doc_id:bigint>" in p, p  # column-pruned scan
+    simple = plan_str(df, mode="simple")
+    # shard exchange + the final small-aggregate exchange; nothing else
+    assert simple.count("Exchange") <= 2, simple

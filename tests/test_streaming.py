@@ -453,3 +453,74 @@ def test_st11_on_all_null_user_ids(spark, tmp_path):
         "merge_consistent",
     ]
     assert df.count() == 0
+
+
+def test_st12_streamed_history_equals_batch_merge(spark):
+    """The streamed per-epoch fragments + end-of-snapshot retire pass
+    must reproduce adv14's one-shot batch merge row-for-row — the twin
+    certificate, checked directly in-repo (the external gate checks the
+    same equality through the shared oracle)."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        adv14_scd2_snapshot_merge,
+    )
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        st12_streaming_scd2_maintenance,
+    )
+
+    from .conftest import SF_SMOKE
+
+    key = lambda r: (r.c_custkey, r.scd_action)  # noqa: E731
+    streamed = sorted(
+        st12_streaming_scd2_maintenance(spark, SF_SMOKE).collect(), key=key
+    )
+    batch = sorted(
+        adv14_scd2_snapshot_merge(spark, SF_SMOKE).collect(), key=key
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_st12_empty_snapshot_retires_every_key(spark, tmp_path):
+    """A customer table whose every key hashes into bucket 2 yields an
+    EMPTY snapshot (h != 2 filter) — the stream delivers nothing and
+    every dim key must come back 'retired', without touching the
+    stream/fragment machinery (no epochs can exist)."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        st12_streaming_scd2_maintenance,
+    )
+
+    def h(key: int) -> int:
+        return (key * 2654435761) % (2**32) % 10
+
+    keys = [k for k in range(1, 5000) if h(k) == 2][:3]
+    assert len(keys) == 3
+    pd.DataFrame(
+        [(k, f"c{k}", 1, 500.0 + k, "AUTO") for k in keys],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    ).to_parquet(str(tmp_path / "customer.parquet"))
+
+    rows = st12_streaming_scd2_maintenance(spark, str(tmp_path)).collect()
+    assert sorted(r.c_custkey for r in rows) == sorted(keys)
+    assert all(r.scd_action == "retired" and not r.is_current for r in rows)
+
+
+def test_st12_empty_corpus_stable_schema(spark, tmp_path):
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        st12_streaming_scd2_maintenance,
+    )
+
+    pd.DataFrame(
+        [], columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                     "c_mktsegment"],
+    ).astype({"c_custkey": "int64", "c_name": "str", "c_nationkey": "int32",
+              "c_acctbal": "float64", "c_mktsegment": "str"}
+    ).to_parquet(str(tmp_path / "customer.parquet"))
+    df = st12_streaming_scd2_maintenance(spark, str(tmp_path))
+    assert df.columns == ["c_custkey", "acctbal", "valid_from", "valid_to",
+                          "is_current", "scd_action"]
+    assert df.count() == 0

@@ -538,3 +538,99 @@ def test_dp12_empty_corpus_stable_schema(spark, tmp_path):
         "achieved_rate",
     ]
     assert df.count() == 0
+
+
+def _dp13_python_replay(doc_ids, n_shards=8):
+    """Exact big-int replay of dp13's shuffle rule."""
+    M, MOD = 2654435761, 2**32
+    h1 = {i: (i * M) % MOD for i in doc_ids}
+    h2 = {i: ((h1[i] + (i % MOD)) * M) % MOD for i in doc_ids}
+    out = {}
+    for s in range(n_shards):
+        members = sorted(
+            (i for i in doc_ids if h1[i] % n_shards == s),
+            key=lambda i: (h2[i], i),
+        )
+        if not members:
+            continue
+        fp = 0
+        for pos, i in enumerate(members, start=1):
+            fp ^= (pos % 9973) * (h2[i] % 9973) + pos
+        out[s] = (len(members), members[0], fp)
+    return out
+
+
+def test_dp13_matches_python_bigint_replay(spark, tmp_path):
+    """Shard assignment, in-shard order, first doc and the positional
+    XOR fingerprint must all equal an exact Python big-int replay —
+    the cross-engine reproducibility claim, checked end to end."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp13_reproducible_shuffle,
+    )
+
+    ids = list(range(0, 400, 3))
+    pd.DataFrame(
+        [(i, f"doc {i}", "en", "s", 7) for i in ids],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.shard: (r.n_docs, r.first_doc, r.order_fingerprint)
+        for r in dp13_reproducible_shuffle(spark, str(tmp_path)).collect()
+    }
+    assert got == _dp13_python_replay(ids)
+
+
+def test_dp13_invariant_to_input_order(spark, tmp_path):
+    """The same corpus written in two different physical row orders
+    (ascending ids vs a deterministic scramble, split across two files)
+    must produce IDENTICAL shuffle output — the whole point of a seeded
+    permutation is independence from scan order and partitioning."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp13_reproducible_shuffle,
+    )
+
+    ids = list(range(200))
+    rows = [(i, f"doc {i}", "en", "s", 7) for i in ids]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    a = tmp_path / "ordered"
+    a.mkdir()
+    pd.DataFrame(rows, columns=cols).to_parquet(str(a / "documents.parquet"))
+
+    b = tmp_path / "scrambled"
+    (b / "documents.parquet").mkdir(parents=True)
+    scrambled = sorted(rows, key=lambda r: (r[0] * 48271) % 65537)
+    pd.DataFrame(scrambled[:97], columns=cols).to_parquet(
+        str(b / "documents.parquet" / "part-0.parquet")
+    )
+    pd.DataFrame(scrambled[97:], columns=cols).to_parquet(
+        str(b / "documents.parquet" / "part-1.parquet")
+    )
+
+    key = lambda r: r.shard  # noqa: E731
+    ra = sorted(dp13_reproducible_shuffle(spark, str(a)).collect(), key=key)
+    rb = sorted(dp13_reproducible_shuffle(spark, str(b)).collect(), key=key)
+    assert ra == rb and len(ra) > 0
+
+
+def test_dp13_empty_corpus_stable_schema(spark, tmp_path):
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp13_reproducible_shuffle,
+    )
+
+    pd.DataFrame(
+        [], columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype(
+        {"doc_id": "int64", "text": "str", "lang": "str", "source": "str",
+         "n_chars": "int64"}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    df = dp13_reproducible_shuffle(spark, str(tmp_path))
+    assert df.columns == ["shard", "n_docs", "first_doc", "order_fingerprint"]
+    assert df.count() == 0
