@@ -1127,15 +1127,15 @@ SELECT c_custkey, bal_old AS acctbal,
        CAST('{_ADV14_T0}' AS TIMESTAMP) AS valid_from,
        CAST(NULL AS TIMESTAMP) AS valid_to,
        TRUE AS is_current, 'current' AS scd_action
-FROM m WHERE in_dim AND in_snap AND bal_old = bal_new
+FROM m WHERE in_dim AND in_snap AND bal_old IS NOT DISTINCT FROM bal_new
 UNION ALL
 SELECT c_custkey, bal_old, CAST('{_ADV14_T0}' AS TIMESTAMP),
        CAST('{_ADV14_T1}' AS TIMESTAMP), FALSE, 'closed'
-FROM m WHERE in_dim AND in_snap AND bal_old <> bal_new
+FROM m WHERE in_dim AND in_snap AND bal_old IS DISTINCT FROM bal_new
 UNION ALL
 SELECT c_custkey, bal_new, CAST('{_ADV14_T1}' AS TIMESTAMP),
        CAST(NULL AS TIMESTAMP), TRUE, 'updated'
-FROM m WHERE in_dim AND in_snap AND bal_old <> bal_new
+FROM m WHERE in_dim AND in_snap AND bal_old IS DISTINCT FROM bal_new
 UNION ALL
 SELECT c_custkey, bal_old, CAST('{_ADV14_T0}' AS TIMESTAMP),
        CAST('{_ADV14_T1}' AS TIMESTAMP), FALSE, 'retired'
@@ -1194,7 +1194,12 @@ def scd2_history_rows(m: DataFrame) -> DataFrame:
         )
 
     both = F.col("in_dim") & F.col("in_snap")
-    changed = both & (F.col("bal_old") != F.col("bal_new"))
+    # NULL-SAFE change detection (IS DISTINCT FROM in the oracle): with a
+    # plain !=, a key whose balance is NULL on both sides makes `changed`
+    # NULL — Spark's when-chain would then fall through to 'current'
+    # while the oracle's WHERE drops the row entirely, a silent
+    # cross-engine divergence on any dimension with nullable attributes
+    changed = both & ~F.col("bal_old").eqNullSafe(F.col("bal_new"))
     versions = (
         F.when(changed, F.array(
             ver(F.col("bal_old"), t0, t1, False, "closed"),

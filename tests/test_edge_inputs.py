@@ -591,3 +591,51 @@ def test_adv14_empty_dimension(spark, tmp_path):
     assert df.columns == ["c_custkey", "acctbal", "valid_from", "valid_to",
                           "is_current", "scd_action"]
     assert df.count() == 0
+
+
+def test_adv14_null_balance_is_null_safe_on_both_engines(spark, tmp_path):
+    """A dimension attribute that is NULL on both sides must merge as
+    'current' on BOTH engines. With a plain != / <> comparison the
+    engines diverge silently: Spark's when-chain falls through to
+    'current' while the oracle's WHERE drops the row entirely (both
+    branch predicates are NULL) — hence IS DISTINCT FROM in the SQL and
+    eqNullSafe in the Spark plan. The NULL -> value transition must
+    still close and re-version."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        adv14_scd2_snapshot_merge,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    def h(key: int) -> int:
+        return (key * 2654435761) % (2**32) % 10
+
+    steady = next(k for k in range(1, 2000) if h(k) not in (0, 2, 3))
+    changed = next(k for k in range(1, 2000) if h(k) == 0)
+    df = pd.DataFrame(
+        [(steady, "a", 1, None, "B"), (changed, "b", 1, None, "B")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    )
+    df.to_parquet(str(tmp_path / "customer.parquet"))
+
+    rows = {
+        (r.c_custkey, r.scd_action)
+        for r in adv14_scd2_snapshot_merge(spark, str(tmp_path)).collect()
+    }
+    # steady: NULL == NULL null-safely -> carried 'current'.
+    # changed (h=0): bal_new = round(NULL + 100, 2) = NULL too -> ALSO
+    # 'current' (the +100 bump never materializes on a NULL balance).
+    assert rows == {(steady, "current"), (changed, "current")}
+
+    con = duckdb.connect()
+    con.register("customer", df)
+    duck = {
+        (r[0], r[5])
+        for r in con.execute(
+            all_queries()["adv14_scd2_snapshot_merge"].oracle
+        ).fetchall()
+    }
+    assert duck == rows  # the two engines agree INCLUDING the null rows

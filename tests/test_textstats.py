@@ -634,3 +634,38 @@ def test_dp13_empty_corpus_stable_schema(spark, tmp_path):
     df = dp13_reproducible_shuffle(spark, str(tmp_path))
     assert df.columns == ["shard", "n_docs", "first_doc", "order_fingerprint"]
     assert df.count() == 0
+
+
+def test_dp12_empty_text_doc_same_tier_on_both_engines(spark, tmp_path):
+    """An empty-text doc exercises the tier expression's division terms:
+    token_count('') is 1 by construction in the shared text helpers (no
+    0/0 path exists), so both engines must agree on its tier — pinned
+    here so a future text-helper change that reintroduces a zero token
+    count (NaN score -> NULL tier on Spark, CAST error on DuckDB) fails
+    loudly."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp12_quality_weighted_sample,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    df = pd.DataFrame(
+        [(1, "", "en", "s", 0), (2, "ok words here", "en", "s", 13)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r.q10, r.n_docs)
+        for r in dp12_quality_weighted_sample(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    duck = sorted(
+        (r[0], r[2])
+        for r in con.execute(
+            all_queries()["dp12_quality_weighted_sample"].oracle
+        ).fetchall()
+    )
+    assert got == duck == [(3, 1), (4, 1)]
