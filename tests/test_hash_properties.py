@@ -140,3 +140,54 @@ def test_mm8_phash_kernel_property_random_ascii(spark):
         ].astype(np.float64)
         ref = int(((sampled > sampled.mean()) * weights).sum())
         assert got[i] == ref, (i, got[i], ref)
+
+
+def test_scd2_history_rows_invariants_random_frames(spark):
+    """The shared SCD2 explode kernel (adv14 + st12 both ride it) over a
+    seeded random reconciled frame — every flag/balance combination,
+    including NULL balances on either side: (1) changed keys emit
+    exactly the closed+updated pair, every other key exactly one row;
+    (2) at most one open row per key, open == (valid_to IS NULL);
+    (3) the action matches the (in_dim, in_snap, null-safe equal)
+    truth table row-for-row."""
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        scd2_history_rows,
+    )
+
+    rng = np.random.default_rng(7)
+    rows, expected = [], {}
+    for k in range(300):
+        in_dim, in_snap = bool(rng.integers(2)), bool(rng.integers(2))
+        if not (in_dim or in_snap):
+            continue  # a reconciled frame never emits a no-side key
+        bal_old = (
+            None if rng.random() < 0.25 else float(rng.integers(10) * 10)
+        ) if in_dim else None
+        bal_new = (
+            None if rng.random() < 0.25 else float(rng.integers(10) * 10)
+        ) if in_snap else None
+        rows.append((k, in_dim, in_snap, bal_old, bal_new))
+        if in_dim and in_snap:
+            expected[k] = (
+                ["closed", "updated"] if bal_old != bal_new else ["current"]
+            )
+        elif in_dim:
+            expected[k] = ["retired"]
+        else:
+            expected[k] = ["inserted"]
+
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, in_dim boolean, in_snap boolean, "
+        "bal_old double, bal_new double",
+    )
+    got = {}
+    for r in scd2_history_rows(df).collect():
+        got.setdefault(r.c_custkey, []).append(r)
+        assert r.is_current == (r.valid_to is None), r
+    assert set(got) == set(expected)
+    for k, actions in expected.items():
+        assert sorted(r.scd_action for r in got[k]) == sorted(actions), k
+        assert sum(r.is_current for r in got[k]) <= 1, k
