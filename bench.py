@@ -130,7 +130,11 @@ HEADLINE = [
     "dp13_reproducible_shuffle",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
-    # (partitioned index write + reload), not plan cost
+    # (partitioned index write + reload), not plan cost. s11 (tombstone
+    # deletes) is excluded for the same reason: its wall is the physical
+    # compaction (localCheckpoint materialization) plus two whole-index
+    # content fingerprints — certificate cost, flat across 100× of
+    # corpus (SCALE.md sweep), not plan cost
 ]
 
 

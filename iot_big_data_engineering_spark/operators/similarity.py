@@ -1606,3 +1606,119 @@ def s10_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     topk = pq_adc_topk(pq_encode(corpus, books), books, q)
     return _certify_planted(topk, q)
+
+
+# ---------------------------------------------------------------------------
+# S11 — tombstone deletes + compaction transparency: the third piece of
+# the index lifecycle (s8 adds, s9 persist/serve, s11 deletes). Vector
+# stores never rewrite index files per delete: deletes append to a
+# TOMBSTONE set and search excludes it at read time (merge-on-read);
+# periodic compaction physically drops tombstoned rows — the exact
+# contract a17c certifies for rollup state, applied to the ANN index.
+# The tombstone set is bounded by deletes-since-last-compaction, so the
+# exclusion is a broadcast anti-join riding the probed-cell scan, never
+# a corpus pass.
+#
+# Certificate, two halves:
+# - deletion semantics: every query gets TWO planted exact copies — the
+#   kept twin (_PLANT_OFFSET) and a DOOMED twin (_S11_TOMB_OFFSET)
+#   tombstoned after the index is built. Both tie at cosine 1.0, so a
+#   pipeline that loses the exclusion MUST surface the doomed twin in
+#   the top-k (deleted_absent flips FALSE; non-vacuity proven by
+#   running the unfiltered pipeline in tests/test_similarity.py), and
+#   the kept twin must still be retrieved (planted_dup_found).
+# - compaction: the live view is materialized into a fresh lineage
+#   (localCheckpoint — a physical rewrite) and certified content-equal
+#   by s9's count + order-independent XOR-of-xxhash64 fingerprint,
+#   computed independently on the anti-join PLAN and on the compacted
+#   COPY (compaction_preserves_index). Search equality follows without
+#   a second search: ivf_probe_search is a deterministic function of
+#   (index rows, centroids, queries) — s9's argument — so the ONE
+#   search here runs against the compacted index and certifies the
+#   post-compaction serving path directly.
+# ---------------------------------------------------------------------------
+_S11_TOMB_OFFSET = 3 * _PLANT_OFFSET  # doomed twins, disjoint from all plants
+
+
+@register(
+    "s11_knn_tombstone_delete",
+    oracle=f"""
+SELECT vec_id AS query_id, TRUE AS planted_dup_found,
+       TRUE AS deleted_absent, TRUE AS compaction_preserves_index
+FROM embeddings WHERE vec_id < {N_QUERIES}
+ORDER BY query_id
+""",
+    doc=(
+        "S11: ANN tombstone deletes — doomed-twin exclusion + "
+        "compacted-index content-fingerprint certificate"
+    ),
+)
+def s11_knn_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plant = _plant_rows(spark, sf_dir, N_QUERIES)
+    if not plant:
+        # empty / sub-N_QUERIES corpus: zero certificate rows, matching
+        # the oracle's vec_id < N predicate (s7's hardening)
+        return spark.createDataFrame(
+            [],
+            "query_id long, planted_dup_found boolean, "
+            "deleted_absent boolean, compaction_preserves_index boolean",
+        )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double("embedding").alias("v")
+    )
+    kept = planted_exact_copies(spark, sf_dir, N_QUERIES)
+    doomed = planted_exact_copies(
+        spark, sf_dir, N_QUERIES, offset=_S11_TOMB_OFFSET
+    )
+    corpus = track(
+        e.unionByName(kept).unionByName(doomed).persist()
+    )
+    # index built BEFORE the deletes arrive (the realistic order): the
+    # doomed twins participate in training and hold cell assignments
+    cent = kmeans_centroids(corpus)
+    indexed = track(assign_cells(corpus, cent).persist())
+    tombs = spark.createDataFrame(
+        [(vid + _S11_TOMB_OFFSET,) for vid, _, _ in plant], "vec_id long"
+    )
+    # merge-on-read view: index files untouched, tombstones excluded at
+    # scan time by a broadcast anti-join
+    live = indexed.join(F.broadcast(tombs), "vec_id", "left_anti")
+    # compaction: PHYSICAL rewrite of the live view into a fresh lineage
+    compacted = live.localCheckpoint(eager=True)
+
+    def _fp(df: DataFrame):
+        # s9's recipe: count + order-independent XOR of per-row hashes;
+        # cell cast long before hashing (xxhash64 is input-type-
+        # sensitive — the dq4 lesson)
+        return df.agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(vec_id, cast(cell AS long),"
+                " cast(v AS string)))"
+            ).alias("h"),
+        ).collect()[0]
+
+    preserved = tuple(_fp(live)) == tuple(_fp(compacted))
+    q = plant_queries(spark, sf_dir, N_QUERIES)
+    # the ONE search runs against the COMPACTED index — the serving path
+    # after compaction; merge-on-read equality follows from content
+    # equality + search determinism (module comment)
+    topk = track(ivf_probe_search(compacted, cent, q).persist())
+
+    cert = _certify_planted(topk, q)
+    del_hits = (
+        topk.join(F.broadcast(tombs), "vec_id", "left_semi")
+        .select("query_id")
+        .distinct()
+        .withColumn("dhit", F.lit(True))
+    )
+    return (
+        cert.join(del_hits, "query_id", "left")
+        .select(
+            "query_id",
+            "planted_dup_found",
+            (~F.coalesce("dhit", F.lit(False))).alias("deleted_absent"),
+            F.lit(preserved).alias("compaction_preserves_index"),
+        )
+        .orderBy("query_id")
+    )

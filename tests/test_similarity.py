@@ -442,3 +442,75 @@ def test_pq_plant_survives_exact_code_tie_flood(spark):
         F.col("vec_id") == F.col("query_id") + F.lit(_PLANT_OFFSET)
     ).collect()
     assert len(hit) == 1 and hit[0].rank == 1, topk.collect()
+
+
+# s11 tombstone deletes (round-8 addition)
+
+def test_s11_doomed_twin_surfaces_without_tombstone_filter(spark):
+    """Non-vacuity of deleted_absent: running the SAME index pipeline
+    without the tombstone anti-join must surface the doomed twin (it
+    ties the kept twin at cosine 1.0) in every query's top-k — so the
+    registered op's TRUE genuinely certifies the exclusion, not an
+    accidentally-unreachable twin."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _S11_TOMB_OFFSET,
+        N_QUERIES,
+        assign_cells,
+        ivf_probe_search,
+        kmeans_centroids,
+        plant_queries,
+        planted_exact_copies,
+    )
+    from iot_big_data_engineering_spark.functions import vectors as V
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", V.to_double("embedding").alias("v")
+    )
+    corpus = (
+        e.unionByName(planted_exact_copies(spark, SF_SMOKE, N_QUERIES))
+        .unionByName(
+            planted_exact_copies(
+                spark, SF_SMOKE, N_QUERIES, offset=_S11_TOMB_OFFSET
+            )
+        )
+    )
+    cent = kmeans_centroids(corpus)
+    indexed = assign_cells(corpus, cent)
+    q = plant_queries(spark, SF_SMOKE, N_QUERIES)
+    topk = ivf_probe_search(indexed, cent, q)  # NO tombstone filter
+    doomed_hits = {
+        r.query_id
+        for r in topk.filter(
+            F.col("vec_id") == F.col("query_id") + F.lit(_S11_TOMB_OFFSET)
+        ).collect()
+    }
+    assert doomed_hits == set(range(N_QUERIES))
+
+
+def test_s11_empty_corpus_stable_schema(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s11_knn_tombstone_delete,
+    )
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }
+    )
+    pq.write_table(empty, str(tmp_path / "embeddings.parquet"))
+    df = s11_knn_tombstone_delete(spark, str(tmp_path))
+    assert df.columns == [
+        "query_id", "planted_dup_found", "deleted_absent",
+        "compaction_preserves_index",
+    ]
+    assert df.count() == 0
