@@ -128,6 +128,7 @@ HEADLINE = [
     "dq5_table_profile",
     "adv14_scd2_snapshot_merge",
     "dp13_reproducible_shuffle",
+    "dp14_temperature_mix",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

@@ -2136,3 +2136,140 @@ def dp13_reproducible_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("order_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DP14 — temperature-flattened token-budget mix (the mT5/XLM-R
+# multilingual sampling pattern, applied to sources): a global token
+# budget B (= half the corpus tokens — data-dependent, scale-free) is
+# allocated across sources with weights ∝ avail^0.5, flattening the
+# head sources and boosting the tail, each target capped by
+# availability. Document selection inside a source is the
+# deterministic hash-order prefix: docs sorted by the shared Knuth
+# stream, taken while the running token count BEFORE the doc is under
+# target (greedy prefix — the last doc may overshoot by part of its
+# own length; the policy is stated, deterministic, and identical on
+# both engines).
+#
+# Integer-exactness, two tricks:
+# - weights: w = floor(sqrt(avail)) — sqrt is correctly rounded IEEE on
+#   both engines and avail < 2^52, so the floor is engine-stable, and
+#   all downstream arithmetic is exact int64 (a double weight-share
+#   Σ-normalization would make targets depend on summation ORDER).
+# - targets: (B*w) div Σw would overflow int64 at real scale (B ~ 1e13
+#   tokens, w ~ 3e6), so it is decomposed as
+#   (B div Σw)*w + ((B mod Σw)*w) div Σw — exactly equal, every
+#   intermediate bounded by max(B, Σw·w) — the same
+#   keep-every-intermediate-small discipline as functions/hashing.py.
+#
+# Scale shape: one (source) aggregate, a tiny broadcast of the
+# (source, target) relation, and ONE window shuffle keyed on source
+# (the same in-source hash-order sort a shard writer pays, dp13) —
+# no self-join, no iteration; at 100 TB the window's sort is the only
+# data-proportional term.
+# ---------------------------------------------------------------------------
+_DP14_H_SQL = hashing.knuth_hash32_sql("doc_id")
+
+
+@register(
+    "dp14_temperature_mix",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source, {X.sql_token_count("text")} AS tc FROM documents
+),
+a AS (
+  SELECT source, CAST(sum(tc) AS BIGINT) AS avail_tokens,
+         CAST(floor(sqrt(CAST(sum(tc) AS DOUBLE))) AS BIGINT) AS weight
+  FROM d GROUP BY source
+),
+g AS (
+  SELECT CAST(sum(weight) AS BIGINT) AS sw,
+         CAST(sum(avail_tokens) // 2 AS BIGINT) AS b
+  FROM a
+),
+t AS (
+  SELECT source, avail_tokens, weight,
+         least(avail_tokens,
+               (b // sw) * weight + ((b % sw) * weight) // sw)
+           AS target_tokens
+  FROM a, g
+),
+r AS (
+  SELECT source, tc,
+         coalesce(sum(tc) OVER (
+           PARTITION BY source
+           ORDER BY {_DP14_H_SQL}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM d
+),
+p AS (
+  SELECT r.source,
+         CAST(sum(CASE WHEN cum_before < target_tokens THEN 1 ELSE 0 END)
+              AS BIGINT) AS picked_docs,
+         CAST(sum(CASE WHEN cum_before < target_tokens THEN tc ELSE 0 END)
+              AS BIGINT) AS picked_tokens
+  FROM r JOIN t ON r.source = t.source
+  GROUP BY r.source
+)
+SELECT t.source, t.avail_tokens, t.weight,
+       CAST(t.target_tokens AS BIGINT) AS target_tokens,
+       p.picked_docs, p.picked_tokens
+FROM t JOIN p ON t.source = p.source
+""",
+    doc=(
+        "DP14: temperature-flattened (α=0.5) token-budget mix — exact "
+        "integer targets, deterministic hash-prefix selection"
+    ),
+)
+def dp14_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", X.token_count("text").alias("tc")
+    )
+    a = d.groupBy("source").agg(
+        F.sum("tc").cast("bigint").alias("avail_tokens"),
+        F.floor(F.sqrt(F.sum("tc").cast("double")))
+        .cast("bigint")
+        .alias("weight"),
+    )
+    g = a.agg(
+        F.sum("weight").cast("bigint").alias("sw"),
+        F.expr("sum(avail_tokens) div 2").cast("bigint").alias("b"),
+    )
+    t = a.crossJoin(F.broadcast(g)).select(
+        "source",
+        "avail_tokens",
+        "weight",
+        F.least(
+            F.col("avail_tokens"),
+            F.expr("(b div sw) * weight + ((b % sw) * weight) div sw"),
+        )
+        .cast("bigint")
+        .alias("target_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(hashing.knuth_hash32(F.col("doc_id")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = d.select(
+        "source",
+        "tc",
+        F.coalesce(F.sum("tc").over(w), F.lit(0)).alias("cum_before"),
+    )
+    picked = F.col("cum_before") < F.col("target_tokens")
+    p = (
+        r.join(F.broadcast(t.select("source", "target_tokens")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(picked, 1).otherwise(0))
+            .cast("bigint")
+            .alias("picked_docs"),
+            F.sum(F.when(picked, F.col("tc")).otherwise(0))
+            .cast("bigint")
+            .alias("picked_tokens"),
+        )
+    )
+    return t.join(p, "source")

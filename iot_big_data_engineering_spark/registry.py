@@ -260,7 +260,7 @@ _WINDOW_DEFERRED = [
     "dp11_split_decontamination", "dp12_quality_weighted_sample",
     "dq5_table_profile", "adv14_scd2_snapshot_merge",
     "st12_streaming_scd2_maintenance", "dp13_reproducible_shuffle",
-    "s11_knn_tombstone_delete",
+    "s11_knn_tombstone_delete", "dp14_temperature_mix",
 ]
 
 

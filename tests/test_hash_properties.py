@@ -191,3 +191,21 @@ def test_scd2_history_rows_invariants_random_frames(spark):
     for k, actions in expected.items():
         assert sorted(r.scd_action for r in got[k]) == sorted(actions), k
         assert sum(r.is_current for r in got[k]) <= 1, k
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**14),  # budget B (tokens)
+    st.integers(min_value=1, max_value=10**9),   # sum of weights
+    st.integers(min_value=0, max_value=10**7),   # one source's weight
+)
+def test_dp14_target_decomposition_exact(b, sw, w):
+    """dp14's overflow-safe target decomposition
+    (B div Σw)·w + ((B mod Σw)·w) div Σw must equal (B·w) div Σw
+    computed in Python big-int — and every intermediate must fit int64
+    for the generated ranges (B·w itself may NOT, which is the point)."""
+    w = min(w, sw)
+    got = (b // sw) * w + ((b % sw) * w) // sw
+    assert got == (b * w) // sw
+    assert (b // sw) * w <= 2**63 - 1
+    assert (b % sw) * w < 2**63 - 1

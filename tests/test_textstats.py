@@ -669,3 +669,80 @@ def test_dp12_empty_text_doc_same_tier_on_both_engines(spark, tmp_path):
         ).fetchall()
     )
     assert got == duck == [(3, 1), (4, 1)]
+
+
+def test_dp14_matches_python_bigint_replay(spark, tmp_path):
+    """Two hand-built sources; weights, the overflow-decomposed integer
+    targets, and the hash-order prefix picks are replayed exactly in
+    Python big-int arithmetic and compared whole-row."""
+    import math
+
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp14_temperature_mix,
+    )
+
+    # token count == word count for simple space-joined words
+    docs = [(i, " ".join(["w"] * (5 + i % 7)), "A" if i % 3 else "B")
+            for i in range(60)]
+    pd.DataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    tok = {i: 5 + i % 7 for i, _, _ in docs}
+    src = {i: s for i, _, s in docs}
+    avail = {}
+    for i in tok:
+        avail[src[i]] = avail.get(src[i], 0) + tok[i]
+    w = {s: math.isqrt(v) for s, v in avail.items()}
+    sw, b = sum(w.values()), sum(avail.values()) // 2
+    target = {
+        s: min(avail[s], (b // sw) * w[s] + ((b % sw) * w[s]) // sw)
+        for s in avail
+    }
+
+    def h(i):
+        return (i * 2654435761) % (2**32)
+
+    expected = {}
+    for s in avail:
+        members = sorted((i for i in tok if src[i] == s),
+                         key=lambda i: (h(i), i))
+        cum, nd, nt = 0, 0, 0
+        for i in members:
+            if cum < target[s]:
+                nd, nt = nd + 1, nt + tok[i]
+            cum += tok[i]
+        expected[s] = (avail[s], w[s], target[s], nd, nt)
+
+    got = {
+        r.source: (r.avail_tokens, r.weight, r.target_tokens,
+                   r.picked_docs, r.picked_tokens)
+        for r in dp14_temperature_mix(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+
+
+def test_dp14_allocation_invariants_real_corpus(spark):
+    """On the real corpus: target <= avail always; the greedy prefix
+    reaches its target (picked_tokens >= target) whenever target > 0;
+    and the total allocation stays within budget + one weight-rounding
+    unit per source."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp14_temperature_mix,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = dp14_temperature_mix(spark, SF_SMOKE).collect()
+    assert rows
+    total_avail = sum(r.avail_tokens for r in rows)
+    b = total_avail // 2
+    assert sum(r.target_tokens for r in rows) <= b + len(rows)
+    for r in rows:
+        assert r.target_tokens <= r.avail_tokens
+        if r.target_tokens > 0:
+            assert r.picked_tokens >= r.target_tokens
+            assert r.picked_docs >= 1
