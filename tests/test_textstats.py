@@ -746,3 +746,22 @@ def test_dp14_allocation_invariants_real_corpus(spark):
         if r.target_tokens > 0:
             assert r.picked_tokens >= r.target_tokens
             assert r.picked_docs >= 1
+
+
+def test_dp14_empty_corpus_stable_schema(spark, tmp_path):
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp14_temperature_mix,
+    )
+
+    pd.DataFrame(
+        [], columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype(
+        {"doc_id": "int64", "text": "str", "lang": "str", "source": "str",
+         "n_chars": "int64"}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    df = dp14_temperature_mix(spark, str(tmp_path))
+    assert df.columns == ["source", "avail_tokens", "weight",
+                          "target_tokens", "picked_docs", "picked_tokens"]
+    assert df.count() == 0
