@@ -129,6 +129,7 @@ HEADLINE = [
     "adv14_scd2_snapshot_merge",
     "dp13_reproducible_shuffle",
     "dp14_temperature_mix",
+    "a23_incremental_join_view",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

@@ -772,3 +772,95 @@ def cms_merge_consistent(a: DataFrame, b: DataFrame) -> DataFrame:
             ).alias("merge_consistent")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A23 — incremental JOIN-view maintenance: the a17 mergeable-state
+# pattern extended with a JOIN in the delta path — i.e., incremental
+# materialized-view maintenance for an aggregate OVER a join
+# (revenue by ship-month × order-priority from lineitem ⋈ orders),
+# the view shape every lakehouse "gold table" refresh runs. The fact
+# table splits at its newest ship-month (the arriving partition);
+# history and delta are INDEPENDENTLY joined to the dimension and
+# partially aggregated, and the two states merge by summing sums and
+# counting counts — exact because the revenue partials are DECIMAL
+# (order-independent addition; the double cast happens once at
+# finalize, the same discipline as the q_int quality sums).
+#
+# At 100 TB only the delta branch runs per refresh: the newest
+# partition prunes the fact scan, joins |delta| rows against the
+# dimension, and merges O(|groups|) state rows — history is never
+# rescanned. The oracle is the FULL join recompute, so the driver's
+# hash gate certifies maintained ≡ recomputed exactly.
+# ---------------------------------------------------------------------------
+from .joins import _SQL_DISC_PRICE, _disc_price  # noqa: E402  (no cycle:
+# joins never imports sketches)
+
+A23_ORACLE = f"""
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       o_orderpriority,
+       count(*) AS n_items,
+       round(CAST(sum({_SQL_DISC_PRICE}) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "a23_incremental_join_view",
+    oracle=A23_ORACLE,
+    doc=(
+        "A23: incremental join-view maintenance — history ⊕ delta "
+        "states over lineitem⋈orders ≡ full recompute"
+    ),
+)
+def a23_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track
+    from ..sources.tables import load_table
+
+    # the dimension side is consumed by BOTH branches — persist the
+    # 2-column projection so orders is scanned once
+    o = track(
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .persist()
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    # split bound: a one-row aggregate broadcast in (a17's recipe — no
+    # driver collect, no literal baked into the plan)
+    split = l.agg(
+        F.date_trunc("month", F.max("l_shipdate")).alias("split_m")
+    )
+    with_split = l.join(F.broadcast(split))
+    month = F.date_trunc("month", F.col("l_shipdate"))
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        return (
+            df.join(o, df["l_orderkey"] == o["o_orderkey"])
+            .groupBy(
+                month.alias("ship_month"), "o_orderpriority"
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(_disc_price()).alias("rev"),  # DECIMAL partial
+            )
+        )
+
+    history = partial_state(with_split.filter(month < F.col("split_m")))
+    delta = partial_state(with_split.filter(month >= F.col("split_m")))
+    merged = (
+        history.unionByName(delta)
+        .groupBy("ship_month", "o_orderpriority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_items"),
+            F.sum("rev").alias("rev"),
+        )
+    )
+    return merged.select(
+        "ship_month",
+        "o_orderpriority",
+        "n_items",
+        fround(F.col("rev").cast("double"), 2).alias("revenue"),
+    )

@@ -264,3 +264,65 @@ def test_cms_bucket_overflow_exact_at_int64_boundary(spark):
     }
     spark_mod = {kk: v % 1024 for kk, v in got.items()}
     assert spark_mod == duck
+
+
+# a23 incremental join-view maintenance (round-8 addition)
+
+def test_a23_split_is_non_degenerate_at_gate_sfs(spark):
+    """The maintenance certificate is only meaningful if BOTH branches
+    contribute (the st8 lesson: a single-batch run certifies nothing
+    about the merge). At both gate SFs the lineitem corpus must span
+    more than one ship-month, so history and delta are each non-empty."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        l = load_table(spark, sf, "lineitem").select(
+            F.date_trunc("month", "l_shipdate").alias("m")
+        )
+        split = l.agg(F.max("m").alias("mx")).collect()[0].mx
+        n_hist = l.filter(F.col("m") < F.lit(split)).count()
+        n_delta = l.filter(F.col("m") >= F.lit(split)).count()
+        assert n_hist > 0 and n_delta > 0, (sf, split, n_hist, n_delta)
+
+
+def test_a23_merged_equals_direct_join_recompute(spark):
+    """Independent in-Spark recompute (one plain join + aggregate, no
+    split/merge) must equal the maintained view row-for-row — the same
+    equality the DuckDB oracle checks, but engine-internal, so a
+    decimal-vs-double or merge-algebra regression localizes here."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.functions.rounding import fround
+    from iot_big_data_engineering_spark.operators.joins import _disc_price
+    from iot_big_data_engineering_spark.operators.sketches import (
+        a23_incremental_join_view,
+    )
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    direct = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("ship_month"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            fround(F.sum(_disc_price()).cast("double"), 2).alias("revenue"),
+        )
+    )
+    key = lambda r: (r.ship_month, r.o_orderpriority)  # noqa: E731
+    got = sorted(
+        a23_incremental_join_view(spark, SF_SMOKE).collect(), key=key
+    )
+    want = sorted(direct.collect(), key=key)
+    assert got == want and len(got) > 0
