@@ -846,3 +846,34 @@ def test_dp13_plan_one_exchange_no_join(spark):
     simple = plan_str(df, mode="simple")
     # shard exchange + the final small-aggregate exchange; nothing else
     assert simple.count("Exchange") <= 2, simple
+
+
+def test_dp14_plan_single_window_shuffle_broadcast_targets(spark):
+    """One window shuffle keyed on source for the prefix cumsum; the
+    (source, target) relation joins in via broadcast; no cartesian
+    beyond the documented 1-row scalar budget join."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp14_temperature_mix,
+    )
+
+    df = dp14_temperature_mix(spark, SF_SMOKE)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window") >= 1, p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_a23_plan_partial_aggs_and_single_orders_scan(spark):
+    """Both maintenance branches must plan partial (map-side)
+    aggregation before their shuffles, and the persisted 2-column
+    dimension must be served from the cache (InMemoryTableScan), not
+    re-scanned from parquet per branch."""
+    from iot_big_data_engineering_spark.operators.sketches import (
+        a23_incremental_join_view,
+    )
+
+    df = a23_incremental_join_view(spark, SF_SMOKE)
+    p = plan_str(df, mode="simple")
+    assert p.count("HashAggregate") >= 4, p  # partial+final per branch
+    assert "CartesianProduct" not in p, p
+    assert p.count("InMemoryTableScan") >= 2, p  # cached orders, both sides
