@@ -261,7 +261,7 @@ _WINDOW_DEFERRED = [
     "dq5_table_profile", "adv14_scd2_snapshot_merge",
     "st12_streaming_scd2_maintenance", "dp13_reproducible_shuffle",
     "s11_knn_tombstone_delete", "dp14_temperature_mix",
-    "a23_incremental_join_view",
+    "a23_incremental_join_view", "st13_streaming_join_view",
 ]
 
 

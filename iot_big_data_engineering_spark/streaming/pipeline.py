@@ -1486,3 +1486,137 @@ def st12_streaming_scd2_maintenance(
     finally:
         dim.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ST13 — STREAMING JOIN-VIEW MAINTENANCE (a23's streaming twin,
+# completing the mergeable-state correspondence: a17↔st8 exact
+# aggregates, a21↔st10 histograms, a22↔st11 sketches, adv14↔st12
+# dimension history, a23↔st13 join views). Fact rows (lineitem) arrive
+# in micro-batches; each batch joins the STATIC dimension (orders —
+# the st4 stream-static shape) and reduces to its own partial state:
+# O(|groups-in-batch|) (ship_month, priority, n, DECIMAL rev) rows
+# written with the epoch-keyed dynamic-overwrite replay-idempotence
+# recipe. The serving view is the groupBy-sum across epochs — exact,
+# because the revenue partials are decimal and addition is
+# order-independent. Registers with a23's oracle VERBATIM (the full
+# join recompute), so the external gate value-checks the streamed
+# maintenance end-to-end.
+#
+# Scale: per-epoch state is group-bounded regardless of batch size;
+# the merge reads only state partitions, never raw history — at 100 TB
+# this is how a gold table stays fresh under continuous fact ingest,
+# with a17c-style compaction bounding the epoch count.
+# ---------------------------------------------------------------------------
+from ..operators.sketches import A23_ORACLE  # noqa: E402  (no cycle:
+# sketches never imports streaming)
+from ..operators.joins import _disc_price as _j_disc_price  # noqa: E402
+
+
+@register(
+    "st13_streaming_join_view",
+    oracle=A23_ORACLE,
+    doc=(
+        "§2.7/A23: per-micro-batch join-view partial states (epoch-keyed "
+        "overwrite) merged ≡ full join recompute; a23's oracle verbatim"
+    ),
+)
+def st13_streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..caching import track
+    from ..functions.rounding import fround
+
+    tmp = tempfile.mkdtemp(prefix="iotx_st13_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        state_dir = os.path.join(tmp, "state")
+        o = track(
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .persist()
+        )
+        l = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+        )
+        if l.isEmpty():
+            return spark.createDataFrame(
+                [],
+                "ship_month timestamp, o_orderpriority string, "
+                "n_items bigint, revenue double",
+            )
+        slice_of = F.pmod(F.xxhash64("l_orderkey"), F.lit(_ST8_N_SPLITS))
+        for i in range(_ST8_N_SPLITS):
+            l.filter(slice_of == i).coalesce(1).write.mode("append").parquet(
+                in_dir
+            )
+        stream = (
+            spark.readStream.schema(
+                "l_orderkey long, l_shipdate timestamp, "
+                "l_extendedprice double, l_discount double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+        def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            state = (
+                batch_df.join(o, batch_df["l_orderkey"] == o["o_orderkey"])
+                .groupBy(
+                    F.date_trunc("month", "l_shipdate").alias("ship_month"),
+                    "o_orderpriority",
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(_j_disc_price()).alias("rev"),  # DECIMAL partial
+                )
+                .withColumn("epoch_id", F.lit(int(epoch_id)))
+            )
+            if state.isEmpty():
+                # write-the-empty-epoch hardening (st10/st11/st12)
+                shutil.rmtree(
+                    os.path.join(state_dir, f"epoch_id={int(epoch_id)}"),
+                    ignore_errors=True,
+                )
+                return
+            (
+                state.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(state_dir)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(data_batches) < 2:  # RuntimeError, not assert (-O strips)
+            raise RuntimeError(
+                f"st13 needs >=2 data micro-batches to certify the "
+                f"cross-epoch state merge; got {len(data_batches)}"
+            )
+
+        merged = (
+            spark.read.parquet(state_dir)
+            .groupBy("ship_month", "o_orderpriority")
+            .agg(
+                F.sum("n").cast("bigint").alias("n_items"),
+                F.sum("rev").alias("rev"),
+            )
+        )
+        result = merged.select(
+            "ship_month",
+            "o_orderpriority",
+            "n_items",
+            fround(F.col("rev").cast("double"), 2).alias("revenue"),
+        )
+        # |months|x|priorities| rows — bounded; materialize so the
+        # scratch dirs can be deleted instead of leaking one mkdtemp
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -524,3 +524,58 @@ def test_st12_empty_corpus_stable_schema(spark, tmp_path):
     assert df.columns == ["c_custkey", "acctbal", "valid_from", "valid_to",
                           "is_current", "scd_action"]
     assert df.count() == 0
+
+
+def test_st13_streamed_view_equals_batch_maintenance(spark):
+    """The streamed per-epoch join-view states merged across epochs must
+    equal a23's batch maintenance row-for-row (both equal the full
+    recompute by their shared oracle; this check localizes a streaming-
+    side regression engine-internally)."""
+    from iot_big_data_engineering_spark.operators.sketches import (
+        a23_incremental_join_view,
+    )
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        st13_streaming_join_view,
+    )
+
+    from .conftest import SF_SMOKE
+
+    key = lambda r: (r.ship_month, r.o_orderpriority)  # noqa: E731
+    streamed = sorted(
+        st13_streaming_join_view(spark, SF_SMOKE).collect(), key=key
+    )
+    batch = sorted(
+        a23_incremental_join_view(spark, SF_SMOKE).collect(), key=key
+    )
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_st13_empty_fact_stable_schema(spark, tmp_path):
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        st13_streaming_join_view,
+    )
+
+    pd.DataFrame(
+        [], columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderdate", "o_orderpriority"],
+    ).astype({"o_orderkey": "int64", "o_custkey": "int64",
+              "o_orderstatus": "str", "o_totalprice": "float64",
+              "o_orderdate": "datetime64[us]", "o_orderpriority": "str"}
+    ).to_parquet(str(tmp_path / "orders.parquet"))
+    pd.DataFrame(
+        [], columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"],
+    ).astype({"l_orderkey": "int64", "l_partkey": "int64",
+              "l_suppkey": "int64", "l_linenumber": "int32",
+              "l_quantity": "float64", "l_extendedprice": "float64",
+              "l_discount": "float64", "l_tax": "float64",
+              "l_returnflag": "str", "l_linestatus": "str",
+              "l_shipdate": "datetime64[us]"}
+    ).to_parquet(str(tmp_path / "lineitem.parquet"))
+    df = st13_streaming_join_view(spark, str(tmp_path))
+    assert df.columns == ["ship_month", "o_orderpriority", "n_items",
+                          "revenue"]
+    assert df.count() == 0
