@@ -661,7 +661,14 @@ def mm8_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.select("doc_id", "text").unionByName(plants)
     thumbs = resize_payloads(with_binary_payload_from(corpus))
-    hashed = phash_thumbs(thumbs)
+    # the band self-join below consumes this tiny 2-column relation on
+    # BOTH sides — without the persist each side independently re-runs
+    # the full scan → plant collect → resize/phash Arrow kernel pipeline,
+    # doubling the two kernel passes the block comment budgets as one
+    # (r8 review finding)
+    from ..caching import track
+
+    hashed = track(phash_thumbs(thumbs).select("doc_id", "phash").persist())
     bands = hashed.select(
         "doc_id",
         "phash",

@@ -1919,15 +1919,34 @@ def dp11_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         ).persist()  # three consumers: eval build, train scan, verify
     )
-    eg = g.filter(~F.col("is_train")).select("gram").distinct()
-    bad = (
+    # eg and bad are each consumed TWICE (bad's build + the verify pass;
+    # the anti-join + the verify pass) — persist both tiny relations so
+    # the corpus-scale gram distinct runs once, not twice (r8 review
+    # finding: the same defect class dp10's preflight persist fixed)
+    eg = track(
+        g.filter(~F.col("is_train")).select("gram").distinct().persist()
+    )
+    bad = track(
         g.filter(F.col("is_train"))
         .join(F.broadcast(eg), "gram")  # bounded-by-design eval set
         .select("doc_id")
         .distinct()
+        .persist()
     )
-    n_bad = bad.count()  # drives the report AND keeps `bad` tiny/reusable
-    splits = s.groupBy("is_train").agg(F.count("*").alias("n"))
+    n_bad = bad.count()  # drives the report AND materializes the cache
+    # LEFT-join the observed per-side counts onto a static {train, eval}
+    # spine: a one-sided corpus (every doc hashing to one split) must
+    # still emit BOTH rows, as the oracle's scalar-subquery counts do —
+    # a groupBy alone drops the empty side and fails the driver's
+    # row-count gate (r8 review finding, reproduced empirically)
+    spine = spark.createDataFrame(
+        [(True,), (False,)], "is_train boolean"
+    )
+    splits = spine.join(
+        s.groupBy("is_train").agg(F.count("*").alias("n")),
+        "is_train",
+        "left",
+    ).select("is_train", F.coalesce("n", F.lit(0)).alias("n"))
     shared_after = (
         g.filter(F.col("is_train"))
         .join(bad, "doc_id", "left_anti")  # the CLEANED train grams

@@ -1273,9 +1273,13 @@ def st11_streaming_cms_maintenance(
         )
 
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            delta = cms_table(
-                batch_df.filter(F.col("user_id").isNotNull())
-            ).withColumn("epoch_id", F.lit(epoch_id))
+            delta = (
+                cms_table(batch_df.filter(F.col("user_id").isNotNull()))
+                .withColumn("epoch_id", F.lit(epoch_id))
+                .localCheckpoint()  # one computation: emptiness-checked
+                # AND written (st10's fix — isEmpty would otherwise run
+                # the batch aggregation once and the write a second time)
+            )
             if delta.isEmpty():
                 # "write the empty epoch" explicitly — same sparse-batch
                 # hardening as st10: an empty dynamic overwrite touches
@@ -1429,8 +1433,11 @@ def st12_streaming_scd2_maintenance(
                     "bal_new",
                 )
             )
-            frag = scd2_history_rows(mb).withColumn(
-                "epoch_id", F.lit(int(epoch_id))
+            frag = (
+                scd2_history_rows(mb)
+                .withColumn("epoch_id", F.lit(int(epoch_id)))
+                .localCheckpoint()  # one computation: emptiness-checked
+                # AND written (st10's fix)
             )
             if frag.isEmpty():
                 # write-the-empty-epoch hardening (st10/st11): an empty
@@ -1571,6 +1578,8 @@ def st13_streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum(_j_disc_price()).alias("rev"),  # DECIMAL partial
                 )
                 .withColumn("epoch_id", F.lit(int(epoch_id)))
+                .localCheckpoint()  # one computation: emptiness-checked
+                # AND written (st10's fix)
             )
             if state.isEmpty():
                 # write-the-empty-epoch hardening (st10/st11/st12)

@@ -765,3 +765,54 @@ def test_dp14_empty_corpus_stable_schema(spark, tmp_path):
     assert df.columns == ["source", "avail_tokens", "weight",
                           "target_tokens", "picked_docs", "picked_tokens"]
     assert df.count() == 0
+
+
+def test_dp11_one_sided_split_emits_both_rows(spark, tmp_path):
+    """A corpus whose every doc hashes into the train side must still
+    report BOTH split rows (eval with zero counts), exactly as the
+    oracle's scalar-subquery counts do — a bare groupBy drops the empty
+    side and fails the driver's row-count gate (r8 review finding,
+    reproduced empirically before the fix)."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _DP9_TRAIN_CUT,
+        dp11_split_decontamination,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    train_ids = [
+        i for i in range(500)
+        if (i * 2654435761) % (2**32) < _DP9_TRAIN_CUT
+    ][:4]
+    assert len(train_ids) == 4
+    df = pd.DataFrame(
+        [(i, f"t{i} a b c d e f g h", "en", "s", 20) for i in train_ids],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.split: r
+        for r in dp11_split_decontamination(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"train", "eval"}
+    assert got["eval"].n_docs_before == 0
+    assert got["eval"].n_docs_after == 0
+    assert got["train"].n_docs_before == 4
+    assert got["train"].n_removed == 0  # nothing to leak into
+    assert got["train"].clean_no_overlap
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    duck = {
+        r[0]: r
+        for r in con.execute(
+            all_queries()["dp11_split_decontamination"].oracle
+        ).fetchall()
+    }
+    assert set(duck) == set(got)
+    for k in got:
+        assert (got[k].n_docs_before, got[k].n_docs_after,
+                got[k].n_removed, got[k].clean_no_overlap) == duck[k][1:]
