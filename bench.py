@@ -130,6 +130,7 @@ HEADLINE = [
     "dp13_reproducible_shuffle",
     "dp14_temperature_mix",
     "a23_incremental_join_view",
+    "d11_neardup_keep_best",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

@@ -1237,3 +1237,124 @@ def dc1_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_scan(
         _docs_par(spark, sf_dir), F.col("doc_id") % _DC1_MOD == _DC1_REM
     )
+
+
+# ---------------------------------------------------------------------------
+# D11 — near-dup KEEP-BEST policy: within each near-duplicate cluster,
+# keep the HIGHEST-QUALITY member instead of the lowest-id canonical.
+# Production curation keeps best, not first — near-dup clusters mix a
+# clean original with boilerplate-wrapped or truncated variants, and
+# min-id keeps whichever happened to be crawled first. (For EXACT dedup
+# the policy is vacuous — identical text ⇒ identical quality — which is
+# why d2 keeps min-id; the policy only bites where texts differ, i.e.
+# on d8's Jaccard clusters.) Ordering uses the ROUNDED quality (t2's
+# hash-gated cross-engine double) with doc_id as the tie-break, so the
+# argmax is deterministic on both engines.
+#
+# Output is one row per cluster with both policies side by side:
+# kept (argmax-quality) vs canonical (min-id, == cluster_id by the CC
+# labeling), and the quality_gain the policy buys — structurally ≥ 0,
+# asserted by a test. Scale shape: d8's prefix-filtered candidate join
+# and the CC label loop do the heavy lifting (both already built for
+# 100 TB); the policy itself is one window rank over cluster members —
+# |clustered docs| rows, shuffled once on cluster_id.
+# ---------------------------------------------------------------------------
+@register(
+    "d11_neardup_keep_best",
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+shs AS (SELECT doc_id, {X.sql_shingles_from_tokens("toks", 3)} AS sh FROM tok),
+szs AS (SELECT doc_id, sh, len(sh) AS sz FROM shs WHERE len(sh) > 0),
+exs AS (SELECT doc_id, sz, unnest(sh) AS s FROM szs),
+co AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         a.sz AS sz_a, b.sz AS sz_b, count(*) AS o
+  FROM exs a JOIN exs b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+edges AS (
+  SELECT src, dst FROM co
+  WHERE CAST(o AS DOUBLE) / (sz_a + sz_b - o) >= 0.5
+),
+sym AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+reach AS (
+  SELECT a AS node, b AS peer FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.peer = s.a
+),
+comp AS (
+  SELECT node AS doc_id, least(node, min(peer)) AS cluster_id
+  FROM reach GROUP BY node
+),
+members AS (
+  SELECT c.cluster_id, d.doc_id,
+         round({X.sql_quality_score("text")}, {_R}) AS q
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT cluster_id, doc_id, q,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY q DESC, doc_id) AS rb,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS cluster_size
+  FROM members
+)
+SELECT r.cluster_id, r.cluster_size,
+       r.doc_id AS kept_doc_id, r.q AS kept_quality,
+       m.q AS canonical_quality,
+       round(r.q - m.q, {_R}) AS quality_gain
+FROM ranked r
+JOIN members m ON m.cluster_id = r.cluster_id AND m.doc_id = r.cluster_id
+WHERE r.rb = 1
+""",
+    doc=(
+        "D11: near-dup keep-best — highest-quality member per Jaccard "
+        "cluster vs the min-id canonical, with the quality gain"
+    ),
+)
+def d11_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = prefix_jaccard_pairs(_docs_par(spark, sf_dir), 0.5).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    )
+    members = track(
+        comp.join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            fround(X.quality_score("text"), _R).alias("q"),
+        )
+        .persist()  # two consumers: the argmax rank and the canonical join
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = members.withColumn(
+        "rb", F.row_number().over(w.orderBy(F.col("q").desc(), "doc_id"))
+    ).withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+    best = ranked.filter(F.col("rb") == 1).select(
+        "cluster_id",
+        "cluster_size",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("q").alias("kept_quality"),
+    )
+    canonical = members.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("cluster_id", F.col("q").alias("canonical_quality"))
+    return best.join(canonical, "cluster_id").select(
+        "cluster_id",
+        "cluster_size",
+        "kept_doc_id",
+        "kept_quality",
+        "canonical_quality",
+        fround(
+            F.col("kept_quality") - F.col("canonical_quality"), _R
+        ).alias("quality_gain"),
+    )

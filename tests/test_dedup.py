@@ -270,3 +270,59 @@ def test_band_table_shape_and_copy_collision(spark, docs):
     )
     # every (orig, copy) pair collides in all N_BANDS bands
     assert joined.count() == len(per_doc) // 2 * N_BANDS
+
+
+# d11 near-dup keep-best (round-8 addition)
+
+def test_d11_keeps_highest_quality_member(spark, tmp_path):
+    """A planted 3-doc near-dup cluster (pairwise trigram Jaccard >= 0.5)
+    with one clearly higher-quality member: keep-best must choose it
+    over the min-id canonical and report a positive gain."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.dedup import (
+        d11_neardup_keep_best,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        # doc 0: the min-id canonical, truncated (lower length quality)
+        (0, base.rsplit(" ", 6)[0]),
+        # doc 1: the full, longest variant -> highest quality score
+        (1, base + " phi chi psi omega extra tokens appended here now"),
+        # doc 2: mid-length variant
+        (2, base),
+    ]
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    out = d11_neardup_keep_best(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cluster_id == 0 and r.cluster_size == 3
+    assert r.kept_doc_id == 1
+    assert r.kept_quality > r.canonical_quality
+    assert r.quality_gain > 0
+
+
+def test_d11_gain_nonnegative_and_nonvacuous(spark):
+    """Structurally, the argmax member's quality can never be below the
+    min-id member's; and on the real corpus at least one cluster must
+    show a strictly positive gain (else the policy certificate is
+    vacuous)."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        d11_neardup_keep_best,
+    )
+
+    from .conftest import SF_SMOKE
+
+    rows = d11_neardup_keep_best(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.quality_gain >= 0, r
+        assert r.kept_quality >= r.canonical_quality, r
+        assert r.cluster_size >= 2, r
+    assert any(r.quality_gain > 0 for r in rows)
