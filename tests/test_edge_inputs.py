@@ -639,3 +639,75 @@ def test_adv14_null_balance_is_null_safe_on_both_engines(spark, tmp_path):
         ).fetchall()
     }
     assert duck == rows  # the two engines agree INCLUDING the null rows
+
+
+def test_dq5_profile_matches_pandas_on_random_frame(spark, tmp_path):
+    """dq5's six profile legs vs an independent pandas computation on a
+    seeded random orders frame with ~20% NULLs in every column — null
+    counts, exact cardinalities, and typed min/max must all agree."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq5_table_profile,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 500
+
+    def mask(vals):
+        return [None if rng.random() < 0.2 else v for v in vals]
+
+    df = pd.DataFrame(
+        {
+            "o_orderkey": pd.array(
+                mask([int(x) for x in rng.integers(0, 200, n)]),
+                dtype="Int64",
+            ),
+            "o_custkey": pd.array(
+                mask([int(x) for x in rng.integers(0, 50, n)]),
+                dtype="Int64",
+            ),
+            "o_orderstatus": mask(
+                [str(x) for x in rng.choice(["O", "F", "P"], n)]
+            ),
+            "o_totalprice": pd.array(
+                mask([round(float(x), 2) for x in rng.uniform(1, 9, n)]),
+                dtype="Float64",
+            ),
+            "o_orderdate": mask(
+                [dt.datetime(2024, 1, 1) + dt.timedelta(days=int(x))
+                 for x in rng.integers(0, 90, n)]
+            ),
+            "o_orderpriority": mask(
+                [str(x) for x in rng.choice(["1-URGENT", "5-LOW"], n)]
+            ),
+        }
+    )
+    df.to_parquet(str(tmp_path / "orders.parquet"))
+
+    prof = {
+        r.column_name: r
+        for r in dq5_table_profile(spark, str(tmp_path)).collect()
+    }
+    for col in df.columns:
+        s = df[col]
+        r = prof[col]
+        assert r.n_rows == n, col
+        assert r.n_null == int(s.isna().sum()), col
+        assert r.n_distinct == int(s.dropna().nunique()), col
+        nn = s.dropna()
+        if col in ("o_orderkey", "o_custkey", "o_totalprice"):
+            assert r.num_min == float(nn.min()) and r.num_max == float(
+                nn.max()
+            ), col
+            assert r.str_min is None and r.str_max is None, col
+        else:
+            want_min, want_max = min(nn), max(nn)
+            if col == "o_orderdate":
+                want_min = want_min.strftime("%Y-%m-%d %H:%M:%S")
+                want_max = want_max.strftime("%Y-%m-%d %H:%M:%S")
+            assert (r.str_min, r.str_max) == (want_min, want_max), col
+            assert r.num_min is None and r.num_max is None, col
