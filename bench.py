@@ -131,6 +131,7 @@ HEADLINE = [
     "dp14_temperature_mix",
     "a23_incremental_join_view",
     "d11_neardup_keep_best",
+    "t15_vocab_coverage",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

@@ -2292,3 +2292,98 @@ def dp14_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return t.join(p, "source")
+
+
+# ---------------------------------------------------------------------------
+# T15 — vocabulary coverage curve: what fraction of the corpus's token
+# mass the top-k terms cover, for k ∈ {100, 1k, 10k} — the measurement
+# that sizes a tokenizer vocabulary (t13 gives the vocab GROWTH law,
+# t14 the rank-frequency law; t15 integrates them into the decision
+# curve: "how much of the stream does a k-entry vocab explain").
+# The testdata generator draws from a ~31-word vocabulary, so the ks
+# are sized to DISCRIMINATE on it (1/5/10 give non-trivial fractions)
+# plus one deliberately vocab-exceeding k whose coverage must be
+# exactly 1.0 (the exhausted-vocabulary branch); on a real corpus the
+# same query runs with {100, 1k, 10k, 100k}.
+#
+# Scale shape: one (term) count shuffle with map-side combine, then
+# each k is a TOP-K selection — orderBy(cnt desc, term).limit(k) plans
+# as TakeOrderedAndProject (per-partition heaps + a k-row merge), NEVER
+# a global sort — over the persisted count relation, and a one-row
+# total joins in by broadcast. The tie at the k boundary is broken by
+# the term string so both engines pick the identical cut.
+# ---------------------------------------------------------------------------
+_T15_KS = [1, 5, 10, 10000]
+
+
+def _t15_leg_sql(k: int) -> str:
+    return f"""
+SELECT {k} AS vocab_k,
+       CAST((SELECT coalesce(sum(cnt), 0) FROM
+         (SELECT cnt FROM counts ORDER BY cnt DESC, term LIMIT {k}))
+         AS BIGINT) AS covered_tokens,
+       CAST((SELECT coalesce(sum(cnt), 0) FROM counts) AS BIGINT)
+         AS total_tokens,
+       CASE WHEN (SELECT coalesce(sum(cnt), 0) FROM counts) > 0
+            THEN round(
+              CAST((SELECT coalesce(sum(cnt), 0) FROM
+                (SELECT cnt FROM counts ORDER BY cnt DESC, term LIMIT {k}))
+                AS DOUBLE)
+              / (SELECT coalesce(sum(cnt), 0) FROM counts), {_R})
+            ELSE NULL END AS coverage
+"""
+
+
+@register(
+    "t15_vocab_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({X.sql_tokens("text")}) AS term FROM documents
+),
+counts AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+)
+{" UNION ALL ".join(_t15_leg_sql(k) for k in _T15_KS)}
+""",
+    doc=(
+        "T15: vocabulary coverage curve — token mass covered by the "
+        "top-{100,1k,10k} terms (tokenizer-sizing measurement)"
+    ),
+)
+def t15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = track(
+        _docs(spark, sf_dir)
+        .select(F.explode(X.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .persist()  # four consumers: the total + one top-k leg per k
+    )
+    total = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("total_tokens")
+    )
+    legs = []
+    for k in _T15_KS:
+        topk = counts.orderBy(F.col("cnt").desc(), "term").limit(k)
+        legs.append(
+            topk.agg(
+                F.coalesce(F.sum("cnt"), F.lit(0))
+                .cast("bigint")
+                .alias("covered_tokens")
+            ).select(F.lit(k).cast("int").alias("vocab_k"), "covered_tokens")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.crossJoin(F.broadcast(total)).select(
+        "vocab_k",
+        "covered_tokens",
+        "total_tokens",
+        F.when(
+            F.col("total_tokens") > 0,
+            fround(
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens"),
+                _R,
+            ),
+        ).alias("coverage"),
+    )

@@ -262,7 +262,7 @@ _WINDOW_DEFERRED = [
     "st12_streaming_scd2_maintenance", "dp13_reproducible_shuffle",
     "s11_knn_tombstone_delete", "dp14_temperature_mix",
     "a23_incremental_join_view", "st13_streaming_join_view",
-    "d11_neardup_keep_best",
+    "d11_neardup_keep_best", "t15_vocab_coverage",
 ]
 
 

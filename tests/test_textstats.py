@@ -816,3 +816,63 @@ def test_dp11_one_sided_split_emits_both_rows(spark, tmp_path):
     for k in got:
         assert (got[k].n_docs_before, got[k].n_docs_after,
                 got[k].n_removed, got[k].clean_no_overlap) == duck[k][1:]
+
+
+def test_t15_coverage_hand_case_with_boundary_tie(spark, tmp_path):
+    """Known term frequencies with a TIE at the k=1 boundary ('zz' and
+    'aa' both x3): the (cnt DESC, term ASC) cut must pick 'aa' on both
+    engines; coverages are exact small-integer ratios."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t15_vocab_coverage,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    # zz x3, aa x3, bb x2, cc x1, dd x1  -> total 10
+    text = "zz zz zz aa aa aa bb bb cc dd"
+    df = pd.DataFrame(
+        [(0, text, "en", "s", len(text))],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.vocab_k: r for r in t15_vocab_coverage(spark, str(tmp_path)).collect()
+    }
+    assert got[1].covered_tokens == 3  # 'aa' wins the tie, not 'zz'
+    assert got[1].coverage == 0.3
+    assert got[5].covered_tokens == 10 and got[5].coverage == 1.0
+    assert got[10000].coverage == 1.0
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    duck = {
+        r[0]: r
+        for r in con.execute(
+            all_queries()["t15_vocab_coverage"].oracle
+        ).fetchall()
+    }
+    for k, r in got.items():
+        assert (r.covered_tokens, r.total_tokens, r.coverage) == duck[k][1:], k
+
+
+def test_t15_empty_corpus_null_coverage(spark, tmp_path):
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _T15_KS,
+        t15_vocab_coverage,
+    )
+
+    pd.DataFrame(
+        [], columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype(
+        {"doc_id": "int64", "text": "str", "lang": "str", "source": "str",
+         "n_chars": "int64"}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    rows = t15_vocab_coverage(spark, str(tmp_path)).collect()
+    assert sorted(r.vocab_k for r in rows) == sorted(_T15_KS)
+    for r in rows:
+        assert r.covered_tokens == 0 and r.total_tokens == 0
+        assert r.coverage is None
