@@ -2347,7 +2347,7 @@ counts AS (
 """,
     doc=(
         "T15: vocabulary coverage curve — token mass covered by the "
-        "top-{100,1k,10k} terms (tokenizer-sizing measurement)"
+        "top-k terms, k in _T15_KS (tokenizer-sizing measurement)"
     ),
 )
 def t15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2356,7 +2356,7 @@ def t15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(X.tokens("text")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("cnt"))
-        .persist()  # four consumers: the total + one top-k leg per k
+        .persist()  # len(_T15_KS)+1 consumers: the total + one leg per k
     )
     total = counts.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("total_tokens")
