@@ -348,6 +348,16 @@ def _maybe_pin(here: str, this_round: int, detail: dict) -> None:
         for n in set(old_q) | set(new_q)
     }
     repin["value"] = round(sum(repin["queries"].values()), 3)
+    # the min-merge composes per-query minima from TWO different runs, so
+    # the headline total was never measured in any single run — mark it
+    # and keep both raw totals so the record stays auditable (ADVICE r8:
+    # "value" and "samples" must not silently describe different
+    # measurements)
+    repin["value_synthetic"] = True
+    repin["run_totals"] = {
+        "pinned": pinned.get("value"),
+        "rerun": detail.get("value"),
+    }
     repin["repinned_over"] = {
         "queries": old_q,
         "samples": pinned.get("samples"),

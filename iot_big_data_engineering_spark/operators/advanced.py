@@ -1165,7 +1165,12 @@ def scd2_inputs(spark: SparkSession, sf_dir: str):
     snap = c.filter(F.col("h") != 2).select(
         "c_custkey",
         F.when(
-            F.col("h") == 0, F.round(F.col("c_acctbal") + F.lit(100.0), 2)
+            # fround, NOT F.round: the oracle's round() is floor-rewritten
+            # by registry._rewrite_rounds, so the Spark side must evaluate
+            # the identical floor(x*100+0.5)/100 double expression or the
+            # one F.round in the engine sits on a hash-compared column
+            # (VERDICT r8 What's-wrong #2)
+            F.col("h") == 0, fround(F.col("c_acctbal") + F.lit(100.0), 2)
         )
         .otherwise(F.col("c_acctbal"))
         .alias("bal_new"),

@@ -561,7 +561,10 @@ _MM8_STRIDE = 4       # sample thumb byte j*4 for bit j (covers bytes 0..244)
 _MM8_BANDS = 4        # 16-bit bands (last covers the top 14 bits)
 _MM8_HAM_MAX = 6      # exact-verify threshold on candidates
 _MM8_N_PLANT = 5      # planted exact copies (non-vacuity certificate)
-_MM8_PLANT_OFFSET = 1_000_000_000
+# plant ids sit at doc_id + (max(doc_id) + 1), DERIVED on both engines
+# from the same relation — a fixed offset (the r8 shape, 1e9) collides
+# with real ids exactly at the billions-of-docs scale the hash-overflow
+# work targets, silently corrupting the pair certificate (r8 advice)
 
 
 def phash_thumbs(thumbs: DataFrame) -> DataFrame:
@@ -601,7 +604,7 @@ WITH ascii_docs AS (
 planted AS (
   SELECT doc_id, text FROM ascii_docs
   UNION ALL
-  SELECT doc_id + {_MM8_PLANT_OFFSET}, text FROM (
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM ascii_docs), text FROM (
     SELECT doc_id, text FROM ascii_docs
     ORDER BY doc_id LIMIT {_MM8_N_PLANT}
   )
@@ -652,11 +655,17 @@ def mm8_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.encode("text", "UTF-8")) == F.length("text")
     ) & (F.length("text") > 0)
     docs = load_table(spark, sf_dir, "documents").filter(ascii_guard)
+    # bounded driver action (one MAX row): the collision-proof offset is
+    # max(doc_id) + 1, recomputed identically by the oracle's scalar
+    # subquery; 0 on an empty corpus (no plants exist then anyway)
+    plant_offset = (
+        docs.agg(F.max("doc_id").alias("mx")).first().mx or -1
+    ) + 1
     plants = (
         docs.orderBy("doc_id")
         .limit(_MM8_N_PLANT)
         .select(
-            (F.col("doc_id") + _MM8_PLANT_OFFSET).alias("doc_id"), "text"
+            (F.col("doc_id") + F.lit(plant_offset)).alias("doc_id"), "text"
         )
     )
     corpus = docs.select("doc_id", "text").unionByName(plants)

@@ -1474,8 +1474,14 @@ def pq_train_codebooks(e: DataFrame, m: int = _PQ_M, ks: int = _PQ_KS):
     )
     n, dim = X.shape
     sub = dim // m
-    books = np.zeros((m, ks, sub))
+    # effective k = min(ks, n): with a training sample smaller than ks,
+    # the books are SLICED to the k trained codewords rather than padded
+    # with zero vectors — an untrained zero codeword can win argmin for
+    # real vectors near the origin, silently degrading quantization
+    # (r8 advice); every consumer reads ks from books.shape, so encode
+    # and the ADC LUTs stay aligned automatically
     k = min(ks, n)
+    books = np.zeros((m, k, sub))
     for s in range(m):
         Xs = X[:, s * sub : (s + 1) * sub]
         cb = Xs[:k].copy()  # deterministic seed: first k sample rows
@@ -1486,7 +1492,7 @@ def pq_train_codebooks(e: DataFrame, m: int = _PQ_M, ks: int = _PQ_KS):
                 mask = a == j
                 if mask.any():
                     cb[j] = Xs[mask].mean(0)
-        books[s, :k] = cb
+        books[s] = cb
     return books
 
 

@@ -1833,11 +1833,13 @@ def t14_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dimension; production runs both) and dc1's n-gram scan finds the
 # contamination.
 #
-# Scale contract (same as dc1): the broadcast of the eval gram table is
-# sound because an EVAL set is bounded BY DESIGN (~10% cut here is a
-# gate-data stand-in; production eval sets are fixed benchmark suites
-# that do not grow with the corpus). The train-side gram stream then
-# joins map-only — no corpus shuffle. The verify pass re-joins the
+# Scale contract: an EVAL set is bounded BY DESIGN in production (fixed
+# benchmark suites that do not grow with the corpus), but the gate-data
+# stand-in here is a ~10% hash SLICE — linear in the corpus — so the
+# broadcast is preflight-GATED at _DP11_BCAST_MAX rows (dp10's pattern,
+# VERDICT r8 advice): under the ceiling the train-side gram stream joins
+# map-only with no corpus shuffle; above it both eval joins fall back to
+# shuffled hash joins. The verify pass re-joins the
 # CLEANED train grams against the eval grams and must find zero
 # overlap; it reads the persisted gram table, so the certificate costs
 # one more bounded-build broadcast join, not a re-tokenize.
@@ -1849,6 +1851,10 @@ def t14_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both hash-fail.
 # ---------------------------------------------------------------------------
 _DP11_N = 8  # n-gram width (dc1's benchmark-decontamination standard)
+# broadcast ceiling for the distinct eval-gram relation (dp10's gate
+# pattern): ~40 B/row → ≲80 MB build side; above it both eval joins
+# run as shuffled hash joins instead of OOMing the driver
+_DP11_BCAST_MAX = 2_000_000
 
 
 @register(
@@ -1903,7 +1909,27 @@ FROM counts ORDER BY split
 def dp11_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _docs_par
 
-    s = _docs_par(spark, sf_dir).select(
+    return split_decontamination(_docs_par(spark, sf_dir))
+
+
+def _dp11_gated_eval_side(eg: DataFrame, n_eval_grams: int, bcast_max: int):
+    """The gate itself, separated so tests can plan-assert the hint is
+    present under the ceiling and absent above it; dp11's two eval joins
+    both build against the returned side."""
+    return F.broadcast(eg) if n_eval_grams <= bcast_max else eg
+
+
+def split_decontamination(
+    d: DataFrame, bcast_max: int = _DP11_BCAST_MAX
+) -> DataFrame:
+    """dp11 core over any (doc_id, text) frame — separated so tests can
+    drive the gated-broadcast fallback (dp10's pattern, VERDICT r8
+    advice: eval here is a hash SLICE of the corpus, so the eval-gram
+    relation grows with corpus size and an unconditional broadcast OOMs
+    the driver at the design point; production eval suites are bounded,
+    but the code must enforce the bound, not assume it)."""
+    spark = d.sparkSession
+    s = d.select(
         "doc_id",
         X.tokens("text").alias("toks"),
         (
@@ -1926,9 +1952,13 @@ def dp11_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eg = track(
         g.filter(~F.col("is_train")).select("gram").distinct().persist()
     )
+    # dp10-style preflight gate: the count reads the PERSISTED eg, so the
+    # gate costs one cached-scan action; above the ceiling the hint drops
+    # and both eval joins fall back to shuffled hash joins
+    eg_right = _dp11_gated_eval_side(eg, eg.count(), bcast_max)
     bad = track(
         g.filter(F.col("is_train"))
-        .join(F.broadcast(eg), "gram")  # bounded-by-design eval set
+        .join(eg_right, "gram")
         .select("doc_id")
         .distinct()
         .persist()
@@ -1950,7 +1980,7 @@ def dp11_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared_after = (
         g.filter(F.col("is_train"))
         .join(bad, "doc_id", "left_anti")  # the CLEANED train grams
-        .join(F.broadcast(eg), "gram")
+        .join(eg_right, "gram")
         .count()
     )
     clean = F.lit(shared_after == 0)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from ..functions.rounding import fround
 from ..schema import SENSOR_TYPES
 
 BASE_LAT = 47.4979
@@ -36,7 +37,7 @@ def _u(seed: int, salt: str, id_col: str = "id") -> Column:
 
 
 def _uniform(seed: int, salt: str, lo: float, hi: float, dp: int) -> Column:
-    return F.round(_u(seed, salt) * (hi - lo) + lo, dp)
+    return fround(_u(seed, salt) * (hi - lo) + lo, dp)
 
 
 def _uniform_int(seed: int, salt: str, lo: int, hi: int) -> Column:
@@ -131,8 +132,8 @@ def generate_from_ids(
         ).alias("magnetometer"),
     )
     gps = F.struct(
-        F.round(F.lit(BASE_LAT) + (_u(s, "g_lat") - 0.5) * 0.02, 6).alias("latitude"),
-        F.round(F.lit(BASE_LON) + (_u(s, "g_lon") - 0.5) * 0.02, 6).alias("longitude"),
+        fround(F.lit(BASE_LAT) + (_u(s, "g_lat") - 0.5) * 0.02, 6).alias("latitude"),
+        fround(F.lit(BASE_LON) + (_u(s, "g_lon") - 0.5) * 0.02, 6).alias("longitude"),
         _uniform(s, "g_alt", 100.0, 200.0, 1).alias("altitude"),
         F.when(anomalous, _uniform(s, "g_speed_a", 200.01, 300.0, 2))
         .otherwise(_uniform(s, "g_speed", 0.0, 120.0, 2))
@@ -190,8 +191,8 @@ def generate_from_ids(
         F.when(null_row & (null_pick == 4), F.lit(None)).otherwise(
             F.col("sensor_type")
         ).alias("sensor_type"),
-        F.round(F.lit(BASE_LAT) + (_u(s, "lat") - 0.5) * 0.2, 6).alias("latitude"),
-        F.round(F.lit(BASE_LON) + (_u(s, "lon") - 0.5) * 0.2, 6).alias("longitude"),
+        fround(F.lit(BASE_LAT) + (_u(s, "lat") - 0.5) * 0.2, 6).alias("latitude"),
+        fround(F.lit(BASE_LON) + (_u(s, "lon") - 0.5) * 0.2, 6).alias("longitude"),
         measurements.alias("measurements"),
         metadata.alias("metadata"),
     )

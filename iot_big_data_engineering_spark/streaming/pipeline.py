@@ -1304,10 +1304,17 @@ def st11_streaming_cms_maintenance(
         )
         q.awaitTermination()
         data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        if len(data_batches) < 2:  # RuntimeError, not assert (-O strips)
+        # >=2 data batches certify the cross-epoch sketch merge across
+        # epochs; exactly 1 (possible on a tiny or hash-skewed corpus
+        # where every row lands in one xxhash64 slice) still certifies
+        # the degenerate case — merge of one delta must equal one-pass —
+        # so fall back instead of raising (r8 advice). 0 is unreachable
+        # here (the non-empty guard above ensures at least one slice has
+        # rows), so it stays a loud invariant failure.
+        if len(data_batches) < 1:  # RuntimeError, not assert (-O strips)
             raise RuntimeError(
-                f"st11 needs >=2 data micro-batches to certify the "
-                f"cross-epoch sketch merge; got {len(data_batches)}"
+                f"st11 saw a non-empty input yet no data micro-batch "
+                f"arrived; got {len(data_batches)}"
             )
 
         merged = (
@@ -1464,10 +1471,17 @@ def st12_streaming_scd2_maintenance(
         )
         q.awaitTermination()
         data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        if len(data_batches) < 2:  # RuntimeError, not assert (-O strips)
+        # >=2 data batches certify the cross-epoch history assembly across
+        # epochs; exactly 1 (possible on a tiny or hash-skewed corpus
+        # where every row lands in one xxhash64 slice) still certifies
+        # the degenerate case — merge of one delta must equal one-pass —
+        # so fall back instead of raising (r8 advice). 0 is unreachable
+        # here (the non-empty guard above ensures at least one slice has
+        # rows), so it stays a loud invariant failure.
+        if len(data_batches) < 1:  # RuntimeError, not assert (-O strips)
             raise RuntimeError(
-                f"st12 needs >=2 data micro-batches to certify the "
-                f"cross-epoch history assembly; got {len(data_batches)}"
+                f"st12 saw a non-empty input yet no data micro-batch "
+                f"arrived; got {len(data_batches)}"
             )
 
         frags = spark.read.parquet(state_dir).select(*cols)
@@ -1603,10 +1617,17 @@ def st13_streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        if len(data_batches) < 2:  # RuntimeError, not assert (-O strips)
+        # >=2 data batches certify the cross-epoch state merge across
+        # epochs; exactly 1 (possible on a tiny or hash-skewed corpus
+        # where every row lands in one xxhash64 slice) still certifies
+        # the degenerate case — merge of one delta must equal one-pass —
+        # so fall back instead of raising (r8 advice). 0 is unreachable
+        # here (the non-empty guard above ensures at least one slice has
+        # rows), so it stays a loud invariant failure.
+        if len(data_batches) < 1:  # RuntimeError, not assert (-O strips)
             raise RuntimeError(
-                f"st13 needs >=2 data micro-batches to certify the "
-                f"cross-epoch state merge; got {len(data_batches)}"
+                f"st13 saw a non-empty input yet no data micro-batch "
+                f"arrived; got {len(data_batches)}"
             )
 
         merged = (

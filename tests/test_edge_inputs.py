@@ -711,3 +711,52 @@ def test_dq5_profile_matches_pandas_on_random_frame(spark, tmp_path):
                 want_max = want_max.strftime("%Y-%m-%d %H:%M:%S")
             assert (r.str_min, r.str_max) == (want_min, want_max), col
             assert r.num_min is None and r.num_max is None, col
+
+
+def test_adv14_round_boundary_agrees_on_both_engines(spark, tmp_path):
+    """VERDICT r8 What's-wrong #2 regression: the h=0 balance bump is the
+    engine's one rounded hash-compared column, so it must use fround, not
+    F.round. Probe it with a balance constructed so that
+    (c_acctbal + 100.0) = 16.205 in double — a value whose binary form
+    sits just BELOW the half-boundary while its shortest decimal string
+    sits ON it: Spark's F.round (string HALF_UP) gives 16.21, the shared
+    floor formula gives 16.20, and the floor-rewritten DuckDB oracle
+    gives 16.20. Both engines must emit 16.20 — the F.round answer is
+    asserted absent."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        adv14_scd2_snapshot_merge,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    def h(key: int) -> int:
+        return (key * 2654435761) % (2**32) % 10
+
+    changed = next(k for k in range(1, 2000) if h(k) == 0)
+    bal = 16.205 - 100.0  # x + 100.0 == 16.205 exactly in double
+    assert bal + 100.0 == 16.205
+    df = pd.DataFrame(
+        [(changed, "b", 1, bal, "B")],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    )
+    df.to_parquet(str(tmp_path / "customer.parquet"))
+
+    spark_rows = {
+        (r.scd_action, r.acctbal)
+        for r in adv14_scd2_snapshot_merge(spark, str(tmp_path)).collect()
+    }
+    assert ("updated", 16.20) in spark_rows, spark_rows
+    assert ("updated", 16.21) not in spark_rows  # the F.round answer
+
+    con = duckdb.connect()
+    con.register("customer", df)
+    duck_rows = {
+        (r[5], r[1])
+        for r in con.execute(
+            all_queries()["adv14_scd2_snapshot_merge"].oracle
+        ).fetchall()
+    }
+    assert duck_rows == spark_rows

@@ -153,23 +153,22 @@ def test_mm8_planted_copies_at_hamming_zero(spark):
 
     from iot_big_data_engineering_spark.operators.multimodal import (
         _MM8_N_PLANT,
-        _MM8_PLANT_OFFSET,
         mm8_phash_neardup,
     )
     from iot_big_data_engineering_spark.sources.tables import load_table
 
     from .conftest import SF_SMOKE
 
+    ascii_docs = load_table(spark, SF_SMOKE, "documents").filter(
+        (F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
+        & (F.length("text") > 0)
+    )
+    # the plant offset is DERIVED (max(doc_id) + 1, r8-advice collision
+    # fix) — recompute it the same way the operator does
+    plant_offset = ascii_docs.agg(F.max("doc_id").alias("m")).first().m + 1
     ascii_ids = [
         r.doc_id
-        for r in load_table(spark, SF_SMOKE, "documents")
-        .filter(
-            (F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
-            & (F.length("text") > 0)
-        )
-        .orderBy("doc_id")
-        .limit(_MM8_N_PLANT)
-        .collect()
+        for r in ascii_docs.orderBy("doc_id").limit(_MM8_N_PLANT).collect()
     ]
     pairs = {
         (r.doc_a, r.doc_b): r.hamming
@@ -177,7 +176,10 @@ def test_mm8_planted_copies_at_hamming_zero(spark):
     }
     assert len(ascii_ids) == _MM8_N_PLANT
     for did in ascii_ids:
-        assert pairs.get((did, did + _MM8_PLANT_OFFSET)) == 0, did
+        assert pairs.get((did, did + plant_offset)) == 0, did
+    # and no planted id may collide with a real id
+    real_max = plant_offset - 1
+    assert all(did + plant_offset > real_max for did in ascii_ids)
 
 
 def test_mm8_phash_kernel_matches_reference(spark):

@@ -38,3 +38,39 @@ def test_window_fills_driver_slots_exactly():
 def test_window_is_registry_prefix():
     names = list(registry.all_queries())
     assert names[: len(registry._WINDOW_FIRST)] == registry._WINDOW_FIRST
+
+
+def test_registration_budget():
+    """VERDICT r8 demand #3, mechanically: the NEXT round's 50-slot
+    window must be able to absorb (a) every deferred query that has
+    never faced the external gate (this round's additions) plus (b) the
+    deferred cohort holding the OLDEST driver evidence (the promised
+    next-round rotation). Round 8 followed every placement rule yet
+    tripled the never-gated set — the missing rule was rate, and this
+    assertion is that rule: it fails the moment a round registers more
+    new queries than the next window can drain."""
+    import os
+
+    import correctness_diff as cd
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = cd.load_rounds(here)
+    newest_green: dict[str, int] = {}
+    for n, statuses in sorted(rounds.items()):
+        if n < cd._REGEN_ROUND:
+            continue
+        for q, s in statuses.items():
+            if s in ("green", "rows_only"):
+                newest_green[q] = n
+    deferred = registry._WINDOW_DEFERRED
+    never_gated = [q for q in deferred if q not in newest_green]
+    vintages = [newest_green[q] for q in deferred if q in newest_green]
+    oldest = min(vintages) if vintages else None
+    oldest_cohort = [q for q in deferred if newest_green.get(q) == oldest]
+    need = len(never_gated) + len(oldest_cohort)
+    assert need <= _DRIVER_WINDOW_SLOTS, (
+        f"next window cannot absorb the backlog: {len(never_gated)} "
+        f"never-gated additions + {len(oldest_cohort)} oldest-vintage "
+        f"(r{oldest}) rotations = {need} > {_DRIVER_WINDOW_SLOTS} slots; "
+        f"stop registering and let the rotation drain"
+    )

@@ -79,3 +79,53 @@ def test_floor_formula_is_round_half_up(x, n):
         assert got == int(scaled) / p
     else:
         assert abs(got * p - scaled) <= 0.5 + 1e-9
+
+
+def test_no_engine_native_round_outside_rounding_module():
+    """VERDICT r8 demand #2: ``F.round`` must appear nowhere in the
+    package — every rounded value on (or feeding) a hash-compared column
+    goes through functions/rounding.fround, whose floor arithmetic is the
+    exact form registry._rewrite_rounds writes into every oracle. An
+    engine-native F.round anywhere is a latent cross-engine boundary
+    divergence (Spark rounds the shortest-decimal string, DuckDB the
+    binary value), so the ban is package-wide, same as the naive
+    ``* 2654435761`` multiply ban enforced below."""
+    import pathlib
+
+    import iot_big_data_engineering_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = [
+        str(p.relative_to(root))
+        for p in sorted(root.rglob("*.py"))
+        if "F.round(" in p.read_text()
+    ]
+    assert offenders == [], f"engine-native F.round found in: {offenders}"
+
+
+def test_no_naive_knuth_multiply_outside_hashing_module():
+    """The overflow-divergent naive ``* 2654435761`` (breaks past
+    ~3.5e9 ids: Spark wraps int64, DuckDB promotes to HUGEINT) may
+    appear only in functions/hashing.py (which implements the chunked
+    exact form), comments, and dedup.py's import-time Python constant
+    table (_PERM_A — bounded host ints, no engine involved)."""
+    import pathlib
+
+    import iot_big_data_engineering_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for p in sorted(root.rglob("*.py")):
+        rel = str(p.relative_to(root))
+        if rel == "functions/hashing.py":
+            continue
+        for ln, line in enumerate(p.read_text().splitlines(), 1):
+            if "2654435761" not in line:
+                continue
+            stripped = line.strip()
+            if stripped.startswith("#"):
+                continue
+            if rel == "operators/dedup.py" and "_PERM_A" in line:
+                continue
+            offenders.append(f"{rel}:{ln}")
+    assert offenders == [], f"naive Knuth multiply found in: {offenders}"

@@ -514,3 +514,43 @@ def test_s11_empty_corpus_stable_schema(spark, tmp_path):
         "compaction_preserves_index",
     ]
     assert df.count() == 0
+
+
+def test_pq_small_sample_slices_books_no_dead_codewords(spark):
+    """A training sample smaller than ks must yield books sliced to the
+    k trained codewords — never zero-padded: an untrained zero codeword
+    can win argmin for vectors near the origin and silently degrade
+    quantization (r8 advice). Encode/ADC must stay aligned with the
+    sliced shape end-to-end."""
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _PQ_KS,
+        _PQ_M,
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    n = _PQ_KS // 2  # fewer training rows than codewords
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=64).tolist()) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    books = pq_train_codebooks(e)
+    assert books.shape == (_PQ_M, n, 64 // _PQ_M)
+    # every codeword was trained from real data: none is the zero vector
+    assert (np.abs(books).sum(axis=-1) > 0).all()
+    codes = {r.vec_id: r.codes for r in pq_encode(e, books).collect()}
+    assert all(max(c) < n for c in codes.values())
+    # query = vec 0's raw vector under an out-of-corpus query_id (the
+    # topk filter self-excludes vec_id == query_id)
+    q = spark.createDataFrame(
+        [(1000, rows[0][1])], "query_id long, qv array<double>"
+    )
+    topk = pq_adc_topk(pq_encode(e, books), books, q, k=n).collect()
+    assert len(topk) == n
+    # vec 0 attains the minimum ADC (its quantization error — 0 here,
+    # since with n <= ks every training row is its own codeword); ties
+    # break by vec_id DESC, so assert the distance, not the slot
+    own = [r for r in topk if r.vec_id == 0]
+    assert own and own[0].adc == topk[0].adc == 0.0

@@ -579,3 +579,29 @@ def test_st13_empty_fact_stable_schema(spark, tmp_path):
     assert df.columns == ["ship_month", "o_orderpriority", "n_items",
                           "revenue"]
     assert df.count() == 0
+
+
+def test_st11_single_data_batch_fallback(spark, tmp_path):
+    """A 1-row events corpus lands in exactly one xxhash64 slice, so
+    only ONE data micro-batch arrives. st11 must certify the degenerate
+    case (merge of one delta equals one-pass — merge_consistent TRUE)
+    instead of raising, per the r8 advice: a valid single-batch answer
+    exists, and the batch twin a22 would succeed on the same corpus."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.sources.tables import load_table
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        st11_streaming_cms_maintenance,
+    )
+
+    from .conftest import SF_SMOKE
+
+    pdf = load_table(spark, SF_SMOKE, "events").toPandas().head(1)
+    assert pdf["user_id"].notna().all()
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+
+    rows = st11_streaming_cms_maintenance(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.merge_consistent is True
+    assert r.true_count == 1 and r.cms_estimate >= 1

@@ -876,3 +876,54 @@ def test_t15_empty_corpus_null_coverage(spark, tmp_path):
     for r in rows:
         assert r.covered_tokens == 0 and r.total_tokens == 0
         assert r.coverage is None
+
+
+def test_dp11_broadcast_gate(spark):
+    """bcast_max=0 must drop the broadcast hint on BOTH eval-gram joins
+    (no ResolvedHint in the analyzed plan) and still produce identical
+    rows — the dp10-pattern runtime fallback the r8 advice asked dp11 to
+    adopt (eval here is a hash slice of the corpus, so the eval-gram
+    relation is NOT bounded by design on gate data)."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _DP9_TRAIN_CUT,
+        split_decontamination,
+    )
+
+    def is_train(doc_id: int) -> bool:
+        return (doc_id * 2654435761) % (2**32) < _DP9_TRAIN_CUT
+
+    train_ids = [i for i in range(100) if is_train(i)][:2]
+    eval_ids = [i for i in range(100) if not is_train(i)][:1]
+    leak = "l1 l2 l3 l4 l5 l6 l7 l8"
+    rows = [
+        (train_ids[0], f"prefix {leak} suffix tail pad pad2 pad3"),
+        (train_ids[1], "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        (eval_ids[0], f"{leak} e9 e10 e11"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # the eval joins are materialized EAGERLY inside dp11 (the counts
+    # drive the report), so the gate is plan-asserted on the helper both
+    # joins build against, and the wiring on end-to-end value equality
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _dp11_gated_eval_side,
+    )
+
+    eg = spark.createDataFrame([("g1",), ("g2",)], "gram string")
+    probe = spark.createDataFrame([("g1", 1)], "gram string, doc_id long")
+    hinted_join = probe.join(_dp11_gated_eval_side(eg, 2, 10), "gram")
+    gated_join = probe.join(_dp11_gated_eval_side(eg, 2, 0), "gram")
+    assert (
+        "ResolvedHint"
+        in hinted_join._jdf.queryExecution().analyzed().toString()
+    )
+    assert (
+        "ResolvedHint"
+        not in gated_join._jdf.queryExecution().analyzed().toString()
+    )
+    key = ["split", "n_docs_before", "n_docs_after", "n_removed",
+           "clean_no_overlap"]
+    hinted = split_decontamination(d)
+    gated = split_decontamination(d, bcast_max=0)
+    assert sorted(map(tuple, hinted.select(*key).collect())) == sorted(
+        map(tuple, gated.select(*key).collect())
+    )
