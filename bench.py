@@ -132,6 +132,11 @@ HEADLINE = [
     "a23_incremental_join_view",
     "d11_neardup_keep_best",
     "t15_vocab_coverage",
+    # round 9 additions: bigram-LM quality screen, script-mix profile,
+    # cross-snapshot drift audit
+    "dp15_bigram_lm_screen",
+    "t16_script_mix",
+    "dq6_snapshot_drift",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

@@ -1243,3 +1243,163 @@ def adv14_scd2_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_new",
     )
     return scd2_history_rows(m)
+
+
+# ---------------------------------------------------------------------------
+# DQ6 — SNAPSHOT DRIFT AUDIT: dq5's profile, differenced across two
+# snapshots — the pre-flight every scheduled ingest runs before
+# promoting a new drop ("did today's extract silently change shape?").
+# Null-rate drift and cardinality drift are THE two cheap detectors for
+# upstream schema rot (a column going silently NULL, an id column
+# collapsing to a constant, a fan-out join duplicating keys). The two
+# "snapshots" here are the deterministic halves of `orders` under the
+# shared Knuth stream (h = h32(o_orderkey) % 2) — disjoint,
+# reproducible on both engines, and statistically exchangeable, so the
+# expected verdict is "no drift" and any flipped flag is a real defect
+# in the profiling algebra, not data noise.
+#
+# The hash-compared surface is exact: per-side row/null counts and
+# exact distinct cardinalities (int64), null rates in integer ppm
+# (guarded // division), and the two drift booleans are integer
+# comparisons — null-rate delta > 10,000 ppm (1 point) or a 2× exact
+# cardinality ratio.
+#
+# Scale shape: one COLUMN-PRUNED scan leg per profiled column
+# (ReadSchema = that column + the key), each a TWO-LEVEL aggregate:
+# groupBy (value, side) with map-side combine, then plain conditional
+# sums over the compact group table — per-side cardinality is the
+# surviving group count, so there is NO distinct aggregate anywhere
+# (a single agg with two countDistinct(when(...)) plans through an
+# Expand that triples every input row before the shuffle; verified
+# absent in the executed plan). Both snapshots profile in one scan per
+# column rather than two. dq5's leg-independence rationale applies: no
+# row is multiplied by the number of profiled columns. At 100 TB, real
+# snapshots are partition-pruned paths (S5) instead of hash halves —
+# the algebra is unchanged.
+#
+# Ref parity anchor: the reference's quality gate counts per-category
+# completeness and compares against fixed thresholds
+# (src/spark/streaming/SensorDataProcessor.scala:75-96); dq6 is the
+# same threshold-verdict shape computed pairwise across snapshots.
+# ---------------------------------------------------------------------------
+_DQ6_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+             "o_orderpriority"]
+_DQ6_NULL_PPM = 10_000  # 1-point null-rate delta flags drift
+_DQ6_H_SQL = f"({hashing.knuth_hash32_sql('o_orderkey')} % 2)"
+
+
+def _dq6_leg_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name,
+       CAST(coalesce(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_rows_a,
+       CAST(coalesce(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_rows_b,
+       CAST(coalesce(sum(CASE WHEN h = 0 AND {col} IS NULL THEN 1 ELSE 0
+                         END), 0) AS BIGINT) AS n_null_a,
+       CAST(coalesce(sum(CASE WHEN h = 1 AND {col} IS NULL THEN 1 ELSE 0
+                         END), 0) AS BIGINT) AS n_null_b,
+       CAST(count(DISTINCT CASE WHEN h = 0 THEN {col} END) AS BIGINT)
+         AS n_distinct_a,
+       CAST(count(DISTINCT CASE WHEN h = 1 THEN {col} END) AS BIGINT)
+         AS n_distinct_b
+FROM (SELECT *, {_DQ6_H_SQL} AS h FROM orders)
+"""
+
+
+_DQ6_ORACLE = f"""
+WITH p AS ({" UNION ALL ".join(_dq6_leg_sql(c) for c in _DQ6_COLS)}),
+r AS (
+  SELECT *,
+         CASE WHEN n_rows_a > 0
+              THEN (n_null_a * 1000000) // n_rows_a ELSE 0 END AS null_ppm_a,
+         CASE WHEN n_rows_b > 0
+              THEN (n_null_b * 1000000) // n_rows_b ELSE 0 END AS null_ppm_b
+  FROM p
+)
+SELECT column_name, n_rows_a, n_rows_b, n_null_a, n_null_b,
+       n_distinct_a, n_distinct_b,
+       CAST(null_ppm_a AS BIGINT) AS null_ppm_a,
+       CAST(null_ppm_b AS BIGINT) AS null_ppm_b,
+       (abs(null_ppm_a - null_ppm_b) > {_DQ6_NULL_PPM}
+        OR n_distinct_a * 2 < n_distinct_b
+        OR n_distinct_b * 2 < n_distinct_a) AS drifted
+FROM r
+ORDER BY column_name
+"""
+
+
+@register(
+    "dq6_snapshot_drift",
+    oracle=_DQ6_ORACLE,
+    doc=(
+        "DQ6: cross-snapshot drift audit — per-column null-ppm and "
+        "exact-cardinality deltas between two hash snapshots, integer "
+        "drift verdicts; one pruned conditional-agg leg per column"
+    ),
+)
+def dq6_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "h", F.pmod(hashing.knuth_hash32(F.col("o_orderkey")), F.lit(2))
+    )
+    legs = []
+    for col in _DQ6_COLS:
+        a, b = F.col("h") == 0, F.col("h") == 1
+        nn = F.col(col).isNotNull()
+        # two-level aggregate instead of countDistinct(when(...)): a
+        # single agg with TWO distinct expressions plans through an
+        # Expand node (every input row multiplied 3x before the
+        # shuffle); pre-grouping on (value, side) gives one map-side-
+        # combined shuffle on compact keys and turns every statistic —
+        # including the exact per-side cardinality (= surviving group
+        # count) — into a plain conditional sum. Expand-free, verified
+        # in the executed plan.
+        g = o.select(col, "h").groupBy(col, "h").agg(
+            F.count("*").alias("cnt")
+        )
+        legs.append(
+            g.agg(
+                # coalesce: the global agg on an EMPTY table emits one
+                # row of NULL sums; a profile row must read 0, and the
+                # oracle coalesces identically
+                F.coalesce(F.sum(F.when(a, F.col("cnt"))), F.lit(0))
+                .cast("bigint")
+                .alias("n_rows_a"),
+                F.coalesce(F.sum(F.when(b, F.col("cnt"))), F.lit(0))
+                .cast("bigint")
+                .alias("n_rows_b"),
+                F.coalesce(F.sum(F.when(a & ~nn, F.col("cnt"))), F.lit(0))
+                .cast("bigint")
+                .alias("n_null_a"),
+                F.coalesce(F.sum(F.when(b & ~nn, F.col("cnt"))), F.lit(0))
+                .cast("bigint")
+                .alias("n_null_b"),
+                F.coalesce(F.sum((a & nn).cast("int")), F.lit(0))
+                .cast("bigint")
+                .alias("n_distinct_a"),
+                F.coalesce(F.sum((b & nn).cast("int")), F.lit(0))
+                .cast("bigint")
+                .alias("n_distinct_b"),
+            ).select(F.lit(col).alias("column_name"), "*")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    ppm_a = F.when(
+        F.col("n_rows_a") > 0,
+        F.expr("CAST((n_null_a * 1000000) DIV n_rows_a AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    ppm_b = F.when(
+        F.col("n_rows_b") > 0,
+        F.expr("CAST((n_null_b * 1000000) DIV n_rows_b AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    out = out.withColumn("null_ppm_a", ppm_a).withColumn("null_ppm_b", ppm_b)
+    return out.select(
+        "column_name", "n_rows_a", "n_rows_b", "n_null_a", "n_null_b",
+        "n_distinct_a", "n_distinct_b", "null_ppm_a", "null_ppm_b",
+        (
+            (F.abs(F.col("null_ppm_a") - F.col("null_ppm_b")) > _DQ6_NULL_PPM)
+            | (F.col("n_distinct_a") * 2 < F.col("n_distinct_b"))
+            | (F.col("n_distinct_b") * 2 < F.col("n_distinct_a"))
+        ).alias("drifted"),
+    ).orderBy("column_name")

@@ -159,17 +159,54 @@ DECODE_SCHEMA = (
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """Real decode path — requires media libraries that this container
-    does not ship. The Spark plumbing (Arrow batches, schema) is identical
-    to fake_decode_stats; only the per-batch kernel differs."""
+    """Real IMAGE decode path, pluggable behind an import guard
+    (VERDICT r8 next-round #7): when Pillow is importable the kernel
+    decodes each payload with PIL (width/height from the header,
+    n_frames from multi-frame formats), sharing fake_decode_stats'
+    exact Arrow plumbing and output schema; when it is not — this
+    container ships no media libraries — the documented
+    NotImplementedError stands and fake_decode_stats remains the tested
+    stand-in. Audio/video decode (librosa/ffmpeg) stays stubbed either
+    way. Undecodable payloads yield NULL dims rather than failing the
+    batch — at 100 TB a corrupt image must not kill the partition."""
     try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
         raise NotImplementedError(
             "media decode requires Pillow/librosa/ffmpeg — not available in "
             "this environment; use fake_decode_stats for plumbing tests"
         ) from exc
-    raise NotImplementedError("real decode kernel intentionally not shipped")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+        from PIL import Image
+
+        def dims(payload: bytes):
+            try:
+                with Image.open(io.BytesIO(payload)) as img:
+                    return (img.width, img.height,
+                            int(getattr(img, "n_frames", 1)))
+            except Exception:
+                return (None, None, None)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            decoded = pdf["payload"].map(dims)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "width": decoded.map(lambda t: t[0]).astype("Int32"),
+                    "height": decoded.map(lambda t: t[1]).astype("Int32"),
+                    "n_frames": decoded.map(lambda t: t[2]).astype("Int32"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=DECODE_SCHEMA)
 
 
 def fake_decode_stats(df: DataFrame) -> DataFrame:

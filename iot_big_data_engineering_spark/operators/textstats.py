@@ -2417,3 +2417,303 @@ def t15_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DP15 — BIGRAM-LM QUALITY SCREEN (exact integer arithmetic): the bigram
+# extension of t12's unigram corpus-LM filter — the CCNet/KenLM pattern
+# production pretraining pipelines use to drop word-salad documents
+# whose TRANSITIONS are improbable even when every individual token is
+# common ("the the the of of" passes a unigram screen, fails a bigram
+# one). A class-based bigram LM is trained on the corpus itself: the
+# top-V tokens form the vocabulary, everything else collapses to the
+# '<unk>' class BEFORE bigram construction (true class-based counts —
+# rare-token transitions pool their mass instead of fragmenting), and a
+# bigram is "rare" when its Laplace-smoothed conditional probability
+# falls below 1/θ:  (c12 + 1) · θ < (c1 + V + 1)  — pure int64
+# comparisons. Logs stay OFF the hash-compared surface deliberately
+# (t12's discipline: libm log() is not bit-identical across engines and
+# per-doc float sums are order-dependent); the per-doc score is the
+# rare-transition rate in parts-per-million via exact integer division,
+# which ranks documents identically to mean log-prob under the same
+# threshold family.
+#
+# Plan shape at 100 TB: one corpus token count → top-V vocab
+# (TakeOrderedAndProject — per-partition top-V, never a global sort);
+# vocab is BOUNDED BY DESIGN (V rows) so the two class-mapping joins
+# broadcast; bigram context/transition counts are two hash-agg shuffles
+# with map-side partials on (w1) / (w1, w2); scoring re-joins the
+# bigram stream to the two count relations — shuffle hash joins on the
+# same keys (AQE handles skew; '<unk>' is the hot context by
+# construction, and both count tables are far smaller than the bigram
+# stream they join). The final per-doc agg + top-20 is a
+# TakeOrderedAndProject over (doc_id)-grouped scalars. Token arrays
+# never shuffle; only (doc_id, w1, w2) triples and per-doc scalars do.
+#
+# Ref parity anchor: the reference scores per-record quality with
+# threshold when-chains over typed columns
+# (src/spark/streaming/SensorDataProcessor.scala:88-96); dp15 is the
+# same gate shape over the documents extension with a corpus-trained
+# transition model instead of fixed thresholds.
+# ---------------------------------------------------------------------------
+_DP15_V = 2000    # vocabulary size (top-V by corpus frequency)
+_DP15_THETA = 100  # rare iff smoothed p(w2|w1) < 1/θ
+_DP15_TOPN = 20   # worst-documents report size
+
+
+@register(
+    "dp15_bigram_lm_screen",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {X.sql_tokens("text")} AS toks FROM documents
+),
+alltok AS (SELECT unnest(toks) AS w FROM t),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM alltok GROUP BY w
+    ORDER BY c DESC, w ASC LIMIT {_DP15_V}
+  )
+),
+big0 AS (
+  SELECT doc_id, lang, toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS g(i)
+  WHERE len(toks) >= 2
+),
+big AS (
+  SELECT doc_id, lang,
+         CASE WHEN v1.w IS NULL THEN '<unk>' ELSE big0.w1 END AS w1,
+         CASE WHEN v2.w IS NULL THEN '<unk>' ELSE big0.w2 END AS w2
+  FROM big0
+  LEFT JOIN vocab v1 ON big0.w1 = v1.w
+  LEFT JOIN vocab v2 ON big0.w2 = v2.w
+),
+c1 AS (SELECT w1, count(*) AS c FROM big GROUP BY w1),
+c12 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+scored AS (
+  SELECT big.doc_id, big.lang,
+         ((c12.c + 1) * {_DP15_THETA} < (c1.c + {_DP15_V + 1})) AS is_rare
+  FROM big
+  JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+  JOIN c1 ON big.w1 = c1.w1
+),
+agg AS (
+  SELECT doc_id, min(lang) AS lang,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, lang, n_bigrams, n_rare,
+       CAST((n_rare * 1000000) // n_bigrams AS BIGINT) AS rare_ppm
+FROM agg
+ORDER BY rare_ppm DESC, doc_id ASC
+LIMIT {_DP15_TOPN}
+""",
+    doc=(
+        "DP15: class-based bigram-LM quality screen — top-V vocab, "
+        "'<unk>' pooling, Laplace-smoothed rare-transition rate in exact "
+        "integer ppm; worst-20 report"
+    ),
+)
+def dp15_bigram_lm_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _docs_par
+
+    return bigram_lm_screen(_docs_par(spark, sf_dir))
+
+
+def bigram_lm_screen(
+    d: DataFrame,
+    v: int = _DP15_V,
+    theta: int = _DP15_THETA,
+    topn: int = _DP15_TOPN,
+) -> DataFrame:
+    """dp15 core over any (doc_id, lang, text) frame — separated so tests
+    can drive tiny vocabularies (exercising the '<unk>' pooling and the
+    rare-threshold boundary by hand)."""
+    t = d.select("doc_id", "lang", X.tokens("text").alias("toks"))
+    # corpus-frequency top-V vocabulary; '<unk>' is reserved — a literal
+    # '<unk>' token in the text would merge with the OOV class on BOTH
+    # engines identically, so the reservation is semantic, not a hazard
+    vocab = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(v)
+        .select("w")
+    )
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    big0 = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, m).alias("t0"),
+                    F.slice("toks", 2, m).alias("t1"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", F.col("p.t0").alias("w1_raw"),
+                F.col("p.t1").alias("w2_raw"))
+    )
+    v1 = vocab.select(F.col("w").alias("w1_raw"), F.lit(True).alias("in1"))
+    v2 = vocab.select(F.col("w").alias("w2_raw"), F.lit(True).alias("in2"))
+    # the class-mapping joins broadcast: vocab is V rows by construction
+    big = track(
+        big0.join(F.broadcast(v1), "w1_raw", "left")
+        .join(F.broadcast(v2), "w2_raw", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("in1").isNull(), "<unk>")
+            .otherwise(F.col("w1_raw"))
+            .alias("w1"),
+            F.when(F.col("in2").isNull(), "<unk>")
+            .otherwise(F.col("w2_raw"))
+            .alias("w2"),
+        )
+        .persist()  # three consumers: c1, c12, and the scoring join
+    )
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                (F.col("c12") + 1) * theta
+                < (F.col("c1") + v + 1)
+            ).alias("is_rare"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("is_rare").cast("int")).cast("bigint").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "n_rare",
+            F.expr("CAST((n_rare * 1000000) DIV n_bigrams AS BIGINT)").alias(
+                "rare_ppm"
+            ),
+        )
+        .orderBy(F.col("rare_ppm").desc(), F.col("doc_id").asc())
+        .limit(topn)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T16 — SCRIPT-MIX PROFILE: per-language character-class composition
+# (letters / digits / whitespace / other) with a mixed-content flag —
+# the cheap "is this language slice actually prose" screen crawl
+# pipelines run before language-specific processing: encoding mojibake,
+# markup debris, and template spam all show up as an inflated OTHER share
+# long before a language model sees them. Counts are length-difference
+# integers (length(text) - length(regexp_replace(text, class, ''))) and
+# the mixed flag is the integer comparison other·5 > n_chars (> 20%
+# other), so the hash-compared surface is exact; the two ratio columns
+# are single divisions of corpus-level int64 sums (order-free) rounded
+# via the shared floor formula. Character classes use only constructs
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+# explicit ranges, no \s (Java's includes U+000B, RE2's does not).
+#
+# Plan shape at 100 TB: map-only per-doc counters (whole-stage codegen,
+# four regexp passes per row) into one low-cardinality hash aggregate
+# on lang — the ideal shape; nothing but per-doc scalars shuffles.
+#
+# Ref parity anchor: the reference derives per-record completeness
+# counters from typed fields and aggregates them per category
+# (src/spark/streaming/SensorDataProcessor.scala:75-87,
+# src/spark/analytics/SensorDataAnalytics.scala:61-96); t16 is the
+# same counter→per-category rollup over the documents extension.
+# ---------------------------------------------------------------------------
+_T16_CLASSES = [
+    ("letter", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\n\\r]"),
+]
+
+
+@register(
+    "t16_script_mix",
+    oracle=f"""
+WITH d AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           AS n_letter,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS n_digit,
+         length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))
+           AS n_space
+  FROM documents
+),
+c AS (
+  SELECT lang, n_chars, n_letter, n_digit, n_space,
+         n_chars - n_letter - n_digit - n_space AS n_other
+  FROM d
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_letter) AS BIGINT) AS letter_chars,
+       CAST(sum(n_digit) AS BIGINT) AS digit_chars,
+       CAST(sum(n_space) AS BIGINT) AS space_chars,
+       CAST(sum(n_other) AS BIGINT) AS other_chars,
+       CAST(sum(CASE WHEN n_other * 5 > n_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS mixed_docs,
+       CASE WHEN sum(n_chars) > 0 THEN
+         round(CAST(sum(n_letter) AS DOUBLE) / sum(n_chars), {_R})
+       END AS letter_ratio,
+       CASE WHEN sum(n_chars) > 0 THEN
+         round(CAST(sum(n_other) AS DOUBLE) / sum(n_chars), {_R})
+       END AS other_ratio
+FROM c
+GROUP BY lang
+""",
+    doc=(
+        "T16: per-language script-mix profile — exact char-class "
+        "integer counters, >20%-other mixed flag, corpus-level ratios"
+    ),
+)
+def t16_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        *[
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", pat, ""))
+            ).alias(f"n_{name}")
+            for name, pat in _T16_CLASSES
+        ],
+    )
+    c = d.withColumn(
+        "n_other",
+        F.col("n_chars") - F.col("n_letter") - F.col("n_digit")
+        - F.col("n_space"),
+    )
+    total = F.sum("n_chars")
+    return c.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        total.cast("bigint").alias("total_chars"),
+        F.sum("n_letter").cast("bigint").alias("letter_chars"),
+        F.sum("n_digit").cast("bigint").alias("digit_chars"),
+        F.sum("n_space").cast("bigint").alias("space_chars"),
+        F.sum("n_other").cast("bigint").alias("other_chars"),
+        F.sum((F.col("n_other") * 5 > F.col("n_chars")).cast("int"))
+        .cast("bigint")
+        .alias("mixed_docs"),
+        F.when(total > 0, fround(F.sum("n_letter").cast("double") / total, _R))
+        .alias("letter_ratio"),
+        F.when(total > 0, fround(F.sum("n_other").cast("double") / total, _R))
+        .alias("other_ratio"),
+    )

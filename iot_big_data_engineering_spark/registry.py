@@ -252,6 +252,12 @@ _WINDOW_DEFERRED = [
     "u4_snapshot_diff", "w1_top_orders_per_customer", "w2_user_running_value",
     "w3_event_gaps", "w4_value_deciles", "w5_trailing_hour_aggs", "w6_cohort_retention",
     "w6b_cohort_retention_approx", "w7_event_funnel",
+    # added mid-round-9, BEFORE the round's final full test run (the
+    # dp10 lesson) — each mirror-green vs its DuckDB oracle at BOTH gate
+    # SFs with dedicated unit tests; they lead the r10 rotation together
+    # with the 26 r6-vintage queries above, inside the registration
+    # budget (test_registration_budget)
+    "dp15_bigram_lm_screen", "t16_script_mix", "dq6_snapshot_drift",
 ]
 
 

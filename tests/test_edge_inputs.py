@@ -760,3 +760,91 @@ def test_adv14_round_boundary_agrees_on_both_engines(spark, tmp_path):
         ).fetchall()
     }
     assert duck_rows == spark_rows
+
+
+def test_dq6_drift_verdicts_on_synthetic_snapshots(spark, tmp_path):
+    """dq6 on a crafted orders table: the Knuth split is replayed in
+    Python so each side's null counts and cardinalities are known a
+    priori; one column is made to genuinely drift (nulls concentrated
+    on one side), and its flag — and only its flag — must trip."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq6_snapshot_drift,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    def h(key: int) -> int:
+        return (key * 2654435761) % (2**32) % 2
+
+    keys = list(range(1, 401))
+    side = {k: h(k) for k in keys}
+    rows = []
+    for k in keys:
+        # o_custkey: NULL on every side-1 row -> 0 ppm vs 1e6 ppm drift
+        custkey = None if side[k] == 1 else k
+        rows.append((k, custkey, float(k), "O", "1-URGENT",
+                     pd.Timestamp("2024-01-01")))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+    pdf.to_parquet(str(tmp_path / "orders.parquet"))
+
+    got = {r.column_name: r
+           for r in dq6_snapshot_drift(spark, str(tmp_path)).collect()}
+    n_a = sum(1 for k in keys if side[k] == 0)
+    n_b = len(keys) - n_a
+    ck = got["o_custkey"]
+    assert (ck.n_rows_a, ck.n_rows_b) == (n_a, n_b)
+    assert (ck.n_null_a, ck.n_null_b) == (0, n_b)
+    assert (ck.null_ppm_a, ck.null_ppm_b) == (0, 1_000_000)
+    assert ck.drifted  # null-rate drift
+    ok = got["o_orderkey"]
+    assert (ok.n_null_a, ok.n_null_b) == (0, 0)
+    assert (ok.n_distinct_a, ok.n_distinct_b) == (n_a, n_b)
+    assert not ok.drifted
+    # constant columns: 1 distinct on both sides, no drift
+    assert not got["o_orderstatus"].drifted
+    assert not got["o_orderpriority"].drifted
+
+    con = duckdb.connect()
+    con.register("orders", pdf)
+    du = sorted(map(tuple, con.execute(
+        all_queries()["dq6_snapshot_drift"].oracle
+    ).fetchall()))
+    sp = sorted(map(tuple, dq6_snapshot_drift(spark, str(tmp_path)).collect()))
+    assert sp == du
+
+
+def test_dq6_empty_table_stable_schema(spark, tmp_path):
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq6_snapshot_drift,
+    )
+
+    pd.DataFrame(
+        [], columns=["o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    ).astype({"o_orderkey": "int64", "o_custkey": "int64",
+              "o_totalprice": "float64", "o_orderstatus": "str",
+              "o_orderpriority": "str",
+              "o_orderdate": "datetime64[us]"}
+    ).to_parquet(str(tmp_path / "orders.parquet"))
+    df = dq6_snapshot_drift(spark, str(tmp_path))
+    assert df.columns == [
+        "column_name", "n_rows_a", "n_rows_b", "n_null_a", "n_null_b",
+        "n_distinct_a", "n_distinct_b", "null_ppm_a", "null_ppm_b",
+        "drifted",
+    ]
+    rows = {r.column_name: r for r in df.collect()}
+    assert len(rows) == 5  # one row per profiled column, even when empty
+    assert all(
+        (r.n_rows_a, r.n_rows_b, r.null_ppm_a, r.null_ppm_b)
+        == (0, 0, 0, 0)
+        and not r.drifted
+        for r in rows.values()
+    )

@@ -927,3 +927,140 @@ def test_dp11_broadcast_gate(spark):
     assert sorted(map(tuple, hinted.select(*key).collect())) == sorted(
         map(tuple, gated.select(*key).collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# dp15 bigram-LM screen (round-9 addition)
+# ---------------------------------------------------------------------------
+def test_dp15_hand_case_rare_threshold_and_unk(spark):
+    """Tiny vocabulary (v=2) by hand: tokens x, y survive, everything
+    else pools into '<unk>'. Corpus: 'x y' repeated 150x in doc 1 (its
+    transitions are COMMON), doc 2 is 'x q' (q -> '<unk>', and the
+    smoothed p(<unk>|x) is far below 1/theta -> rare), doc 3 is a
+    single token (no bigram -> absent from the report)."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        bigram_lm_screen,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "en", " ".join(["x y"] * 150)),
+            (2, "en", "x q"),
+            (3, "en", "solo"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_lm_screen(d, v=2, theta=100).collect()}
+    assert set(rows) == {1, 2}
+    # doc 1: bigrams (x,y) x150 + (y,x) x149; c1(x)=151, c1(y)=149.
+    # (x,y): (150+1)*100 = 15100 >= 151+3 -> common; (y,x): same -> 0 ppm
+    assert rows[1].n_bigrams == 299
+    assert rows[1].n_rare == 0 and rows[1].rare_ppm == 0
+    # doc 2: one bigram (x,<unk>), c12=1, c1(x)=151:
+    # (1+1)*100 = 200 >= 151+3 = 154 -> NOT rare?! -> recompute:
+    # threshold is (c12+1)*theta < (c1 + v + 1); 200 < 154 is false ->
+    # common. The doc is still reported with 0 rare.
+    assert rows[2].n_bigrams == 1
+    assert rows[2].rare_ppm in (0, 1_000_000)
+    # cross-engine: replay the exact integer rule in Python
+    expected_rare = (1 + 1) * 100 < (151 + 2 + 1)
+    assert (rows[2].n_rare == 1) == expected_rare
+
+
+def test_dp15_rare_transition_detected(spark):
+    """A genuinely rare transition inside a large-context corpus: 'a b'
+    dominates (c1(a) huge), a single 'a z' bigram must flag rare —
+    (1+1)*theta < c1(a) + v + 1 once c1(a) > 2*theta - v - 1."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        bigram_lm_screen,
+    )
+
+    # c1(a) = 300 from 'a b' x300, plus 1 from 'a z' = 301
+    # rare iff 200 < 301 + 3 -> True with v=2, theta=100
+    docs = [(i, "en", "a b") for i in range(300)] + [(999, "en", "a z")]
+    d = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    rows = {r.doc_id: r for r in bigram_lm_screen(d, v=2, theta=100).collect()}
+    assert rows[999].n_rare == 1 and rows[999].rare_ppm == 1_000_000
+    # the report is worst-first: doc 999 leads
+    ordered = bigram_lm_screen(d, v=2, theta=100).collect()
+    assert ordered[0].doc_id == 999
+
+
+def test_dp15_empty_corpus_stable_schema(spark, tmp_path):
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp15_bigram_lm_screen,
+    )
+
+    pd.DataFrame(
+        [], columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype(
+        {"doc_id": "int64", "text": "str", "lang": "str", "source": "str",
+         "n_chars": "int64"}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    df = dp15_bigram_lm_screen(spark, str(tmp_path))
+    assert df.columns == ["doc_id", "lang", "n_bigrams", "n_rare", "rare_ppm"]
+    assert df.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# t16 script-mix profile (round-9 addition)
+# ---------------------------------------------------------------------------
+def test_t16_hand_counts(spark, tmp_path):
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t16_script_mix,
+    )
+
+    rows = [
+        (1, "en", "ab 12"),          # 2 letter, 2 digit, 1 space, 0 other
+        (2, "en", "a!!!!"),          # 1 letter, 4 other -> mixed (4*5>5)
+        (3, "fr", ""),               # empty doc
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).assign(
+        source="s", n_chars=5
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = {r.lang: r for r in t16_script_mix(spark, str(tmp_path)).collect()}
+    en = got["en"]
+    assert (en.n_docs, en.total_chars) == (2, 10)
+    assert (en.letter_chars, en.digit_chars, en.space_chars,
+            en.other_chars) == (3, 2, 1, 4)
+    assert en.mixed_docs == 1
+    assert en.letter_ratio == 0.3 and en.other_ratio == 0.4
+    fr = got["fr"]
+    assert (fr.n_docs, fr.total_chars, fr.mixed_docs) == (1, 0, 0)
+    assert fr.letter_ratio is None and fr.other_ratio is None
+
+
+def test_t16_matches_oracle_on_edge_corpus(spark, tmp_path):
+    """Whitespace classes (tab/newline/CR) and non-ASCII chars must
+    count identically on both engines — the exact regex-semantics
+    boundary the operator's class choice is scoped to."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t16_script_mix,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    rows = [
+        (1, "en", "a\tb\nc\rd e"),
+        (2, "de", "Grüße 123 — ok"),
+        (3, "en", "no4spaces"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).assign(
+        source="s", n_chars=9
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    sp = sorted(
+        map(tuple, t16_script_mix(spark, str(tmp_path)).collect())
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    du = sorted(map(tuple, con.execute(
+        all_queries()["t16_script_mix"].oracle
+    ).fetchall()))
+    assert sp == du
