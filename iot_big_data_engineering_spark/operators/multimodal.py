@@ -695,9 +695,11 @@ def mm8_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded driver action (one MAX row): the collision-proof offset is
     # max(doc_id) + 1, recomputed identically by the oracle's scalar
     # subquery; 0 on an empty corpus (no plants exist then anyway)
-    plant_offset = (
-        docs.agg(F.max("doc_id").alias("mx")).first().mx or -1
-    ) + 1
+    mx = docs.agg(F.max("doc_id").alias("mx")).first().mx
+    # explicit None test: `mx or -1` would treat a legitimate max id of
+    # 0 as empty and collide the plant with doc 0 (r9 code-review,
+    # reproduced against the oracle's max+1 scalar subquery)
+    plant_offset = (mx if mx is not None else -1) + 1
     plants = (
         docs.orderBy("doc_id")
         .limit(_MM8_N_PLANT)

@@ -2529,7 +2529,13 @@ def bigram_lm_screen(
     """dp15 core over any (doc_id, lang, text) frame — separated so tests
     can drive tiny vocabularies (exercising the '<unk>' pooling and the
     rare-threshold boundary by hand)."""
-    t = d.select("doc_id", "lang", X.tokens("text").alias("toks"))
+    # persisted: BOTH the vocab build and the bigram explode consume the
+    # tokenized relation — without this the corpus tokenizes twice (r9
+    # code-review; the same defect class dp11's persisted gram stream
+    # fixed in r8)
+    t = track(
+        d.select("doc_id", "lang", X.tokens("text").alias("toks")).persist()
+    )
     # corpus-frequency top-V vocabulary; '<unk>' is reserved — a literal
     # '<unk>' token in the text would merge with the OOV class on BOTH
     # engines identically, so the reservation is semantic, not a hazard
@@ -2709,7 +2715,16 @@ def t16_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_digit").cast("bigint").alias("digit_chars"),
         F.sum("n_space").cast("bigint").alias("space_chars"),
         F.sum("n_other").cast("bigint").alias("other_chars"),
-        F.sum((F.col("n_other") * 5 > F.col("n_chars")).cast("int"))
+        # per-row coalesce mirrors the oracle's CASE ... ELSE 0: a doc
+        # with NULL text makes the comparison NULL, and a lang group
+        # whose docs are ALL NULL-text would sum to NULL on Spark while
+        # the oracle's ELSE 0 sums to 0 (r9 code-review, reproduced)
+        F.sum(
+            F.coalesce(
+                (F.col("n_other") * 5 > F.col("n_chars")).cast("int"),
+                F.lit(0),
+            )
+        )
         .cast("bigint")
         .alias("mixed_docs"),
         F.when(total > 0, fround(F.sum("n_letter").cast("double") / total, _R))

@@ -277,3 +277,32 @@ def test_decode_media_real_kernel_or_documented_stub(spark):
     rows = {r.doc_id: r for r in decode_media(d).collect()}
     assert (rows[1].width, rows[1].height, rows[1].n_frames) == (17, 9, 1)
     assert rows[2].width is None and rows[2].height is None
+
+
+def test_mm8_doc_id_zero_corpus_plants_do_not_collide(spark, tmp_path):
+    """A corpus whose max ascii doc_id is 0 must still plant at
+    max+1 = 1 — the falsy-zero `or -1` branch planted ON doc 0 and
+    returned an empty pair list while the oracle returned the planted
+    pair (r9 code-review, reproduced). Both engines must agree AND the
+    certificate must be non-vacuous."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.multimodal import (
+        mm8_phash_neardup,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    df = pd.DataFrame(
+        [(0, "hello world sample text", "en")],
+        columns=["doc_id", "text", "lang"],
+    ).assign(source="s", n_chars=23)
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    sp = sorted(map(tuple, mm8_phash_neardup(spark, str(tmp_path)).collect()))
+    con = duckdb.connect()
+    con.register("documents", df)
+    du = sorted(map(tuple, con.execute(
+        all_queries()["mm8_phash_neardup"].oracle
+    ).fetchall()))
+    assert sp == du
+    assert sp == [(0, 1, 0)]  # the planted copy pairs at Hamming 0

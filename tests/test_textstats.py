@@ -1064,3 +1064,32 @@ def test_t16_matches_oracle_on_edge_corpus(spark, tmp_path):
         all_queries()["t16_script_mix"].oracle
     ).fetchall()))
     assert sp == du
+
+
+def test_t16_all_null_text_lang_group_matches_oracle(spark, tmp_path):
+    """A lang group whose docs are ALL NULL-text must emit mixed_docs=0
+    on BOTH engines — Spark's sum over all-NULL cast booleans yields
+    NULL while the oracle's CASE ... ELSE 0 sums to 0 (r9 code-review,
+    reproduced; fixed with a per-row coalesce)."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t16_script_mix,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    df = pd.DataFrame(
+        [(1, None, "xx"), (2, "ab 12", "en")],
+        columns=["doc_id", "text", "lang"],
+    ).assign(source="s", n_chars=5)
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    sp = sorted(map(tuple, t16_script_mix(spark, str(tmp_path)).collect()))
+    con = duckdb.connect()
+    con.register("documents", df)
+    du = sorted(map(tuple, con.execute(
+        all_queries()["t16_script_mix"].oracle
+    ).fetchall()))
+    assert sp == du
+    xx = next(r for r in sp if r[0] == "xx")
+    assert xx[7] == 0  # mixed_docs: 0, not NULL
