@@ -1339,11 +1339,19 @@ ORDER BY column_name
     ),
 )
 def dq6_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").withColumn(
+    return snapshot_drift(load_table(spark, sf_dir, "orders"))
+
+
+def snapshot_drift(
+    orders: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """dq6 core over any orders-shaped frame — separated for tests and
+    the generator-scale data-bound sweep."""
+    o = orders.withColumn(
         "h", F.pmod(hashing.knuth_hash32(F.col("o_orderkey")), F.lit(2))
     )
     legs = []
-    for col in _DQ6_COLS:
+    for col in cols or _DQ6_COLS:
         a, b = F.col("h") == 0, F.col("h") == 1
         nn = F.col(col).isNotNull()
         # two-level aggregate instead of countDistinct(when(...)): a

@@ -2691,7 +2691,13 @@ GROUP BY lang
     ),
 )
 def t16_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select(
+    return script_mix(_docs(spark, sf_dir))
+
+
+def script_mix(docs: DataFrame) -> DataFrame:
+    """t16 core over any (lang, text) frame — separated for tests and
+    the generator-scale data-bound sweep."""
+    d = docs.select(
         "lang",
         F.length("text").alias("n_chars"),
         *[
