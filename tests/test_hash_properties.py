@@ -209,3 +209,71 @@ def test_dp14_target_decomposition_exact(b, sw, w):
     assert got == (b * w) // sw
     assert (b // sw) * w <= 2**63 - 1
     assert (b % sw) * w < 2**63 - 1
+
+
+def test_dp15_bigram_screen_matches_python_replay_random_corpora(spark):
+    """dp15's whole algebra — top-V vocab with (count DESC, token ASC)
+    ties, '<unk>' pooling BEFORE bigram construction, context/transition
+    counts, the integer Laplace rare rule and the ppm division — replayed
+    in pure Python on seeded random corpora; the Spark rows must match
+    exactly, including the worst-first (rare_ppm DESC, doc_id ASC)
+    report order."""
+    import collections
+
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        bigram_lm_screen,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        vocab_size = int(rng.integers(3, 8))
+        alphabet = [f"tok{j}" for j in range(int(rng.integers(4, 12)))]
+        docs = []
+        for i in range(int(rng.integers(5, 40))):
+            n = int(rng.integers(0, 12))
+            words = [alphabet[int(rng.integers(0, len(alphabet)))]
+                     for _ in range(n)]
+            docs.append((i, "en", " ".join(words)))
+        theta = int(rng.integers(2, 200))
+
+        # --- Python replay ---
+        toks = {i: t.split() if t else [] for i, _, t in docs}
+        counts = collections.Counter(w for ws in toks.values() for w in ws)
+        vocab = set(
+            w for w, _ in sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:vocab_size]
+        )
+        big = collections.Counter()
+        c1 = collections.Counter()
+        per_doc = {}
+        for i, ws in toks.items():
+            mapped = [w if w in vocab else "<unk>" for w in ws]
+            pairs = list(zip(mapped, mapped[1:]))
+            if pairs:
+                per_doc[i] = pairs
+                for p in pairs:
+                    big[p] += 1
+                    c1[p[0]] += 1
+        expected = []
+        for i, pairs in per_doc.items():
+            n_rare = sum(
+                1 for p in pairs
+                if (big[p] + 1) * theta < c1[p[0]] + vocab_size + 1
+            )
+            ppm = (n_rare * 1_000_000) // len(pairs)
+            expected.append((i, "en", len(pairs), n_rare, ppm))
+        expected.sort(key=lambda r: (-r[4], r[0]))
+        expected = expected[:20]
+
+        # --- Spark ---
+        d = spark.createDataFrame(
+            docs, "doc_id long, lang string, text string"
+        )
+        got = [
+            tuple(r)
+            for r in bigram_lm_screen(d, v=vocab_size, theta=theta).collect()
+        ]
+        assert got == expected, (trial, vocab_size, theta)
