@@ -877,3 +877,62 @@ def test_a23_plan_partial_aggs_and_single_orders_scan(spark):
     assert p.count("HashAggregate") >= 4, p  # partial+final per branch
     assert "CartesianProduct" not in p, p
     assert p.count("InMemoryTableScan") >= 2, p  # cached orders, both sides
+
+
+def test_dq6_plan_pruned_legs_no_expand(spark):
+    """Five column-pruned legs (each reads the profiled column plus the
+    o_orderkey the snapshot hash derives from), and NO Expand node —
+    the two-level (value, side) aggregate replaces the
+    countDistinct(when(...)) pair whose Expand would triple every input
+    row before the shuffle (r9 review of the executed plan)."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq6_snapshot_drift,
+    )
+
+    df = dq6_snapshot_drift(spark, SF_SMOKE)
+    p = plan_str(df)
+    assert "Expand" not in p, p
+    assert p.count("Location: InMemoryFileIndex") == 5, p
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    # every leg reads at most 2 columns: the profiled column + the key
+    # (the o_orderkey leg reads just the key itself)
+    assert len(schemas) == 5 and all(s.count(":") <= 2 for s in schemas), p
+
+
+def test_dp15_plan_vocab_broadcast_and_topk(spark):
+    """dp15's class-mapping joins must BROADCAST the bounded vocab (two
+    ResolvedHint/BroadcastHashJoins), the report must plan as
+    TakeOrderedAndProject (never a global sort), and the vocab must be
+    a TakeOrderedAndProject too — per-partition top-V, no full sort of
+    the token counts."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp15_bigram_lm_screen,
+    )
+
+    df = dp15_bigram_lm_screen(spark, SF_SMOKE)
+    p = plan_str(df)
+    assert "TakeOrderedAndProject" in p, p
+    # the formatted detail section carries the limits as Arguments
+    assert "Arguments: 20, [rare_ppm" in p, p
+    assert "Arguments: 2000, [c" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_t16_plan_single_pruned_scan(spark):
+    """t16 is map-only counters into one hash aggregate: a single scan
+    reading exactly [text, lang], one exchange, no join."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t16_script_mix,
+    )
+
+    df = t16_script_mix(spark, SF_SMOKE)
+    p = plan_str(df)
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert len(schemas) == 1 and schemas[0].count(":") == 2, p
+    assert "Join" not in p, p
