@@ -133,10 +133,11 @@ HEADLINE = [
     "d11_neardup_keep_best",
     "t15_vocab_coverage",
     # round 9 additions: bigram-LM quality screen, script-mix profile,
-    # cross-snapshot drift audit
+    # cross-snapshot drift audit, exact MIPS baseline
     "dp15_bigram_lm_screen",
     "t16_script_mix",
     "dq6_snapshot_drift",
+    "s12_mips_topk",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

@@ -1728,3 +1728,113 @@ def s11_knn_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# S12 — MAXIMUM-INNER-PRODUCT SEARCH (MIPS): the recommender-serving
+# workload (user embedding × item catalog, score = ⟨q, x⟩ — NOT cosine:
+# item popularity lives in the vector NORM, which cosine normalizes
+# away). The registered query is the exact brute-force IP top-k — the
+# ordering every approximate MIPS index is measured against — computed
+# with the same broadcast-query / fold-dot / rank-window machinery as
+# s1, scores folded left-to-right in double on both engines (V.dot ≡
+# list_sum) and rounded via the shared floor formula before ranking.
+#
+# The 100 TB path is the ORDER-PRESERVING REDUCTION to cosine (Bachrach
+# et al., RecSys'14): append one coordinate, x' = [x, sqrt(M² − ‖x‖²)]
+# with M = max corpus norm and q' = [q, 0]; then every x' has norm
+# exactly M, so cos(q', x') = ⟨q, x⟩ / (‖q‖·M) — a per-query MONOTONE
+# transform of the inner product. Top-k by augmented cosine IS top-k by
+# IP, which means THE ENTIRE EXISTING ANN STACK (s2 IVF, s5/s6 SQ8, s10
+# PQ, s7 filtered, s8 delta-add, s9 persist, s11 deletes) serves MIPS
+# unchanged after a one-pass map-only augmentation (one MAX aggregate
+# for M, then x → x' per row, no shuffle). The equivalence is
+# property-tested on seeded random vectors (test_similarity); it is
+# deliberately NOT a hash-compared column — near-tied products can
+# collapse under the monotone division at different ulps per engine,
+# the exact float-boundary class the engine keeps off the gate surface.
+#
+# Ref parity anchor: the reference ranks entities by a computed score
+# with a deterministic tie-break (vehicle top-k,
+# src/spark/analytics/SensorDataAnalytics.scala:104-118); s12 is the
+# same TakeOrdered shape where the score is a vector inner product.
+# ---------------------------------------------------------------------------
+@register(
+    "s12_mips_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({V.sql_dot("q.qv", "e.v")}, {_R}) AS ip
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, ip,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ip, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {K}
+""",
+    doc=(
+        "S12: exact maximum-inner-product top-10 for 5 query vectors — "
+        "the recommender-serving ordering; the order-preserving "
+        "augmentation reduction to cosine is the documented ANN path"
+    ),
+)
+def s12_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            fround(V.dot(F.col("qv"), F.col("v")), _R).alias("ip"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id", "ip", "rank")
+    )
+
+
+def mips_augment(e: DataFrame) -> DataFrame:
+    """The order-preserving MIPS→cosine reduction: one MAX aggregate for
+    M = max corpus norm (1-row broadcast), then a map-only append of the
+    sqrt(M² − ‖x‖²) coordinate. Every augmented vector has norm exactly
+    M, so cosine against an augmented query [q, 0] is a per-query
+    monotone transform of ⟨q, x⟩ and the cosine ANN stack serves MIPS
+    unchanged. greatest(…, 0) guards the max-norm row itself against a
+    negative-zero sqrt under floating-point roundoff."""
+    m2 = e.agg(
+        F.max(V.dot(F.col("v"), F.col("v"))).alias("m2")
+    )
+    return (
+        e.crossJoin(F.broadcast(m2))  # 1-row scalar aggregate
+        .select(
+            "vec_id",
+            F.concat(
+                "v",
+                F.array(
+                    F.sqrt(
+                        F.greatest(
+                            F.col("m2") - V.dot(F.col("v"), F.col("v")),
+                            F.lit(0.0),
+                        )
+                    )
+                ),
+            ).alias("v"),
+        )
+    )

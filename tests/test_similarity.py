@@ -554,3 +554,102 @@ def test_pq_small_sample_slices_books_no_dead_codewords(spark):
     # break by vec_id DESC, so assert the distance, not the slot
     own = [r for r in topk if r.vec_id == 0]
     assert own and own[0].adc == topk[0].adc == 0.0
+
+
+# ---------------------------------------------------------------------------
+# s12 MIPS (round-9 addition)
+# ---------------------------------------------------------------------------
+def test_s12_hand_case_ip_not_cosine(spark, tmp_path):
+    """MIPS must rank by inner product, NOT cosine: a long vector with a
+    mediocre angle must outrank a short vector with a perfect angle —
+    the popularity-in-the-norm property that makes the recommender
+    workload distinct from s1."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s12_mips_topk,
+    )
+
+    # query (vec_id 0) = [1, 0, ...]; vec 10 is perfectly aligned but
+    # short (ip 1); vec 11 is 45-degrees-ish but long (ip 8)
+    dim = 64
+    def vec(*pairs):
+        v = [0.0] * dim
+        for i, x in pairs:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, 0, vec((0, 1.0))),
+        (10, 0, vec((0, 1.0))),
+        (11, 0, vec((0, 8.0), (1, 8.0))),
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "label", "embedding"]).to_parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = [
+        (r.vec_id, r.ip, r.rank)
+        for r in s12_mips_topk(spark, str(tmp_path))
+        .filter("query_id = 0")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(11, 8.0, 1), (10, 1.0, 2)]
+
+
+def test_s12_reduction_preserves_ip_order(spark):
+    """The augmentation reduction on seeded random vectors: every
+    augmented vector's norm equals the max corpus norm, and cosine
+    ranking against the augmented query equals the IP ranking — the
+    property that lets the whole cosine-ANN stack serve MIPS."""
+    import numpy as np
+
+    from iot_big_data_engineering_spark.functions import vectors as V
+    from iot_big_data_engineering_spark.operators.similarity import (
+        mips_augment,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(40, 8)) * rng.uniform(0.2, 5.0, size=(40, 1))
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, v array<double>",
+    )
+    aug = {r.vec_id: np.array(r.v) for r in mips_augment(e).collect()}
+    M = max(np.linalg.norm(v) for v in vecs)
+    for i, v in enumerate(vecs):
+        assert abs(np.linalg.norm(aug[i]) - M) < 1e-9
+        assert np.allclose(aug[i][:8], v)
+    q = rng.normal(size=8)
+    qa = np.concatenate([q, [0.0]])
+    ip_order = sorted(range(40), key=lambda i: (-float(q @ vecs[i]), i))
+    cos_order = sorted(
+        range(40),
+        key=lambda i: (
+            -float(qa @ aug[i]) / (np.linalg.norm(qa) * np.linalg.norm(aug[i])),
+            i,
+        ),
+    )
+    assert ip_order == cos_order
+
+
+def test_s12_empty_corpus_stable_schema(spark, tmp_path):
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s12_mips_topk,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("label", pa.int64()),
+         ("embedding", pa.list_(pa.float64()))]
+    )
+    pq.write_table(
+        pa.table({"vec_id": [], "label": [], "embedding": []}, schema=schema),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    df = s12_mips_topk(spark, str(tmp_path))
+    assert df.columns == ["query_id", "vec_id", "ip", "rank"]
+    assert df.count() == 0
