@@ -2738,3 +2738,312 @@ def script_mix(docs: DataFrame) -> DataFrame:
         F.when(total > 0, fround(F.sum("n_other").cast("double") / total, _R))
         .alias("other_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T17 — PMI COLLOCATION MINING: top bigram collocations by pointwise
+# mutual information with a minimum-support floor — the corpus-analysis
+# pass that surfaces multiword expressions ("new york", "machine
+# learning") before tokenizer training, and the standard phrase-mining
+# primitive (word2vec's phrase pass is PMI with a discount).
+#
+# PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) with p over bigram /
+# unigram totals. The compared score is ln of an EXACT int64 ratio:
+# c12·N1² / (N2·c1·c2) — both products stay below 2^63 through sf0.1
+# (N1 ≈ 7.5e5 tokens → N1²·c12 ≈ 5.6e15), both engines evaluate the
+# same libm-exact ln(double) of the same double, and the 6-dp round +
+# (w1, w2) tiebreak make the top-20 a total order (t6's idf discipline
+# extended to a two-sided ratio). At 100 TB the int64 products overflow:
+# the production form is log-space (ln c12 + 2 ln N1 − ln N2 − ln c1 −
+# ln c2) or DECIMAL(38) products — same ordering, documented here
+# because the gate pins the int64-exact form at gate SFs.
+#
+# Plan shape at 100 TB: one tokenize pass persisted for its two
+# consumers (unigrams + bigrams, dp15's lesson), two hash aggregates
+# shuffling on (w) / (w1,w2) with map-side partials, a support filter
+# BEFORE the scoring joins (apriori pruning: c12 ≥ 5 kills the long
+# tail before any join), two vocabulary-sized joins on token keys (no
+# broadcast hint — vocabulary grows with the corpus, t6's rationale),
+# two 1-row scalar broadcasts, and a TakeOrderedAndProject top-20.
+#
+# Ref parity anchor: the reference ranks grouped aggregates with a
+# deterministic tie-break (vehicle top-k,
+# src/spark/analytics/SensorDataAnalytics.scala:104-118); t17 is that
+# shape where the ranking key is an information-theoretic score over
+# two joined count relations.
+# ---------------------------------------------------------------------------
+_T17_MIN_SUPPORT = 5  # apriori floor: pair must occur ≥ 5 times
+_T17_TOPN = 20
+
+
+@register(
+    "t17_collocations_pmi",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+uni AS (SELECT unnest(toks) AS w FROM t),
+c1 AS (SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY w),
+n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
+big AS (
+  SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS g(i)
+  WHERE len(toks) >= 2
+),
+c12 AS (
+  SELECT w1, w2, count(*) AS c FROM big
+  WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+),
+n2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c12),
+scored AS (
+  SELECT c12.w1, c12.w2, c12.c AS pair_count,
+         round(ln(CAST(c12.c * n1.n * n1.n AS DOUBLE)
+                  / CAST(n2.n * a.c * b.c AS DOUBLE)), {_R}) AS pmi
+  FROM c12
+  JOIN c1 a ON c12.w1 = a.w
+  JOIN c1 b ON c12.w2 = b.w
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE c12.c >= {_T17_MIN_SUPPORT}
+)
+SELECT w1, w2, pair_count, pmi
+FROM scored
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {_T17_TOPN}
+""",
+    doc=(
+        "T17: top-20 bigram collocations by PMI with a min-support "
+        "apriori floor — exact int64 count ratio under one ln"
+    ),
+)
+def t17_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _docs_par
+
+    return collocations_pmi(_docs_par(spark, sf_dir))
+
+
+def collocations_pmi(
+    d: DataFrame,
+    min_support: int = _T17_MIN_SUPPORT,
+    topn: int = _T17_TOPN,
+) -> DataFrame:
+    """t17 core over any (doc_id, text) frame — separated so tests can
+    drive hand-built corpora through the support floor and the exact
+    PMI arithmetic."""
+    # persisted: the unigram pass and the bigram explode both consume
+    # the tokenized relation (dp15's two-consumer lesson)
+    t = track(d.select("doc_id", X.tokens("text").alias("toks")).persist())
+    c1 = (
+        t.select(F.explode("toks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n1 = c1.agg(F.sum("c").cast("bigint").alias("n1"))
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    c12 = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, m).alias("t0"),
+                    F.slice("toks", 2, m).alias("t1"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.t0").alias("w1"), F.col("p.t1").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    n2 = c12.agg(F.sum("pair_count").cast("bigint").alias("n2"))
+    a = c1.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
+    b = c1.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
+    scored = (
+        # support filter FIRST (apriori pruning) — only surviving pairs
+        # pay the two vocabulary joins; c1 joins carry no broadcast hint
+        # (vocabulary grows with the corpus, t6's rationale)
+        c12.filter(F.col("pair_count") >= min_support)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(n1))  # 1-row scalar aggregate
+        .crossJoin(F.broadcast(n2))  # 1-row scalar aggregate
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            fround(
+                F.log(
+                    (F.col("pair_count") * F.col("n1") * F.col("n1"))
+                    .cast("double")
+                    / (F.col("n2") * F.col("c_w1") * F.col("c_w2"))
+                    .cast("double")
+                ),
+                _R,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(topn)
+
+
+# ---------------------------------------------------------------------------
+# T18 — BM25 RETRIEVAL TOP-K: Okapi BM25 scores for a fixed query over
+# the documents corpus — the lexical-retrieval serving primitive behind
+# every hybrid RAG stack (BM25 candidates ∪ ANN candidates → rerank; the
+# ANN half lives in the s-family).
+#
+# Exactness contract: every BM25 factor is a double expression written
+# with the SAME literal constants and the SAME association on both
+# engines (idf = ln((N − df + 0.5)/(df + 0.5) + 1.0); tf·2.2 — the
+# literal, NOT 1.2+1, whose double sum is 2.2000000000000002; denom =
+# tf + 1.2·(0.25 + (0.75·dl)/avgdl)), so each per-term score is
+# bit-identical. The per-doc total is a FIXED-ORDER sum of the ≤3
+# per-term scores (conditional one-row sums pivoted to columns, then
+# s1+s2+s3 textually) — no engine-dependent reduction order anywhere —
+# rounded 6 dp with a doc_id tiebreak.
+#
+# Plan shape at 100 TB: the tokenize pass feeds doclen (per-doc count,
+# map-side partial) and the query-term tf table (the isin filter prunes
+# the explode to |Q| terms per doc BEFORE the shuffle); df is a |Q|-row
+# aggregate and broadcasts with the three scalars; the final rank is
+# TakeOrderedAndProject. Nothing vocabulary-sized shuffles — the isin
+# pushes the query into the scan.
+#
+# Ref parity anchor: the reference's serving layer ranks filtered
+# per-entity aggregates with LIMIT (src/api/sensor_api.py:62-77); t18
+# is that serving shape where the score is a weighted lexical model.
+# ---------------------------------------------------------------------------
+_T18_TERMS = ["spark", "join", "stream"]  # fixed query (present at all SFs)
+_T18_TOPN = 20
+_T18_TERMS_SQL = ", ".join(f"'{t}'" for t in _T18_TERMS)
+
+
+@register(
+    "t18_bm25_topk",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM tok WHERE w <> '' GROUP BY doc_id
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+avg_dl AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE w IN ({_T18_TERMS_SQL}) GROUP BY doc_id, w
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         ln((CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / avg_dl.avgdl)) AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN avg_dl
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_hit_terms,
+         coalesce(sum(CASE WHEN term = '{_T18_TERMS[0]}' THEN s END), 0.0) AS s0,
+         coalesce(sum(CASE WHEN term = '{_T18_TERMS[1]}' THEN s END), 0.0) AS s1,
+         coalesce(sum(CASE WHEN term = '{_T18_TERMS[2]}' THEN s END), 0.0) AS s2
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, n_hit_terms, round(s0 + s1 + s2, {_R}) AS bm25
+FROM agg
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {_T18_TOPN}
+""",
+    doc=(
+        "T18: Okapi BM25 top-20 docs for a fixed 3-term query — "
+        "fixed-order per-term sum, bit-identical double pipeline"
+    ),
+)
+def t18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _docs_par
+
+    return bm25_topk(_docs_par(spark, sf_dir))
+
+
+def bm25_topk(
+    d: DataFrame,
+    terms: list[str] | None = None,
+    topn: int = _T18_TOPN,
+) -> DataFrame:
+    """t18 core over any (doc_id, text) frame — separated so tests can
+    replay the exact BM25 arithmetic on hand corpora. ``terms`` must
+    have exactly 3 entries (the fixed-order pivot sum is positional)."""
+    terms = _T18_TERMS if terms is None else terms
+    if len(terms) != 3:
+        raise ValueError("bm25_topk pivots exactly 3 query terms")
+    # persisted: doclen and the query-term tf table both consume the
+    # exploded token stream (dp15's two-consumer lesson)
+    tok = track(
+        d.select("doc_id", F.explode(X.tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .persist()
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    n = d.agg(F.count("*").cast("bigint").alias("n"))
+    avgdl = (
+        dl.agg(F.sum("dl").cast("double").alias("total_tok"))
+        .crossJoin(F.broadcast(n))  # 1-row scalar aggregate
+        .select((F.col("total_tok") / F.col("n")).alias("avgdl"))
+    )
+    tf = (
+        tok.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    s = (
+        tf.join(F.broadcast(df), "term")  # |Q| rows
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))  # 1-row scalar aggregate
+        .crossJoin(F.broadcast(avgdl))  # 1-row scalar aggregate
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    (F.col("n").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (F.lit(0.25) + (0.75 * F.col("dl")) / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    agg = s.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hit_terms"),
+        # one row per (doc, term) → each conditional sum reduces exactly
+        # one value: no reduction-order freedom
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"s{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    return (
+        agg.select(
+            "doc_id",
+            "n_hit_terms",
+            fround(F.col("s0") + F.col("s1") + F.col("s2"), _R).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(topn)
+    )

@@ -258,7 +258,7 @@ _WINDOW_DEFERRED = [
     # with the 26 r6-vintage queries above, inside the registration
     # budget (test_registration_budget)
     "dp15_bigram_lm_screen", "t16_script_mix", "dq6_snapshot_drift",
-    "s12_mips_topk",
+    "s12_mips_topk", "t17_collocations_pmi", "t18_bm25_topk",
 ]
 
 

@@ -1093,3 +1093,120 @@ def test_t16_all_null_text_lang_group_matches_oracle(spark, tmp_path):
     assert sp == du
     xx = next(r for r in sp if r[0] == "xx")
     assert xx[7] == 0  # mixed_docs: 0, not NULL
+
+
+# ---------------------------------------------------------------------------
+# t17 collocations: hand corpus through the support floor + exact PMI
+# ---------------------------------------------------------------------------
+def test_t17_hand_case_support_floor_and_pmi(spark):
+    import math
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        collocations_pmi,
+    )
+
+    # "a b" ×5 (meets the floor), "a c" ×4 (below), "b a" ×1
+    docs = [(0, " ".join(["a b"] * 5 + ["a c"] * 4)), (1, "b a")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = collocations_pmi(d, min_support=5, topn=10).collect()
+    got = {(r.w1, r.w2): r for r in rows}
+    # unigrams: "a b"×5 = a,b ×5; "a c"×4 = a,c ×4; doc1 = b,a
+    #   → a:10, b:6, c:4 → N1 = 20
+    # bigrams (within-doc adjacency across the repeated pairs):
+    # doc0 seq a b a b a b a b a b a c a c a c a c → 17 bigrams:
+    #   (a,b)×5 (b,a)×5 (a,c)×4 (c,a)×3 ; doc1: (b,a)×1 → N2 = 18
+    # floor 5 keeps (a,b)×5 and (b,a)×6; kills (a,c)×4, (c,a)×3
+    assert set(got) == {("a", "b"), ("b", "a")}
+    r = got[("a", "b")]
+    assert r.pair_count == 5
+    assert got[("b", "a")].pair_count == 6
+    exp = math.log((5 * 20 * 20) / (18 * 10 * 6))
+    assert abs(r.pmi - round(math.floor(exp * 1e6 + 0.5) / 1e6, 6)) < 1e-12
+
+
+def test_t17_support_floor_keeps_ba(spark):
+    from iot_big_data_engineering_spark.operators.textstats import (
+        collocations_pmi,
+    )
+
+    docs = [(0, " ".join(["a b"] * 5 + ["a c"] * 4)), (1, "b a")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = collocations_pmi(d, min_support=4, topn=10).collect()
+    pairs = {(r.w1, r.w2) for r in rows}
+    assert pairs == {("a", "b"), ("b", "a"), ("a", "c")}
+
+
+def test_t17_empty_and_null_text_stable(spark):
+    from iot_big_data_engineering_spark.operators.textstats import (
+        collocations_pmi,
+    )
+
+    d = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "x")], "doc_id long, text string"
+    )
+    rows = collocations_pmi(d, min_support=1, topn=10).collect()
+    assert rows == []
+
+
+# ---------------------------------------------------------------------------
+# t18 BM25: pure-Python replay on a hand corpus + edge cases
+# ---------------------------------------------------------------------------
+def test_t18_matches_python_replay(spark):
+    import math
+
+    from iot_big_data_engineering_spark.operators.textstats import bm25_topk
+
+    corpus = {
+        0: "spark join spark filter table",
+        1: "join stream join join",
+        2: "table scan filter",
+        3: "stream",
+        4: "spark spark spark spark spark spark",
+    }
+    terms = ["spark", "join", "stream"]
+    d = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in bm25_topk(d, topn=10).collect()}
+
+    toks = {i: t.split() for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    exp = {}
+    for i, v in toks.items():
+        s_parts = []
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                s_parts.append(0.0)
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s_parts.append(
+                idf * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + (0.75 * len(v)) / avgdl))
+            )
+        total = s_parts[0] + s_parts[1] + s_parts[2]
+        if total > 0:
+            exp[i] = math.floor(total * 1e6 + 0.5) / 1e6
+    assert set(got) == set(exp)
+    for i, e in exp.items():
+        assert got[i].bm25 == e, (i, got[i].bm25, e)
+    assert got[0].n_hit_terms == 2 and got[3].n_hit_terms == 1
+
+
+def test_t18_no_hits_and_null_text(spark):
+    from iot_big_data_engineering_spark.operators.textstats import bm25_topk
+
+    d = spark.createDataFrame(
+        [(0, "table scan"), (1, None), (2, "")], "doc_id long, text string"
+    )
+    assert bm25_topk(d, topn=10).collect() == []
+
+
+def test_t18_requires_three_terms(spark):
+    import pytest as _pytest
+
+    from iot_big_data_engineering_spark.operators.textstats import bm25_topk
+
+    d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_topk(d, terms=["a", "b"])
