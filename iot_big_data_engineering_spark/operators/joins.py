@@ -2182,3 +2182,213 @@ def w7_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# J23 — FREQUENT ITEM PAIRS (market-basket co-occurrence): part pairs
+# that co-occur in the same order, Apriori-pruned — the association-
+# mining primitive (FP-growth's first pass) and the classic "people who
+# bought X also bought Y" batch job.
+#
+# Apriori pruning is the scale story: a pair can only be frequent if
+# BOTH items are, so the item-support filter (≥ 5 orders) runs FIRST as
+# a |parts|-keyed aggregate + semi-join, and only surviving items enter
+# the quadratic-per-basket self-join. The self-join shuffles on the
+# order key; its output per order is C(k,2) over the PRUNED basket size
+# k (TPC-H baskets ≈ 4-7 items), so the blowup is bounded by basket
+# width, never corpus size. The pair aggregate shuffles on (p1, p2)
+# with map-side partials; lift's two scalar totals broadcast.
+#
+# lift = P(p1,p2) / (P(p1)·P(p2)) = pair_n·N / (c1·c2) — exact int64
+# products under one double division (t17's discipline; bounds: pair_n
+# ≤ N ≤ 1.5e7 at sf0.1 → products ≤ 2^63), rounded 6 dp, (p1,p2)
+# tiebreak → total order.
+#
+# Ref parity anchor: the reference's analytics job correlates per-key
+# groups across a join (vehicle × sensor-type coverage,
+# src/spark/analytics/SensorDataAnalytics.scala:120-151); j23 is that
+# co-occurrence shape with the Apriori support bound.
+# ---------------------------------------------------------------------------
+_J23_ITEM_SUPPORT = 5  # item must appear in >= 5 orders
+_J23_PAIR_SUPPORT = 3  # pair must co-occur in >= 3 orders
+_J23_TOPN = 20
+
+
+@register(
+    "j23_frequent_pairs",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+),
+freq AS (
+  SELECT pkey, CAST(count(*) AS BIGINT) AS c
+  FROM items GROUP BY pkey HAVING count(*) >= {_J23_ITEM_SUPPORT}
+),
+fi AS (
+  SELECT items.okey, items.pkey, freq.c
+  FROM items JOIN freq ON items.pkey = freq.pkey
+),
+n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM items),
+pairs AS (
+  SELECT a.pkey AS p1, b.pkey AS p2,
+         CAST(count(*) AS BIGINT) AS pair_n,
+         min(a.c) AS c1, min(b.c) AS c2
+  FROM fi a JOIN fi b ON a.okey = b.okey AND a.pkey < b.pkey
+  GROUP BY a.pkey, b.pkey
+)
+SELECT p1, p2, pair_n, c1, c2,
+       round(CAST(pair_n * n.n AS DOUBLE) / CAST(c1 * c2 AS DOUBLE),
+             6) AS lift
+FROM pairs CROSS JOIN n
+WHERE pair_n >= {_J23_PAIR_SUPPORT}
+ORDER BY pair_n DESC, p1 ASC, p2 ASC
+LIMIT {_J23_TOPN}
+""",
+    doc=(
+        "J23: Apriori-pruned frequent part pairs per order with exact "
+        "lift — market-basket co-occurrence top-20"
+    ),
+)
+def j23_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frequent_pairs(load_table(spark, sf_dir, "lineitem"))
+
+
+def frequent_pairs(
+    l: DataFrame,
+    item_support: int = _J23_ITEM_SUPPORT,
+    pair_support: int = _J23_PAIR_SUPPORT,
+    topn: int = _J23_TOPN,
+) -> DataFrame:
+    """j23 core over any lineitem-shaped frame — separated so tests can
+    drive hand-built baskets through both support floors."""
+    items = l.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    freq = (
+        items.groupBy("pkey")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .filter(F.col("c") >= item_support)
+    )
+    # Apriori prune BEFORE the self-join: only frequent items enter the
+    # per-basket quadratic step. freq is |parts|-scale — no broadcast
+    # hint (t6's vocabulary rationale); both sides hash on pkey.
+    fi = items.join(freq, "pkey").select("okey", "pkey", "c")
+    n = items.agg(F.countDistinct("okey").cast("bigint").alias("n"))
+    a = fi.select(
+        F.col("okey"),
+        F.col("pkey").alias("p1"),
+        F.col("c").alias("ca"),
+    )
+    b = fi.select(
+        F.col("okey"),
+        F.col("pkey").alias("p2"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(
+            F.count("*").cast("bigint").alias("pair_n"),
+            F.min("ca").alias("c1"),  # constant per p1 — min is exact
+            F.min("cb").alias("c2"),
+        )
+        .filter(F.col("pair_n") >= pair_support)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))  # 1-row scalar aggregate
+        .select(
+            "p1",
+            "p2",
+            "pair_n",
+            "c1",
+            "c2",
+            fround(
+                (F.col("pair_n") * F.col("n")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_n").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(topn)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W8 — MARKOV TRANSITION MATRIX over per-user event sequences: the
+# first-order behavioral model (click → purchase probabilities) behind
+# next-event prediction, anomaly detection on session flows, and the
+# funnel family's (w7) generative counterpart.
+#
+# Exactness: transitions are integer lead() pairs under the (ts,
+# event_id) total order w3 established; probabilities are one double
+# division of two int64 counts (row count / from-state total), rounded
+# 6 dp — no cross-row float accumulation anywhere.
+#
+# Plan shape at 100 TB: the lead() window partitions on user_id —
+# per-user history is bounded (the same justification as w2/w3), so no
+# single task sees unbounded state; the transition aggregate shuffles
+# |event_types|² keys with map-side partials; the from-state totals
+# relation is |event_types| rows and broadcasts into the final join.
+#
+# Ref parity anchor: the reference tracks per-entity last-seen ordering
+# for liveness (src/monitoring/alerting.py:223-262); w8 generalizes
+# consecutive-event ordering into the full transition model.
+# ---------------------------------------------------------------------------
+@register(
+    "w8_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+tot AS (
+  SELECT from_type, CAST(sum(transitions) AS BIGINT) AS from_total
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.transitions, tot.from_total,
+       round(CAST(t.transitions AS DOUBLE) / tot.from_total, 6) AS prob
+FROM trans t JOIN tot ON t.from_type = tot.from_type
+""",
+    doc=(
+        "W8: first-order Markov transition matrix over per-user event "
+        "sequences — exact counts, row-normalized probabilities"
+    ),
+)
+def w8_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+def markov_transitions(e: DataFrame) -> DataFrame:
+    """w8 core over any events-shaped frame — separated so tests can
+    replay hand-built sequences."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("transitions")
+    )
+    tot = trans.groupBy("from_type").agg(
+        F.sum("transitions").cast("bigint").alias("from_total")
+    )
+    # tot is |event_types| rows — broadcast by construction
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "transitions",
+        "from_total",
+        fround(
+            F.col("transitions").cast("double") / F.col("from_total"), 6
+        ).alias("prob"),
+    )

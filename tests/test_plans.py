@@ -936,3 +936,123 @@ def test_t16_plan_single_pruned_scan(spark):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     assert len(schemas) == 1 and schemas[0].count(":") == 2, p
     assert "Join" not in p, p
+
+
+def test_j23_hand_baskets_support_and_lift(spark):
+    from iot_big_data_engineering_spark.operators.joins import frequent_pairs
+
+    rows = [
+        (1, 101), (1, 102), (1, 103),
+        (2, 101), (2, 102),
+        (3, 101), (3, 102),
+        (4, 101), (4, 103),
+        (4, 101),  # duplicate line in the same order must not double-count
+    ]
+    l = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    )
+    got = {
+        (r.p1, r.p2): r
+        for r in frequent_pairs(l, item_support=2, pair_support=2).collect()
+    }
+    # items: 101 in 4 orders, 102 in 3, 103 in 2 — all frequent at floor 2
+    # pairs: (101,102)×3, (101,103)×2, (102,103)×1 (below floor)
+    assert set(got) == {(101, 102), (101, 103)}
+    r = got[(101, 102)]
+    assert (r.pair_n, r.c1, r.c2) == (3, 4, 3)
+    assert r.lift == 1.0  # 3·4/(4·3)
+    r2 = got[(101, 103)]
+    assert (r2.pair_n, r2.c1, r2.c2) == (2, 4, 2)
+    assert r2.lift == 1.0  # 2·4/(4·2)
+
+
+def test_j23_item_floor_prunes_before_pairs(spark):
+    from iot_big_data_engineering_spark.operators.joins import frequent_pairs
+
+    rows = [(1, 101), (1, 102), (1, 103), (2, 101), (2, 102), (3, 101),
+            (3, 102)]
+    l = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = frequent_pairs(l, item_support=3, pair_support=2).collect()
+    # 103 appears in 1 order -> pruned; only (101,102) survives
+    assert [(r.p1, r.p2, r.pair_n) for r in got] == [(101, 102, 3)]
+
+
+def test_w8_hand_sequences(spark):
+    import datetime as dt
+
+    from iot_big_data_engineering_spark.operators.joins import (
+        markov_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, s, typ):
+        return (eid, uid, t0 + dt.timedelta(seconds=s), typ)
+
+    e = spark.createDataFrame(
+        [
+            ev(1, 1, 0, "view"), ev(2, 1, 10, "click"),
+            ev(3, 1, 20, "purchase"),
+            ev(4, 2, 0, "view"), ev(5, 2, 10, "click"),
+            ev(6, 2, 20, "click"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        (r.from_type, r.to_type): r for r in markov_transitions(e).collect()
+    }
+    assert set(got) == {
+        ("view", "click"), ("click", "purchase"), ("click", "click")
+    }
+    assert got[("view", "click")].transitions == 2
+    assert got[("view", "click")].prob == 1.0
+    assert got[("click", "purchase")].prob == 0.5
+    assert got[("click", "click")].prob == 0.5
+    assert got[("click", "click")].from_total == 2
+
+
+def test_w8_tie_breaks_on_event_id(spark):
+    """Two events at the SAME timestamp must order by event_id — the
+    total order the oracle states."""
+    import datetime as dt
+
+    from iot_big_data_engineering_spark.operators.joins import (
+        markov_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    e = spark.createDataFrame(
+        [(2, 1, t0, "b"), (1, 1, t0, "a"), (3, 1, t0, "c")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {(r.from_type, r.to_type) for r in markov_transitions(e).collect()}
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_t17_t18_j23_w8_plan_shapes(spark):
+    from iot_big_data_engineering_spark.operators.joins import (
+        j23_frequent_pairs,
+        w8_markov_transitions,
+    )
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t17_collocations_pmi,
+        t18_bm25_topk,
+    )
+
+    for fn in (t17_collocations_pmi, t18_bm25_topk):
+        df = fn(spark, SF_SMOKE)
+        assert_no_cartesian(df)
+        p = plan_str(df)
+        # top-N must stay distributed — no global sort-then-limit
+        assert "TakeOrderedAndProject" in p, p
+
+    j = j23_frequent_pairs(spark, SF_SMOKE)
+    assert_no_cartesian(j)
+    pj = plan_str(j)
+    assert "TakeOrderedAndProject" in pj, pj
+    # the scan feeding the Apriori prune reads only the two join columns
+    assert "struct<l_orderkey:bigint,l_partkey:bigint>" in pj, pj
+
+    w = w8_markov_transitions(spark, SF_SMOKE)
+    assert_no_cartesian(w)
+    assert_broadcast_join(w)  # |event_types|-row totals relation
