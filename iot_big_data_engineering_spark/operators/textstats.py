@@ -3047,3 +3047,371 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(topn)
     )
+
+
+# ---------------------------------------------------------------------------
+# DP16 — DATASET CARD: the per-source audit summary a training-data
+# release ships with (HuggingFace dataset cards, Datasheets for
+# Datasets): volume, token share, exact-duplicate rate, language
+# spread, quality and null counters — one row per source, every cell
+# an exact integer or an integer-ratio ppm.
+#
+# Exactness: no floating aggregate anywhere — token shares and dup
+# rates are int64 floor-division ppm (dp15's discipline); the quality
+# counter thresholds t2's per-row double ONCE per row (the same
+# per-row predicate dp1 gates on) and sums integers.
+#
+# Plan shape at 100 TB: three independent aggregates over one persisted
+# map-only projection — (a) per-source counters with map-side partials,
+# (b) distinct-text counts via a two-level (source, text) → source
+# aggregate (the dq6 lesson: NO countDistinct Expand — the sub-agg
+# shuffles each distinct text once), (c) a |src|×|lang| aggregate that
+# yields BOTH the top language (window rank over ~100 rows) and the
+# language count. Everything after the three shuffles is |sources|-row
+# arithmetic; the corpus-total scalar broadcasts.
+#
+# Ref parity anchor: the reference's global summary report
+# (src/spark/analytics/SensorDataAnalytics.scala:153-176) is the same
+# one-row-per-category card over typed counters.
+# ---------------------------------------------------------------------------
+_DP16_HQ = 0.5  # dp1's quality gate, reused as the card's HQ threshold
+
+
+@register(
+    "dp16_dataset_card",
+    oracle=f"""
+WITH d AS (
+  SELECT source, lang, text,
+         {X.sql_token_count("text")} AS tok,
+         {X.sql_quality_score("text")} AS q
+  FROM documents
+),
+base AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(sum(tok) AS BIGINT) AS token_sum,
+         CAST(sum(CASE WHEN q >= {_DP16_HQ} THEN 1 ELSE 0 END) AS BIGINT)
+           AS high_quality_docs,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_text_docs
+  FROM d GROUP BY source
+),
+texts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS distinct_texts
+  FROM (
+    SELECT source, text FROM d WHERE text IS NOT NULL
+    GROUP BY source, text
+  ) GROUP BY source
+),
+lang_rank AS (
+  SELECT source, lang, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, lang) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_langs
+  FROM (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+    FROM d GROUP BY source, lang
+  )
+),
+tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM d)
+SELECT b.source, b.doc_count, b.token_sum,
+       CAST(b.token_sum * 1000000 // tot.t AS BIGINT) AS token_share_ppm,
+       x.distinct_texts,
+       CAST((b.doc_count - b.null_text_docs - x.distinct_texts) * 1000000
+            // (b.doc_count - b.null_text_docs) AS BIGINT) AS exact_dup_ppm,
+       lr.n_langs, lr.lang AS top_lang, lr.c AS top_lang_docs,
+       b.high_quality_docs, b.null_text_docs
+FROM base b
+JOIN texts x ON b.source = x.source
+JOIN lang_rank lr ON b.source = lr.source AND lr.rn = 1
+CROSS JOIN tot
+""",
+    doc=(
+        "DP16: per-source dataset card — exact volume / token-share / "
+        "dup-rate / language-spread / quality counters"
+    ),
+)
+def dp16_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_card(_docs(spark, sf_dir))
+
+
+def dataset_card(docs: DataFrame, hq: float = _DP16_HQ) -> DataFrame:
+    """dp16 core over any (source, lang, text) frame — separated so
+    tests can drive hand corpora through the dup/null/quality edges.
+    Assumes every source has ≥ 1 non-NULL-text doc (the dup-ppm
+    denominator); an all-NULL source would need a guard the card's
+    contract does not promise."""
+    from pyspark.sql import Window
+
+    d = track(
+        docs.select(
+            "source",
+            "lang",
+            "text",
+            X.token_count("text").alias("tok"),
+            X.quality_score("text").alias("q"),
+        ).persist()  # three aggregate consumers + the total scalar
+    )
+    base = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("doc_count"),
+        F.sum("tok").cast("bigint").alias("token_sum"),
+        F.sum(F.when(F.col("q") >= hq, 1).otherwise(0))
+        .cast("bigint")
+        .alias("high_quality_docs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_text_docs"),
+    )
+    # two-level distinct (dq6's no-Expand discipline): each distinct
+    # (source, text) shuffles once, then collapses to a per-source count
+    texts = (
+        d.filter(F.col("text").isNotNull())
+        .groupBy("source", "text")
+        .agg(F.lit(1).alias("one"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("distinct_texts"))
+    )
+    langs = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc()
+    )
+    wc = Window.partitionBy("source")
+    lang_rank = (
+        langs.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_langs", F.count("*").over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            "n_langs",
+            F.col("lang").alias("top_lang"),
+            F.col("c").alias("top_lang_docs"),
+        )
+    )
+    tot = d.agg(F.sum("tok").cast("bigint").alias("t"))
+    nonnull = F.col("doc_count") - F.col("null_text_docs")
+    return (
+        base.join(texts, "source")
+        .join(lang_rank, "source")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar aggregate
+        .select(
+            "source",
+            "doc_count",
+            "token_sum",
+            F.expr("CAST(token_sum * 1000000 DIV t AS BIGINT)").alias(
+                "token_share_ppm"
+            ),
+            "distinct_texts",
+            ((nonnull - F.col("distinct_texts")) * 1000000)
+            .cast("bigint")
+            .alias("_dup_num"),
+            nonnull.alias("_nonnull"),
+            "n_langs",
+            "top_lang",
+            "top_lang_docs",
+            "high_quality_docs",
+            "null_text_docs",
+        )
+        .withColumn(
+            "exact_dup_ppm",
+            F.expr("CAST(_dup_num DIV _nonnull AS BIGINT)"),
+        )
+        .select(
+            "source",
+            "doc_count",
+            "token_sum",
+            "token_share_ppm",
+            "distinct_texts",
+            "exact_dup_ppm",
+            "n_langs",
+            "top_lang",
+            "top_lang_docs",
+            "high_quality_docs",
+            "null_text_docs",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DP17 — DSIR IMPORTANCE WEIGHTS: data selection by importance
+# resampling (Xie et al., "Data Selection for Language Models via
+# Importance Resampling", 2023) — score every raw document by how much
+# more likely its hashed-feature profile is under a target distribution
+# (here: the corpus's 'en' slice as the quality-target stand-in) than
+# under the raw corpus, log w(d) = Σ_features cnt·[ln p̂_t(b) − ln
+# p̂_r(b)] with Laplace-smoothed bucket probabilities. Top-weighted docs
+# are the resampling candidates.
+#
+# Exactness — the engine's answer to "importance weights are float
+# sums": every per-bucket term is a deterministic double (ln of an
+# exactly-representable (c+1)/(N+B) division of int64s, times an int64
+# count), and the per-doc reduction is an ORDERED FOLD — Spark
+# F.aggregate over the bucket-sorted contribution array, DuckDB
+# list_reduce over list(v ORDER BY b) — so both engines add the same
+# doubles in the same order and the 6-dp-rounded weight is
+# bit-identical. t18 fixed the order of 3 terms textually; dp17
+# generalizes to B terms structurally.
+#
+# Plan shape at 100 TB: the tokenize+hash pass is map-only (the char
+# polynomial hash is a codegen'd lambda, t4's machinery); per-(doc,
+# bucket) counts shuffle once on doc_id×B keys with map-side partials;
+# BOTH bucket tables are ≤ B = 64 rows and broadcast; the fold is
+# per-doc bounded (≤ B entries). Nothing vocabulary-sized moves. DSIR's
+# production B is 10⁴ buckets — still broadcast-scale; B = 64 keeps the
+# gate corpus's buckets densely populated.
+#
+# Ref parity anchor: the reference scores records against fixed
+# per-category expectations (quality scoring,
+# src/spark/streaming/SensorDataProcessor.scala:89-102); dp17 is that
+# per-record scoring where the expectation is a learned distribution
+# ratio.
+# ---------------------------------------------------------------------------
+_DP17_B = 64      # hash buckets (DSIR's n-gram feature space, compressed)
+_DP17_TOPN = 25
+_DP17_TARGET = "en"  # target-distribution slice: the 'en' documents
+
+
+@register(
+    "dp17_dsir_importance",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({X.sql_tokens("text")}) AS w
+  FROM documents
+),
+bt AS (
+  SELECT doc_id, lang,
+         {X.sql_fingerprint("w")} % {_DP17_B} AS b
+  FROM tok WHERE w <> ''
+),
+per_db AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+  FROM bt GROUP BY doc_id, b
+),
+ct AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c
+  FROM bt WHERE lang = '{_DP17_TARGET}' GROUP BY b
+),
+nt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM bt WHERE lang = '{_DP17_TARGET}'
+),
+cr AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bt GROUP BY b),
+nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bt),
+contrib AS (
+  SELECT per_db.doc_id, per_db.b, per_db.cnt,
+         CAST(per_db.cnt AS DOUBLE)
+           * (ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE) / (nt.n + {_DP17_B}))
+              - ln(CAST(cr.c + 1 AS DOUBLE) / (nr.n + {_DP17_B}))) AS v
+  FROM per_db
+  LEFT JOIN ct ON per_db.b = ct.b
+  JOIN cr ON per_db.b = cr.b
+  CROSS JOIN nt CROSS JOIN nr
+),
+wgt AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY b)),
+           (acc, x) -> acc + x
+         ) AS w_raw
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(w_raw, {_R}) AS dsir_logweight
+FROM wgt
+ORDER BY dsir_logweight DESC, doc_id ASC
+LIMIT {_DP17_TOPN}
+""",
+    doc=(
+        "DP17: DSIR importance resampling — hashed-feature log "
+        "importance weights vs the 'en' target slice, ordered-fold "
+        "deterministic float reduction, top-25 candidates"
+    ),
+)
+def dp17_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _docs_par
+
+    return dsir_importance(_docs_par(spark, sf_dir))
+
+
+def dsir_importance(
+    docs: DataFrame,
+    b_buckets: int = _DP17_B,
+    target_lang: str = _DP17_TARGET,
+    topn: int = _DP17_TOPN,
+) -> DataFrame:
+    """dp17 core over any (doc_id, lang, text) frame — separated so
+    tests can replay the smoothing and the ordered fold on hand
+    corpora."""
+    tok = docs.select(
+        "doc_id", "lang", F.explode(X.tokens("text")).alias("w")
+    ).filter(F.col("w") != "")
+    # per-occurrence feature bucket: the shared char-polynomial hash
+    # (t4's fingerprint) mod B — persisted for its three consumers
+    # (per-doc counts, target counts, raw counts)
+    bt = track(
+        tok.select(
+            "doc_id",
+            "lang",
+            F.pmod(X.fingerprint("w"), F.lit(b_buckets)).alias("b"),
+        ).persist()
+    )
+    per_db = bt.groupBy("doc_id", "b").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tgt = bt.filter(F.col("lang") == target_lang)
+    ct = tgt.groupBy("b").agg(F.count("*").cast("bigint").alias("c_t"))
+    nt = tgt.agg(F.count("*").cast("bigint").alias("n_t"))
+    cr = bt.groupBy("b").agg(F.count("*").cast("bigint").alias("c_r"))
+    nr = bt.agg(F.count("*").cast("bigint").alias("n_r"))
+    contrib = (
+        # both bucket tables are ≤ B rows — broadcast by construction
+        per_db.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b")
+        .crossJoin(F.broadcast(nt))  # 1-row scalar aggregate
+        .crossJoin(F.broadcast(nr))  # 1-row scalar aggregate
+        .select(
+            "doc_id",
+            "b",
+            "cnt",
+            (
+                F.col("cnt").cast("double")
+                * (
+                    F.log(
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("n_t") + b_buckets)
+                    )
+                    - F.log(
+                        (F.col("c_r") + 1).cast("double")
+                        / (F.col("n_r") + b_buckets)
+                    )
+                )
+            ).alias("v"),
+        )
+    )
+    wgt = contrib.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        # ordered fold: sort the ≤B per-bucket contributions by bucket,
+        # then left-fold — the same addition order as the oracle's
+        # list(v ORDER BY b) + list_reduce, so the double sum is
+        # bit-identical across engines
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("b").alias("b"), F.col("v").alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("v"),
+        ).alias("w_raw"),
+    )
+    return (
+        wgt.select(
+            "doc_id",
+            "n_tokens",
+            fround(F.col("w_raw"), _R).alias("dsir_logweight"),
+        )
+        .orderBy(F.col("dsir_logweight").desc(), F.col("doc_id").asc())
+        .limit(topn)
+    )

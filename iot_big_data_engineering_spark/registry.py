@@ -259,7 +259,8 @@ _WINDOW_DEFERRED = [
     # budget (test_registration_budget)
     "dp15_bigram_lm_screen", "t16_script_mix", "dq6_snapshot_drift",
     "s12_mips_topk", "t17_collocations_pmi", "t18_bm25_topk",
-    "j23_frequent_pairs", "w8_markov_transitions",
+    "j23_frequent_pairs", "w8_markov_transitions", "dp16_dataset_card",
+    "dp17_dsir_importance",
 ]
 
 

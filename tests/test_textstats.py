@@ -1210,3 +1210,134 @@ def test_t18_requires_three_terms(spark):
     d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bm25_topk(d, terms=["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# dp16 dataset card: hand corpus through dup/null/lang/quality edges
+# ---------------------------------------------------------------------------
+def test_dp16_hand_card(spark):
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dataset_card,
+    )
+
+    hq = ("the of and is in to a " * 30).strip()  # long, stopword-rich? no:
+    # quality = 0.4*min(tok/200,1) + 0.3*(1-sw/tok) + 0.3*min(avg_len/8,1)
+    # 210 tokens -> 1.0*0.4; all stopwords -> 0; avg len ~2.2/8 -> ~0.08
+    # => ~0.48 (below 0.5). Use a non-stopword long text for HQ instead.
+    hq = ("alpha beta gamma delta " * 60).strip()  # 240 toks, 0 stopwords
+    rows = [
+        ("s1", "en", "dup dup dup"),
+        ("s1", "en", "dup dup dup"),   # exact duplicate
+        ("s1", "de", "unique text here"),
+        ("s1", "en", None),            # null text
+        ("s2", "fr", hq),
+    ]
+    d = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {r.source: r for r in dataset_card(d).collect()}
+    s1 = got["s1"]
+    assert (s1.doc_count, s1.null_text_docs) == (4, 1)
+    assert s1.distinct_texts == 2
+    # 3 non-null docs, 2 distinct → 1 dup → 333333 ppm
+    assert s1.exact_dup_ppm == 333333
+    assert s1.n_langs == 2
+    assert (s1.top_lang, s1.top_lang_docs) == ("en", 3)  # ties? en=3 > de=1
+    assert s1.token_sum == 3 + 3 + 3  # 3 docs × 3 tokens
+    s2 = got["s2"]
+    assert s2.high_quality_docs == 1
+    assert s2.exact_dup_ppm == 0
+    assert s1.token_share_ppm + s2.token_share_ppm <= 1_000_000
+    total = s1.token_sum + s2.token_sum
+    assert s1.token_share_ppm == s1.token_sum * 1_000_000 // total
+
+
+def test_dp16_plan_no_expand(spark):
+    """The distinct-text leg must use the two-level aggregate, never a
+    countDistinct Expand (dq6's lesson)."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp16_dataset_card,
+    )
+
+    from iot_big_data_engineering_spark.plans.checks import plan_str
+
+    from .conftest import SF_SMOKE
+
+    p = plan_str(dp16_dataset_card(spark, SF_SMOKE))
+    assert "Expand" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# dp17 DSIR: pure-Python replay of the hashed-bucket importance weights
+# ---------------------------------------------------------------------------
+def _py_fp(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    return h
+
+
+def test_dp17_matches_python_replay(spark):
+    import math
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _DP17_B,
+        dsir_importance,
+    )
+
+    corpus = [
+        (0, "en", "alpha beta alpha gamma"),
+        (1, "en", "beta beta delta"),
+        (2, "de", "alpha zeta zeta zeta"),
+        (3, "de", "omega"),
+    ]
+    d = spark.createDataFrame(corpus, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in dsir_importance(d, topn=10).collect()}
+
+    buckets = {}
+    for _, lang, text in corpus:
+        for w in text.split():
+            buckets.setdefault(w, _py_fp(w) % _DP17_B)
+    ct, cr = {}, {}
+    nt = nr = 0
+    for _, lang, text in corpus:
+        for w in text.split():
+            b = buckets[w]
+            cr[b] = cr.get(b, 0) + 1
+            nr += 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+                nt += 1
+    exp = {}
+    for doc_id, lang, text in corpus:
+        per = {}
+        for w in text.split():
+            per[buckets[w]] = per.get(buckets[w], 0) + 1
+        acc = 0.0
+        for b in sorted(per):  # the ordered fold
+            acc += per[b] * (
+                math.log((ct.get(b, 0) + 1) / (nt + _DP17_B))
+                - math.log((cr[b] + 1) / (nr + _DP17_B))
+            )
+        exp[doc_id] = (sum(per.values()), math.floor(acc * 1e6 + 0.5) / 1e6)
+    assert set(got) == set(exp)
+    for doc_id, (n_tok, w) in exp.items():
+        assert got[doc_id].n_tokens == n_tok
+        assert got[doc_id].dsir_logweight == w, (
+            doc_id, got[doc_id].dsir_logweight, w
+        )
+    # directional sanity: target-slice docs outweigh off-target docs
+    assert got[0].dsir_logweight > got[3].dsir_logweight
+
+
+def test_dp17_no_target_slice_still_defined(spark):
+    """With an empty target slice every bucket smooths to 1/(0+B): the
+    weights stay finite and defined (Laplace smoothing's job)."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dsir_importance,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "de", "a b"), (1, "fr", "c")], "doc_id long, lang string, text string"
+    )
+    rows = dsir_importance(d, topn=10).collect()
+    assert len(rows) == 2
+    assert all(r.dsir_logweight is not None for r in rows)
