@@ -1411,3 +1411,141 @@ def snapshot_drift(
             | (F.col("n_distinct_b") * 2 < F.col("n_distinct_a"))
         ).alias("drifted"),
     ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# ADV15 — FIXED-POINT INTEGER PAGERANK over the customer↔supplier
+# trading graph (3 damped power iterations, d = 0.85) — the iterative-
+# algorithm representative: entity-importance ranking over a bipartite
+# relationship graph (who trades with well-connected partners), the
+# same computational shape as label propagation, HITS, or embedding
+# propagation over a lakehouse graph.
+#
+# The float problem, solved structurally: PageRank's per-node sum of
+# neighbor contributions is the canonical nondeterministic double
+# reduction. adv15 runs the ENTIRE recursion in scaled int64
+# arithmetic — ranks start at S = 10¹², contributions are exact floor
+# divisions r DIV deg, damping is (85·Σ) DIV 100 — so every engine
+# computes bit-identical ranks in ANY reduction order, and the compared
+# surface needs no rounding at all. Overflow headroom: total mass ≈
+# N·S ≈ 1.6e16 at sf0.1; 85·Σ ≤ 1.4e18 < 2^63. The graph is made
+# undirected (both edge directions), so every node has out-degree ≥ 1
+# and the dangling-mass correction drops out.
+#
+# Plan shape at 100 TB: the edge list (distinct cust-supp pairs) builds
+# once from the lineitem⋈orders join and persists WITH its out-degree
+# column — each iteration is then one shuffle join (ranks ⋈ edges on
+# src) + one aggregate (on dst) with map-side partials; 3 iterations =
+# 3 bounded stages, no lineage blow-up (production depth would
+# checkpoint every ~10 iterations). Rank state is 2 int64 columns —
+# the minimal shuffle payload.
+#
+# Ref parity anchor: the reference ranks entities by aggregated
+# connectivity-weighted activity (vehicle analytics + top-k,
+# src/spark/analytics/SensorDataAnalytics.scala:104-151); adv15 is
+# that ranking where importance recurses through the join graph.
+# ---------------------------------------------------------------------------
+_ADV15_S = 1_000_000_000_000  # rank scale: 10^12 fixed-point units
+_ADV15_BASE = (15 * _ADV15_S) // 100  # (1-d)·S with d = 0.85
+_ADV15_ITERS = 3
+_ADV15_TOPN = 20
+
+
+def _adv15_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT e.dst AS node,
+         {_ADV15_BASE} + (85 * sum(r.r // e.deg)) // 100 AS r
+  FROM edges_d e JOIN {prev} r ON e.src = r.node
+  GROUP BY e.dst
+)"""
+
+
+@register(
+    "adv15_pagerank",
+    oracle=f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM e0
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+edges_d AS (
+  SELECT edges.src, edges.dst, deg.deg
+  FROM edges JOIN deg ON edges.src = deg.src
+),
+r0 AS (SELECT src AS node, CAST({_ADV15_S} AS BIGINT) AS r FROM deg),
+{_adv15_iter_sql("r0", "r1")},
+{_adv15_iter_sql("r1", "r2")},
+{_adv15_iter_sql("r2", "r3")}
+SELECT node, CAST(node % 2 AS INTEGER) AS is_supplier,
+       CAST(r AS BIGINT) AS rank_fp
+FROM r3
+ORDER BY rank_fp DESC, node ASC
+LIMIT {_ADV15_TOPN}
+""",
+    doc=(
+        "ADV15: 3-iteration damped PageRank over the customer↔supplier "
+        "graph in exact fixed-point int64 — order-free, unrounded"
+    ),
+)
+def adv15_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e0 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = e0.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionAll(
+        e0.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+    ranked = pagerank_fixed_point(edges, iters=_ADV15_ITERS)
+    return (
+        ranked.select(
+            "node",
+            (F.col("node") % 2).cast("int").alias("is_supplier"),
+            F.col("r").cast("bigint").alias("rank_fp"),
+        )
+        .orderBy(F.col("rank_fp").desc(), F.col("node").asc())
+        .limit(_ADV15_TOPN)
+    )
+
+
+def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Damped power iteration over an (src, dst) edge frame in scaled
+    int64 arithmetic — returns (node, r). Every node must appear as a
+    src (give the graph both edge directions for undirected inputs):
+    that guarantees out-degree ≥ 1 and a defined in-rank for every
+    node. Separated so tests can replay hand graphs exactly."""
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    edges_d = track(
+        edges.join(deg, "src").persist()  # reused every iteration
+    )
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(_ADV15_S).cast("bigint").alias("r"),
+    )
+    for _ in range(iters):
+        ranks = (
+            edges_d.join(ranks, edges_d.src == ranks.node)
+            .select(
+                "dst", F.expr("r DIV deg").alias("contrib")
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(_ADV15_BASE).cast("bigint")
+                    + F.expr("85 * sum(contrib) DIV 100")
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), F.col("r").cast("bigint"))
+        )
+    return ranks

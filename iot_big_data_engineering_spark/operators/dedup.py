@@ -1358,3 +1358,118 @@ def d11_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kept_quality") - F.col("canonical_quality"), _R
         ).alias("quality_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D12 — DUPLICATED-SPAN COVERAGE: per-document fraction of n-gram
+# positions whose 8-gram also occurs in ANOTHER document — the
+# ExactSubstr signal of Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" (2022), measured at n-gram granularity. dc1
+# asks "does this doc overlap the benchmark"; dp10 removes segments
+# that repeat across ≥5 docs; d12 is the per-document AUDIT number —
+# how much of each doc is cross-document boilerplate/duplication —
+# that decides whether to drop the doc, trim the spans, or keep it.
+#
+# Everything on the hash surface is an exact integer: occurrence
+# counts, distinct-doc counts, and a floor-division ppm (dp15's
+# discipline).
+#
+# Plan shape at 100 TB: gram construction is map-only (the slice-zip
+# n-gram kernel, functions/text.py); per-(doc, gram) occurrence counts
+# shuffle once on the compound key with map-side partials; the
+# gram→n_docs table derives from THAT relation (never re-exploding);
+# the join back is gram-keyed and co-partitioned with the aggregate
+# that produced it; the final per-doc rollup shuffles |docs| keys. The
+# gram relation is corpus-sized — nothing is broadcast, exactly like
+# dp10/dp11's gram machinery. At petabyte scale the gram strings would
+# carry as xxhash64 fingerprints (d4's trick) to shrink the shuffle;
+# the string form keeps the oracle exact at gate SFs.
+#
+# Ref parity anchor: the reference flags records whose payload repeats
+# across devices via grouped counts (duplicate detection,
+# src/spark/analytics/SensorDataAnalytics.scala:178-195); d12 is that
+# cross-entity repeat measure at span granularity.
+# ---------------------------------------------------------------------------
+_D12_N = 8  # gram width — dc1/dp11's benchmark-decontamination standard
+_D12_TOPN = 20
+
+
+@register(
+    "d12_duplicate_span_ratio",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest({X.sql_ngrams_from_tokens("toks", _D12_N)}) AS gram
+  FROM t
+),
+pg AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS occ
+  FROM g GROUP BY doc_id, gram
+),
+gt AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM pg GROUP BY gram
+),
+per AS (
+  SELECT pg.doc_id,
+         CAST(sum(occ) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN gt.n_docs >= 2 THEN occ ELSE 0 END) AS BIGINT)
+           AS dup_grams
+  FROM pg JOIN gt ON pg.gram = gt.gram
+  GROUP BY pg.doc_id
+)
+SELECT doc_id, n_grams, dup_grams,
+       CAST(dup_grams * 1000000 // n_grams AS BIGINT) AS dup_ppm
+FROM per
+ORDER BY dup_ppm DESC, doc_id ASC
+LIMIT {_D12_TOPN}
+""",
+    doc=(
+        "D12: per-doc duplicated-span coverage — ppm of 8-gram "
+        "positions shared with another document (ExactSubstr audit)"
+    ),
+)
+def d12_duplicate_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_span_ratio(_docs_par(spark, sf_dir))
+
+
+def duplicate_span_ratio(
+    d: DataFrame, n: int = _D12_N, topn: int = _D12_TOPN
+) -> DataFrame:
+    """d12 core over any (doc_id, text) frame — separated so tests can
+    plant exact span overlaps and check the ppm arithmetic."""
+    t = d.select("doc_id", X.tokens("text").alias("toks"))
+    g = t.select(
+        "doc_id",
+        F.explode(X.ngrams_from_tokens(F.col("toks"), n)).alias("gram"),
+    )
+    pg = track(
+        g.groupBy("doc_id", "gram")
+        .agg(F.count("*").cast("bigint").alias("occ"))
+        .persist()  # two consumers: the gram-df table and the join back
+    )
+    gt = pg.groupBy("gram").agg(F.count("*").cast("bigint").alias("n_docs"))
+    per = (
+        pg.join(gt, "gram")  # corpus-scale gram key — shuffle join, no hint
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("occ")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_grams"),
+        )
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_grams",
+            "dup_grams",
+            F.expr("CAST(dup_grams * 1000000 DIV n_grams AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy(F.col("dup_ppm").desc(), F.col("doc_id").asc())
+        .limit(topn)
+    )

@@ -260,7 +260,7 @@ _WINDOW_DEFERRED = [
     "dp15_bigram_lm_screen", "t16_script_mix", "dq6_snapshot_drift",
     "s12_mips_topk", "t17_collocations_pmi", "t18_bm25_topk",
     "j23_frequent_pairs", "w8_markov_transitions", "dp16_dataset_card",
-    "dp17_dsir_importance",
+    "dp17_dsir_importance", "d12_duplicate_span_ratio", "adv15_pagerank",
 ]
 
 

@@ -326,3 +326,42 @@ def test_d11_gain_nonnegative_and_nonvacuous(spark):
         assert r.kept_quality >= r.canonical_quality, r
         assert r.cluster_size >= 2, r
     assert any(r.quality_gain > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# d12 duplicated-span coverage: planted overlaps, hand-checked ppm
+# ---------------------------------------------------------------------------
+def test_d12_planted_span_overlap(spark):
+    from iot_big_data_engineering_spark.operators.dedup import (
+        duplicate_span_ratio,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # exactly one 8-gram
+    docs = [
+        (0, shared + " a1 a2 a3"),       # 4 grams, 1 shared → 250000 ppm
+        (1, shared + " b1 b2 b3"),       # 4 grams, 1 shared → 250000 ppm
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8"),  # 1 gram, unshared → 0 ppm
+        (3, "too short"),                # < 8 tokens → no grams, excluded
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicate_span_ratio(d, topn=10).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0].n_grams, got[0].dup_grams, got[0].dup_ppm) == (4, 1, 250000)
+    assert (got[1].n_grams, got[1].dup_grams, got[1].dup_ppm) == (4, 1, 250000)
+    assert (got[2].n_grams, got[2].dup_grams, got[2].dup_ppm) == (1, 0, 0)
+
+
+def test_d12_within_doc_repeat_is_not_cross_doc_dup(spark):
+    """A gram repeated inside ONE doc only (df = 1) must not count as
+    duplicated — d12 measures cross-document coverage; within-doc
+    repetition is t10's job."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        duplicate_span_ratio,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "x1 x2 x3 x4 x5 x6 x7 x8 " * 2)], "doc_id long, text string"
+    )
+    r = duplicate_span_ratio(d, topn=10).collect()[0]
+    assert r.dup_grams == 0 and r.dup_ppm == 0
+    assert r.n_grams == 9  # 16 tokens → 9 eight-gram positions

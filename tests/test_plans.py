@@ -1056,3 +1056,59 @@ def test_t17_t18_j23_w8_plan_shapes(spark):
     w = w8_markov_transitions(spark, SF_SMOKE)
     assert_no_cartesian(w)
     assert_broadcast_join(w)  # |event_types|-row totals relation
+
+
+def test_adv15_pagerank_matches_python_replay_on_star(spark):
+    """Fixed-point PageRank over a hand star graph must equal a pure-
+    Python replay of the exact integer recursion, bit for bit."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _ADV15_BASE,
+        _ADV15_S,
+        pagerank_fixed_point,
+    )
+
+    # star: center 0 — leaves 1, 2, 3 (both directions)
+    pairs = [(0, 1), (0, 2), (0, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    got = {r.node: r.r for r in pagerank_fixed_point(edges, iters=3).collect()}
+
+    adj = {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]}
+    deg = {n: len(v) for n, v in adj.items()}
+    r = {n: _ADV15_S for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for v in adj:
+            s = sum(r[u] // deg[u] for u in adj if v in adj[u])
+            nxt[v] = _ADV15_BASE + (85 * s) // 100
+        r = nxt
+    assert got == r
+    assert r[0] > r[1] == r[2] == r[3]  # the hub dominates
+
+
+def test_adv15_symmetric_pair_is_stationary(spark):
+    """A single undirected edge (deg 1 both sides) is a fixed point of
+    the damped recursion at S: BASE + 85·S DIV 100 = S exactly."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _ADV15_S,
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0)], "src long, dst long"
+    )
+    got = {r.node: r.r for r in pagerank_fixed_point(edges, iters=3).collect()}
+    assert got == {0: _ADV15_S, 1: _ADV15_S}
+
+
+def test_adv15_registered_plan_no_cartesian(spark):
+    from iot_big_data_engineering_spark.operators.advanced import (
+        adv15_pagerank,
+    )
+
+    df = adv15_pagerank(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    p = plan_str(df)
+    assert "TakeOrderedAndProject" in p, p
