@@ -138,6 +138,17 @@ HEADLINE = [
     "t16_script_mix",
     "dq6_snapshot_drift",
     "s12_mips_topk",
+    # round 9, second batch: PMI collocations, BM25 retrieval, frequent
+    # pairs, Markov transitions, dataset card, DSIR importance weights,
+    # duplicated-span audit, fixed-point PageRank
+    "t17_collocations_pmi",
+    "t18_bm25_topk",
+    "j23_frequent_pairs",
+    "w8_markov_transitions",
+    "dp16_dataset_card",
+    "dp17_dsir_importance",
+    "d12_duplicate_span_ratio",
+    "adv15_pagerank",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

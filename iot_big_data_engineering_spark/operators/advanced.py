@@ -1525,7 +1525,14 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
     src (give the graph both edge directions for undirected inputs):
     that guarantees out-degree ≥ 1 and a defined in-rank for every
     node. Separated so tests can replay hand graphs exactly."""
-    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    # deg is |nodes| rows and has TWO consumers (the edge annotation and
+    # the rank init) — without the persist the rank-init lineage re-scans
+    # the base tables (r9 plan audit)
+    deg = track(
+        edges.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .persist()
+    )
     edges_d = track(
         edges.join(deg, "src").persist()  # reused every iteration
     )

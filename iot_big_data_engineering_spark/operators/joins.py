@@ -2261,9 +2261,20 @@ def frequent_pairs(
 ) -> DataFrame:
     """j23 core over any lineitem-shaped frame — separated so tests can
     drive hand-built baskets through both support floors."""
-    items = l.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-    ).distinct()
+    from ..caching import track
+
+    # persisted: FOUR consumers (the item-support aggregate, both sides
+    # of the self-join, and the order-count scalar) would otherwise each
+    # re-scan and re-distinct lineitem (dp15's persist lesson; verified
+    # in the r9 plan audit — the uncached plan carried 5 parquet scans)
+    items = track(
+        l.select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_partkey").alias("pkey"),
+        )
+        .distinct()
+        .persist()
+    )
     freq = (
         items.groupBy("pkey")
         .agg(F.count("*").cast("bigint").alias("c"))
