@@ -1495,10 +1495,14 @@ LIMIT {_ADV15_TOPN}
 def adv15_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    e0 = (
+    # persisted: both branches of the undirected-edge union consume e0,
+    # and the deg / edges_d cache builds each materialize that union —
+    # without this the join+distinct executes up to 4× (r9 self-review)
+    e0 = track(
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .persist()
     )
     edges = e0.select(
         (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")

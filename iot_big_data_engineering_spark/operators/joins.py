@@ -2283,7 +2283,8 @@ def frequent_pairs(
     # Apriori prune BEFORE the self-join: only frequent items enter the
     # per-basket quadratic step. freq is |parts|-scale — no broadcast
     # hint (t6's vocabulary rationale); both sides hash on pkey.
-    fi = items.join(freq, "pkey").select("okey", "pkey", "c")
+    # Persisted: fi feeds BOTH sides of the self-join (r9 self-review).
+    fi = track(items.join(freq, "pkey").select("okey", "pkey", "c").persist())
     n = items.agg(F.countDistinct("okey").cast("bigint").alias("n"))
     a = fi.select(
         F.col("okey"),

@@ -2832,11 +2832,15 @@ def collocations_pmi(
     # persisted: the unigram pass and the bigram explode both consume
     # the tokenized relation (dp15's two-consumer lesson)
     t = track(d.select("doc_id", X.tokens("text").alias("toks")).persist())
-    c1 = (
+    # persisted: THREE consumers (the N1 scalar and both scoring joins)
+    # would otherwise each re-run the corpus unigram explode+aggregate
+    # (r9 self-review)
+    c1 = track(
         t.select(F.explode("toks").alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
     n1 = c1.agg(F.sum("c").cast("bigint").alias("n1"))
     m = F.greatest(F.size("toks") - 1, F.lit(0))
@@ -2855,6 +2859,8 @@ def collocations_pmi(
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("pair_count"))
     )
+    # persisted: two consumers (the N2 scalar and the scored join)
+    c12 = track(c12.persist())
     n2 = c12.agg(F.sum("pair_count").cast("bigint").alias("n2"))
     a = c1.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
     b = c1.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
@@ -2982,8 +2988,8 @@ def bm25_topk(
     replay the exact BM25 arithmetic on hand corpora. ``terms`` must
     have exactly 3 entries (the fixed-order pivot sum is positional)."""
     terms = _T18_TERMS if terms is None else terms
-    if len(terms) != 3:
-        raise ValueError("bm25_topk pivots exactly 3 query terms")
+    if len(terms) != 3 or len(set(terms)) != 3:
+        raise ValueError("bm25_topk pivots exactly 3 DISTINCT query terms")
     # persisted: doclen and the query-term tf table both consume the
     # exploded token stream (dp15's two-consumer lesson)
     tok = track(
@@ -2991,17 +2997,24 @@ def bm25_topk(
         .filter(F.col("w") != "")
         .persist()
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    # dl feeds the avgdl scalar AND the scoring join; tf feeds df AND
+    # the scoring join — persist both (r9 self-review)
+    dl = track(
+        tok.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("dl"))
+        .persist()
+    )
     n = d.agg(F.count("*").cast("bigint").alias("n"))
     avgdl = (
         dl.agg(F.sum("dl").cast("double").alias("total_tok"))
         .crossJoin(F.broadcast(n))  # 1-row scalar aggregate
         .select((F.col("total_tok") / F.col("n")).alias("avgdl"))
     )
-    tf = (
+    tf = track(
         tok.filter(F.col("w").isin(terms))
         .groupBy("doc_id", F.col("w").alias("term"))
         .agg(F.count("*").cast("bigint").alias("tf"))
+        .persist()
     )
     df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     s = (
@@ -3174,8 +3187,12 @@ def dataset_card(docs: DataFrame, hq: float = _DP16_HQ) -> DataFrame:
     langs = d.groupBy("source", "lang").agg(
         F.count("*").cast("bigint").alias("c")
     )
+    # asc_nulls_last: Spark's asc() sorts NULLS FIRST while DuckDB's
+    # ORDER BY defaults to NULLS LAST — a NULL-lang group tying the top
+    # count would otherwise pick a different top_lang per engine
+    # (sketches.py documents the same hazard; r9 self-review)
     wr = Window.partitionBy("source").orderBy(
-        F.col("c").desc(), F.col("lang").asc()
+        F.col("c").desc(), F.col("lang").asc_nulls_last()
     )
     wc = Window.partitionBy("source")
     lang_rank = (

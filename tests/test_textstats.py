@@ -1210,6 +1210,9 @@ def test_t18_requires_three_terms(spark):
     d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bm25_topk(d, terms=["a", "b"])
+    # a duplicated term would double-count in the positional pivot sum
+    with _pytest.raises(ValueError):
+        bm25_topk(d, terms=["a", "a", "b"])
 
 
 # ---------------------------------------------------------------------------
@@ -1220,11 +1223,9 @@ def test_dp16_hand_card(spark):
         dataset_card,
     )
 
-    hq = ("the of and is in to a " * 30).strip()  # long, stopword-rich? no:
-    # quality = 0.4*min(tok/200,1) + 0.3*(1-sw/tok) + 0.3*min(avg_len/8,1)
-    # 210 tokens -> 1.0*0.4; all stopwords -> 0; avg len ~2.2/8 -> ~0.08
-    # => ~0.48 (below 0.5). Use a non-stopword long text for HQ instead.
-    hq = ("alpha beta gamma delta " * 60).strip()  # 240 toks, 0 stopwords
+    # quality = 0.4·min(tok/200,1) + 0.3·(1-sw/tok) + 0.3·min(avg_len/8,1):
+    # 240 non-stopword tokens of avg length 4.75 → 0.4 + 0.3 + 0.178 ≈ 0.88
+    hq = ("alpha beta gamma delta " * 60).strip()
     rows = [
         ("s1", "en", "dup dup dup"),
         ("s1", "en", "dup dup dup"),   # exact duplicate
@@ -1341,3 +1342,20 @@ def test_dp17_no_target_slice_still_defined(spark):
     rows = dsir_importance(d, topn=10).collect()
     assert len(rows) == 2
     assert all(r.dsir_logweight is not None for r in rows)
+
+
+def test_dp16_null_lang_tie_breaks_nulls_last(spark):
+    """A NULL lang tying the top count must lose the tiebreak on BOTH
+    engines (Spark asc_nulls_last ≡ DuckDB default NULLS LAST)."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dataset_card,
+    )
+
+    rows = [
+        ("s1", None, "one doc"),
+        ("s1", "zz", "other doc"),
+    ]
+    d = spark.createDataFrame(rows, "source string, lang string, text string")
+    r = dataset_card(d).collect()[0]
+    assert r.top_lang == "zz"
+    assert r.n_langs == 2
