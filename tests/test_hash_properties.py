@@ -277,3 +277,169 @@ def test_dp15_bigram_screen_matches_python_replay_random_corpora(spark):
             for r in bigram_lm_screen(d, v=vocab_size, theta=theta).collect()
         ]
         assert got == expected, (trial, vocab_size, theta)
+
+
+def test_t17_pmi_matches_python_replay_random_corpora(spark):
+    """t17's whole algebra — unigram/bigram counts, the support floor,
+    the exact int64 ratio under one ln, the 6-dp floor round and the
+    (pmi DESC, w1, w2) report order — replayed in pure Python on seeded
+    random corpora."""
+    import collections
+    import math
+
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        collocations_pmi,
+    )
+
+    rng = np.random.default_rng(23)
+    for _ in range(3):
+        alphabet = [f"w{j}" for j in range(int(rng.integers(3, 9)))]
+        docs = []
+        for i in range(int(rng.integers(5, 30))):
+            n = int(rng.integers(0, 15))
+            docs.append(
+                (i, " ".join(alphabet[int(rng.integers(0, len(alphabet)))]
+                             for _ in range(n)))
+            )
+        support = int(rng.integers(1, 5))
+        topn = int(rng.integers(3, 15))
+
+        toks = {i: t.split() if t else [] for i, t in docs}
+        c1 = collections.Counter(w for ws in toks.values() for w in ws)
+        n1 = sum(c1.values())
+        c12 = collections.Counter(
+            p for ws in toks.values() for p in zip(ws, ws[1:])
+        )
+        n2 = sum(c12.values())
+        scored = []
+        for (w1, w2), c in c12.items():
+            if c < support:
+                continue
+            pmi = math.log((c * n1 * n1) / (n2 * c1[w1] * c1[w2]))
+            pmi = math.floor(pmi * 1e6 + 0.5) / 1e6
+            scored.append((w1, w2, c, pmi))
+        scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+        expected = scored[:topn]
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        got = [
+            (r.w1, r.w2, r.pair_count, r.pmi)
+            for r in collocations_pmi(
+                d, min_support=support, topn=topn
+            ).collect()
+        ]
+        assert got == expected, (support, topn, got, expected)
+
+
+def test_j23_frequent_pairs_matches_python_bruteforce(spark):
+    """j23 vs a per-basket brute force on seeded random order/part
+    assignments — pair counts, both support floors, exact lift and the
+    (pair_n DESC, p1, p2) order."""
+    import itertools
+
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.joins import (
+        frequent_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    for _ in range(3):
+        n_orders = int(rng.integers(5, 25))
+        n_parts = int(rng.integers(3, 10))
+        rows = []
+        for o in range(n_orders):
+            k = int(rng.integers(1, 6))
+            for p in rng.choice(n_parts, size=k, replace=True):
+                rows.append((o, int(p)))
+        item_s = int(rng.integers(1, 4))
+        pair_s = int(rng.integers(1, 4))
+
+        baskets = {}
+        for o, p in rows:
+            baskets.setdefault(o, set()).add(p)
+        item_count = {}
+        for b in baskets.values():
+            for p in b:
+                item_count[p] = item_count.get(p, 0) + 1
+        freq = {p for p, c in item_count.items() if c >= item_s}
+        n_ord = len(baskets)
+        pair_count = {}
+        for b in baskets.values():
+            for p1, p2 in itertools.combinations(sorted(b & freq), 2):
+                pair_count[(p1, p2)] = pair_count.get((p1, p2), 0) + 1
+        import math
+
+        expected = []
+        for (p1, p2), c in pair_count.items():
+            if c < pair_s:
+                continue
+            lift = (c * n_ord) / (item_count[p1] * item_count[p2])
+            lift = math.floor(lift * 1e6 + 0.5) / 1e6
+            expected.append(
+                (p1, p2, c, item_count[p1], item_count[p2], lift)
+            )
+        expected.sort(key=lambda r: (-r[2], r[0], r[1]))
+        expected = expected[:20]
+
+        l = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        got = [
+            (r.p1, r.p2, r.pair_n, r.c1, r.c2, r.lift)
+            for r in frequent_pairs(
+                l, item_support=item_s, pair_support=pair_s
+            ).collect()
+        ]
+        assert got == expected, (item_s, pair_s, got, expected)
+
+
+def test_w8_markov_matches_python_replay_random_sequences(spark):
+    """w8 vs a pure-Python replay on seeded random per-user event
+    sequences (shuffled input order — the (ts, event_id) window order
+    must win)."""
+    import datetime as dt
+    import math
+
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.joins import (
+        markov_transitions,
+    )
+
+    rng = np.random.default_rng(41)
+    types = ["a", "b", "c", "d"]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    seqs = {}
+    for u in range(int(rng.integers(3, 10))):
+        n = int(rng.integers(0, 12))
+        seq = [types[int(rng.integers(0, len(types)))] for _ in range(n)]
+        seqs[u] = seq
+        for j, typ in enumerate(seq):
+            rows.append((eid, u, t0 + dt.timedelta(seconds=j), typ))
+            eid += 1
+    order = rng.permutation(len(rows))
+    rows = [rows[i] for i in order]
+
+    trans = {}
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    tot = {}
+    for (a, _), c in trans.items():
+        tot[a] = tot.get(a, 0) + c
+    expected = {
+        (a, b): (c, tot[a], math.floor(c / tot[a] * 1e6 + 0.5) / 1e6)
+        for (a, b), c in trans.items()
+    }
+
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.transitions, r.from_total, r.prob)
+        for r in markov_transitions(e).collect()
+    }
+    assert got == expected
