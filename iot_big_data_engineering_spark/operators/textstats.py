@@ -3089,10 +3089,10 @@ def bm25_topk(
 # ---------------------------------------------------------------------------
 _DP16_HQ = 0.5  # dp1's quality gate, reused as the card's HQ threshold
 
-
-@register(
-    "dp16_dataset_card",
-    oracle=f"""
+# module constant so st14 (the streaming maintenance twin) can register
+# with the SAME oracle verbatim — the external gate then value-checks
+# the streamed card row-for-row against the batch semantics
+_DP16_ORACLE = f"""
 WITH d AS (
   SELECT source, lang, text,
          {X.sql_token_count("text")} AS tok,
@@ -3138,7 +3138,12 @@ FROM base b
 JOIN texts x ON b.source = x.source
 JOIN lang_rank lr ON b.source = lr.source AND lr.rn = 1
 CROSS JOIN tot
-""",
+"""
+
+
+@register(
+    "dp16_dataset_card",
+    oracle=_DP16_ORACLE,
     doc=(
         "DP16: per-source dataset card — exact volume / token-share / "
         "dup-rate / language-spread / quality counters"
@@ -3148,24 +3153,17 @@ def dp16_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(_docs(spark, sf_dir))
 
 
-def dataset_card(docs: DataFrame, hq: float = _DP16_HQ) -> DataFrame:
-    """dp16 core over any (source, lang, text) frame — separated so
-    tests can drive hand corpora through the dup/null/quality edges.
-    Assumes every source has ≥ 1 non-NULL-text doc (the dup-ppm
-    denominator); an all-NULL source would need a guard the card's
-    contract does not promise."""
-    from pyspark.sql import Window
+# dp16 decomposes into three MERGEABLE state relations plus a pure
+# assembly — the decomposition st14 (streaming maintenance) rides:
+# counters merge by per-source SUM, text keys merge by DISTINCT, lang
+# counts merge by per-(source, lang) SUM; the assembly is closed over
+# merged state, so state ⊕ delta ≡ one-pass by construction.
 
-    d = track(
-        docs.select(
-            "source",
-            "lang",
-            "text",
-            X.token_count("text").alias("tok"),
-            X.quality_score("text").alias("q"),
-        ).persist()  # three aggregate consumers + the total scalar
-    )
-    base = d.groupBy("source").agg(
+
+def card_counters(d: DataFrame, hq: float = _DP16_HQ) -> DataFrame:
+    """Per-source additive counters over a projected doc frame — rows
+    from disjoint slices merge by summing every column."""
+    return d.groupBy("source").agg(
         F.count("*").cast("bigint").alias("doc_count"),
         F.sum("tok").cast("bigint").alias("token_sum"),
         F.sum(F.when(F.col("q") >= hq, 1).otherwise(0))
@@ -3175,17 +3173,70 @@ def dataset_card(docs: DataFrame, hq: float = _DP16_HQ) -> DataFrame:
         .cast("bigint")
         .alias("null_text_docs"),
     )
+
+
+def card_text_keys(d: DataFrame) -> DataFrame:
+    """Distinct (source, text) keys — the exact-COUNT-DISTINCT state;
+    slices merge by a further distinct (idempotent)."""
+    return d.filter(F.col("text").isNotNull()).select("source", "text").distinct()
+
+
+def card_lang_counts(d: DataFrame) -> DataFrame:
+    """Per-(source, lang) doc counts — slices merge by summing c."""
+    return d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+
+
+def card_project(docs: DataFrame) -> DataFrame:
+    """The shared map-only projection feeding all three state builders."""
+    return docs.select(
+        "source",
+        "lang",
+        "text",
+        X.token_count("text").alias("tok"),
+        X.quality_score("text").alias("q"),
+    )
+
+
+def dataset_card(docs: DataFrame, hq: float = _DP16_HQ) -> DataFrame:
+    """dp16 core over any (source, lang, text) frame — separated so
+    tests can drive hand corpora through the dup/null/quality edges.
+    Assumes every source has ≥ 1 non-NULL-text doc (the dup-ppm
+    denominator); an all-NULL source would need a guard the card's
+    contract does not promise."""
+    d = track(
+        card_project(docs).persist()  # three aggregate consumers
+    )
+    return card_assemble(
+        card_counters(d, hq), card_text_keys(d), card_lang_counts(d)
+    )
+
+
+def card_assemble(
+    counters: DataFrame, text_keys: DataFrame, lang_counts: DataFrame
+) -> DataFrame:
+    """Final card arithmetic over (possibly fragment-merged) state. The
+    leading re-aggregations make the assembly CLOSED under state
+    merging: single-pass inputs re-aggregate to themselves, per-epoch
+    fragments merge to the one-pass answer — st14's certificate."""
+    from pyspark.sql import Window
+
+    base = counters.groupBy("source").agg(
+        F.sum("doc_count").cast("bigint").alias("doc_count"),
+        F.sum("token_sum").cast("bigint").alias("token_sum"),
+        F.sum("high_quality_docs").cast("bigint").alias("high_quality_docs"),
+        F.sum("null_text_docs").cast("bigint").alias("null_text_docs"),
+    )
     # two-level distinct (dq6's no-Expand discipline): each distinct
     # (source, text) shuffles once, then collapses to a per-source count
     texts = (
-        d.filter(F.col("text").isNotNull())
-        .groupBy("source", "text")
-        .agg(F.lit(1).alias("one"))
+        text_keys.distinct()
         .groupBy("source")
         .agg(F.count("*").cast("bigint").alias("distinct_texts"))
     )
-    langs = d.groupBy("source", "lang").agg(
-        F.count("*").cast("bigint").alias("c")
+    langs = lang_counts.groupBy("source", "lang").agg(
+        F.sum("c").cast("bigint").alias("c")
     )
     # asc_nulls_last: Spark's asc() sorts NULLS FIRST while DuckDB's
     # ORDER BY defaults to NULLS LAST — a NULL-lang group tying the top
@@ -3206,7 +3257,7 @@ def dataset_card(docs: DataFrame, hq: float = _DP16_HQ) -> DataFrame:
             F.col("c").alias("top_lang_docs"),
         )
     )
-    tot = d.agg(F.sum("tok").cast("bigint").alias("t"))
+    tot = base.agg(F.sum("token_sum").cast("bigint").alias("t"))
     nonnull = F.col("doc_count") - F.col("null_text_docs")
     return (
         base.join(texts, "source")

@@ -1650,3 +1650,133 @@ def st13_streaming_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ST14 — STREAMING DATASET-CARD MAINTENANCE (dp16's streaming twin,
+# extending the mergeable-state family from aggregates / histograms /
+# sketches / dimension history / join views to the corpus AUDIT CARD).
+# The corpus arrives as micro-batches; each batch writes three
+# epoch-keyed state fragments matching dp16's mergeable decomposition —
+# additive per-source counters, distinct (source, text) keys (the exact
+# COUNT-DISTINCT state), and per-(source, lang) counts — and the final
+# card assembles from merged state via the SAME card_assemble the batch
+# operator uses, so state ⊕ delta ≡ one-pass holds by construction and
+# the external gate value-checks it against dp16's oracle VERBATIM.
+#
+# Scale: counter and lang fragments are |sources|- / |sources×langs|-
+# sized per epoch; the text-key fragment is the irreducible state of an
+# EXACT distinct count (|distinct texts| keys — production would keep
+# it as a bucketed table; an approximate card would swap in a17's HLL
+# sketch state and shrink it to |sources|×sketch). Epoch-keyed dynamic
+# overwrite keeps every fragment write replay-idempotent, and a17c's
+# compaction contract bounds the epoch count.
+# ---------------------------------------------------------------------------
+from ..operators.textstats import (  # noqa: E402  (no cycle: textstats
+    # never imports streaming)
+    _DP16_ORACLE,
+    card_assemble,
+    card_project,
+    card_counters,
+    card_lang_counts,
+    card_text_keys,
+)
+
+_ST14_EMPTY_SCHEMA = (
+    "source string, doc_count bigint, token_sum bigint, "
+    "token_share_ppm bigint, distinct_texts bigint, exact_dup_ppm bigint, "
+    "n_langs bigint, top_lang string, top_lang_docs bigint, "
+    "high_quality_docs bigint, null_text_docs bigint"
+)
+
+
+@register(
+    "st14_streaming_dataset_card",
+    oracle=_DP16_ORACLE,
+    doc=(
+        "§2.7/DP16: per-micro-batch card-state fragments (epoch-keyed "
+        "overwrite) merged ≡ one-pass dataset card; dp16's oracle "
+        "verbatim"
+    ),
+)
+def st14_streaming_dataset_card(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="iotx_st14_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        cnt_dir = os.path.join(tmp, "state_counters")
+        txt_dir = os.path.join(tmp, "state_textkeys")
+        lng_dir = os.path.join(tmp, "state_langs")
+        docs = load_table(spark, sf_dir, "documents").select(
+            "source", "lang", "text", "doc_id"
+        )
+        if docs.isEmpty():
+            return spark.createDataFrame([], _ST14_EMPTY_SCHEMA)
+        slice_of = F.pmod(F.xxhash64("doc_id"), F.lit(_ST8_N_SPLITS))
+        for i in range(_ST8_N_SPLITS):
+            docs.filter(slice_of == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+        stream = (
+            spark.readStream.schema(
+                "source string, lang string, text string, doc_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+        def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            d = card_project(batch_df).localCheckpoint()  # one
+            # computation feeding the emptiness check + three fragments
+            if d.isEmpty():
+                # write-the-empty-epoch hardening (st10-st13)
+                for sd in (cnt_dir, txt_dir, lng_dir):
+                    shutil.rmtree(
+                        os.path.join(sd, f"epoch_id={int(epoch_id)}"),
+                        ignore_errors=True,
+                    )
+                return
+            for sd, frag in (
+                (cnt_dir, card_counters(d)),
+                (txt_dir, card_text_keys(d)),
+                (lng_dir, card_lang_counts(d)),
+            ):
+                (
+                    frag.withColumn("epoch_id", F.lit(int(epoch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch_id")
+                    .parquet(sd)
+                )
+
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        # ≥2 data batches certify the cross-epoch merge; exactly 1 still
+        # certifies the degenerate one-delta case (st11-st13's fallback,
+        # r8 advice); 0 on a non-empty input is a loud invariant failure
+        if len(data_batches) < 1:  # RuntimeError, not assert (-O strips)
+            raise RuntimeError(
+                f"st14 saw a non-empty input yet no data micro-batch "
+                f"arrived; got {len(data_batches)}"
+            )
+
+        result = card_assemble(
+            spark.read.parquet(cnt_dir).drop("epoch_id"),
+            spark.read.parquet(txt_dir).drop("epoch_id"),
+            spark.read.parquet(lng_dir).drop("epoch_id"),
+        )
+        # |sources| rows — bounded; materialize so the scratch dirs can
+        # be deleted instead of leaking one mkdtemp per run
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -605,3 +605,36 @@ def test_st11_single_data_batch_fallback(spark, tmp_path):
     (r,) = rows
     assert r.merge_consistent is True
     assert r.true_count == 1 and r.cms_estimate >= 1
+
+
+def test_st14_streamed_card_equals_batch_card(spark):
+    """The streamed fragment-merged card must equal dp16's one-shot
+    batch card row-for-row (the mergeable-decomposition certificate)."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp16_dataset_card,
+    )
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        st14_streaming_dataset_card,
+    )
+
+    batch = sorted(
+        map(tuple, dp16_dataset_card(spark, SF_SMOKE).collect())
+    )
+    streamed = sorted(
+        map(tuple, st14_streaming_dataset_card(spark, SF_SMOKE).collect())
+    )
+    assert streamed == batch
+
+
+def test_st14_empty_corpus_stable_schema(spark, tmp_path):
+    from iot_big_data_engineering_spark.schema import TESTDATA_SCHEMAS
+    from iot_big_data_engineering_spark.streaming.pipeline import (
+        st14_streaming_dataset_card,
+    )
+
+    spark.createDataFrame([], TESTDATA_SCHEMAS["documents"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    df = st14_streaming_dataset_card(spark, str(tmp_path))
+    assert df.collect() == []
+    assert "top_lang" in df.columns and "exact_dup_ppm" in df.columns
