@@ -149,6 +149,7 @@ HEADLINE = [
     "dp17_dsir_importance",
     "d12_duplicate_span_ratio",
     "adv15_pagerank",
+    "dq7_expectation_audit",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

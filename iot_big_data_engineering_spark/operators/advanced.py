@@ -1560,3 +1560,187 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
             .select(F.col("dst").alias("node"), F.col("r").cast("bigint"))
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# DQ7 — DECLARATIVE EXPECTATION AUDIT over the orders table: the
+# Great-Expectations/dbt-test primitive — a fixed suite of data-quality
+# expectations evaluated in one job, each reporting exact row counts, a
+# failed-ppm and a pass verdict. Two of the six expectations FAIL on
+# the shipped data by design (the price ceiling and the date horizon),
+# so the fail path is non-vacuous on the gate surface itself.
+#
+# Plan shape at 100 TB — three legs, each the cheapest plan for its
+# expectation class:
+# - all four ROW-LEVEL expectations (not-null, range, date horizon,
+#   domain) ride ONE ungrouped aggregate over ONE column-pruned scan —
+#   adding a row expectation costs one conditional sum, never a scan;
+# - uniqueness is the two-level key aggregate (groupBy key → count,
+#   then one conditional sum — dq6's no-Expand discipline);
+# - referential integrity is an anti-join against the distinct FK
+#   domain (dq3's machinery), counted, never materialized.
+# Every reported number is an exact int64; ppm is floor division.
+#
+# NULL semantics (Great-Expectations convention, identical on both
+# engines): NULLs fail their dedicated not-null expectation and pass
+# range/date checks (comparison → NULL → CASE ELSE 0); the domain check
+# fails NULLs explicitly (OR IS NULL) so a silent NULL priority cannot
+# read as in-domain.
+#
+# Ref parity anchor: the reference validates typed records against
+# fixed constraints before processing (quality gates,
+# src/spark/streaming/SensorDataProcessor.scala:75-102); dq7 is that
+# gate generalized to a declarative multi-expectation audit report.
+# ---------------------------------------------------------------------------
+_DQ7_PRICE_MAX = 300_000.0
+_DQ7_DATE_LO = "1995-01-01 00:00:00"
+_DQ7_DATE_HI = "2001-01-01 00:00:00"
+_DQ7_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+_DQ7_PRI_SQL = ", ".join(f"'{p}'" for p in _DQ7_PRIORITIES)
+
+
+@register(
+    "dq7_expectation_audit",
+    oracle=f"""
+WITH rowchk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS f_null,
+         CAST(sum(CASE WHEN o_totalprice < 0.0
+                         OR o_totalprice > {_DQ7_PRICE_MAX} THEN 1 ELSE 0
+                  END) AS BIGINT) AS f_range,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{_DQ7_DATE_LO}'
+                         OR o_orderdate >= TIMESTAMP '{_DQ7_DATE_HI}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS f_date,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL
+                         OR o_orderpriority NOT IN ({_DQ7_PRI_SQL})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS f_dom
+  FROM orders
+),
+uniq AS (
+  SELECT CAST(coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0)
+              AS BIGINT) AS f
+  FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey)
+),
+ref AS (
+  SELECT CAST(count(*) AS BIGINT) AS f
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+),
+suite AS (
+  SELECT 'orderkey_not_null' AS expectation, n_rows, f_null AS n_failed
+  FROM rowchk
+  UNION ALL
+  SELECT 'totalprice_in_range', n_rows, f_range FROM rowchk
+  UNION ALL
+  SELECT 'orderdate_in_horizon', n_rows, f_date FROM rowchk
+  UNION ALL
+  SELECT 'priority_in_domain', n_rows, f_dom FROM rowchk
+  UNION ALL
+  SELECT 'orderkey_unique', rowchk.n_rows, uniq.f
+  FROM rowchk CROSS JOIN uniq
+  UNION ALL
+  SELECT 'custkey_references_customer', rowchk.n_rows, ref.f
+  FROM rowchk CROSS JOIN ref
+)
+SELECT expectation, n_rows, n_failed,
+       CAST(CASE WHEN n_rows > 0 THEN n_failed * 1000000 // n_rows
+                 ELSE 0 END AS BIGINT) AS failed_ppm,
+       n_failed = 0 AS passed
+FROM suite
+""",
+    doc=(
+        "DQ7: declarative 6-expectation data-quality audit over orders "
+        "— exact counts, failed-ppm, pass verdicts; fail path "
+        "non-vacuous on shipped data"
+    ),
+)
+def dq7_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return expectation_audit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def expectation_audit(o: DataFrame, c: DataFrame) -> DataFrame:
+    """dq7 core — separated so tests can plant NULLs, duplicates and
+    orphans and check every expectation's fail accounting."""
+    lo = F.lit(_DQ7_DATE_LO).cast("timestamp")
+    hi = F.lit(_DQ7_DATE_HI).cast("timestamp")
+
+    def cnt(cond: Column) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    rowchk = track(
+        o.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            cnt(F.col("o_orderkey").isNull()).alias("f_null"),
+            cnt(
+                (F.col("o_totalprice") < 0.0)
+                | (F.col("o_totalprice") > _DQ7_PRICE_MAX)
+            ).alias("f_range"),
+            cnt(
+                (F.col("o_orderdate") < lo) | (F.col("o_orderdate") >= hi)
+            ).alias("f_date"),
+            cnt(
+                F.col("o_orderpriority").isNull()
+                | ~F.col("o_orderpriority").isin(_DQ7_PRIORITIES)
+            ).alias("f_dom"),
+        ).persist()  # six consumers: one per suite row
+    )
+    uniq = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("f")
+        )
+    )
+    ref = (
+        o.join(
+            c.select("c_custkey").distinct(),
+            o["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count("*").cast("bigint").alias("f"))
+    )
+
+    def row_leg(name: str, col: str) -> DataFrame:
+        return rowchk.select(
+            F.lit(name).alias("expectation"),
+            "n_rows",
+            F.col(col).alias("n_failed"),
+        )
+
+    def scalar_leg(name: str, f: DataFrame) -> DataFrame:
+        return rowchk.crossJoin(F.broadcast(f)).select(
+            F.lit(name).alias("expectation"),
+            "n_rows",
+            F.col("f").alias("n_failed"),
+        )
+
+    suite = (
+        row_leg("orderkey_not_null", "f_null")
+        .unionAll(row_leg("totalprice_in_range", "f_range"))
+        .unionAll(row_leg("orderdate_in_horizon", "f_date"))
+        .unionAll(row_leg("priority_in_domain", "f_dom"))
+        .unionAll(scalar_leg("orderkey_unique", uniq))
+        .unionAll(scalar_leg("custkey_references_customer", ref))
+    )
+    return suite.select(
+        "expectation",
+        "n_rows",
+        "n_failed",
+        F.expr(
+            "CAST(CASE WHEN n_rows > 0 THEN n_failed * 1000000 DIV n_rows "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("failed_ppm"),
+        (F.col("n_failed") == 0).alias("passed"),
+    )

@@ -261,7 +261,7 @@ _WINDOW_DEFERRED = [
     "s12_mips_topk", "t17_collocations_pmi", "t18_bm25_topk",
     "j23_frequent_pairs", "w8_markov_transitions", "dp16_dataset_card",
     "dp17_dsir_importance", "d12_duplicate_span_ratio", "adv15_pagerank",
-    "st14_streaming_dataset_card",
+    "st14_streaming_dataset_card", "dq7_expectation_audit",
 ]
 
 

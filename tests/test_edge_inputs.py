@@ -925,3 +925,65 @@ def test_dp17_d12_plan_shapes(spark):
     # only that the per-doc rollup happens after a non-broadcast plan
     # shape when one exists; the hard invariant is no cartesian)
     assert "TakeOrderedAndProject" in p12, p12
+
+
+def test_dq7_planted_violations_accounted_exactly(spark):
+    """Plant one violation per expectation class and check each leg's
+    exact fail accounting (incl. the all-members-fail uniqueness
+    convention and NULL semantics)."""
+    import datetime as dt
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        expectation_audit,
+    )
+
+    d95 = dt.datetime(1995, 6, 1)
+    rows = [
+        # (orderkey, custkey, totalprice, orderdate, priority)
+        (1, 10, 100.0, d95, "2-HIGH"),                  # clean
+        (None, 10, 100.0, d95, "2-HIGH"),               # null key
+        (2, 10, 400_000.0, d95, "2-HIGH"),              # price breach
+        (3, 10, 100.0, dt.datetime(2003, 1, 1), "2-HIGH"),  # date breach
+        (4, 10, 100.0, d95, "9-BOGUS"),                 # domain breach
+        (5, 10, 100.0, d95, None),                      # NULL priority fails domain
+        (6, 99, 100.0, d95, "2-HIGH"),                  # orphan custkey
+        (7, 10, 100.0, d95, "2-HIGH"),                  # dup pair —
+        (7, 10, 100.0, d95, "2-HIGH"),                  # both members fail
+        (8, 10, None, None, "2-HIGH"),                  # NULLs pass range/date
+    ]
+    o = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    c = spark.createDataFrame([(10,)], "c_custkey long")
+    got = {r.expectation: r for r in expectation_audit(o, c).collect()}
+    assert len(got) == 6
+    assert all(r.n_rows == 10 for r in got.values())
+    assert got["orderkey_not_null"].n_failed == 1
+    assert got["totalprice_in_range"].n_failed == 1  # NULL price passes
+    assert got["orderdate_in_horizon"].n_failed == 1  # NULL date passes
+    assert got["priority_in_domain"].n_failed == 2  # bogus + NULL
+    assert got["orderkey_unique"].n_failed == 2  # both dup members
+    assert got["custkey_references_customer"].n_failed == 1
+    assert not any(r.passed for r in got.values() if r.n_failed)
+    assert got["orderkey_not_null"].failed_ppm == 100_000
+
+
+def test_dq7_all_green_on_clean_frame(spark):
+    import datetime as dt
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        expectation_audit,
+    )
+
+    o = spark.createDataFrame(
+        [(1, 10, 50.0, dt.datetime(1996, 1, 1), "5-LOW")],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    c = spark.createDataFrame([(10,)], "c_custkey long")
+    rows = expectation_audit(o, c).collect()
+    assert len(rows) == 6
+    assert all(r.passed and r.n_failed == 0 and r.failed_ppm == 0
+               for r in rows)
