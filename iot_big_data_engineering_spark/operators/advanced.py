@@ -9,7 +9,7 @@ aggregate), with the skew-prone cases given an explicit mitigation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..caching import track
 from ..functions import hashing
@@ -1673,7 +1673,13 @@ def expectation_audit(o: DataFrame, c: DataFrame) -> DataFrame:
     hi = F.lit(_DQ7_DATE_HI).cast("timestamp")
 
     def cnt(cond: Column) -> Column:
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+        # coalesce: an ungrouped sum over an EMPTY table is NULL, which
+        # would leak NULL n_failed / NULL passed where the suite's
+        # convention is 0 / true (dq6's empty-table hardening; r9
+        # self-review). The oracle coalesces identically.
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint")
 
     rowchk = track(
         o.agg(

@@ -1769,9 +1769,26 @@ def st14_streaming_dataset_card(
                 f"arrived; got {len(data_batches)}"
             )
 
+        # txt_dir needs special handling the other two state dirs don't:
+        # a batch whose rows ALL carry NULL text writes an EMPTY text-key
+        # fragment (zero part files), and an all-NULL corpus leaves the
+        # dir absent or data-less — schema inference would raise
+        # UNABLE_TO_INFER_SCHEMA where dp16 returns an empty card (r9
+        # self-review). Explicit schema + existence guard restore the
+        # batch twin's semantics; cnt/lng fragments are non-empty
+        # whenever a batch has rows, so only counters' guard matters for
+        # the pathological zero-fragment case.
+        if os.path.isdir(txt_dir):
+            text_keys = (
+                spark.read.schema("source string, text string, epoch_id int")
+                .parquet(txt_dir)
+                .drop("epoch_id")
+            )
+        else:
+            text_keys = spark.createDataFrame([], "source string, text string")
         result = card_assemble(
             spark.read.parquet(cnt_dir).drop("epoch_id"),
-            spark.read.parquet(txt_dir).drop("epoch_id"),
+            text_keys,
             spark.read.parquet(lng_dir).drop("epoch_id"),
         )
         # |sources| rows — bounded; materialize so the scratch dirs can
