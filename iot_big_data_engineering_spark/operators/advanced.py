@@ -1441,9 +1441,10 @@ def snapshot_drift(
 # the minimal shuffle payload.
 #
 # Ref parity anchor: the reference ranks entities by aggregated
-# connectivity-weighted activity (vehicle analytics + top-k,
-# src/spark/analytics/SensorDataAnalytics.scala:104-151); adv15 is
-# that ranking where importance recurses through the join graph.
+# connectivity-weighted activity (vehicle analytics,
+# src/spark/batch/SensorDataAnalytics.scala:158-172; vehicle top-k,
+# src/api/sensor_api.py:323-335); adv15 is that ranking where
+# importance recurses through the join graph.
 # ---------------------------------------------------------------------------
 _ADV15_S = 1_000_000_000_000  # rank scale: 10^12 fixed-point units
 _ADV15_BASE = (15 * _ADV15_S) // 100  # (1-d)·S with d = 0.85

@@ -1385,10 +1385,11 @@ def d11_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # carry as xxhash64 fingerprints (d4's trick) to shrink the shuffle;
 # the string form keeps the oracle exact at gate SFs.
 #
-# Ref parity anchor: the reference flags records whose payload repeats
-# across devices via grouped counts (duplicate detection,
-# src/spark/analytics/SensorDataAnalytics.scala:178-195); d12 is that
-# cross-entity repeat measure at span granularity.
+# Ref parity anchor: the reference counts records per derived category
+# via grouped conditional aggregates (quality-band counters,
+# src/spark/batch/SensorDataAnalytics.scala:177-196); d12 is that
+# grouped-count shape applied at span granularity to measure
+# cross-document repetition.
 # ---------------------------------------------------------------------------
 _D12_N = 8  # gram width — dc1/dp11's benchmark-decontamination standard
 _D12_TOPN = 20

@@ -2204,10 +2204,10 @@ def w7_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ≤ N ≤ 1.5e7 at sf0.1 → products ≤ 2^63), rounded 6 dp, (p1,p2)
 # tiebreak → total order.
 #
-# Ref parity anchor: the reference's analytics job correlates per-key
-# groups across a join (vehicle × sensor-type coverage,
-# src/spark/analytics/SensorDataAnalytics.scala:120-151); j23 is that
-# co-occurrence shape with the Apriori support bound.
+# Ref parity anchor: the reference's analytics job measures per-entity
+# category co-occurrence (vehicle × sensor-type coverage via
+# countDistinct, src/spark/batch/SensorDataAnalytics.scala:158-172);
+# j23 is that co-occurrence shape with the Apriori support bound.
 # ---------------------------------------------------------------------------
 _J23_ITEM_SUPPORT = 5  # item must appear in >= 5 orders
 _J23_PAIR_SUPPORT = 3  # pair must co-occur in >= 3 orders

@@ -1756,7 +1756,7 @@ def s11_knn_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Ref parity anchor: the reference ranks entities by a computed score
 # with a deterministic tie-break (vehicle top-k,
-# src/spark/analytics/SensorDataAnalytics.scala:104-118); s12 is the
+# src/api/sensor_api.py:323-335); s12 is the
 # same TakeOrdered shape where the score is a vector inner product.
 # ---------------------------------------------------------------------------
 @register(

@@ -1762,8 +1762,8 @@ def boilerplate_removal(
 # codegen, no UDF, no collect.
 #
 # Ref parity anchor: the reference's analytics surface is grouped
-# statistical aggregates over typed columns
-# (src/spark/analytics/SensorDataAnalytics.scala:61-96); t14 is the
+# statistical aggregates over typed columns (count/avg/stddev per
+# group, src/spark/batch/SensorDataAnalytics.scala:101-114); t14 is the
 # same shape applied to the documents extension with a regression
 # aggregate instead of avg/stddev.
 # ---------------------------------------------------------------------------
@@ -2637,9 +2637,9 @@ def bigram_lm_screen(
 #
 # Ref parity anchor: the reference derives per-record completeness
 # counters from typed fields and aggregates them per category
-# (src/spark/streaming/SensorDataProcessor.scala:75-87,
-# src/spark/analytics/SensorDataAnalytics.scala:61-96); t16 is the
-# same counter→per-category rollup over the documents extension.
+# (src/spark/streaming/SensorDataProcessor.scala:75-87, quality-band
+# counters src/spark/batch/SensorDataAnalytics.scala:177-196); t16 is
+# the same counter→per-category rollup over the documents extension.
 # ---------------------------------------------------------------------------
 _T16_CLASSES = [
     ("letter", "[A-Za-z]"),
@@ -2766,9 +2766,9 @@ def script_mix(docs: DataFrame) -> DataFrame:
 # broadcast hint — vocabulary grows with the corpus, t6's rationale),
 # two 1-row scalar broadcasts, and a TakeOrderedAndProject top-20.
 #
-# Ref parity anchor: the reference ranks grouped aggregates with a
-# deterministic tie-break (vehicle top-k,
-# src/spark/analytics/SensorDataAnalytics.scala:104-118); t17 is that
+# Ref parity anchor: the reference ranks grouped aggregates by a
+# descending count (sensor-type report, GROUP BY + ORDER BY record_count
+# DESC, src/spark/batch/SensorDataAnalytics.scala:284-295); t17 is that
 # shape where the ranking key is an information-theoretic score over
 # two joined count relations.
 # ---------------------------------------------------------------------------
@@ -3084,7 +3084,7 @@ def bm25_topk(
 # arithmetic; the corpus-total scalar broadcasts.
 #
 # Ref parity anchor: the reference's global summary report
-# (src/spark/analytics/SensorDataAnalytics.scala:153-176) is the same
+# (src/spark/batch/SensorDataAnalytics.scala:264-276) is the same
 # one-row-per-category card over typed counters.
 # ---------------------------------------------------------------------------
 _DP16_HQ = 0.5  # dp1's quality gate, reused as the card's HQ threshold

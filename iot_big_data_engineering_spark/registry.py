@@ -147,121 +147,124 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round; this list pins the round-9 window (VERDICT r8 demand #1: drain
-# the never-gated backlog to zero). The slots go to:
-# - the 17 round-8 additions that have NEVER faced the external gate
-#   (VERDICT r8 What's-missing #1) — each mirror-green vs its DuckDB
-#   oracle at BOTH gate SFs with dedicated unit tests; adv14/st12 lead
-#   them because their one F.round was replaced by fround THIS round
-#   (demand #2 — the boundary regression test is
-#   tests/test_edge_inputs.py::test_adv14_round_boundary_agrees_on_both_engines)
-#   and mm8 because its plant offset became max(doc_id)+1-derived
-#   (r8 advice, collision-proof at billions of ids);
-# - the 10 r5-vintage serving/monitoring rotations promised by the r8
-#   deferral note (m10–m14, o1, o1b, o4, p7, p8) — after r9 nothing in
-#   the registry holds evidence older than r6;
-# - the first 23 (alphabetically) of the 49 r6-vintage queries — the
-#   oldest evidence remaining after the two blocks above; the other 26
-#   r6-vintage queries lead the r10 rotation so that by round 10 no
-#   green predates r7 (VERDICT r8 demand #4).
+# round; this list pins the round-10 window (VERDICT r9 demand #1: gate
+# the 14 round-9 additions and retire the r6-vintage tail). The slots:
+# - the 14 round-9 additions that have NEVER faced the external gate
+#   (VERDICT r9 What's-missing #1) — each mirror-green vs its DuckDB
+#   oracle at BOTH gate SFs with dedicated unit tests. dp16/st14 carry
+#   this round's ADVICE fix (all-NULL-text sources now REPORTED via a
+#   left join instead of silently dropped — oracle updated identically
+#   on both engines) and adv15 carries the int64-overflow runtime guard
+#   (ADVICE #1), so what the gate certifies is the post-fix form;
+# - the 26 r6-vintage queries promised by the r9 deferral note — after
+#   r10 nothing in the registry holds evidence older than r7, completing
+#   VERDICT r8 demand #4's age milestone on schedule;
+# - the first 10 (alphabetically) of the 48 r7-vintage queries — the
+#   oldest evidence remaining after the two blocks above; the other 38
+#   r7-vintage queries are the r11 rotation cohort.
 #
-# REGISTRATION BUDGET (VERDICT r8 demand #3): new @register per round
-# must not exceed the NEXT window's free slots after the carried backlog
-# and promised rotations. Entering r10 the carried set is 26 r6-vintage
-# queries, so round 9 may add at most 50 - 26 = 24 new queries; the
-# round-9 additions appended to _WINDOW_DEFERRED stay within that
-# budget, and tests/test_registry_window.py enforces the arithmetic
-# (test_registration_budget) so the rule survives future rounds
-# mechanically, not as prose.
+# REGISTRATION BUDGET (VERDICT r8 demand #3, r9 demand #2): new
+# @register per round must not exceed the NEXT window's free slots after
+# the carried backlog and the oldest-vintage rotation. Entering r11 the
+# carried rotation cohort is the 38 remaining r7-vintage queries, so
+# round 10 may add at most 50 - 38 = 12 new queries;
+# tests/test_registry_window.py::test_registration_budget enforces the
+# arithmetic mechanically each run.
 #
 # Everything else (_WINDOW_DEFERRED) holds a green driver row earned on
-# current data in its current form (r6/r7/r8);
+# current data in its current form (r7/r8/r9);
 # test_registry_window.py asserts the two lists exactly tile the
 # registry so a new query can never silently miss the rotation.
 _WINDOW_FIRST = [
-    # --- the 17 never-gated round-8 additions ---
-    "adv14_scd2_snapshot_merge", "st12_streaming_scd2_maintenance",
-    "mm8_phash_neardup", "a22_cms_heavy_hitters",
-    "st11_streaming_cms_maintenance", "a23_incremental_join_view",
-    "st13_streaming_join_view", "d11_neardup_keep_best", "s10_knn_pq",
-    "s11_knn_tombstone_delete", "dp11_split_decontamination",
-    "dp12_quality_weighted_sample", "dp13_reproducible_shuffle",
-    "dp14_temperature_mix", "dq5_table_profile", "t14_zipf_profile",
-    "t15_vocab_coverage",
-    # --- the 10 promised r5-vintage rotations ---
-    "m10_hourly_quality", "m11_liveness", "m12_latency", "m13_throughput",
-    "m14_anomaly_rate", "o1_filtered_scan_paginated",
-    "o1b_filtered_scan_keyset", "o4_anomaly_listing", "p7_vehicle_scan",
-    "p8_date_bucket",
-    # --- 23 of the 49 r6-vintage queries (alphabetical; rest lead r10) ---
-    "a15_daily_sensor_summary", "a16_vehicle_daily_summary",
-    "a17c_rollup_compaction", "a1_windowed_analytics",
-    "a21_histogram_quantile_rollup", "a2_daily_analytics",
-    "a3_sensor_type_measurements", "a4_vehicle_analytics",
-    "a4_vehicle_analytics_approx", "a5_quality_histogram",
-    "a6_anomaly_analytics", "a7_summary_report", "a7_summary_report_approx",
-    "a8_sensor_type_report", "a9_vehicle_topk", "adv11_range_join",
-    "adv2_asof_join", "d10_dedup_delta", "dp1_corpus_clean",
-    "dp8_document_chunking", "dq4_semijoin_prefilter",
-    "g3_groupingsets_order_stats", "j10_order_rollup",
+    # --- the 14 never-gated round-9 additions ---
+    "adv15_pagerank", "d12_duplicate_span_ratio", "dp15_bigram_lm_screen",
+    "dp16_dataset_card", "dp17_dsir_importance", "dq6_snapshot_drift",
+    "dq7_expectation_audit", "j23_frequent_pairs", "s12_mips_topk",
+    "st14_streaming_dataset_card", "t16_script_mix", "t17_collocations_pmi",
+    "t18_bm25_topk", "w8_markov_transitions",
+    # --- the 26 promised r6-vintage rotations (r9 deferral note) ---
+    "j11_brand_revenue", "j11b_supplier_value_share",
+    "j12_customer_order_presence", "j12b_priority_by_returnflag",
+    "j13_events_enriched", "j13b_order_count_distribution",
+    "j16_supplier_part_counts", "j17_small_quantity_revenue",
+    "j1_pricing_summary", "j20_excess_stock_suppliers",
+    "j21_lone_late_supplier", "j22_dormant_customers",
+    "j3_shipping_priority", "j5_region_supplier_volume", "j8_market_share",
+    "j9_profit_by_nation", "mm5_payload_dedup", "mm6_shard_plan",
+    "s4_label_centroids", "st3_streaming_watermarked_windows",
+    "st4_stream_static_join", "st5_streaming_dedup",
+    "st6_stateful_running_totals", "t8_bpe_token_stats",
+    "u3_key_overlap_multiset", "w4_value_deciles",
+    # --- 10 of the 48 r7-vintage queries (alphabetical; rest lead r11) ---
+    "a18_sketch_cube", "a19_resample_ffill", "a1_windowed_analytics_approx",
+    "a20_seasonality_profile", "a2_daily_analytics_approx",
+    "a2_monthly_analytics", "a2_weekly_analytics", "adv1_sessionize",
+    "adv6_percentiles", "d3_jaccard_pairs",
 ]
 
 # Queries NOT in this round's 50-slot window — every one already carries
 # a green driver row earned on post-regeneration data in its current
-# form (r6, r7 or r8 — see CORRECTNESS_r0{6,7,8}.json and the rotation
+# form (r7, r8 or r9 — see CORRECTNESS_r0{7,8,9}.json and the rotation
 # rationale above) and is value-checked against its DuckDB oracle on
 # current data by the local mirror (tests/test_oracle_parity.py) every
-# round. The 26 r6-vintage members lead the r10 rotation. Membership is
+# round. The 38 r7-vintage members lead the r11 rotation. Membership is
 # asserted exhaustive + disjoint by tests/test_registry_window.py.
 _WINDOW_DEFERRED = [
-    "a17_incremental_rollup", "a17b_rollup_backfill", "a18_sketch_cube",
-    "a19_resample_ffill", "a1_windowed_analytics_approx", "a20_seasonality_profile",
-    "a2_daily_analytics_approx", "a2_monthly_analytics", "a2_weekly_analytics",
-    "adv10_unpivot_daily_metrics", "adv12_robust_outliers", "adv13_salted_join",
-    "adv1_sessionize", "adv3_pivot_daily_counts", "adv4_salted_agg", "adv5_value_histogram",
-    "adv6_percentiles", "adv6b_approx_percentiles", "adv8_hash_sample_stats",
-    "adv9_latest_per_key", "d1_exact_dedup_stats", "d2_exact_dedup_keep_first",
-    "d3_jaccard_pairs", "d4_minhash_lsh_dedup", "d5_simhash_neardup", "d6_embedding_neardup",
-    "d7_dedup_clusters", "d7_dedup_clusters_full", "d8_jaccard_join_prefix",
-    "d8b_jaccard_join_df_prefix", "d9_semantic_dedup", "dc1_benchmark_contamination",
-    "dp10_boilerplate_removal", "dp2_corpus_clean_neardup", "dp3_training_mix",
-    "dp4_cleaning_audit", "dp5_sequence_packing", "dp7_training_shards",
-    "dp9_leakage_safe_split", "dq1_key_skew_audit", "dq2_join_size_preflight",
-    "dq3_referential_audit", "g1_rollup_order_stats", "g2_cube_event_stats",
-    "j10b_returned_revenue_topk", "j11_brand_revenue", "j11b_supplier_value_share",
-    "j12_customer_order_presence", "j12b_priority_by_returnflag", "j13_events_enriched",
-    "j13b_order_count_distribution", "j14_promo_revenue", "j15_top_supplier",
-    "j16_supplier_part_counts", "j17_small_quantity_revenue", "j18_large_orders",
-    "j19_bracket_revenue", "j1_pricing_summary", "j20_excess_stock_suppliers",
-    "j21_lone_late_supplier", "j22_dormant_customers", "j2_min_price_per_brand",
-    "j3_shipping_priority", "j4_priority_late_ship", "j5_region_supplier_volume",
-    "j6_forecast_revenue", "j7_nation_volume_shipping", "j8_market_share",
-    "j9_profit_by_nation", "m15_alerts", "m16_burn_rate", "m17_alert_incidents",
-    "mm1_media_manifest", "mm2_media_type_stats", "mm3_frame_sample", "mm4_payload_features",
-    "mm5_payload_dedup", "mm6_shard_plan", "mm7_stratified_sample", "p10_json_extract",
-    "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_lsh", "s4_label_centroids",
-    "s5_scalar_quantization", "s6_knn_ivf_sq8", "s7_knn_filtered", "s8_knn_ivf_delta_add",
-    "s9_knn_index_reload", "st10_streaming_histogram_rollup", "st1_streaming_microbatch_analytics",
-    "st2_streaming_session_windows", "st3_streaming_watermarked_windows",
-    "st4_stream_static_join", "st5_streaming_dedup", "st6_stateful_running_totals",
-    "st7_stream_stream_join", "st8_streaming_incremental_rollup", "st9_streaming_alert_incidents",
-    "t10_repetition_profile", "t11_inverted_index", "t12_rarity_score", "t13_vocab_growth",
-    "t1_token_stats", "t2_doc_quality", "t3_langid_confusion", "t4_fingerprints",
-    "t5_top_terms", "t6_tfidf_top_terms", "t7_documents_profile", "t8_bpe_token_stats",
-    "t9_pii_scan", "u1_active_keys_union", "u2_key_overlap", "u3_key_overlap_multiset",
-    "u4_snapshot_diff", "w1_top_orders_per_customer", "w2_user_running_value",
-    "w3_event_gaps", "w4_value_deciles", "w5_trailing_hour_aggs", "w6_cohort_retention",
-    "w6b_cohort_retention_approx", "w7_event_funnel",
-    # added mid-round-9, BEFORE the round's final full test run (the
-    # dp10 lesson) — each mirror-green vs its DuckDB oracle at BOTH gate
-    # SFs with dedicated unit tests; they lead the r10 rotation together
-    # with the 26 r6-vintage queries above, inside the registration
-    # budget (test_registration_budget)
-    "dp15_bigram_lm_screen", "t16_script_mix", "dq6_snapshot_drift",
-    "s12_mips_topk", "t17_collocations_pmi", "t18_bm25_topk",
-    "j23_frequent_pairs", "w8_markov_transitions", "dp16_dataset_card",
-    "dp17_dsir_importance", "d12_duplicate_span_ratio", "adv15_pagerank",
-    "st14_streaming_dataset_card", "dq7_expectation_audit",
+    "a15_daily_sensor_summary", "a16_vehicle_daily_summary",
+    "a17_incremental_rollup", "a17b_rollup_backfill",
+    "a17c_rollup_compaction", "a1_windowed_analytics",
+    "a21_histogram_quantile_rollup", "a22_cms_heavy_hitters",
+    "a23_incremental_join_view", "a2_daily_analytics",
+    "a3_sensor_type_measurements", "a4_vehicle_analytics",
+    "a4_vehicle_analytics_approx", "a5_quality_histogram",
+    "a6_anomaly_analytics", "a7_summary_report", "a7_summary_report_approx",
+    "a8_sensor_type_report", "a9_vehicle_topk",
+    "adv10_unpivot_daily_metrics", "adv11_range_join",
+    "adv12_robust_outliers", "adv13_salted_join",
+    "adv14_scd2_snapshot_merge", "adv2_asof_join", "adv3_pivot_daily_counts",
+    "adv4_salted_agg", "adv5_value_histogram", "adv6b_approx_percentiles",
+    "adv8_hash_sample_stats", "adv9_latest_per_key", "d10_dedup_delta",
+    "d11_neardup_keep_best", "d1_exact_dedup_stats",
+    "d2_exact_dedup_keep_first", "d4_minhash_lsh_dedup",
+    "d5_simhash_neardup", "d6_embedding_neardup", "d7_dedup_clusters",
+    "d7_dedup_clusters_full", "d8_jaccard_join_prefix",
+    "d8b_jaccard_join_df_prefix", "d9_semantic_dedup",
+    "dc1_benchmark_contamination", "dp10_boilerplate_removal",
+    "dp11_split_decontamination", "dp12_quality_weighted_sample",
+    "dp13_reproducible_shuffle", "dp14_temperature_mix", "dp1_corpus_clean",
+    "dp2_corpus_clean_neardup", "dp3_training_mix", "dp4_cleaning_audit",
+    "dp5_sequence_packing", "dp7_training_shards", "dp8_document_chunking",
+    "dp9_leakage_safe_split", "dq1_key_skew_audit",
+    "dq2_join_size_preflight", "dq3_referential_audit",
+    "dq4_semijoin_prefilter", "dq5_table_profile", "g1_rollup_order_stats",
+    "g2_cube_event_stats", "g3_groupingsets_order_stats", "j10_order_rollup",
+    "j10b_returned_revenue_topk", "j14_promo_revenue", "j15_top_supplier",
+    "j18_large_orders", "j19_bracket_revenue", "j2_min_price_per_brand",
+    "j4_priority_late_ship", "j6_forecast_revenue",
+    "j7_nation_volume_shipping", "m10_hourly_quality", "m11_liveness",
+    "m12_latency", "m13_throughput", "m14_anomaly_rate", "m15_alerts",
+    "m16_burn_rate", "m17_alert_incidents", "mm1_media_manifest",
+    "mm2_media_type_stats", "mm3_frame_sample", "mm4_payload_features",
+    "mm7_stratified_sample", "mm8_phash_neardup",
+    "o1_filtered_scan_paginated", "o1b_filtered_scan_keyset",
+    "o4_anomaly_listing", "p10_json_extract", "p7_vehicle_scan",
+    "p8_date_bucket", "s10_knn_pq", "s11_knn_tombstone_delete",
+    "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_lsh",
+    "s5_scalar_quantization", "s6_knn_ivf_sq8", "s7_knn_filtered",
+    "s8_knn_ivf_delta_add", "s9_knn_index_reload",
+    "st10_streaming_histogram_rollup", "st11_streaming_cms_maintenance",
+    "st12_streaming_scd2_maintenance", "st13_streaming_join_view",
+    "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
+    "st7_stream_stream_join", "st8_streaming_incremental_rollup",
+    "st9_streaming_alert_incidents", "t10_repetition_profile",
+    "t11_inverted_index", "t12_rarity_score", "t13_vocab_growth",
+    "t14_zipf_profile", "t15_vocab_coverage", "t1_token_stats",
+    "t2_doc_quality", "t3_langid_confusion", "t4_fingerprints",
+    "t5_top_terms", "t6_tfidf_top_terms", "t7_documents_profile",
+    "t9_pii_scan", "u1_active_keys_union", "u2_key_overlap",
+    "u4_snapshot_diff", "w1_top_orders_per_customer",
+    "w2_user_running_value", "w3_event_gaps", "w5_trailing_hour_aggs",
+    "w6_cohort_retention", "w6b_cohort_retention_approx", "w7_event_funnel",
 ]
 
 
