@@ -1428,16 +1428,20 @@ def snapshot_drift(
 # divisions r DIV deg, damping is (85·Σ) DIV 100 — so every engine
 # computes bit-identical ranks in ANY reduction order, and the compared
 # surface needs no rounding at all. Overflow headroom: total mass ≈
-# N·S ≈ 1.6e16 at sf0.1; 85·Σ ≤ 1.4e18 < 2^63. The graph is made
-# undirected (both edge directions), so every node has out-degree ≥ 1
-# and the dangling-mass correction drops out.
+# N·S ≈ 1.6e16 at sf0.1; 85·Σ ≤ 1.4e18 < 2^63 — and the bound is now
+# ENFORCED, not argued: pagerank_fixed_point counts nodes and raises
+# past _PAGERANK_MAX_NODES (≈108k at S=10^12; sf1's ~160k nodes would
+# wrap silently in non-ANSI Spark while DuckDB raises — r9 ADVICE).
+# The graph is made undirected (both edge directions), so every node
+# has out-degree ≥ 1 and the dangling-mass correction drops out.
 #
 # Plan shape at 100 TB: the edge list (distinct cust-supp pairs) builds
 # once from the lineitem⋈orders join and persists WITH its out-degree
 # column — each iteration is then one shuffle join (ranks ⋈ edges on
 # src) + one aggregate (on dst) with map-side partials; 3 iterations =
-# 3 bounded stages, no lineage blow-up (production depth would
-# checkpoint every ~10 iterations). Rank state is 2 int64 columns —
+# 3 bounded stages, no lineage blow-up (production depth passes
+# checkpoint_every to truncate lineage every k iterations —
+# value-identical by construction, property-tested). Rank state is 2 int64 columns —
 # the minimal shuffle payload.
 #
 # Ref parity anchor: the reference ranks entities by aggregated
@@ -1524,12 +1528,46 @@ def adv15_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
+# Hard node-count ceiling for the int64 fixed-point arithmetic: the
+# per-node in-sum intermediate is 85·sum(contrib), and sum(contrib)
+# into one node is bounded by the conserved total rank mass ≤ N·S, so
+# 85·N·S must stay below 2^63. At S = 10^12 that is N ≤ 108,495 nodes —
+# sf0.1's ~16k customer+supplier nodes fit with 6× headroom, sf1's
+# ~160k would NOT (r9 ADVICE: Spark non-ANSI would wrap silently while
+# DuckDB raises, a silent cross-engine divergence). The guard below
+# turns that into a loud failure; the production form past the ceiling
+# drops S to 10^9 (N ≤ 1.08e8) or moves to double ranks outside the
+# hash-compared surface.
+_PAGERANK_MAX_NODES = (2**63 - 1) // (85 * _ADV15_S)
+
+
+def _check_pagerank_overflow(n_nodes: int, scale: int = _ADV15_S) -> None:
+    """Raise before the first iteration if 85·N·S can exceed int64 —
+    separated so the bound is unit-testable without a 10^5-node graph."""
+    if 85 * n_nodes * scale > 2**63 - 1:
+        raise RuntimeError(
+            f"pagerank_fixed_point: {n_nodes} nodes at scale {scale} can "
+            f"overflow int64 (85·N·S = {85 * n_nodes * scale} > 2^63−1); "
+            f"max safe nodes at this scale: {(2**63 - 1) // (85 * scale)}. "
+            "Lower the scale (e.g. 10^9) for larger graphs."
+        )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame, iters: int = 3, checkpoint_every: int | None = None
+) -> DataFrame:
     """Damped power iteration over an (src, dst) edge frame in scaled
     int64 arithmetic — returns (node, r). Every node must appear as a
     src (give the graph both edge directions for undirected inputs):
     that guarantees out-degree ≥ 1 and a defined in-rank for every
-    node. Separated so tests can replay hand graphs exactly."""
+    node. Separated so tests can replay hand graphs exactly.
+
+    ``checkpoint_every``: localCheckpoint() the rank frame every k
+    iterations — production depth (tens of iterations) would otherwise
+    accumulate one join+aggregate of lineage per iteration until plan
+    compilation dominates. Checkpointing changes the plan only, never
+    the int64 values (property-tested in test_edge_inputs); the
+    registered 3-iteration adv15 form runs unchecked."""
     # deg is |nodes| rows and has TWO consumers (the edge annotation and
     # the rank init) — without the persist the rank-init lineage re-scans
     # the base tables (r9 plan audit)
@@ -1541,11 +1579,15 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
     edges_d = track(
         edges.join(deg, "src").persist()  # reused every iteration
     )
+    # one cheap count on the persisted deg (materialized regardless by
+    # the first iteration) turns a silent sf≥1 int64 wrap into a loud
+    # pre-iteration failure (r9 ADVICE)
+    _check_pagerank_overflow(deg.count())
     ranks = deg.select(
         F.col("src").alias("node"),
         F.lit(_ADV15_S).cast("bigint").alias("r"),
     )
-    for _ in range(iters):
+    for i in range(iters):
         ranks = (
             edges_d.join(ranks, edges_d.src == ranks.node)
             .select(
@@ -1560,6 +1602,12 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3) -> DataFrame:
             )
             .select(F.col("dst").alias("node"), F.col("r").cast("bigint"))
         )
+        if (
+            checkpoint_every is not None
+            and (i + 1) % checkpoint_every == 0
+            and (i + 1) < iters
+        ):
+            ranks = ranks.localCheckpoint()  # truncate lineage, keep values
     return ranks
 
 

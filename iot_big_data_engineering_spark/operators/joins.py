@@ -2261,6 +2261,31 @@ def frequent_pairs(
 ) -> DataFrame:
     """j23 core over any lineitem-shaped frame — separated so tests can
     drive hand-built baskets through both support floors."""
+    return (
+        _frequent_pair_counts(l, item_support, pair_support)
+        .select(
+            "p1",
+            "p2",
+            "pair_n",
+            "c1",
+            "c2",
+            fround(
+                (F.col("pair_n") * F.col("n")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_n").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(topn)
+    )
+
+
+def _frequent_pair_counts(
+    l: DataFrame, item_support: int, pair_support: int
+) -> DataFrame:
+    """The Apriori-pruned pair-count relation shared by the exact (j23)
+    and log-space (j23b) lift scorers — columns (p1, p2, pair_n, c1,
+    c2, n)."""
     from ..caching import track
 
     # persisted: FOUR consumers (the item-support aggregate, both sides
@@ -2307,22 +2332,123 @@ def frequent_pairs(
         )
         .filter(F.col("pair_n") >= pair_support)
     )
-    return (
-        pairs.crossJoin(F.broadcast(n))  # 1-row scalar aggregate
-        .select(
-            "p1",
-            "p2",
-            "pair_n",
-            "c1",
-            "c2",
-            fround(
-                (F.col("pair_n") * F.col("n")).cast("double")
-                / (F.col("c1") * F.col("c2")).cast("double"),
-                6,
-            ).alias("lift"),
+    return pairs.crossJoin(F.broadcast(n))  # 1-row scalar aggregate
+
+
+# ---------------------------------------------------------------------------
+# J23B — LOG-SPACE LIFT (j23's production form past the int64 boundary):
+# j23's exact lift forms pair_n·N and c1·c2 as int64 products before one
+# double division — bounded at the gate SFs (header above), overflowing
+# once N passes ~3e9 baskets. The production fix scores in log space,
+# llift = ln pair_n + ln N − ln c1 − ln c2 — no product formed, safe at
+# any scale. This twin REGISTERS that form (VERDICT r9 Next #5).
+#
+# Compared surface: INTEGERS ONLY (p1, p2, pair_n, c1, c2, rank) —
+# ln is engine libm and may differ in the last ulp on identical inputs,
+# so the score stays off the hashed surface (t17b's rationale); the
+# ordering it induces is compared via row_number with (p1, p2)
+# tie-breaks over a 6-dp floor-rounded key. The quantization is
+# load-bearing here: the gate data HAS pairs with equal exact ratios
+# whose ln sums differ by ulps (different factor orders); at 6 dp they
+# collapse back into exact ties resolved identically on both engines.
+# Rank-equivalence against the exact-ratio ordering is property-tested
+# at both gate SFs (inversions only within sub-1e-6 near-ties). Unlike
+# j23 (ordered by pair_n), this twin ORDERS BY the lift score itself,
+# so the gate exercises the log path end to end.
+#
+# Plan shape at 100 TB: identical to j23 up to scoring (shared
+# _frequent_pair_counts); TakeOrderedAndProject top-20 on the score,
+# rank windowed over the surviving 20 rows only.
+# ---------------------------------------------------------------------------
+@register(
+    "j23b_frequent_pairs_log",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+),
+freq AS (
+  SELECT pkey, CAST(count(*) AS BIGINT) AS c
+  FROM items GROUP BY pkey HAVING count(*) >= {_J23_ITEM_SUPPORT}
+),
+fi AS (
+  SELECT items.okey, items.pkey, freq.c
+  FROM items JOIN freq ON items.pkey = freq.pkey
+),
+n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM items),
+pairs AS (
+  SELECT a.pkey AS p1, b.pkey AS p2,
+         CAST(count(*) AS BIGINT) AS pair_n,
+         min(a.c) AS c1, min(b.c) AS c2
+  FROM fi a JOIN fi b ON a.okey = b.okey AND a.pkey < b.pkey
+  GROUP BY a.pkey, b.pkey
+),
+scored AS (
+  SELECT p1, p2, pair_n, c1, c2,
+         round(((ln(CAST(pair_n AS DOUBLE)) + ln(CAST(n.n AS DOUBLE)))
+                - ln(CAST(c1 AS DOUBLE))) - ln(CAST(c2 AS DOUBLE)),
+               6) AS k
+  FROM pairs CROSS JOIN n
+  WHERE pair_n >= {_J23_PAIR_SUPPORT}
+),
+ranked AS (
+  SELECT p1, p2, pair_n, c1, c2,
+         row_number() OVER (ORDER BY k DESC, p1, p2) AS rank
+  FROM scored
+)
+SELECT p1, p2, pair_n, c1, c2, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_J23_TOPN}
+""",
+    doc=(
+        "J23B: j23's frequent pairs ranked by LOG-space lift (no int64 "
+        "product, overflow-free at any basket count) — integer-rank "
+        "compared surface"
+    ),
+)
+def j23b_frequent_pairs_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frequent_pairs_log(load_table(spark, sf_dir, "lineitem"))
+
+
+def _j23b_key() -> Column:
+    """The j23b sort key: fixed-order log-space lift, 6-dp floor-rounded
+    (t17's rounding precedent). The quantization matters for ties: two
+    pairs with EQUAL exact ratio but different factor orders (c1·c2 vs
+    c2·c1 under different pair_n·N) carry ulp-different ln sums; at 6 dp
+    they collapse back into an exact tie that the (p1, p2) tie-break
+    resolves identically on both engines. Exposed so the rank-
+    equivalence test scores the counted relation with the query's own
+    arithmetic."""
+    llift = (
+        (
+            F.log(F.col("pair_n").cast("double"))
+            + F.log(F.col("n").cast("double"))
         )
-        .orderBy(F.col("pair_n").desc(), F.col("p1").asc(), F.col("p2").asc())
-        .limit(topn)
+        - F.log(F.col("c1").cast("double"))
+    ) - F.log(F.col("c2").cast("double"))
+    return fround(llift, 6)
+
+
+def frequent_pairs_log(
+    l: DataFrame,
+    item_support: int = _J23_ITEM_SUPPORT,
+    pair_support: int = _J23_PAIR_SUPPORT,
+    topn: int = _J23_TOPN,
+) -> DataFrame:
+    """j23b core — the overflow-free log-space lift scorer over the
+    shared pair counts; returns (p1, p2, pair_n, c1, c2, rank)."""
+    from pyspark.sql import Window
+
+    top = (
+        _frequent_pair_counts(l, item_support, pair_support)
+        .select("p1", "p2", "pair_n", "c1", "c2", _j23b_key().alias("k"))
+        .orderBy(F.col("k").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(topn)  # TakeOrderedAndProject — distributed top-k
+    )
+    # rank windows over the ≤ topn surviving rows only
+    w = Window.orderBy(
+        F.col("k").desc(), F.col("p1").asc(), F.col("p2").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "p1", "p2", "pair_n", "c1", "c2", "rank"
     )
 
 

@@ -2829,6 +2829,30 @@ def collocations_pmi(
     """t17 core over any (doc_id, text) frame — separated so tests can
     drive hand-built corpora through the support floor and the exact
     PMI arithmetic."""
+    scored = _pmi_counted(d, min_support).select(
+        "w1",
+        "w2",
+        "pair_count",
+        fround(
+            F.log(
+                (F.col("pair_count") * F.col("n1") * F.col("n1"))
+                .cast("double")
+                / (F.col("n2") * F.col("c_w1") * F.col("c_w2"))
+                .cast("double")
+            ),
+            _R,
+        ).alias("pmi"),
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(topn)
+
+
+def _pmi_counted(d: DataFrame, min_support: int) -> DataFrame:
+    """The count relations shared by the exact (t17) and log-space
+    (t17b) PMI scorers: support-filtered bigram counts joined to both
+    unigram counts and the two corpus totals — columns (w1, w2,
+    pair_count, c_w1, c_w2, n1, n2)."""
     # persisted: the unigram pass and the bigram explode both consume
     # the tokenized relation (dp15's two-consumer lesson)
     t = track(d.select("doc_id", X.tokens("text").alias("toks")).persist())
@@ -2864,7 +2888,7 @@ def collocations_pmi(
     n2 = c12.agg(F.sum("pair_count").cast("bigint").alias("n2"))
     a = c1.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
     b = c1.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
-    scored = (
+    return (
         # support filter FIRST (apriori pruning) — only surviving pairs
         # pay the two vocabulary joins; c1 joins carry no broadcast hint
         # (vocabulary grows with the corpus, t6's rationale)
@@ -2873,24 +2897,132 @@ def collocations_pmi(
         .join(b, "w2")
         .crossJoin(F.broadcast(n1))  # 1-row scalar aggregate
         .crossJoin(F.broadcast(n2))  # 1-row scalar aggregate
-        .select(
-            "w1",
-            "w2",
-            "pair_count",
-            fround(
-                F.log(
-                    (F.col("pair_count") * F.col("n1") * F.col("n1"))
-                    .cast("double")
-                    / (F.col("n2") * F.col("c_w1") * F.col("c_w2"))
-                    .cast("double")
-                ),
-                _R,
-            ).alias("pmi"),
-        )
     )
-    return scored.orderBy(
-        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
-    ).limit(topn)
+
+
+# ---------------------------------------------------------------------------
+# T17B — LOG-SPACE PMI (t17's production form past the int64 boundary):
+# t17's exact arithmetic computes ln(c12·N1² / (N2·c1·c2)) with the two
+# int64 products formed EXACTLY, which overflows once c·N1² exceeds
+# 2^63 — fine at the gate SFs (bound stated in t17's header), wrong at
+# 100 TB. The production fix is scoring in log space, lpmi =
+# ln c12 + 2·ln N1 − ln N2 − ln c1 − ln c2 — no product ever formed, no
+# overflow at any corpus size. This twin REGISTERS that form so the
+# gate proves it runs (VERDICT r9 Next #5).
+#
+# Compared surface: INTEGERS ONLY (w1, w2, pair_count, rank). The
+# lpmi double is a five-term sum of ln() outputs; ln is engine libm —
+# DuckDB's C library vs the JVM — and may differ in the last ulp on
+# identical inputs, so hashing a rounded lpmi would gate on float
+# boundaries (adv14's F.round lesson). Instead the ORDERING the score
+# induces is compared via row_number, with (w1, w2) tie-breaks, over a
+# 6-dp floor-rounded key (t17's precedent): quantization collapses the
+# ulp noise between EQUAL exact ratios summed in different factor
+# orders back into exact ties. Rank-equivalence of the log form
+# against t17's exact-ratio form is property-tested at both gate SFs
+# (test_textstats) — inversions only within sub-1e-6 near-ties.
+#
+# Plan shape at 100 TB: identical to t17 up to scoring (shared
+# _pmi_counted); the top-20 is TakeOrderedAndProject on the score, and
+# rank assignment windows over the COLLECTED 20 rows only — no global
+# single-partition sort.
+# ---------------------------------------------------------------------------
+@register(
+    "t17b_collocations_pmi_log",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+uni AS (SELECT unnest(toks) AS w FROM t),
+c1 AS (SELECT w, count(*) AS c FROM uni WHERE w <> '' GROUP BY w),
+n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
+big AS (
+  SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS g(i)
+  WHERE len(toks) >= 2
+),
+c12 AS (
+  SELECT w1, w2, count(*) AS c FROM big
+  WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+),
+n2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c12),
+scored AS (
+  SELECT c12.w1, c12.w2, c12.c AS pair_count,
+         round(((((ln(CAST(c12.c AS DOUBLE)) + ln(CAST(n1.n AS DOUBLE)))
+                  + ln(CAST(n1.n AS DOUBLE))) - ln(CAST(n2.n AS DOUBLE)))
+                - ln(CAST(a.c AS DOUBLE))) - ln(CAST(b.c AS DOUBLE)),
+               6) AS k
+  FROM c12
+  JOIN c1 a ON c12.w1 = a.w
+  JOIN c1 b ON c12.w2 = b.w
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE c12.c >= {_T17_MIN_SUPPORT}
+),
+ranked AS (
+  SELECT w1, w2, pair_count,
+         row_number() OVER (ORDER BY k DESC, w1, w2) AS rank
+  FROM scored
+)
+SELECT w1, w2, pair_count, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {_T17_TOPN}
+""",
+    doc=(
+        "T17B: t17's top-20 collocations scored in LOG space (no int64 "
+        "product, overflow-free at any corpus size) — integer-rank "
+        "compared surface"
+    ),
+)
+def t17b_collocations_pmi_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _docs_par
+
+    return collocations_pmi_log(_docs_par(spark, sf_dir))
+
+
+def _t17b_key():
+    """The t17b sort key: fixed-order five-term ln sum, 6-dp
+    floor-rounded (t17's rounding precedent). Quantization collapses
+    ulp-level noise between pairs with EQUAL exact ratios (different
+    factor orders sum in different ulps) back into exact ties that the
+    (w1, w2) tie-break resolves identically on both engines. Exposed so
+    the rank-equivalence test scores the counted relation with the
+    query's own arithmetic."""
+    lpmi = (
+        (
+            (
+                (
+                    F.log(F.col("pair_count").cast("double"))
+                    + F.log(F.col("n1").cast("double"))
+                )
+                + F.log(F.col("n1").cast("double"))
+            )
+            - F.log(F.col("n2").cast("double"))
+        )
+        - F.log(F.col("c_w1").cast("double"))
+    ) - F.log(F.col("c_w2").cast("double"))
+    return fround(lpmi, 6)
+
+
+def collocations_pmi_log(
+    d: DataFrame,
+    min_support: int = _T17_MIN_SUPPORT,
+    topn: int = _T17_TOPN,
+) -> DataFrame:
+    """t17b core — the overflow-free log-space scorer over the shared
+    count relations; returns (w1, w2, pair_count, rank)."""
+    from pyspark.sql import Window
+
+    top = (
+        _pmi_counted(d, min_support)
+        .select("w1", "w2", "pair_count", _t17b_key().alias("k"))
+        .orderBy(F.col("k").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(topn)  # TakeOrderedAndProject — distributed top-k
+    )
+    # rank windows over the ≤ topn surviving rows only — never a global
+    # single-partition sort of the full pair table
+    w = Window.orderBy(F.col("k").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "w1", "w2", "pair_count", "rank"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3102,7 +3234,7 @@ WITH d AS (
 base AS (
   SELECT source,
          CAST(count(*) AS BIGINT) AS doc_count,
-         CAST(sum(tok) AS BIGINT) AS token_sum,
+         CAST(coalesce(sum(tok), 0) AS BIGINT) AS token_sum,
          CAST(sum(CASE WHEN q >= {_DP16_HQ} THEN 1 ELSE 0 END) AS BIGINT)
            AS high_quality_docs,
          CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -3126,16 +3258,20 @@ lang_rank AS (
     FROM d GROUP BY source, lang
   )
 ),
-tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM d)
+tot AS (SELECT CAST(coalesce(sum(tok), 0) AS BIGINT) AS t FROM d)
 SELECT b.source, b.doc_count, b.token_sum,
-       CAST(b.token_sum * 1000000 // tot.t AS BIGINT) AS token_share_ppm,
-       x.distinct_texts,
-       CAST((b.doc_count - b.null_text_docs - x.distinct_texts) * 1000000
-            // (b.doc_count - b.null_text_docs) AS BIGINT) AS exact_dup_ppm,
+       CAST(CASE WHEN tot.t > 0 THEN b.token_sum * 1000000 // tot.t
+                 ELSE 0 END AS BIGINT) AS token_share_ppm,
+       CAST(coalesce(x.distinct_texts, 0) AS BIGINT) AS distinct_texts,
+       CAST(CASE WHEN b.doc_count - b.null_text_docs > 0
+                 THEN (b.doc_count - b.null_text_docs
+                       - coalesce(x.distinct_texts, 0)) * 1000000
+                      // (b.doc_count - b.null_text_docs)
+                 ELSE 0 END AS BIGINT) AS exact_dup_ppm,
        lr.n_langs, lr.lang AS top_lang, lr.c AS top_lang_docs,
        b.high_quality_docs, b.null_text_docs
 FROM base b
-JOIN texts x ON b.source = x.source
+LEFT JOIN texts x ON b.source = x.source
 JOIN lang_rank lr ON b.source = lr.source AND lr.rn = 1
 CROSS JOIN tot
 """
@@ -3165,7 +3301,9 @@ def card_counters(d: DataFrame, hq: float = _DP16_HQ) -> DataFrame:
     from disjoint slices merge by summing every column."""
     return d.groupBy("source").agg(
         F.count("*").cast("bigint").alias("doc_count"),
-        F.sum("tok").cast("bigint").alias("token_sum"),
+        # coalesce: an all-NULL-text source sums NULL on both engines;
+        # the card reports it as 0 tokens instead of a NULL counter
+        F.coalesce(F.sum("tok"), F.lit(0)).cast("bigint").alias("token_sum"),
         F.sum(F.when(F.col("q") >= hq, 1).otherwise(0))
         .cast("bigint")
         .alias("high_quality_docs"),
@@ -3202,9 +3340,10 @@ def card_project(docs: DataFrame) -> DataFrame:
 def dataset_card(docs: DataFrame, hq: float = _DP16_HQ) -> DataFrame:
     """dp16 core over any (source, lang, text) frame — separated so
     tests can drive hand corpora through the dup/null/quality edges.
-    Assumes every source has ≥ 1 non-NULL-text doc (the dup-ppm
-    denominator); an all-NULL source would need a guard the card's
-    contract does not promise."""
+    An all-NULL-text source is REPORTED (doc_count = null_text_docs,
+    zero tokens/distinct-texts, dup-ppm 0), never dropped — an audit
+    primitive that silently omits the most degenerate source would read
+    as 'source absent' rather than 'source pathological' (r9 ADVICE)."""
     d = track(
         card_project(docs).persist()  # three aggregate consumers
     )
@@ -3257,19 +3396,29 @@ def card_assemble(
             F.col("c").alias("top_lang_docs"),
         )
     )
-    tot = base.agg(F.sum("token_sum").cast("bigint").alias("t"))
+    tot = base.agg(
+        F.coalesce(F.sum("token_sum"), F.lit(0)).cast("bigint").alias("t")
+    )
     nonnull = F.col("doc_count") - F.col("null_text_docs")
     return (
-        base.join(texts, "source")
+        # LEFT join + coalesce: a source whose docs are ALL NULL-text has
+        # no distinct-texts row; an inner join would drop it from the
+        # audit surface entirely (r9 ADVICE) — report it with 0 instead
+        base.join(texts, "source", "left")
+        .withColumn(
+            "distinct_texts",
+            F.coalesce(F.col("distinct_texts"), F.lit(0)).cast("bigint"),
+        )
         .join(lang_rank, "source")
         .crossJoin(F.broadcast(tot))  # 1-row scalar aggregate
         .select(
             "source",
             "doc_count",
             "token_sum",
-            F.expr("CAST(token_sum * 1000000 DIV t AS BIGINT)").alias(
-                "token_share_ppm"
-            ),
+            F.expr(
+                "CAST(CASE WHEN t > 0 THEN token_sum * 1000000 DIV t"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("token_share_ppm"),
             "distinct_texts",
             ((nonnull - F.col("distinct_texts")) * 1000000)
             .cast("bigint")
@@ -3283,7 +3432,11 @@ def card_assemble(
         )
         .withColumn(
             "exact_dup_ppm",
-            F.expr("CAST(_dup_num DIV _nonnull AS BIGINT)"),
+            # guard the division: _nonnull = 0 for an all-NULL source
+            F.expr(
+                "CAST(CASE WHEN _nonnull > 0 THEN _dup_num DIV _nonnull"
+                " ELSE 0 END AS BIGINT)"
+            ),
         )
         .select(
             "source",

@@ -265,6 +265,13 @@ _WINDOW_DEFERRED = [
     "u4_snapshot_diff", "w1_top_orders_per_customer",
     "w2_user_running_value", "w3_event_gaps", "w5_trailing_hour_aggs",
     "w6_cohort_retention", "w6b_cohort_retention_approx", "w7_event_funnel",
+    # added mid-round-10, BEFORE the round's final full test run (the
+    # dp10 lesson) — the log-space production twins demanded by VERDICT
+    # r9 Next #5: each mirror-green vs its DuckDB oracle at BOTH gate
+    # SFs with a rank-equivalence property test against the exact form;
+    # they lead the r11 rotation together with the 38 r7-vintage
+    # queries above, inside the registration budget (2 of ≤12 slots)
+    "t17b_collocations_pmi_log", "j23b_frequent_pairs_log",
 ]
 
 

@@ -1728,7 +1728,14 @@ def st14_streaming_dataset_card(
             .parquet(in_dir)
         )
 
+        # counted inside the batch callback, NOT via q.recentProgress:
+        # that is a ring buffer capped by numRecentProgressUpdates
+        # (default 100) — fine at 3 splits, silently miscounts if the
+        # split count is ever raised past the cap (r9 ADVICE)
+        data_batches = 0
+
         def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            nonlocal data_batches
             d = card_project(batch_df).localCheckpoint()  # one
             # computation feeding the emptiness check + three fragments
             if d.isEmpty():
@@ -1739,6 +1746,7 @@ def st14_streaming_dataset_card(
                         ignore_errors=True,
                     )
                 return
+            data_batches += 1
             for sd, frag in (
                 (cnt_dir, card_counters(d)),
                 (txt_dir, card_text_keys(d)),
@@ -1759,14 +1767,13 @@ def st14_streaming_dataset_card(
             .start()
         )
         q.awaitTermination()
-        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
         # ≥2 data batches certify the cross-epoch merge; exactly 1 still
         # certifies the degenerate one-delta case (st11-st13's fallback,
         # r8 advice); 0 on a non-empty input is a loud invariant failure
-        if len(data_batches) < 1:  # RuntimeError, not assert (-O strips)
+        if data_batches < 1:  # RuntimeError, not assert (-O strips)
             raise RuntimeError(
                 f"st14 saw a non-empty input yet no data micro-batch "
-                f"arrived; got {len(data_batches)}"
+                f"arrived; got {data_batches}"
             )
 
         # txt_dir needs special handling the other two state dirs don't:

@@ -1058,6 +1058,38 @@ def test_t17_t18_j23_w8_plan_shapes(spark):
     assert_broadcast_join(w)  # |event_types|-row totals relation
 
 
+def test_t17b_j23b_plan_shapes(spark):
+    """The log-space twins must keep their parents' plan discipline:
+    distributed top-k on the score (TakeOrderedAndProject), the rank
+    window over the collected ≤20 rows only — never a global sort of
+    the full pair table — and no cartesian."""
+    from iot_big_data_engineering_spark.operators.joins import (
+        j23b_frequent_pairs_log,
+    )
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t17b_collocations_pmi_log,
+    )
+
+    import re
+
+    for fn in (t17b_collocations_pmi_log, j23b_frequent_pairs_log):
+        df = fn(spark, SF_SMOKE)
+        assert_no_cartesian(df)
+        p = plan_str(df)
+        assert "TakeOrderedAndProject" in p, p
+        # exactly one Window node (the rank assignment), sitting
+        # DIRECTLY on the TakeOrderedAndProject — so the single-
+        # partition sort under it sees ≤ topn rows, never the full
+        # pair table
+        assert p.count("+- Window") == 1, p
+        assert re.search(
+            r"\+- Window \(\d+\)\n\s*\+- TakeOrderedAndProject", p
+        ), p
+    # j23b keeps j23's two-column pruned scan
+    pj = plan_str(j23b_frequent_pairs_log(spark, SF_SMOKE))
+    assert "struct<l_orderkey:bigint,l_partkey:bigint>" in pj, pj
+
+
 def test_adv15_pagerank_matches_python_replay_on_star(spark):
     """Fixed-point PageRank over a hand star graph must equal a pure-
     Python replay of the exact integer recursion, bit for bit."""
@@ -1101,6 +1133,56 @@ def test_adv15_symmetric_pair_is_stationary(spark):
     )
     got = {r.node: r.r for r in pagerank_fixed_point(edges, iters=3).collect()}
     assert got == {0: _ADV15_S, 1: _ADV15_S}
+
+
+def test_adv15_checkpointed_ranks_identical(spark):
+    """checkpoint_every (production-depth lineage truncation, r9 VERDICT
+    Next #6) must change the plan only, never the int64 ranks: a 7-iter
+    run checkpointed every 2 iterations equals the plain run bit for
+    bit on a seeded random graph."""
+    import random
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        pagerank_fixed_point,
+    )
+
+    rng = random.Random(41)
+    pairs = {(rng.randrange(30), rng.randrange(30)) for _ in range(80)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    plain = {
+        r.node: r.r for r in pagerank_fixed_point(edges, iters=7).collect()
+    }
+    ckpt = {
+        r.node: r.r
+        for r in pagerank_fixed_point(
+            edges, iters=7, checkpoint_every=2
+        ).collect()
+    }
+    assert plain == ckpt
+    assert len(plain) == len({a for a, _ in pairs} | {b for _, b in pairs})
+
+
+def test_adv15_overflow_guard():
+    """The int64 ceiling is enforced, not argued (r9 ADVICE #1): exactly
+    _PAGERANK_MAX_NODES nodes pass, one more raises by name, and sf1's
+    ~160k-node graph is loudly rejected instead of silently wrapping."""
+    import pytest
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _PAGERANK_MAX_NODES,
+        _check_pagerank_overflow,
+    )
+
+    _check_pagerank_overflow(_PAGERANK_MAX_NODES)  # boundary: fits
+    with pytest.raises(RuntimeError, match="overflow int64"):
+        _check_pagerank_overflow(_PAGERANK_MAX_NODES + 1)
+    with pytest.raises(RuntimeError, match="max safe nodes"):
+        _check_pagerank_overflow(160_000)  # the sf1 scenario
+    # a smaller scale raises the ceiling — the documented production form
+    _check_pagerank_overflow(160_000, scale=10**9)
 
 
 def test_adv15_registered_plan_no_cartesian(spark):

@@ -6,6 +6,7 @@ oracle parity for the registered forms is covered by test_oracle_parity.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from iot_big_data_engineering_spark.operators.dedup import contamination_scan
@@ -22,7 +23,7 @@ from iot_big_data_engineering_spark.plans.checks import (
     plan_str,
 )
 
-from .conftest import SF_SMOKE
+from .conftest import SF_CORRECT, SF_SMOKE
 
 
 def _docs(spark, rows):
@@ -1148,6 +1149,103 @@ def test_t17_empty_and_null_text_stable(spark):
     assert rows == []
 
 
+def _assert_rank_equiv(ids_got, scored, topn):
+    """Shared rank-equivalence certificate for the log-space twins
+    (t17b/j23b, VERDICT r9 Next #5). ``scored``: {id: (key, ratio)}
+    over the full counted relation using the QUERY'S OWN Spark-computed
+    6-dp key plus the exact Python-Fraction ratio.
+
+    1. strict: the returned order IS sort-by(-key, id) of the counted
+       relation — rank faithfully reflects the log-space ordering;
+    2. equivalence: any inversion vs the exact-ratio order happens only
+       within a key tie (the quantized log score cannot distinguish the
+       two), and tied keys always carry ratios whose logs differ by
+       < 2e-6 — i.e. the log rank equals the exact rank except for
+       sub-quantum near-ties.
+    """
+    import math
+
+    expect = sorted(scored, key=lambda i: (-scored[i][0], i))[:topn]
+    assert ids_got == expect, "rank does not reflect the log-space key order"
+    for (ia, ib) in zip(ids_got, ids_got[1:]):
+        (ka, ra), (kb, rb) = scored[ia], scored[ib]
+        assert ka >= kb
+        if ra < rb:  # inversion vs the exact-ratio order
+            assert ka == kb, (ia, ib)
+        if ka == kb and ra != rb:
+            assert abs(math.log(ra / rb)) < 2e-6, (ia, ib)
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT])
+def test_t17b_log_rank_equals_exact_ratio_rank(spark, sf_dir):
+    """t17b's compared surface is the RANK the five-term ln sum induces;
+    this certifies it against the overflow-prone exact form it replaces
+    (VERDICT r9 Next #5), with the exact side computed in Python
+    Fraction — no float anywhere — at both gate SFs."""
+    from fractions import Fraction
+
+    from iot_big_data_engineering_spark.operators.dedup import _docs_par
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _T17_MIN_SUPPORT,
+        _T17_TOPN,
+        _pmi_counted,
+        _t17b_key,
+        collocations_pmi_log,
+    )
+
+    counted = (
+        _pmi_counted(_docs_par(spark, sf_dir), _T17_MIN_SUPPORT)
+        .withColumn("k", _t17b_key())
+        .collect()
+    )
+    scored = {
+        (r.w1, r.w2): (
+            r.k,
+            Fraction(r.pair_count * r.n1 * r.n1, r.n2 * r.c_w1 * r.c_w2),
+        )
+        for r in counted
+    }
+    got = (
+        collocations_pmi_log(_docs_par(spark, sf_dir))
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    _assert_rank_equiv([(r.w1, r.w2) for r in got], scored, _T17_TOPN)
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT])
+def test_j23b_log_rank_equals_exact_ratio_rank(spark, sf_dir):
+    """j23b's log-lift ordering vs the exact rational pair_n·N/(c1·c2)
+    (Python Fraction), at both gate SFs — t17b's certificate for the
+    basket domain, where equal-ratio key ties genuinely occur."""
+    from fractions import Fraction
+
+    from iot_big_data_engineering_spark.operators.joins import (
+        _J23_ITEM_SUPPORT,
+        _J23_PAIR_SUPPORT,
+        _J23_TOPN,
+        _frequent_pair_counts,
+        _j23b_key,
+        frequent_pairs_log,
+    )
+    from iot_big_data_engineering_spark.sources.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    counted = (
+        _frequent_pair_counts(l, _J23_ITEM_SUPPORT, _J23_PAIR_SUPPORT)
+        .withColumn("k", _j23b_key())
+        .collect()
+    )
+    scored = {
+        (r.p1, r.p2): (r.k, Fraction(r.pair_n * r.n, r.c1 * r.c2))
+        for r in counted
+    }
+    got = frequent_pairs_log(l).orderBy("rank").collect()
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    _assert_rank_equiv([(r.p1, r.p2) for r in got], scored, _J23_TOPN)
+
+
 # ---------------------------------------------------------------------------
 # t18 BM25: pure-Python replay on a hand corpus + edge cases
 # ---------------------------------------------------------------------------
@@ -1249,6 +1347,35 @@ def test_dp16_hand_card(spark):
     assert s1.token_share_ppm + s2.token_share_ppm <= 1_000_000
     total = s1.token_sum + s2.token_sum
     assert s1.token_share_ppm == s1.token_sum * 1_000_000 // total
+
+
+def test_dp16_all_null_text_source_reported(spark):
+    """A source whose documents are ALL NULL-text must appear on the
+    card with zeroed text counters — the r9 ADVICE fix: the old inner
+    join on the distinct-texts leg dropped exactly the most degenerate
+    source, reading as 'source absent' instead of 'source
+    pathological'."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dataset_card,
+    )
+
+    rows = [
+        ("bad", "en", None),
+        ("bad", "en", None),
+        ("bad", None, None),
+        ("ok", "en", "some real text here"),
+    ]
+    d = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {r.source: r for r in dataset_card(d).collect()}
+    assert set(got) == {"bad", "ok"}, "all-NULL source dropped from card"
+    bad = got["bad"]
+    assert (bad.doc_count, bad.null_text_docs) == (3, 3)
+    assert bad.distinct_texts == 0
+    assert bad.exact_dup_ppm == 0  # guarded division, not NULL/error
+    assert bad.token_sum == 0  # coalesced, not NULL
+    assert bad.token_share_ppm == 0
+    assert (bad.top_lang, bad.top_lang_docs) == ("en", 2)
+    assert got["ok"].token_share_ppm == 1_000_000
 
 
 def test_dp16_plan_no_expand(spark):
