@@ -1838,3 +1838,79 @@ def mips_augment(e: DataFrame) -> DataFrame:
             ).alias("v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S13 — RANGE SEARCH (radius query): ALL corpus vectors within cosine
+# distance of each query — FAISS range_search semantics, the other half
+# of the vector-serving API next to top-k (s1/s2): top-k answers "the
+# 10 closest", range answers "everything closer than τ" — the primitive
+# behind near-duplicate candidate pull, RAG retrieval floors, and
+# fixed-radius clustering. d6 is the corpus×corpus SELF-sweep; s13 is
+# the query-anchored serving form.
+#
+# Exactness contract: cosine is the shared V.cosine expression (s1's
+# pipeline), floor-rounded 6 dp BEFORE the τ comparison on BOTH engines
+# — a value landing exactly on τ passes or fails identically because
+# the compared quantity is the rounded one. The result is the COMPLETE
+# match set (no rank, no limit), so there is no ordering to disagree
+# on: the driver's hash compare is order-insensitive.
+#
+# Plan shape at 100 TB: |Q|-row broadcast into a map-only scan-filter —
+# embarrassingly parallel, no shuffle at all (the τ filter discards
+# non-matches inside the scan stage). The IVF-bucketed scale path for
+# huge query sets reuses s2's cells: route each query to its probe
+# cells and range-scan only those partitions (s2's machinery verbatim,
+# with the τ filter replacing the top-k).
+#
+# Ref parity anchor: the reference's serving layer returns the records
+# passing a score-threshold predicate (anomaly listing over the
+# score>0-filtered table, src/api/sensor_api.py:356-380); s13 is that
+# predicate scan where the score is a vector distance.
+# ---------------------------------------------------------------------------
+_S13_TAU = 0.2  # cosine floor: ~25-35 matches/query at the gate SFs
+
+
+@register(
+    "s13_range_search",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({V.sql_cosine("q.qv", "e.v")}, {_R}) AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine
+FROM scored WHERE cosine >= {_S13_TAU}
+""",
+    doc=(
+        "S13: cosine range search (radius query) for 5 query vectors — "
+        "the complete match set above the threshold, no rank/limit"
+    ),
+)
+def s13_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return range_search(e, q)
+
+
+def range_search(
+    e: DataFrame, q: DataFrame, tau: float = _S13_TAU
+) -> DataFrame:
+    """s13 core: all (query, corpus) pairs with rounded cosine ≥ tau —
+    separated so tests can plant near-copies and replay brute force."""
+    return (
+        e.crossJoin(F.broadcast(q))  # |Q|-row broadcast, map-only scan
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )

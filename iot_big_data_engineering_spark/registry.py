@@ -272,6 +272,9 @@ _WINDOW_DEFERRED = [
     # they lead the r11 rotation together with the 38 r7-vintage
     # queries above, inside the registration budget (2 of ≤12 slots)
     "t17b_collocations_pmi_log", "j23b_frequent_pairs_log",
+    # s13: the range-search (radius query) serving primitive — the
+    # missing other half of the vector API next to top-k (3rd of ≤12)
+    "s13_range_search",
 ]
 
 

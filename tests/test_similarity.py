@@ -653,3 +653,81 @@ def test_s12_empty_corpus_stable_schema(spark, tmp_path):
     df = s12_mips_topk(spark, str(tmp_path))
     assert df.columns == ["query_id", "vec_id", "ip", "rank"]
     assert df.count() == 0
+
+
+def test_s13_range_search_matches_numpy_bruteforce(spark):
+    """Complete-set semantics: the returned (query, vec) pairs must be
+    EXACTLY the pairs whose 6-dp-rounded cosine clears τ, replayed in
+    numpy over the full corpus — nothing missing, nothing extra."""
+    import math
+
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _S13_TAU,
+        s13_range_search,
+    )
+
+    from .conftest import SF_SMOKE
+
+    e = {r.vec_id: np.asarray(r.v) for r in _emb(spark, SF_SMOKE).collect()}
+    expect = set()
+    for qid in range(5):
+        qv = e[qid]
+        for vid, v in e.items():
+            if vid == qid:
+                continue
+            c = float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v))
+            if math.floor(c * 1e6 + 0.5) / 1e6 >= _S13_TAU:
+                expect.add((qid, vid))
+    got = {
+        (r.query_id, r.vec_id)
+        for r in s13_range_search(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert got, "vacuous threshold — no matches at the gate SF"
+
+
+def test_s13_planted_copy_found_self_excluded(spark):
+    """A scaled copy (cosine ≈ 1) of each query must be in its range
+    result; the query itself must not be."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        range_search,
+    )
+
+    from .conftest import SF_SMOKE
+
+    e = _emb(spark, SF_SMOKE)
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform("v", lambda x: x * 2.0).alias("v"),
+    )
+    corpus = e.unionAll(planted)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rows = range_search(corpus, q).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+        assert r.cosine >= 0.2
+        assert r.vec_id != r.query_id
+    for i in range(5):
+        assert i + 100000 in by_q[i], f"planted copy missing for query {i}"
+
+
+def test_s13_plan_broadcast_no_shuffle(spark):
+    """|Q|-row broadcast into a map-only scan-filter: no shuffle
+    exchange anywhere in the plan — the 100 TB shape."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s13_range_search,
+    )
+    from iot_big_data_engineering_spark.plans.checks import plan_str
+
+    from .conftest import SF_SMOKE
+
+    p = plan_str(s13_range_search(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Exchange rangepartitioning" not in p, p
