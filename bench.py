@@ -150,6 +150,11 @@ HEADLINE = [
     "d12_duplicate_span_ratio",
     "adv15_pagerank",
     "dq7_expectation_audit",
+    # round 10 additions: the log-space scoring twins (overflow-free
+    # production forms of t17/j23) and the range-search serving primitive
+    "t17b_collocations_pmi_log",
+    "j23b_frequent_pairs_log",
+    "s13_range_search",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone
