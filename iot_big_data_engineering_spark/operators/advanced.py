@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..caching import track
-from ..functions import hashing
+from ..functions import hashing, vectors as V
 from ..functions.rounding import fround
 from ..registry import register
 from ..sources.tables import load_table
@@ -1798,4 +1798,120 @@ def expectation_audit(o: DataFrame, c: DataFrame) -> DataFrame:
             "ELSE 0 END AS BIGINT)"
         ).alias("failed_ppm"),
         (F.col("n_failed") == 0).alias("passed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ8 — EMBEDDING-COLUMN QUALITY AUDIT: the vector-table preflight the
+# dq family was missing — dq5 profiles scalar columns, dq8 profiles the
+# `array<float>` column every ANN/dedup consumer (s-family, d6, d9)
+# assumes well-formed: per label, NULL vectors, dimension spread,
+# exact-zero norms (undefined cosine), non-finite components (NaN/Inf
+# poison every distance), and the norm range. Run it BEFORE building an
+# index; a wrong-dim or NaN vector found later costs a rebuild.
+#
+# Exactness contract: every counter is an exact int64 conditional sum;
+# the only doubles are norm_min/norm_max — per-vector norms through the
+# shared sequential-fold dot (V.sql_dot ≡ F.aggregate, float→double
+# cast exact), reduced by MIN/MAX (order-independent, unlike sums) and
+# floor-rounded 6 dp. Vectors with non-finite components are EXCLUDED
+# from the norm range (NaN propagates through min/max differently per
+# engine); they are counted instead.
+#
+# Plan shape at 100 TB: one map-only projection computing (dim, norm²,
+# has_nonfinite) per row inside the scan stage, then ONE hash aggregate
+# on |labels| keys with map-side partials — the dq6/t16 counter→rollup
+# shape; nothing vector-sized shuffles (the arrays are reduced to three
+# scalars before the exchange).
+#
+# Ref parity anchor: the reference validates typed payload fields
+# before processing and reports per-category quality counters
+# (src/spark/streaming/SensorDataProcessor.scala:75-102,
+# src/spark/batch/SensorDataAnalytics.scala:177-196); dq8 is that gate
+# for the embeddings extension's vector payload.
+# ---------------------------------------------------------------------------
+@register(
+    "dq8_embedding_audit",
+    oracle=f"""
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+),
+p AS (
+  SELECT label,
+         CASE WHEN v IS NULL THEN NULL
+              ELSE CAST(len(v) AS INTEGER) END AS dim,
+         CASE WHEN v IS NULL THEN NULL
+              ELSE len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+         END AS bad,
+         CASE WHEN v IS NULL THEN NULL
+              ELSE {V.sql_dot("v", "v")} END AS n2
+  FROM e
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN dim IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_vec,
+       CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+       CAST(min(dim) AS INTEGER) AS dim_min,
+       CAST(max(dim) AS INTEGER) AS dim_max,
+       CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonfinite,
+       CAST(sum(CASE WHEN bad = false AND n2 = 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_norm,
+       round(min(CASE WHEN bad = false THEN sqrt(n2) END), 6) AS norm_min,
+       round(max(CASE WHEN bad = false THEN sqrt(n2) END), 6) AS norm_max
+FROM p GROUP BY label
+""",
+    doc=(
+        "DQ8: per-label embedding-column audit — NULL vectors, dim "
+        "spread, zero norms, non-finite components, norm range; the "
+        "ANN-index preflight"
+    ),
+)
+def dq8_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", V.to_double("embedding").alias("v")
+    )
+    return embedding_audit(e)
+
+
+def embedding_audit(e: DataFrame) -> DataFrame:
+    """dq8 core over any (label, v: array<double>) frame — separated so
+    tests can plant NULL / zero / NaN / Inf / ragged-dim vectors."""
+    v = F.col("v")
+    bad = F.when(
+        v.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(
+        F.exists(
+            v,
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
+    p = e.select(
+        "label",
+        F.when(v.isNull(), F.lit(None)).otherwise(F.size(v)).alias("dim"),
+        bad.alias("bad"),
+        F.when(v.isNull(), F.lit(None)).otherwise(V.dot(v, v)).alias("n2"),
+    )
+    not_bad = F.col("bad") == False  # noqa: E712 — NULL-safe three-valued
+    return p.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("dim").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_vec"),
+        F.countDistinct("dim").cast("bigint").alias("n_dims_distinct"),
+        F.min("dim").cast("int").alias("dim_min"),
+        F.max("dim").cast("int").alias("dim_max"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonfinite"),
+        F.sum(F.when(not_bad & (F.col("n2") == 0.0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        fround(F.min(F.when(not_bad, F.sqrt(F.col("n2")))), 6).alias(
+            "norm_min"
+        ),
+        fround(F.max(F.when(not_bad, F.sqrt(F.col("n2")))), 6).alias(
+            "norm_max"
+        ),
     )

@@ -275,6 +275,10 @@ _WINDOW_DEFERRED = [
     # s13: the range-search (radius query) serving primitive — the
     # missing other half of the vector API next to top-k (3rd of ≤12)
     "s13_range_search",
+    # dq8: the vector-column preflight the dq family was missing —
+    # the embeddings table's NULL/dim/zero-norm/non-finite/norm-range
+    # audit every ANN consumer assumes has already run (4th of ≤12)
+    "dq8_embedding_audit",
 ]
 
 

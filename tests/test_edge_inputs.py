@@ -896,6 +896,39 @@ def test_r9_second_batch_empty_inputs_stable(spark):
     assert pagerank_fixed_point(edges).collect() == []
 
 
+def test_r10_additions_empty_inputs_stable(spark):
+    """Round-10 cores on empty inputs: empty result, stable schema,
+    never raise (the r9-second-batch pattern continued)."""
+    from iot_big_data_engineering_spark.operators.joins import (
+        frequent_pairs_log,
+    )
+    from iot_big_data_engineering_spark.operators.similarity import (
+        range_search,
+    )
+    from iot_big_data_engineering_spark.operators.textstats import (
+        collocations_pmi_log,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    df = collocations_pmi_log(docs)
+    assert df.collect() == [] and df.columns == [
+        "w1", "w2", "pair_count", "rank",
+    ]
+
+    l = spark.createDataFrame([], "l_orderkey long, l_partkey long")
+    df = frequent_pairs_log(l)
+    assert df.collect() == [] and df.columns == [
+        "p1", "p2", "pair_n", "c1", "c2", "rank",
+    ]
+
+    e = spark.createDataFrame([], "vec_id long, v array<double>")
+    q = spark.createDataFrame([], "query_id long, qv array<double>")
+    df = range_search(e, q)
+    assert df.collect() == [] and df.columns == [
+        "query_id", "vec_id", "cosine",
+    ]
+
+
 def test_dp17_d12_plan_shapes(spark):
     """dp17: both bucket tables broadcast, nothing vocabulary-sized
     moves; d12: the corpus-scale gram join must NOT broadcast."""
@@ -987,3 +1020,58 @@ def test_dq7_all_green_on_clean_frame(spark):
     assert len(rows) == 6
     assert all(r.passed and r.n_failed == 0 and r.failed_ppm == 0
                for r in rows)
+
+
+def test_dq8_planted_pathologies_accounted_exactly(spark):
+    """Every pathology class the audit exists to catch, planted once and
+    accounted exactly: NULL vector, zero vector, NaN component, Inf
+    component, ragged dimension — plus the norm range excluding the
+    non-finite rows."""
+    import math
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        embedding_audit,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),            # norm 5
+        (1, [1.0, 0.0]),            # norm 1
+        (1, None),                  # NULL vector
+        (1, [0.0, 0.0]),            # zero norm
+        (1, [float("nan"), 1.0]),   # NaN component
+        (1, [float("inf"), 1.0]),   # Inf component
+        (1, [1.0, 2.0, 2.0]),       # ragged dim (3) — norm 3
+        (2, [6.0, 8.0]),            # second label: norm 10
+    ]
+    got = {
+        r.label: r
+        for r in embedding_audit(
+            spark.createDataFrame(rows, "label int, v array<double>")
+        ).collect()
+    }
+    a = got[1]
+    assert a.n_vecs == 7
+    assert a.n_null_vec == 1
+    assert a.n_dims_distinct == 2 and (a.dim_min, a.dim_max) == (2, 3)
+    assert a.n_nonfinite == 2
+    assert a.n_zero_norm == 1
+    assert math.isclose(a.norm_min, 0.0) and math.isclose(a.norm_max, 5.0)
+    b = got[2]
+    assert (b.n_vecs, b.n_null_vec, b.n_nonfinite, b.n_zero_norm) == (
+        1, 0, 0, 0,
+    )
+    assert math.isclose(b.norm_min, 10.0) and math.isclose(b.norm_max, 10.0)
+
+
+def test_dq8_empty_input_stable(spark):
+    from iot_big_data_engineering_spark.operators.advanced import (
+        embedding_audit,
+    )
+
+    e = spark.createDataFrame([], "label int, v array<double>")
+    df = embedding_audit(e)
+    assert df.collect() == []
+    assert df.columns == [
+        "label", "n_vecs", "n_null_vec", "n_dims_distinct", "dim_min",
+        "dim_max", "n_nonfinite", "n_zero_norm", "norm_min", "norm_max",
+    ]
