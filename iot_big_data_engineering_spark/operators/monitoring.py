@@ -20,7 +20,7 @@ Catalyst prunes when the layout provides it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..functions.rounding import fround
 from ..registry import register
@@ -485,3 +485,183 @@ def m17_alert_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - 1).alias("n_suppressed"),
         fround(F.max("anomaly_score"), _R).alias("max_anomaly_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M18 — METRICS EXPORT + PROMETHEUS EXPOSITION: the reference serves its
+# health counters as a Prometheus /metrics endpoint
+# (src/api/sensor_api.py:19-28,404-407, prometheus_client Counter/
+# Histogram → text exposition). The HTTP transport is sandbox-waived
+# like Kafka (SCALE.md); what IS rebuilt and tested is the semantic
+# layer: m18 computes the full monitoring scrape as ONE relational
+# surface (metric name → float64 sample, exactly what a Prometheus
+# gauge scrape carries), and render_prometheus serializes any such
+# frame into the text exposition format (# HELP/# TYPE/name value).
+#
+# Exactness: every sample rides the already-oracled m11–m14 arithmetic
+# (injectable anchor, fround where derived); booleans export as 0/1
+# gauges (the up-metric convention). An empty trailing window exports
+# NULL for avg/max latency (unknowable, not 0) — the renderer SKIPS
+# NULL samples because Prometheus has no missing-value literal; the
+# compared relational surface keeps them (NULL on both engines).
+#
+# Plan shape at 100 TB: four trailing-window scans (each partition-
+# pruned by the date layout, m10–m14's design) reduced to 1-row aggs;
+# the explode(map) fan-out to (metric, value) rows is metadata-sized.
+# The renderer collects a |metrics|-row frame — bounded by construction
+# (st14's bounded-collect discipline).
+# ---------------------------------------------------------------------------
+_M18 = {
+    "recent_records_5m": "Records ingested in the trailing 5 minutes",
+    "up": "1 if any record arrived in the trailing 5 minutes",
+    "latency_seconds_avg_1h": "Mean event-to-processed latency, trailing hour",
+    "latency_seconds_max_1h": "Max event-to-processed latency, trailing hour",
+    "records_last_minute": "Records ingested in the trailing minute",
+    "throughput_ok": "1 if trailing-minute ingest meets the threshold",
+    "records_1h": "Records ingested in the trailing hour",
+    "anomaly_count_1h": "Anomalous records in the trailing hour",
+    "anomaly_rate_1h": "Anomalous fraction of trailing-hour records",
+}
+
+
+@register(
+    "m18_metrics_export",
+    oracle=SENSOR_ORACLE_CTE
+    + _NOW_CTE
+    + f""",
+w5m AS (SELECT count(*) AS c FROM sensor_quality_checked, anchor
+        WHERE ts >= anchor.now - INTERVAL 5 MINUTE),
+w1m AS (SELECT count(*) AS c FROM sensor_quality_checked, anchor
+        WHERE ts >= anchor.now - INTERVAL 1 MINUTE),
+w1h AS (SELECT count(*) AS c,
+               count(CASE WHEN anomaly_score > 0 THEN 1 END) AS a,
+               round(avg(CAST(epoch_us(processing_timestamp) - epoch_us(ts)
+                              AS DOUBLE) / 1000000.0), {_R}) AS lat_avg,
+               round(max(CAST(epoch_us(processing_timestamp) - epoch_us(ts)
+                              AS DOUBLE) / 1000000.0), {_R}) AS lat_max
+        FROM sensor_quality_checked, anchor
+        WHERE ts >= anchor.now - INTERVAL 1 HOUR)
+SELECT 'iot_recent_records_5m' AS metric, CAST(c AS DOUBLE) AS value FROM w5m
+UNION ALL
+SELECT 'iot_up', CASE WHEN c > 0 THEN 1.0 ELSE 0.0 END FROM w5m
+UNION ALL
+SELECT 'iot_latency_seconds_avg_1h', lat_avg FROM w1h
+UNION ALL
+SELECT 'iot_latency_seconds_max_1h', lat_max FROM w1h
+UNION ALL
+SELECT 'iot_records_last_minute', CAST(c AS DOUBLE) FROM w1m
+UNION ALL
+SELECT 'iot_throughput_ok',
+       CASE WHEN c >= {THRESHOLDS["min_throughput_per_min"]}
+            THEN 1.0 ELSE 0.0 END FROM w1m
+UNION ALL
+SELECT 'iot_records_1h', CAST(c AS DOUBLE) FROM w1h
+UNION ALL
+SELECT 'iot_anomaly_count_1h', CAST(a AS DOUBLE) FROM w1h
+UNION ALL
+SELECT 'iot_anomaly_rate_1h',
+       round(CAST(a AS DOUBLE) / c, {_R}) FROM w1h
+""",
+    doc=(
+        "M18: the full monitoring scrape as (metric, float64) rows — "
+        "m11-m14's arithmetic pivoted to the Prometheus gauge surface"
+    ),
+)
+def m18_metrics_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, now = _with_now(spark, sf_dir)
+
+    def window(interval: str) -> DataFrame:
+        return q.crossJoin(F.broadcast(now)).filter(
+            F.col("ts") >= F.col("now") - F.expr(f"INTERVAL {interval}")
+        )
+
+    def rows(df: DataFrame, pairs: list[tuple[str, Column]]) -> DataFrame:
+        args: list[Column] = []
+        for name, expr in pairs:
+            args += [F.lit(f"iot_{name}"), expr.cast("double")]
+        return df.select(
+            F.explode(F.create_map(*args)).alias("metric", "value")
+        )
+
+    w5m = window("5 MINUTES").agg(F.count("*").alias("c"))
+    w1m = window("1 MINUTE").agg(F.count("*").alias("c"))
+    lat = (
+        F.unix_micros("processing_timestamp") - F.unix_micros("ts")
+    ) / 1000000.0
+    anom = F.count(F.when(F.col("anomaly_score") > 0, 1))
+    w1h = window("1 HOUR").agg(
+        F.count("*").alias("c"),
+        anom.alias("a"),
+        fround(F.avg(lat), _R).alias("lat_avg"),
+        fround(F.max(lat), _R).alias("lat_max"),
+    )
+    one = F.lit(1.0)
+    zero = F.lit(0.0)
+    parts = [
+        rows(
+            w5m,
+            [
+                ("recent_records_5m", F.col("c")),
+                ("up", F.when(F.col("c") > 0, one).otherwise(zero)),
+            ],
+        ),
+        rows(
+            w1h,
+            [
+                ("latency_seconds_avg_1h", F.col("lat_avg")),
+                ("latency_seconds_max_1h", F.col("lat_max")),
+            ],
+        ),
+        rows(
+            w1m,
+            [
+                ("records_last_minute", F.col("c")),
+                (
+                    "throughput_ok",
+                    F.when(
+                        F.col("c")
+                        >= THRESHOLDS["min_throughput_per_min"],
+                        one,
+                    ).otherwise(zero),
+                ),
+            ],
+        ),
+        rows(
+            w1h,
+            [
+                ("records_1h", F.col("c")),
+                ("anomaly_count_1h", F.col("a")),
+                (
+                    "anomaly_rate_1h",
+                    fround(F.col("a") * 1.0 / F.col("c"), _R),
+                ),
+            ],
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def render_prometheus(df: DataFrame, help_texts: dict | None = None) -> str:
+    """Serialize a (metric, value) frame into the Prometheus text
+    exposition format — the format layer of the reference's /metrics
+    endpoint (src/api/sensor_api.py:404-407); the HTTP transport is
+    sandbox-waived. All metrics render as gauges; NULL samples are
+    SKIPPED (Prometheus has no missing-value literal); values use
+    repr-style shortest float (what prometheus_client emits). The
+    collect is |metrics|-row bounded by construction."""
+    if help_texts is None:
+        help_texts = {f"iot_{k}": v for k, v in _M18.items()}
+    lines = []
+    for r in sorted(df.collect(), key=lambda r: r.metric):
+        if r.value is None:
+            continue
+        h = help_texts.get(r.metric)
+        if h:
+            lines.append(f"# HELP {r.metric} {h}")
+        lines.append(f"# TYPE {r.metric} gauge")
+        v = float(r.value)
+        lines.append(f"{r.metric} {int(v) if v == int(v) else repr(v)}")
+    return "\n".join(lines) + "\n"

@@ -279,6 +279,10 @@ _WINDOW_DEFERRED = [
     # the embeddings table's NULL/dim/zero-norm/non-finite/norm-range
     # audit every ANN consumer assumes has already run (4th of ≤12)
     "dq8_embedding_audit",
+    # m18: the reference's /metrics scrape as a relational surface
+    # (m11-m14 pivoted to Prometheus gauge samples; the exposition
+    # serializer is render_prometheus) — 5th of ≤12
+    "m18_metrics_export",
 ]
 
 

@@ -1075,3 +1075,56 @@ def test_dq8_empty_input_stable(spark):
         "label", "n_vecs", "n_null_vec", "n_dims_distinct", "dim_min",
         "dim_max", "n_nonfinite", "n_zero_norm", "norm_min", "norm_max",
     ]
+
+
+def test_m18_render_prometheus_format_exact(spark):
+    """The exposition serializer against a hand frame: HELP only when
+    known, TYPE always, integral floats render bare, NULL samples are
+    skipped, output sorted by metric name, trailing newline."""
+    from iot_big_data_engineering_spark.operators.monitoring import (
+        render_prometheus,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("iot_up", 1.0),
+            ("iot_anomaly_rate_1h", 0.0625),
+            ("iot_latency_seconds_avg_1h", None),  # skipped
+            ("custom_metric", 42.0),  # no HELP entry
+        ],
+        "metric string, value double",
+    )
+    got = render_prometheus(df)
+    assert got == (
+        "# TYPE custom_metric gauge\n"
+        "custom_metric 42\n"
+        "# HELP iot_anomaly_rate_1h Anomalous fraction of trailing-hour"
+        " records\n"
+        "# TYPE iot_anomaly_rate_1h gauge\n"
+        "iot_anomaly_rate_1h 0.0625\n"
+        "# HELP iot_up 1 if any record arrived in the trailing 5 minutes\n"
+        "# TYPE iot_up gauge\n"
+        "iot_up 1\n"
+    )
+
+
+def test_m18_scrape_renders_on_gate_data(spark):
+    """End-to-end: the registered scrape frame renders a well-formed
+    exposition — every non-NULL metric appears exactly once with its
+    TYPE line, and the throughput/up gauges are 0-or-1."""
+    from iot_big_data_engineering_spark.operators.monitoring import (
+        m18_metrics_export,
+        render_prometheus,
+    )
+
+    df = m18_metrics_export(spark, SF_SMOKE)
+    rows = {r.metric: r.value for r in df.collect()}
+    assert len(rows) == 9
+    assert rows["iot_up"] in (0.0, 1.0)
+    assert rows["iot_throughput_ok"] in (0.0, 1.0)
+    text = render_prometheus(df)
+    for name, v in rows.items():
+        if v is not None:
+            assert f"# TYPE {name} gauge\n" in text
+            assert f"\n{name} " in "\n" + text
+    assert text.endswith("\n")

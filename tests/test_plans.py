@@ -1058,6 +1058,20 @@ def test_t17_t18_j23_w8_plan_shapes(spark):
     assert_broadcast_join(w)  # |event_types|-row totals relation
 
 
+def test_dq8_plan_single_scan_no_expand(spark):
+    """dq8's single countDistinct must plan as the two-level aggregate
+    (no Expand — dq6's discipline), over ONE pruned scan of the two
+    needed columns; the vectors reduce to scalars before the exchange."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq8_embedding_audit,
+    )
+
+    p = plan_str(dq8_embedding_audit(spark, SF_SMOKE))
+    assert "Expand" not in p, p
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+    assert "struct<embedding:array<float>,label:int>" in p, p
+
+
 def test_t17b_j23b_plan_shapes(spark):
     """The log-space twins must keep their parents' plan discipline:
     distributed top-k on the score (TakeOrderedAndProject), the rank
