@@ -155,6 +155,11 @@ HEADLINE = [
     "t17b_collocations_pmi_log",
     "j23b_frequent_pairs_log",
     "s13_range_search",
+    # round 10, post-pin batch (registered after the idle r10 pin was
+    # written; they enter the pinned record with r11's pin): the
+    # embedding-column audit and the Prometheus-surface metrics export
+    "dq8_embedding_audit",
+    "m18_metrics_export",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

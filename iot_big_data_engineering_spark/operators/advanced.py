@@ -1566,8 +1566,14 @@ def pagerank_fixed_point(
     iterations — production depth (tens of iterations) would otherwise
     accumulate one join+aggregate of lineage per iteration until plan
     compilation dominates. Checkpointing changes the plan only, never
-    the int64 values (property-tested in test_edge_inputs); the
+    the int64 values (property-tested in test_plans); the
     registered 3-iteration adv15 form runs unchecked."""
+    if checkpoint_every is not None and checkpoint_every < 1:
+        # 0 would ZeroDivisionError at the modulo below, and a caller
+        # meaning "never" should pass None (round-10 review finding #4)
+        raise ValueError(
+            f"checkpoint_every must be >= 1 or None, got {checkpoint_every}"
+        )
     # deg is |nodes| rows and has TWO consumers (the edge annotation and
     # the rank init) — without the persist the rank-init lineage re-scans
     # the base tables (r9 plan audit)
@@ -1805,24 +1811,30 @@ def expectation_audit(o: DataFrame, c: DataFrame) -> DataFrame:
 # DQ8 — EMBEDDING-COLUMN QUALITY AUDIT: the vector-table preflight the
 # dq family was missing — dq5 profiles scalar columns, dq8 profiles the
 # `array<float>` column every ANN/dedup consumer (s-family, d6, d9)
-# assumes well-formed: per label, NULL vectors, dimension spread,
-# exact-zero norms (undefined cosine), non-finite components (NaN/Inf
-# poison every distance), and the norm range. Run it BEFORE building an
-# index; a wrong-dim or NaN vector found later costs a rebuild.
+# assumes well-formed: per label, NULL vectors, NULL components,
+# dimension spread, exact-zero norms (undefined cosine), non-finite
+# components (NaN/Inf poison every distance), and the norm range. Run
+# it BEFORE building an index; a wrong-dim or NaN vector found later
+# costs a rebuild.
 #
 # Exactness contract: every counter is an exact int64 conditional sum;
 # the only doubles are norm_min/norm_max — per-vector norms through the
 # shared sequential-fold dot (V.sql_dot ≡ F.aggregate, float→double
 # cast exact), reduced by MIN/MAX (order-independent, unlike sums) and
-# floor-rounded 6 dp. Vectors with non-finite components are EXCLUDED
-# from the norm range (NaN propagates through min/max differently per
-# engine); they are counted instead.
+# floor-rounded 6 dp. The norm legs see only WELL-FORMED vectors: NULL
+# vectors, vectors with NULL components and vectors with non-finite
+# components are each counted in their own bucket and EXCLUDED from n2
+# — NaN propagates through min/max differently per engine, and Spark's
+# three-valued exists()/sum-over-NULL semantics diverge from DuckDB's
+# NULL-dropping list_filter, so every malformed class is classified by
+# explicit NULL-proof predicates (x IS NOT NULL AND ...) that evaluate
+# identically on both engines (round-10 review finding #1).
 #
-# Plan shape at 100 TB: one map-only projection computing (dim, norm²,
-# has_nonfinite) per row inside the scan stage, then ONE hash aggregate
-# on |labels| keys with map-side partials — the dq6/t16 counter→rollup
-# shape; nothing vector-sized shuffles (the arrays are reduced to three
-# scalars before the exchange).
+# Plan shape at 100 TB: one map-only projection computing (dim,
+# nullcomp, bad, norm²) per row inside the scan stage, then ONE hash
+# aggregate on |labels| keys with map-side partials — the dq6/t16
+# counter→rollup shape; nothing vector-sized shuffles (the arrays are
+# reduced to four scalars before the exchange).
 #
 # Ref parity anchor: the reference validates typed payload fields
 # before processing and reports per-category quality counters
@@ -1840,11 +1852,18 @@ p AS (
   SELECT label,
          CASE WHEN v IS NULL THEN NULL
               ELSE CAST(len(v) AS INTEGER) END AS dim,
-         CASE WHEN v IS NULL THEN NULL
-              ELSE len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0
+         CASE WHEN v IS NULL THEN false
+              ELSE len(list_filter(v, x -> x IS NULL)) > 0
+         END AS nullcomp,
+         CASE WHEN v IS NULL THEN false
+              ELSE len(list_filter(v, x -> x IS NOT NULL
+                                           AND (isnan(x) OR isinf(x)))) > 0
          END AS bad,
-         CASE WHEN v IS NULL THEN NULL
-              ELSE {V.sql_dot("v", "v")} END AS n2
+         CASE WHEN v IS NOT NULL
+                AND len(list_filter(v, x -> x IS NULL)) = 0
+                AND len(list_filter(v, x -> x IS NOT NULL
+                                            AND (isnan(x) OR isinf(x)))) = 0
+              THEN {V.sql_dot("v", "v")} END AS n2
   FROM e
 )
 SELECT label,
@@ -1854,17 +1873,19 @@ SELECT label,
        CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
        CAST(min(dim) AS INTEGER) AS dim_min,
        CAST(max(dim) AS INTEGER) AS dim_max,
+       CAST(sum(CASE WHEN nullcomp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_component,
        CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
          AS n_nonfinite,
-       CAST(sum(CASE WHEN bad = false AND n2 = 0.0 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_zero_norm,
-       round(min(CASE WHEN bad = false THEN sqrt(n2) END), 6) AS norm_min,
-       round(max(CASE WHEN bad = false THEN sqrt(n2) END), 6) AS norm_max
+       CAST(sum(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       round(min(sqrt(n2)), 6) AS norm_min,
+       round(max(sqrt(n2)), 6) AS norm_max
 FROM p GROUP BY label
 """,
     doc=(
-        "DQ8: per-label embedding-column audit — NULL vectors, dim "
-        "spread, zero norms, non-finite components, norm range; the "
+        "DQ8: per-label embedding-column audit — NULL vectors/components, "
+        "dim spread, zero norms, non-finite components, norm range; the "
         "ANN-index preflight"
     ),
 )
@@ -1877,23 +1898,31 @@ def dq8_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_audit(e: DataFrame) -> DataFrame:
     """dq8 core over any (label, v: array<double>) frame — separated so
-    tests can plant NULL / zero / NaN / Inf / ragged-dim vectors."""
+    tests can plant NULL / NULL-component / zero / NaN / Inf /
+    ragged-dim vectors. All classifier predicates are NULL-proof
+    (never three-valued): exists() runs x IS NOT NULL AND ... so a
+    NULL component cannot turn a boolean into NULL on one engine and
+    false on the other."""
     v = F.col("v")
-    bad = F.when(
-        v.isNull(), F.lit(None).cast("boolean")
-    ).otherwise(
+    nullcomp = F.when(v.isNull(), F.lit(False)).otherwise(
+        F.exists(v, lambda x: x.isNull())
+    )
+    nonfinite = F.when(v.isNull(), F.lit(False)).otherwise(
         F.exists(
             v,
-            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+            lambda x: x.isNotNull()
+            & (F.isnan(x) | (F.abs(x) == F.lit(float("inf")))),
         )
     )
     p = e.select(
         "label",
         F.when(v.isNull(), F.lit(None)).otherwise(F.size(v)).alias("dim"),
-        bad.alias("bad"),
-        F.when(v.isNull(), F.lit(None)).otherwise(V.dot(v, v)).alias("n2"),
+        nullcomp.alias("nullcomp"),
+        nonfinite.alias("bad"),
+        F.when(
+            v.isNotNull() & ~nullcomp & ~nonfinite, V.dot(v, v)
+        ).alias("n2"),
     )
-    not_bad = F.col("bad") == False  # noqa: E712 — NULL-safe three-valued
     return p.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_vecs"),
         F.sum(F.when(F.col("dim").isNull(), 1).otherwise(0))
@@ -1902,16 +1931,15 @@ def embedding_audit(e: DataFrame) -> DataFrame:
         F.countDistinct("dim").cast("bigint").alias("n_dims_distinct"),
         F.min("dim").cast("int").alias("dim_min"),
         F.max("dim").cast("int").alias("dim_max"),
+        F.sum(F.when(F.col("nullcomp"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_component"),
         F.sum(F.when(F.col("bad"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_nonfinite"),
-        F.sum(F.when(not_bad & (F.col("n2") == 0.0), 1).otherwise(0))
+        F.sum(F.when(F.col("n2") == 0.0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_zero_norm"),
-        fround(F.min(F.when(not_bad, F.sqrt(F.col("n2")))), 6).alias(
-            "norm_min"
-        ),
-        fround(F.max(F.when(not_bad, F.sqrt(F.col("n2")))), 6).alias(
-            "norm_max"
-        ),
+        fround(F.min(F.sqrt(F.col("n2"))), 6).alias("norm_min"),
+        fround(F.max(F.sqrt(F.col("n2"))), 6).alias("norm_max"),
     )

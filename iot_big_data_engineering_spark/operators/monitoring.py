@@ -597,19 +597,16 @@ def m18_metrics_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     one = F.lit(1.0)
     zero = F.lit(0.0)
+    # one rows() call per WINDOW — every w1h-derived metric rides a
+    # single copy of the 1-hour scan+aggregate subtree in the union
+    # plan (Catalyst does not dedupe repeated branches; round-10 review
+    # finding #5), so the plan carries exactly three window scans
     parts = [
         rows(
             w5m,
             [
                 ("recent_records_5m", F.col("c")),
                 ("up", F.when(F.col("c") > 0, one).otherwise(zero)),
-            ],
-        ),
-        rows(
-            w1h,
-            [
-                ("latency_seconds_avg_1h", F.col("lat_avg")),
-                ("latency_seconds_max_1h", F.col("lat_max")),
             ],
         ),
         rows(
@@ -629,6 +626,8 @@ def m18_metrics_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows(
             w1h,
             [
+                ("latency_seconds_avg_1h", F.col("lat_avg")),
+                ("latency_seconds_max_1h", F.col("lat_max")),
                 ("records_1h", F.col("c")),
                 ("anomaly_count_1h", F.col("a")),
                 (
@@ -649,9 +648,13 @@ def render_prometheus(df: DataFrame, help_texts: dict | None = None) -> str:
     exposition format — the format layer of the reference's /metrics
     endpoint (src/api/sensor_api.py:404-407); the HTTP transport is
     sandbox-waived. All metrics render as gauges; NULL samples are
-    SKIPPED (Prometheus has no missing-value literal); values use
-    repr-style shortest float (what prometheus_client emits). The
-    collect is |metrics|-row bounded by construction."""
+    SKIPPED (Prometheus has no missing-value literal); non-finite
+    samples render as the exposition literals NaN/+Inf/-Inf (what
+    prometheus_client emits — round-10 review finding #3); finite
+    values use repr-style shortest float. The collect is |metrics|-row
+    bounded by construction."""
+    import math
+
     if help_texts is None:
         help_texts = {f"iot_{k}": v for k, v in _M18.items()}
     lines = []
@@ -663,5 +666,13 @@ def render_prometheus(df: DataFrame, help_texts: dict | None = None) -> str:
             lines.append(f"# HELP {r.metric} {h}")
         lines.append(f"# TYPE {r.metric} gauge")
         v = float(r.value)
-        lines.append(f"{r.metric} {int(v) if v == int(v) else repr(v)}")
+        if math.isnan(v):
+            s = "NaN"
+        elif math.isinf(v):
+            s = "+Inf" if v > 0 else "-Inf"
+        elif v == int(v):
+            s = str(int(v))
+        else:
+            s = repr(v)
+        lines.append(f"{r.metric} {s}")
     return "\n".join(lines) + "\n"

@@ -1040,6 +1040,7 @@ def test_dq8_planted_pathologies_accounted_exactly(spark):
         (1, [0.0, 0.0]),            # zero norm
         (1, [float("nan"), 1.0]),   # NaN component
         (1, [float("inf"), 1.0]),   # Inf component
+        (1, [None, 1.0]),           # NULL component (review finding #1)
         (1, [1.0, 2.0, 2.0]),       # ragged dim (3) — norm 3
         (2, [6.0, 8.0]),            # second label: norm 10
     ]
@@ -1050,16 +1051,19 @@ def test_dq8_planted_pathologies_accounted_exactly(spark):
         ).collect()
     }
     a = got[1]
-    assert a.n_vecs == 7
+    assert a.n_vecs == 8
     assert a.n_null_vec == 1
     assert a.n_dims_distinct == 2 and (a.dim_min, a.dim_max) == (2, 3)
+    assert a.n_null_component == 1
     assert a.n_nonfinite == 2
     assert a.n_zero_norm == 1
+    # the norm range sees only the 4 well-formed vectors (norms 5,1,0,3)
     assert math.isclose(a.norm_min, 0.0) and math.isclose(a.norm_max, 5.0)
     b = got[2]
-    assert (b.n_vecs, b.n_null_vec, b.n_nonfinite, b.n_zero_norm) == (
-        1, 0, 0, 0,
-    )
+    assert (
+        b.n_vecs, b.n_null_vec, b.n_null_component, b.n_nonfinite,
+        b.n_zero_norm,
+    ) == (1, 0, 0, 0, 0)
     assert math.isclose(b.norm_min, 10.0) and math.isclose(b.norm_max, 10.0)
 
 
@@ -1073,7 +1077,8 @@ def test_dq8_empty_input_stable(spark):
     assert df.collect() == []
     assert df.columns == [
         "label", "n_vecs", "n_null_vec", "n_dims_distinct", "dim_min",
-        "dim_max", "n_nonfinite", "n_zero_norm", "norm_min", "norm_max",
+        "dim_max", "n_null_component", "n_nonfinite", "n_zero_norm",
+        "norm_min", "norm_max",
     ]
 
 

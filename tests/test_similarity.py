@@ -661,8 +661,6 @@ def test_s13_range_search_matches_numpy_bruteforce(spark):
     numpy over the full corpus — nothing missing, nothing extra."""
     import math
 
-    import numpy as np
-
     from iot_big_data_engineering_spark.operators.similarity import (
         _S13_TAU,
         s13_range_search,
@@ -670,14 +668,27 @@ def test_s13_range_search_matches_numpy_bruteforce(spark):
 
     from .conftest import SF_SMOKE
 
-    e = {r.vec_id: np.asarray(r.v) for r in _emb(spark, SF_SMOKE).collect()}
+    # the replay MUST use the operator's own sequential left-fold
+    # (V.dot ≡ F.aggregate with a 0.0 seed), not numpy's pairwise/SIMD
+    # summation — the two can differ in the last ulp, and a cosine
+    # landing exactly on the rounded τ boundary would then put the pair
+    # in exactly one of the two sets (round-10 review finding #6)
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    e = {r.vec_id: list(r.v) for r in _emb(spark, SF_SMOKE).collect()}
     expect = set()
     for qid in range(5):
         qv = e[qid]
         for vid, v in e.items():
             if vid == qid:
                 continue
-            c = float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v))
+            c = fold_dot(qv, v) / (
+                math.sqrt(fold_dot(qv, qv)) * math.sqrt(fold_dot(v, v))
+            )
             if math.floor(c * 1e6 + 0.5) / 1e6 >= _S13_TAU:
                 expect.add((qid, vid))
     got = {

@@ -1176,6 +1176,21 @@ def _assert_rank_equiv(ids_got, scored, topn):
             assert abs(math.log(ra / rb)) < 2e-6, (ia, ib)
 
 
+def _assert_boundary_margin(raws, margin=1e-7):
+    """Cross-engine rank stability certificate (round-10 review finding
+    #2): fround(x, 6) is bit-identical only on bit-identical x, but the
+    twins' x is a sum of ln() outputs from two different libms. A flip
+    needs x·10⁶ + 0.5 within ~libm-spread (≲1e-8) of an integer; this
+    asserts every counted pair on current data clears a 10× wider
+    margin, so the 6-dp keys — and therefore the hashed ranks — are
+    provably identical across engines. Loud on regeneration if the new
+    data lands a score on a boundary."""
+    for rid, x in raws.items():
+        d = (x * 1e6 + 0.5) % 1.0
+        d = min(d, 1.0 - d)
+        assert d > margin, (rid, x, d)
+
+
 @pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT])
 def test_t17b_log_rank_equals_exact_ratio_rank(spark, sf_dir):
     """t17b's compared surface is the RANK the five-term ln sum induces;
@@ -1212,6 +1227,24 @@ def test_t17b_log_rank_equals_exact_ratio_rank(spark, sf_dir):
     )
     assert [r.rank for r in got] == list(range(1, len(got) + 1))
     _assert_rank_equiv([(r.w1, r.w2) for r in got], scored, _T17_TOPN)
+    import math
+
+    _assert_boundary_margin(
+        {
+            (r.w1, r.w2): (
+                (
+                    (
+                        (math.log(r.pair_count) + math.log(r.n1))
+                        + math.log(r.n1)
+                    )
+                    - math.log(r.n2)
+                )
+                - math.log(r.c_w1)
+            )
+            - math.log(r.c_w2)
+            for r in counted
+        }
+    )
 
 
 @pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_CORRECT])
@@ -1244,6 +1277,17 @@ def test_j23b_log_rank_equals_exact_ratio_rank(spark, sf_dir):
     got = frequent_pairs_log(l).orderBy("rank").collect()
     assert [r.rank for r in got] == list(range(1, len(got) + 1))
     _assert_rank_equiv([(r.p1, r.p2) for r in got], scored, _J23_TOPN)
+    import math
+
+    _assert_boundary_margin(
+        {
+            (r.p1, r.p2): (
+                (math.log(r.pair_n) + math.log(r.n)) - math.log(r.c1)
+            )
+            - math.log(r.c2)
+            for r in counted
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
