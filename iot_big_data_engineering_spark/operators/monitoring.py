@@ -676,3 +676,133 @@ def render_prometheus(df: DataFrame, help_texts: dict | None = None) -> str:
             s = repr(v)
         lines.append(f"{r.metric} {s}")
     return "\n".join(lines) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# ALERT FAN-OUT FORMATTING — the payload layer of the reference's alert
+# channels (src/monitoring/alerting.py:310-400): Slack attachment JSON
+# (send_slack_alert :325-367), email subject/body (send_email_alert
+# :369-395) and the channel-routing rule (send_alert :310-323 — Slack
+# whenever configured, email ONLY for CRITICAL, store always). The
+# HTTP/SMTP transports are sandbox-waived (SCALE.md, with Kafka); the
+# payload shapes and the routing decision are rebuilt as pure,
+# deterministic functions over alert rows (m15's schema) so the fan-out
+# semantics are testable byte-for-byte. Timestamps are INJECTED (the
+# engine's no-current_timestamp rule) — callers pass the epoch anchor.
+# ---------------------------------------------------------------------------
+_SLACK_COLORS = {
+    "INFO": "#36a64f",
+    "WARNING": "#ff9500",
+    "CRITICAL": "#ff0000",
+}
+
+
+def format_slack_alert(
+    alert_type: str,
+    metric_value: float,
+    threshold: float,
+    severity: str,
+    ts_iso: str,
+    ts_epoch: int,
+) -> dict:
+    """The reference's Slack attachment payload
+    (alerting.py:328-360), field for field, over an m15 alert row."""
+    return {
+        "attachments": [
+            {
+                "color": _SLACK_COLORS[severity],
+                "title": alert_type,
+                "text": (
+                    f"{alert_type}: metric {metric_value} breached "
+                    f"threshold {threshold}"
+                ),
+                "fields": [
+                    {"title": "Type", "value": alert_type, "short": True},
+                    {"title": "Severity", "value": severity, "short": True},
+                    {"title": "Timestamp", "value": ts_iso, "short": True},
+                ],
+                "footer": "Sensor Data Pipeline",
+                "ts": ts_epoch,
+            }
+        ]
+    }
+
+
+def format_email_alert(
+    alert_type: str,
+    metric_value: float,
+    threshold: float,
+    severity: str,
+    ts_iso: str,
+) -> tuple[str, str]:
+    """The reference's email subject/body (alerting.py:369-390):
+    '[SEVERITY] title' subject, plain-text detail body with the
+    metadata JSON block."""
+    import json as _json
+
+    subject = f"[{severity}] {alert_type}"
+    meta = _json.dumps(
+        {"metric_value": metric_value, "threshold": threshold}, indent=2
+    )
+    body = (
+        "Alert Details:\n\n"
+        f"Title: {alert_type}\n"
+        f"Description: {alert_type}: metric {metric_value} breached "
+        f"threshold {threshold}\n"
+        f"Severity: {severity}\n"
+        f"Timestamp: {ts_iso}\n\n"
+        f"Metadata:\n{meta}\n\n"
+        "This is an automated alert from the Sensor Data Pipeline "
+        "monitoring system.\n"
+    )
+    return subject, body
+
+
+def route_alert(
+    severity: str, slack_configured: bool, email_configured: bool
+) -> list[str]:
+    """The reference's channel-routing rule (alerting.py:310-323):
+    Slack whenever a webhook is configured, email ONLY for CRITICAL
+    alerts with SMTP credentials, and the database store always."""
+    channels = []
+    if slack_configured:
+        channels.append("slack")
+    if severity == "CRITICAL" and email_configured:
+        channels.append("email")
+    channels.append("store")
+    return channels
+
+
+def alert_payloads(
+    alerts: DataFrame,
+    ts_iso: str,
+    ts_epoch: int,
+    slack_configured: bool = True,
+    email_configured: bool = True,
+) -> list[dict]:
+    """Fan out an m15-shaped alert frame into per-channel payloads —
+    the driver-side last hop before a transport. The collect is
+    |alerts|-row bounded (≤ 5 checks per cycle by construction)."""
+    out = []
+    for r in alerts.collect():
+        entry = {
+            "alert_type": r.alert_type,
+            "channels": route_alert(
+                r.severity, slack_configured, email_configured
+            ),
+            "slack": None,
+            "email": None,
+        }
+        if "slack" in entry["channels"]:
+            entry["slack"] = format_slack_alert(
+                r.alert_type, r.metric_value, r.threshold, r.severity,
+                ts_iso, ts_epoch,
+            )
+        if "email" in entry["channels"]:
+            subject, body = format_email_alert(
+                r.alert_type, r.metric_value, r.threshold, r.severity,
+                ts_iso,
+            )
+            entry["email"] = {"subject": subject, "body": body}
+        out.append(entry)
+    return out

@@ -1133,3 +1133,57 @@ def test_m18_scrape_renders_on_gate_data(spark):
             assert f"# TYPE {name} gauge\n" in text
             assert f"\n{name} " in "\n" + text
     assert text.endswith("\n")
+
+
+def test_alert_fanout_payload_formats_exact(spark):
+    """The fan-out formatting layer against a hand alert frame: Slack
+    attachment field-for-field (alerting.py:328-360), email
+    subject/body, and the reference's routing rule (Slack when
+    configured, email ONLY for CRITICAL, store always)."""
+    from iot_big_data_engineering_spark.operators.monitoring import (
+        alert_payloads,
+        route_alert,
+    )
+
+    # routing truth table (alerting.py:310-323)
+    assert route_alert("WARNING", True, True) == ["slack", "store"]
+    assert route_alert("CRITICAL", True, True) == ["slack", "email", "store"]
+    assert route_alert("CRITICAL", False, True) == ["email", "store"]
+    assert route_alert("WARNING", False, False) == ["store"]
+
+    alerts = spark.createDataFrame(
+        [
+            ("high_latency", 42.5, 30.0, "CRITICAL"),
+            ("low_avg_quality", 0.7, 0.8, "WARNING"),
+        ],
+        "alert_type string, metric_value double, threshold double,"
+        " severity string",
+    )
+    got = alert_payloads(
+        alerts, ts_iso="2026-08-15T12:00:00", ts_epoch=1786795200
+    )
+    by_type = {p["alert_type"]: p for p in got}
+    crit = by_type["high_latency"]
+    assert crit["channels"] == ["slack", "email", "store"]
+    att = crit["slack"]["attachments"][0]
+    assert att["color"] == "#ff0000"
+    assert att["title"] == "high_latency"
+    assert att["text"] == (
+        "high_latency: metric 42.5 breached threshold 30.0"
+    )
+    assert att["fields"] == [
+        {"title": "Type", "value": "high_latency", "short": True},
+        {"title": "Severity", "value": "CRITICAL", "short": True},
+        {"title": "Timestamp", "value": "2026-08-15T12:00:00",
+         "short": True},
+    ]
+    assert att["footer"] == "Sensor Data Pipeline"
+    assert att["ts"] == 1786795200
+    assert crit["email"]["subject"] == "[CRITICAL] high_latency"
+    assert "Threshold" not in crit["email"]["body"]  # metadata JSON form
+    assert '"threshold": 30.0' in crit["email"]["body"]
+
+    warn = by_type["low_avg_quality"]
+    assert warn["channels"] == ["slack", "store"]
+    assert warn["email"] is None
+    assert warn["slack"]["attachments"][0]["color"] == "#ff9500"
