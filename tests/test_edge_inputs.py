@@ -1187,3 +1187,114 @@ def test_alert_fanout_payload_formats_exact(spark):
     assert warn["channels"] == ["slack", "store"]
     assert warn["email"] is None
     assert warn["slack"]["attachments"][0]["color"] == "#ff9500"
+
+
+def test_dq8_matches_python_replay_random_vectors(spark):
+    """dq8's whole algebra replayed in pure Python on seeded random
+    vectors with every pathology planted at random: NULL vectors, NULL
+    components, NaN/Inf components, exact-zero vectors, ragged dims.
+    Norms replay through the same sequential left-fold + floor-round,
+    so the doubles are bit-identical, not approximately equal."""
+    import math
+
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        embedding_audit,
+    )
+
+    rng = np.random.default_rng(43)
+    rows = []
+    for i in range(120):
+        label = int(rng.integers(0, 4))
+        kind = int(rng.integers(0, 8))
+        if kind == 0:
+            rows.append((label, None))
+        else:
+            dim = int(rng.integers(2, 5))
+            v = [float(x) for x in rng.normal(size=dim)]
+            if kind == 1:
+                v[int(rng.integers(0, dim))] = None
+            elif kind == 2:
+                v[int(rng.integers(0, dim))] = float("nan")
+            elif kind == 3:
+                v[int(rng.integers(0, dim))] = float(
+                    rng.choice([float("inf"), float("-inf")])
+                )
+            elif kind == 4:
+                v = [0.0] * dim
+            rows.append((label, v))
+
+    def replay():
+        agg = {}
+        for label, v in rows:
+            a = agg.setdefault(
+                label,
+                {"n": 0, "nullv": 0, "dims": set(), "dmin": None,
+                 "dmax": None, "nullc": 0, "bad": 0, "zero": 0,
+                 "norms": []},
+            )
+            a["n"] += 1
+            if v is None:
+                a["nullv"] += 1
+                continue
+            d = len(v)
+            a["dims"].add(d)
+            a["dmin"] = d if a["dmin"] is None else min(a["dmin"], d)
+            a["dmax"] = d if a["dmax"] is None else max(a["dmax"], d)
+            if any(x is None for x in v):
+                a["nullc"] += 1
+                continue
+            if any(math.isnan(x) or math.isinf(x) for x in v):
+                a["bad"] += 1
+                continue
+            n2 = 0.0
+            for x in v:
+                n2 += x * x
+            if n2 == 0.0:
+                a["zero"] += 1
+            a["norms"].append(math.sqrt(n2))
+        out = {}
+        for label, a in agg.items():
+            rnd = (
+                lambda x: None
+                if not a["norms"]
+                else math.floor(x * 1e6 + 0.5) / 1e6
+            )
+            out[label] = (
+                a["n"], a["nullv"], len(a["dims"]), a["dmin"], a["dmax"],
+                a["nullc"], a["bad"], a["zero"],
+                rnd(min(a["norms"])) if a["norms"] else None,
+                rnd(max(a["norms"])) if a["norms"] else None,
+            )
+        return out
+
+    got = {
+        r.label: (
+            r.n_vecs, r.n_null_vec, r.n_dims_distinct, r.dim_min,
+            r.dim_max, r.n_null_component, r.n_nonfinite, r.n_zero_norm,
+            r.norm_min, r.norm_max,
+        )
+        for r in embedding_audit(
+            spark.createDataFrame(rows, "label int, v array<double>")
+        ).collect()
+    }
+    assert got == replay()
+
+
+def test_render_prometheus_nonfinite_literals(spark):
+    """Review finding #3's pin: NaN/Inf samples render as exposition
+    literals instead of crashing the scrape."""
+    from iot_big_data_engineering_spark.operators.monitoring import (
+        render_prometheus,
+    )
+
+    df = spark.createDataFrame(
+        [("a_nan", float("nan")), ("b_inf", float("inf")),
+         ("c_ninf", float("-inf"))],
+        "metric string, value double",
+    )
+    got = render_prometheus(df, help_texts={})
+    assert "a_nan NaN\n" in got
+    assert "b_inf +Inf\n" in got
+    assert "c_ninf -Inf\n" in got

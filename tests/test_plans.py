@@ -1179,6 +1179,20 @@ def test_adv15_checkpointed_ranks_identical(spark):
     assert len(plain) == len({a for a, _ in pairs} | {b for _, b in pairs})
 
 
+def test_adv15_checkpoint_every_zero_rejected(spark):
+    """Review finding #4's pin: checkpoint_every=0 raises a named
+    ValueError up front, not ZeroDivisionError mid-iteration."""
+    import pytest
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank_fixed_point(edges, iters=2, checkpoint_every=0)
+
+
 def test_adv15_overflow_guard():
     """The int64 ceiling is enforced, not argued (r9 ADVICE #1): exactly
     _PAGERANK_MAX_NODES nodes pass, one more raises by name, and sf1's

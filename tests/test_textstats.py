@@ -1530,3 +1530,103 @@ def test_dp16_null_lang_tie_breaks_nulls_last(spark):
     r = dataset_card(d).collect()[0]
     assert r.top_lang == "zz"
     assert r.n_langs == 2
+
+
+def test_t17b_rank_equiv_on_random_corpora(spark):
+    """The t17b rank-equivalence certificate on seeded RANDOM corpora,
+    not just gate data: for each trial, the returned rank must be the
+    sort of the Spark-computed 6-dp keys, and any inversion vs the
+    exact-Fraction ratio order must sit inside a key tie. Keys come
+    from Spark itself (no Python-libm ln in the comparison), so the
+    test cannot flake on cross-library ulps."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _pmi_counted,
+        _t17b_key,
+        collocations_pmi_log,
+    )
+
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        alphabet = [f"w{j}" for j in range(int(rng.integers(3, 8)))]
+        docs = []
+        for i in range(int(rng.integers(8, 25))):
+            n = int(rng.integers(0, 14))
+            docs.append(
+                (i, " ".join(alphabet[int(rng.integers(0, len(alphabet)))]
+                             for _ in range(n)))
+            )
+        support = int(rng.integers(1, 4))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        counted = (
+            _pmi_counted(d, support).withColumn("k", _t17b_key()).collect()
+        )
+        if not counted:
+            continue
+        scored = {
+            (r.w1, r.w2): (
+                r.k,
+                Fraction(
+                    r.pair_count * r.n1 * r.n1, r.n2 * r.c_w1 * r.c_w2
+                ),
+            )
+            for r in counted
+        }
+        got = (
+            collocations_pmi_log(d, min_support=support)
+            .orderBy("rank")
+            .collect()
+        )
+        _assert_rank_equiv([(r.w1, r.w2) for r in got], scored, 20)
+
+
+def test_j23b_rank_equiv_on_random_baskets(spark):
+    """j23b's certificate on seeded random order/part baskets — the
+    domain where equal-ratio key ties are common (small integer
+    counts), so the tie-collapse path is exercised heavily."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.joins import (
+        _frequent_pair_counts,
+        _j23b_key,
+        frequent_pairs_log,
+    )
+
+    rng = np.random.default_rng(37)
+    for trial in range(3):
+        n_orders = int(rng.integers(6, 20))
+        n_parts = int(rng.integers(3, 8))
+        rows = []
+        for o in range(n_orders):
+            for p in rng.choice(
+                n_parts, size=int(rng.integers(1, n_parts + 1)),
+                replace=False,
+            ):
+                rows.append((o, int(p)))
+        item_s = int(rng.integers(1, 4))
+        pair_s = int(rng.integers(1, 3))
+        l = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        counted = (
+            _frequent_pair_counts(l, item_s, pair_s)
+            .withColumn("k", _j23b_key())
+            .collect()
+        )
+        if not counted:
+            continue
+        scored = {
+            (r.p1, r.p2): (r.k, Fraction(r.pair_n * r.n, r.c1 * r.c2))
+            for r in counted
+        }
+        got = (
+            frequent_pairs_log(
+                l, item_support=item_s, pair_support=pair_s
+            )
+            .orderBy("rank")
+            .collect()
+        )
+        _assert_rank_equiv([(r.p1, r.p2) for r in got], scored, 20)
