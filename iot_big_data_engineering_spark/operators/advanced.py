@@ -1430,8 +1430,11 @@ def snapshot_drift(
 # surface needs no rounding at all. Overflow headroom: total mass ≈
 # N·S ≈ 1.6e16 at sf0.1; 85·Σ ≤ 1.4e18 < 2^63 — and the bound is now
 # ENFORCED, not argued: pagerank_fixed_point counts nodes and raises
-# past _PAGERANK_MAX_NODES (≈108k at S=10^12; sf1's ~160k nodes would
-# wrap silently in non-ANSI Spark while DuckDB raises — r9 ADVICE).
+# past _PAGERANK_MAX_NODES (≈108k at S=10^12 — r9 ADVICE). Past the
+# bound, this repo's default-ANSI Spark 4 sessions would raise a
+# generic mid-job ArithmeticException (non-ANSI deployments would wrap
+# SILENTLY while DuckDB raises — the worse, divergence-shaped failure);
+# the guard converts both into one named pre-flight error.
 # The graph is made undirected (both edge directions), so every node
 # has out-degree ≥ 1 and the dangling-mass correction drops out.
 #
@@ -1533,11 +1536,13 @@ def adv15_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into one node is bounded by the conserved total rank mass ≤ N·S, so
 # 85·N·S must stay below 2^63. At S = 10^12 that is N ≤ 108,495 nodes —
 # sf0.1's ~16k customer+supplier nodes fit with 6× headroom, sf1's
-# ~160k would NOT (r9 ADVICE: Spark non-ANSI would wrap silently while
-# DuckDB raises, a silent cross-engine divergence). The guard below
-# turns that into a loud failure; the production form past the ceiling
-# drops S to 10^9 (N ≤ 1.08e8) or moves to double ranks outside the
-# hash-compared surface.
+# ~160k would NOT (r9 ADVICE). What happens past the bound depends on
+# session config: default-ANSI Spark 4 raises a generic mid-job
+# ArithmeticException; non-ANSI deployments wrap silently while DuckDB
+# raises — a silent cross-engine divergence. The guard below turns
+# both into one named pre-flight failure; the production form past the
+# ceiling drops S to 10^9 (N ≤ 1.08e8) or moves to double ranks
+# outside the hash-compared surface.
 _PAGERANK_MAX_NODES = (2**63 - 1) // (85 * _ADV15_S)
 
 

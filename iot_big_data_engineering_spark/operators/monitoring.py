@@ -560,7 +560,7 @@ UNION ALL
 SELECT 'iot_anomaly_count_1h', CAST(a AS DOUBLE) FROM w1h
 UNION ALL
 SELECT 'iot_anomaly_rate_1h',
-       round(CAST(a AS DOUBLE) / c, {_R}) FROM w1h
+       CASE WHEN c > 0 THEN round(CAST(a AS DOUBLE) / c, {_R}) END FROM w1h
 """,
     doc=(
         "M18: the full monitoring scrape as (metric, float64) rows — "
@@ -631,8 +631,15 @@ def m18_metrics_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("records_1h", F.col("c")),
                 ("anomaly_count_1h", F.col("a")),
                 (
+                    # guarded: an empty window has c = 0, and ANSI-mode
+                    # Spark (the 4.x default) raises DIVIDE_BY_ZERO
+                    # instead of returning NULL — the rate is unknowable
+                    # there, so export NULL explicitly on both engines
                     "anomaly_rate_1h",
-                    fround(F.col("a") * 1.0 / F.col("c"), _R),
+                    F.when(
+                        F.col("c") > 0,
+                        fround(F.col("a") * 1.0 / F.col("c"), _R),
+                    ),
                 ),
             ],
         ),

@@ -1298,3 +1298,44 @@ def test_render_prometheus_nonfinite_literals(spark):
     assert "a_nan NaN\n" in got
     assert "b_inf +Inf\n" in got
     assert "c_ninf -Inf\n" in got
+
+
+def test_m18_empty_table_stable(spark, tmp_path):
+    """m18 over an empty events table: the NULL anchor empties every
+    window — all 9 metrics still come back, counts/up/throughput as
+    0-gauges, latencies and the anomaly rate NULL (unknowable, not 0),
+    and the renderer skips the NULLs instead of crashing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iot_big_data_engineering_spark.operators.monitoring import (
+        m18_metrics_export,
+        render_prometheus,
+    )
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(empty, str(tmp_path / "events.parquet"))
+    df = m18_metrics_export(spark, str(tmp_path))
+    rows = {r.metric: r.value for r in df.collect()}
+    assert len(rows) == 9
+    assert rows["iot_recent_records_5m"] == 0.0
+    assert rows["iot_up"] == 0.0
+    assert rows["iot_records_last_minute"] == 0.0
+    assert rows["iot_throughput_ok"] == 0.0
+    assert rows["iot_records_1h"] == 0.0
+    assert rows["iot_anomaly_count_1h"] == 0.0
+    assert rows["iot_latency_seconds_avg_1h"] is None
+    assert rows["iot_latency_seconds_max_1h"] is None
+    assert rows["iot_anomaly_rate_1h"] is None
+    text = render_prometheus(df)
+    assert "iot_up 0\n" in text
+    assert "latency" not in text  # NULL samples skipped
