@@ -1828,7 +1828,10 @@ def expectation_audit(o: DataFrame, c: DataFrame) -> DataFrame:
 # cast exact), reduced by MIN/MAX (order-independent, unlike sums) and
 # floor-rounded 6 dp. The norm legs see only WELL-FORMED vectors: NULL
 # vectors, vectors with NULL components and vectors with non-finite
-# components are each counted in their own bucket and EXCLUDED from n2
+# components are each counted (INDEPENDENTLY — a [NULL, NaN] vector
+# lands in both buckets) and EXCLUDED from n2; zero-LENGTH vectors are
+# pinned to norm 0.0 explicitly (Spark's fold over [] is 0.0, DuckDB's
+# list_sum is NULL) so they count as zero-norm on both engines
 # — NaN propagates through min/max differently per engine, and Spark's
 # three-valued exists()/sum-over-NULL semantics diverge from DuckDB's
 # NULL-dropping list_filter, so every malformed class is classified by
@@ -1868,7 +1871,9 @@ p AS (
                 AND len(list_filter(v, x -> x IS NULL)) = 0
                 AND len(list_filter(v, x -> x IS NOT NULL
                                             AND (isnan(x) OR isinf(x)))) = 0
-              THEN {V.sql_dot("v", "v")} END AS n2
+              THEN CASE WHEN len(v) = 0 THEN 0.0
+                        ELSE {V.sql_dot("v", "v")} END
+         END AS n2
   FROM e
 )
 SELECT label,
@@ -1924,8 +1929,13 @@ def embedding_audit(e: DataFrame) -> DataFrame:
         F.when(v.isNull(), F.lit(None)).otherwise(F.size(v)).alias("dim"),
         nullcomp.alias("nullcomp"),
         nonfinite.alias("bad"),
+        # zero-length vectors: the fold over [] is 0.0 on Spark but
+        # list_sum over [] is NULL on DuckDB — pin ||[]||^2 = 0.0
+        # explicitly on both engines so an empty vector counts as
+        # zero-norm instead of diverging (round-10 review #2b)
         F.when(
-            v.isNotNull() & ~nullcomp & ~nonfinite, V.dot(v, v)
+            v.isNotNull() & ~nullcomp & ~nonfinite,
+            F.when(F.size(v) == 0, F.lit(0.0)).otherwise(V.dot(v, v)),
         ).alias("n2"),
     )
     return p.groupBy("label").agg(

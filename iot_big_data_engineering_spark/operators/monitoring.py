@@ -505,11 +505,14 @@ def m17_alert_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NULL samples because Prometheus has no missing-value literal; the
 # compared relational surface keeps them (NULL on both engines).
 #
-# Plan shape at 100 TB: four trailing-window scans (each partition-
-# pruned by the date layout, m10–m14's design) reduced to 1-row aggs;
-# the explode(map) fan-out to (metric, value) rows is metadata-sized.
-# The renderer collects a |metrics|-row frame — bounded by construction
-# (st14's bounded-collect discipline).
+# Plan shape at 100 TB: the 1-minute and 5-minute windows NEST inside
+# the hour, so every metric rides ONE trailing-hour scan (partition-
+# pruned by the date layout, m10–m14's design) with conditional
+# sub-window counts — m15's single-pass discipline — plus the one
+# injectable-by-design anchor aggregate; the explode(map) fan-out to
+# (metric, value) rows is metadata-sized. The renderer collects a
+# |metrics|-row frame — bounded by construction (st14's
+# bounded-collect discipline).
 # ---------------------------------------------------------------------------
 _M18 = {
     "recent_records_5m": "Records ingested in the trailing 5 minutes",
@@ -529,125 +532,106 @@ _M18 = {
     oracle=SENSOR_ORACLE_CTE
     + _NOW_CTE
     + f""",
-w5m AS (SELECT count(*) AS c FROM sensor_quality_checked, anchor
-        WHERE ts >= anchor.now - INTERVAL 5 MINUTE),
-w1m AS (SELECT count(*) AS c FROM sensor_quality_checked, anchor
-        WHERE ts >= anchor.now - INTERVAL 1 MINUTE),
-w1h AS (SELECT count(*) AS c,
-               count(CASE WHEN anomaly_score > 0 THEN 1 END) AS a,
-               round(avg(CAST(epoch_us(processing_timestamp) - epoch_us(ts)
-                              AS DOUBLE) / 1000000.0), {_R}) AS lat_avg,
-               round(max(CAST(epoch_us(processing_timestamp) - epoch_us(ts)
-                              AS DOUBLE) / 1000000.0), {_R}) AS lat_max
-        FROM sensor_quality_checked, anchor
-        WHERE ts >= anchor.now - INTERVAL 1 HOUR)
-SELECT 'iot_recent_records_5m' AS metric, CAST(c AS DOUBLE) AS value FROM w5m
+w AS (
+  SELECT CAST(count(*) AS BIGINT) AS c1h,
+         CAST(count(CASE WHEN ts >= anchor.now - INTERVAL 5 MINUTE
+                    THEN 1 END) AS BIGINT) AS c5m,
+         CAST(count(CASE WHEN ts >= anchor.now - INTERVAL 1 MINUTE
+                    THEN 1 END) AS BIGINT) AS c1m,
+         CAST(count(CASE WHEN anomaly_score > 0 THEN 1 END) AS BIGINT) AS a,
+         round(avg(CAST(epoch_us(processing_timestamp) - epoch_us(ts)
+                        AS DOUBLE) / 1000000.0), {_R}) AS lat_avg,
+         round(max(CAST(epoch_us(processing_timestamp) - epoch_us(ts)
+                        AS DOUBLE) / 1000000.0), {_R}) AS lat_max
+  FROM sensor_quality_checked, anchor
+  WHERE ts >= anchor.now - INTERVAL 1 HOUR
+)
+SELECT 'iot_recent_records_5m' AS metric, CAST(c5m AS DOUBLE) AS value FROM w
 UNION ALL
-SELECT 'iot_up', CASE WHEN c > 0 THEN 1.0 ELSE 0.0 END FROM w5m
+SELECT 'iot_up', CASE WHEN c5m > 0 THEN 1.0 ELSE 0.0 END FROM w
 UNION ALL
-SELECT 'iot_latency_seconds_avg_1h', lat_avg FROM w1h
+SELECT 'iot_latency_seconds_avg_1h', lat_avg FROM w
 UNION ALL
-SELECT 'iot_latency_seconds_max_1h', lat_max FROM w1h
+SELECT 'iot_latency_seconds_max_1h', lat_max FROM w
 UNION ALL
-SELECT 'iot_records_last_minute', CAST(c AS DOUBLE) FROM w1m
+SELECT 'iot_records_last_minute', CAST(c1m AS DOUBLE) FROM w
 UNION ALL
 SELECT 'iot_throughput_ok',
-       CASE WHEN c >= {THRESHOLDS["min_throughput_per_min"]}
-            THEN 1.0 ELSE 0.0 END FROM w1m
+       CASE WHEN c1m >= {THRESHOLDS["min_throughput_per_min"]}
+            THEN 1.0 ELSE 0.0 END FROM w
 UNION ALL
-SELECT 'iot_records_1h', CAST(c AS DOUBLE) FROM w1h
+SELECT 'iot_records_1h', CAST(c1h AS DOUBLE) FROM w
 UNION ALL
-SELECT 'iot_anomaly_count_1h', CAST(a AS DOUBLE) FROM w1h
+SELECT 'iot_anomaly_count_1h', CAST(a AS DOUBLE) FROM w
 UNION ALL
 SELECT 'iot_anomaly_rate_1h',
-       CASE WHEN c > 0 THEN round(CAST(a AS DOUBLE) / c, {_R}) END FROM w1h
+       CASE WHEN c1h > 0 THEN round(CAST(a AS DOUBLE) / c1h, {_R}) END FROM w
 """,
     doc=(
         "M18: the full monitoring scrape as (metric, float64) rows — "
-        "m11-m14's arithmetic pivoted to the Prometheus gauge surface"
+        "m11-m14's arithmetic in ONE single-pass window scan, pivoted "
+        "to the Prometheus gauge surface"
     ),
 )
 def m18_metrics_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, now = _with_now(spark, sf_dir)
-
-    def window(interval: str) -> DataFrame:
-        return q.crossJoin(F.broadcast(now)).filter(
-            F.col("ts") >= F.col("now") - F.expr(f"INTERVAL {interval}")
-        )
-
-    def rows(df: DataFrame, pairs: list[tuple[str, Column]]) -> DataFrame:
-        args: list[Column] = []
-        for name, expr in pairs:
-            args += [F.lit(f"iot_{name}"), expr.cast("double")]
-        return df.select(
-            F.explode(F.create_map(*args)).alias("metric", "value")
-        )
-
-    w5m = window("5 MINUTES").agg(F.count("*").alias("c"))
-    w1m = window("1 MINUTE").agg(F.count("*").alias("c"))
+    # m15's single-pass discipline (round-10 review #2 applied twice):
+    # the 1-minute and 5-minute windows NEST inside the hour, so every
+    # metric rides ONE trailing-hour scan with conditional sub-window
+    # counts — the plan carries exactly one window scan plus the one
+    # (unprunable, injectable-by-design) anchor aggregate, instead of a
+    # scan+anchor pair per union branch
+    in5m = F.col("ts") >= F.col("now") - F.expr("INTERVAL 5 MINUTES")
+    in1m = F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 MINUTE")
     lat = (
         F.unix_micros("processing_timestamp") - F.unix_micros("ts")
     ) / 1000000.0
-    anom = F.count(F.when(F.col("anomaly_score") > 0, 1))
-    w1h = window("1 HOUR").agg(
-        F.count("*").alias("c"),
-        anom.alias("a"),
-        fround(F.avg(lat), _R).alias("lat_avg"),
-        fround(F.max(lat), _R).alias("lat_max"),
+    w = (
+        q.crossJoin(F.broadcast(now))
+        .filter(F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR"))
+        .agg(
+            F.count("*").cast("bigint").alias("c1h"),
+            F.count(F.when(in5m, 1)).cast("bigint").alias("c5m"),
+            F.count(F.when(in1m, 1)).cast("bigint").alias("c1m"),
+            F.count(F.when(F.col("anomaly_score") > 0, 1))
+            .cast("bigint")
+            .alias("a"),
+            fround(F.avg(lat), _R).alias("lat_avg"),
+            fround(F.max(lat), _R).alias("lat_max"),
+        )
     )
     one = F.lit(1.0)
     zero = F.lit(0.0)
-    # one rows() call per WINDOW — every w1h-derived metric rides a
-    # single copy of the 1-hour scan+aggregate subtree in the union
-    # plan (Catalyst does not dedupe repeated branches; round-10 review
-    # finding #5), so the plan carries exactly three window scans
-    parts = [
-        rows(
-            w5m,
-            [
-                ("recent_records_5m", F.col("c")),
-                ("up", F.when(F.col("c") > 0, one).otherwise(zero)),
-            ],
+    pairs: list[tuple[str, Column]] = [
+        ("recent_records_5m", F.col("c5m")),
+        ("up", F.when(F.col("c5m") > 0, one).otherwise(zero)),
+        ("latency_seconds_avg_1h", F.col("lat_avg")),
+        ("latency_seconds_max_1h", F.col("lat_max")),
+        ("records_last_minute", F.col("c1m")),
+        (
+            "throughput_ok",
+            F.when(
+                F.col("c1m") >= THRESHOLDS["min_throughput_per_min"], one
+            ).otherwise(zero),
         ),
-        rows(
-            w1m,
-            [
-                ("records_last_minute", F.col("c")),
-                (
-                    "throughput_ok",
-                    F.when(
-                        F.col("c")
-                        >= THRESHOLDS["min_throughput_per_min"],
-                        one,
-                    ).otherwise(zero),
-                ),
-            ],
-        ),
-        rows(
-            w1h,
-            [
-                ("latency_seconds_avg_1h", F.col("lat_avg")),
-                ("latency_seconds_max_1h", F.col("lat_max")),
-                ("records_1h", F.col("c")),
-                ("anomaly_count_1h", F.col("a")),
-                (
-                    # guarded: an empty window has c = 0, and ANSI-mode
-                    # Spark (the 4.x default) raises DIVIDE_BY_ZERO
-                    # instead of returning NULL — the rate is unknowable
-                    # there, so export NULL explicitly on both engines
-                    "anomaly_rate_1h",
-                    F.when(
-                        F.col("c") > 0,
-                        fround(F.col("a") * 1.0 / F.col("c"), _R),
-                    ),
-                ),
-            ],
+        ("records_1h", F.col("c1h")),
+        ("anomaly_count_1h", F.col("a")),
+        (
+            # guarded: an empty window has c1h = 0, and ANSI-mode Spark
+            # (the 4.x default) raises DIVIDE_BY_ZERO instead of
+            # returning NULL — the rate is unknowable there, so export
+            # NULL explicitly on both engines
+            "anomaly_rate_1h",
+            F.when(
+                F.col("c1h") > 0,
+                fround(F.col("a") * 1.0 / F.col("c1h"), _R),
+            ),
         ),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    args: list[Column] = []
+    for name, expr in pairs:
+        args += [F.lit(f"iot_{name}"), expr.cast("double")]
+    return w.select(F.explode(F.create_map(*args)).alias("metric", "value"))
 
 
 def render_prometheus(df: DataFrame, help_texts: dict | None = None) -> str:
@@ -665,13 +649,19 @@ def render_prometheus(df: DataFrame, help_texts: dict | None = None) -> str:
     if help_texts is None:
         help_texts = {f"iot_{k}": v for k, v in _M18.items()}
     lines = []
+    prev = None
     for r in sorted(df.collect(), key=lambda r: r.metric):
         if r.value is None:
             continue
-        h = help_texts.get(r.metric)
-        if h:
-            lines.append(f"# HELP {r.metric} {h}")
-        lines.append(f"# TYPE {r.metric} gauge")
+        if r.metric != prev:
+            # HELP/TYPE once per metric family — a repeated TYPE line is
+            # invalid exposition the Prometheus parser rejects (rows are
+            # sorted, so a prev-name check suffices; round-10 review #5b)
+            h = help_texts.get(r.metric)
+            if h:
+                lines.append(f"# HELP {r.metric} {h}")
+            lines.append(f"# TYPE {r.metric} gauge")
+            prev = r.metric
         v = float(r.value)
         if math.isnan(v):
             s = "NaN"
@@ -702,6 +692,10 @@ _SLACK_COLORS = {
     "WARNING": "#ff9500",
     "CRITICAL": "#ff0000",
 }
+# unknown severities render with a neutral color instead of KeyError-ing
+# the whole fan-out cycle (route_alert accepts any severity string, so
+# the two functions must agree on the input domain — round-10 review #3b)
+_SLACK_DEFAULT_COLOR = "#cccccc"
 
 
 def format_slack_alert(
@@ -717,7 +711,7 @@ def format_slack_alert(
     return {
         "attachments": [
             {
-                "color": _SLACK_COLORS[severity],
+                "color": _SLACK_COLORS.get(severity, _SLACK_DEFAULT_COLOR),
                 "title": alert_type,
                 "text": (
                     f"{alert_type}: metric {metric_value} breached "

@@ -1041,6 +1041,8 @@ def test_dq8_planted_pathologies_accounted_exactly(spark):
         (1, [float("nan"), 1.0]),   # NaN component
         (1, [float("inf"), 1.0]),   # Inf component
         (1, [None, 1.0]),           # NULL component (review finding #1)
+        (1, [None, float("nan")]),  # BOTH pathologies — counts in both
+        (1, []),                    # zero-LENGTH — norm pinned 0.0
         (1, [1.0, 2.0, 2.0]),       # ragged dim (3) — norm 3
         (2, [6.0, 8.0]),            # second label: norm 10
     ]
@@ -1051,13 +1053,13 @@ def test_dq8_planted_pathologies_accounted_exactly(spark):
         ).collect()
     }
     a = got[1]
-    assert a.n_vecs == 8
+    assert a.n_vecs == 10
     assert a.n_null_vec == 1
-    assert a.n_dims_distinct == 2 and (a.dim_min, a.dim_max) == (2, 3)
-    assert a.n_null_component == 1
-    assert a.n_nonfinite == 2
-    assert a.n_zero_norm == 1
-    # the norm range sees only the 4 well-formed vectors (norms 5,1,0,3)
+    assert a.n_dims_distinct == 3 and (a.dim_min, a.dim_max) == (0, 3)
+    assert a.n_null_component == 2  # incl. the [NULL, NaN] overlap vector
+    assert a.n_nonfinite == 3       # incl. the same overlap vector
+    assert a.n_zero_norm == 2       # the [0,0] vector AND the empty one
+    # the norm range sees the 5 well-formed vectors (norms 5,1,0,0,3)
     assert math.isclose(a.norm_min, 0.0) and math.isclose(a.norm_max, 5.0)
     b = got[2]
     assert (
@@ -1223,6 +1225,11 @@ def test_dq8_matches_python_replay_random_vectors(spark):
                 )
             elif kind == 4:
                 v = [0.0] * dim
+            elif kind == 5:
+                v = []  # zero-length — norm pinned 0.0 on both engines
+            elif kind == 6 and dim >= 2:
+                v[0] = None  # BOTH pathologies on one vector —
+                v[1] = float("nan")  # counted in both buckets
             rows.append((label, v))
 
     def replay():
@@ -1242,11 +1249,18 @@ def test_dq8_matches_python_replay_random_vectors(spark):
             a["dims"].add(d)
             a["dmin"] = d if a["dmin"] is None else min(a["dmin"], d)
             a["dmax"] = d if a["dmax"] is None else max(a["dmax"], d)
-            if any(x is None for x in v):
+            # INDEPENDENT classifiers, matching the operator: a vector
+            # with a NULL and a NaN component counts in BOTH buckets
+            has_null = any(x is None for x in v)
+            has_bad = any(
+                x is not None and (math.isnan(x) or math.isinf(x))
+                for x in v
+            )
+            if has_null:
                 a["nullc"] += 1
-                continue
-            if any(math.isnan(x) or math.isinf(x) for x in v):
+            if has_bad:
                 a["bad"] += 1
+            if has_null or has_bad:
                 continue
             n2 = 0.0
             for x in v:
@@ -1339,3 +1353,45 @@ def test_m18_empty_table_stable(spark, tmp_path):
     text = render_prometheus(df)
     assert "iot_up 0\n" in text
     assert "latency" not in text  # NULL samples skipped
+
+
+def test_render_prometheus_repeated_metric_one_type_line(spark):
+    """Review #5b pin: a frame carrying the same metric name twice must
+    emit ONE HELP/TYPE block for the family — a second TYPE line is
+    invalid exposition the Prometheus parser rejects."""
+    from iot_big_data_engineering_spark.operators.monitoring import (
+        render_prometheus,
+    )
+
+    df = spark.createDataFrame(
+        [("m_x", 1.0), ("m_x", 2.0), ("m_y", 3.0)],
+        "metric string, value double",
+    )
+    got = render_prometheus(df, help_texts={"m_x": "twice"})
+    assert got.count("# TYPE m_x gauge") == 1
+    assert got.count("# HELP m_x twice") == 1
+    assert got.count("\nm_x ") + got.startswith("m_x ") == 2  # both samples
+    assert "# TYPE m_y gauge" in got
+
+
+def test_alert_fanout_unknown_severity_degrades(spark):
+    """Review #3b pin: an unknown severity renders with the neutral
+    fallback color instead of KeyError-ing the whole fan-out cycle —
+    route_alert accepts any severity string, so the formatter must
+    too."""
+    from iot_big_data_engineering_spark.operators.monitoring import (
+        _SLACK_DEFAULT_COLOR,
+        alert_payloads,
+    )
+
+    alerts = spark.createDataFrame(
+        [("weird_alert", 1.0, 2.0, "NOTICE")],
+        "alert_type string, metric_value double, threshold double,"
+        " severity string",
+    )
+    got = alert_payloads(alerts, ts_iso="2026-08-15T12:00:00",
+                         ts_epoch=1786795200)
+    assert got[0]["channels"] == ["slack", "store"]  # not CRITICAL
+    assert (
+        got[0]["slack"]["attachments"][0]["color"] == _SLACK_DEFAULT_COLOR
+    )
