@@ -1058,6 +1058,19 @@ def test_t17_t18_j23_w8_plan_shapes(spark):
     assert_broadcast_join(w)  # |event_types|-row totals relation
 
 
+def test_m18_plan_two_scans_single_pass(spark):
+    """m18's nine metrics must ride ONE trailing-hour window scan plus
+    the one anchor aggregate — exactly two scans of the events table,
+    never a scan+anchor pair per union branch (the round-10 review
+    found the union form carried six)."""
+    from iot_big_data_engineering_spark.operators.monitoring import (
+        m18_metrics_export,
+    )
+
+    p = plan_str(m18_metrics_export(spark, SF_SMOKE))
+    assert p.count("Location: InMemoryFileIndex") == 2, p
+
+
 def test_dq8_plan_single_scan_no_expand(spark):
     """dq8's single countDistinct must plan as the two-level aggregate
     (no Expand — dq6's discipline), over ONE pruned scan of the two
