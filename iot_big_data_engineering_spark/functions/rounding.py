@@ -10,8 +10,14 @@ target scale and the oracle hash breaks.
 ``fround`` sidesteps the whole class: floor(x·10ⁿ + 0.5) / 10ⁿ computed in
 double — both engines evaluate the identical float expression on the
 identical input double, so the result is bit-identical by construction.
-(For negative inputs this is half-up toward +∞, not half-away-from-zero;
-all rounded outputs in this engine are ≥ 0 or far from boundaries.)
+For negative inputs this is half-up toward +∞, not half-away-from-zero —
+which is exactly why any quantity that CAN go negative (the t17b/j23b
+log-space sort keys: PMI/log-lift < 0 is routine) must round through
+``fround`` on the Spark side AND ``sql_fround`` in its oracle, never
+DuckDB's native ``round`` (half away from zero): on a negative .5
+boundary the two conventions land one quantum apart and can reorder
+near-ties in a rank-compared surface (ADVICE r10). With both engines on
+the same floor expression the convention difference is unobservable.
 
 The second determinism hazard — double summation ORDER across partitions —
 is handled at the query level: money sums go through exact DECIMAL

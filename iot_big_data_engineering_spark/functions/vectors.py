@@ -31,7 +31,23 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, NULL for zero-norm inputs on BOTH engines.
+
+    A zero-norm vector makes the denominator 0.0, and this repo's
+    default-ANSI Spark 4 sessions raise DIVIDE_BY_ZERO on double
+    division mid-job (verified: 1.0/0.0 raises) while DuckDB returns
+    NULL — the exact cross-engine hazard class dq8's preflight audits
+    for. ``nullif`` turns the 0 denominator into NULL so the division
+    yields NULL without raising (ANSI divide never errors on a NULL
+    divisor), the denominator is evaluated ONCE (no duplicated norm
+    folds in the hot scan), and the SQL twin below is the same
+    expression — cosine of a zero-norm vector is NULL on both engines.
+    Callers downstream drop NULL scores naturally (τ filters and
+    rank windows never admit NULL). The dq8 embedding audit is the
+    preflight that surfaces such vectors; corpora are assumed
+    dq8-clean, and this guard converts the residual risk from a
+    mid-job crash into an excluded row."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -47,7 +63,9 @@ def sql_norm(a: str) -> str:
 
 
 def sql_cosine(a: str, b: str) -> str:
-    return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
+    """DuckDB twin of :func:`cosine` — identical nullif guard so a
+    zero-norm vector scores NULL (not NaN/Inf) on both engines."""
+    return f"({sql_dot(a, b)} / nullif({sql_norm(a)} * {sql_norm(b)}, 0.0))"
 
 
 def dot_unrolled(a: str, b: str, dim: int) -> Column:

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from ..caching import track
 from ..functions import hashing
 from ..functions import text as X
-from ..functions.rounding import fround
+from ..functions.rounding import fround, sql_fround
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -2948,10 +2948,11 @@ c12 AS (
 n2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c12),
 scored AS (
   SELECT c12.w1, c12.w2, c12.c AS pair_count,
-         round(((((ln(CAST(c12.c AS DOUBLE)) + ln(CAST(n1.n AS DOUBLE)))
-                  + ln(CAST(n1.n AS DOUBLE))) - ln(CAST(n2.n AS DOUBLE)))
-                - ln(CAST(a.c AS DOUBLE))) - ln(CAST(b.c AS DOUBLE)),
-               6) AS k
+         {sql_fround(
+             "((((ln(CAST(c12.c AS DOUBLE)) + ln(CAST(n1.n AS DOUBLE)))"
+             " + ln(CAST(n1.n AS DOUBLE))) - ln(CAST(n2.n AS DOUBLE)))"
+             " - ln(CAST(a.c AS DOUBLE))) - ln(CAST(b.c AS DOUBLE))", 6
+         )} AS k
   FROM c12
   JOIN c1 a ON c12.w1 = a.w
   JOIN c1 b ON c12.w2 = b.w

@@ -742,3 +742,77 @@ def test_s13_plan_broadcast_no_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "Exchange hashpartitioning" not in p, p
     assert "Exchange rangepartitioning" not in p, p
+
+
+def test_cosine_zero_norm_null_both_engines(spark):
+    """ADVICE r10 (medium): a zero-norm vector must score NULL — not
+    raise — under this repo's default-ANSI Spark 4 sessions, and the
+    DuckDB twin must agree. Before the nullif guard, V.cosine's double
+    division raised DIVIDE_BY_ZERO mid-job while the oracle returned
+    NULL/NaN — the exact hazard class the dq8 preflight audits for.
+    Exercised through the registered s13 core (range_search) plus the
+    raw expression on both engines."""
+    import duckdb
+
+    from iot_big_data_engineering_spark.functions import vectors as V
+    from iot_big_data_engineering_spark.operators.similarity import (
+        range_search,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.8, 0.6])],
+        "vec_id long, v array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, qv array<double>"
+    )
+    rows = range_search(corpus, q, tau=0.2).collect()  # must not raise
+    # the zero-norm row scores NULL and the τ filter drops it silently
+    assert {r.vec_id for r in rows} == {2}
+
+    # raw expression: NULL on Spark ...
+    got = (
+        corpus.filter(F.col("vec_id") == 1)
+        .select(
+            V.cosine(F.col("v"), F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+        )
+        .collect()
+    )
+    assert got[0].c is None
+    # ... and NULL on DuckDB, via the same sql twin
+    c = duckdb.sql(
+        f"SELECT {V.sql_cosine('[0.0,0.0]::DOUBLE[]', '[1.0,0.0]::DOUBLE[]')} AS c"
+    ).fetchone()[0]
+    assert c is None
+
+
+def test_cosine_zero_norm_query_rank_path(spark):
+    """A zero-norm QUERY vector must not crash the s1-style rank path:
+    every cosine is NULL, both engines sort NULLS LAST under DESC, and
+    the vec_id tie-break keeps the surface deterministic."""
+    from iot_big_data_engineering_spark.functions import vectors as V
+    from iot_big_data_engineering_spark.functions.rounding import fround
+    from pyspark.sql import Window
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "vec_id long, v array<double>",
+    )
+    q = spark.createDataFrame(
+        [(99, [0.0, 0.0])], "query_id long, qv array<double>"
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        fround(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    rows = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.vec_id for r in rows] == [10, 11]
+    assert all(r.cosine is None for r in rows)
