@@ -55,11 +55,14 @@ def _with_now(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     oracle=SENSOR_ORACLE_CTE
     + _NOW_CTE
     + f"""
-SELECT round(avg(quality_score), {_R}) AS avg_quality,
+SELECT CASE WHEN count(*) > 0
+            THEN round(avg(quality_score), {_R}) END AS avg_quality,
        count(*) AS total_records,
        count(CASE WHEN quality_score < 0.6 THEN 1 END) AS low_quality_count,
-       round(CAST(count(CASE WHEN quality_score < 0.6 THEN 1 END) AS DOUBLE)
-             / count(*), {_R}) AS low_quality_rate
+       CASE WHEN count(*) > 0
+            THEN round(CAST(count(CASE WHEN quality_score < 0.6 THEN 1 END)
+                            AS DOUBLE) / count(*), {_R})
+       END AS low_quality_rate
 FROM sensor_quality_checked, anchor
 WHERE ts >= anchor.now - INTERVAL 1 HOUR
 """,
@@ -68,14 +71,24 @@ WHERE ts >= anchor.now - INTERVAL 1 HOUR
 def m10_hourly_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, now = _with_now(spark, sf_dir)
     low = F.count(F.when(F.col("quality_score") < 0.6, 1))
+    n = F.count(F.lit(1))
+    # guarded: an empty trailing window has count 0, and ANSI-mode
+    # Spark 4 (this repo's default) raises DIVIDE_BY_ZERO instead of
+    # returning NULL — both ratios are unknowable there, so emit NULL
+    # explicitly on both engines (m18's template; queued r10 → r11)
     return (
         q.crossJoin(F.broadcast(now))
         .filter(F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR"))
         .agg(
-            fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality"),
+            F.when(
+                n > 0,
+                fround(F.sum("q_int").cast("double") / (F.lit(5.0) * n), _R),
+            ).alias("avg_quality"),
             F.count("*").alias("total_records"),
             low.alias("low_quality_count"),
-            fround(low * 1.0 / F.count("*"), _R).alias("low_quality_rate"),
+            F.when(n > 0, fround(low * 1.0 / n, _R)).alias(
+                "low_quality_rate"
+            ),
         )
     )
 
@@ -178,8 +191,10 @@ def m13_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
 SELECT count(*) AS total_records,
        count(CASE WHEN anomaly_score > 0 THEN 1 END) AS anomaly_count,
-       round(CAST(count(CASE WHEN anomaly_score > 0 THEN 1 END) AS DOUBLE) / count(*),
-             {_R}) AS anomaly_rate
+       CASE WHEN count(*) > 0
+            THEN round(CAST(count(CASE WHEN anomaly_score > 0 THEN 1 END)
+                            AS DOUBLE) / count(*), {_R})
+       END AS anomaly_rate
 FROM sensor_quality_checked, anchor
 WHERE ts >= anchor.now - INTERVAL 1 HOUR
 """,
@@ -188,13 +203,15 @@ WHERE ts >= anchor.now - INTERVAL 1 HOUR
 def m14_anomaly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, now = _with_now(spark, sf_dir)
     anom = F.count(F.when(F.col("anomaly_score") > 0, 1))
+    n = F.count(F.lit(1))
+    # empty-window rate guarded → NULL, never DIVIDE_BY_ZERO (see m10)
     return (
         q.crossJoin(F.broadcast(now))
         .filter(F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 HOUR"))
         .agg(
             F.count("*").alias("total_records"),
             anom.alias("anomaly_count"),
-            fround(anom * 1.0 / F.count("*"), _R).alias("anomaly_rate"),
+            F.when(n > 0, fround(anom * 1.0 / n, _R)).alias("anomaly_rate"),
         )
     )
 
@@ -221,10 +238,14 @@ SELECT 'low_avg_quality' AS alert_type,
 FROM win HAVING avg(quality_score) < {_T["min_quality_score"]}
 UNION ALL
 SELECT 'high_low_quality_rate',
-       round(CAST(count(CASE WHEN quality_score < 0.6 THEN 1 END) AS DOUBLE) / count(*), {_R}),
+       CASE WHEN count(*) > 0
+            THEN round(CAST(count(CASE WHEN quality_score < 0.6 THEN 1 END)
+                            AS DOUBLE) / count(*), {_R}) END,
        CAST({_T["max_low_quality_rate"]} AS DOUBLE), 'WARNING'
 FROM win
-HAVING CAST(count(CASE WHEN quality_score < 0.6 THEN 1 END) AS DOUBLE) / count(*)
+HAVING (CASE WHEN count(*) > 0
+             THEN CAST(count(CASE WHEN quality_score < 0.6 THEN 1 END)
+                       AS DOUBLE) / count(*) END)
        > {_T["max_low_quality_rate"]}
 UNION ALL
 SELECT 'high_latency',
@@ -243,10 +264,14 @@ HAVING count(CASE WHEN ts >= (SELECT now FROM anchor) - INTERVAL 1 MINUTE
              THEN 1 END) < {_T["min_throughput_per_min"]}
 UNION ALL
 SELECT 'high_anomaly_rate',
-       round(CAST(count(CASE WHEN anomaly_score > 0 THEN 1 END) AS DOUBLE) / count(*), {_R}),
+       CASE WHEN count(*) > 0
+            THEN round(CAST(count(CASE WHEN anomaly_score > 0 THEN 1 END)
+                            AS DOUBLE) / count(*), {_R}) END,
        CAST({_T["max_anomaly_rate"]} AS DOUBLE), 'CRITICAL'
 FROM win
-HAVING CAST(count(CASE WHEN anomaly_score > 0 THEN 1 END) AS DOUBLE) / count(*)
+HAVING (CASE WHEN count(*) > 0
+             THEN CAST(count(CASE WHEN anomaly_score > 0 THEN 1 END)
+                       AS DOUBLE) / count(*) END)
        > {_T["max_anomaly_rate"]}
 """,
     doc="A10-A14 → threshold checks emitting alert rows (union of checks)",
@@ -265,18 +290,28 @@ def m15_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = F.col("quality_score")
     lat = (F.unix_micros("processing_timestamp") - F.unix_micros("ts")) / 1000000.0
     n = F.count(F.lit(1))
+    # rate/avg metrics guarded for the empty window (ANSI DIVIDE_BY_ZERO
+    # — m18's template): NULL metric → NULL `violated` → the check is
+    # silently not firing, exactly the oracle's HAVING-over-NULL shape;
+    # low_throughput still fires on an empty window (0 < threshold)
     metrics = win.agg(
-        (F.sum("q_int").cast("double") / (F.lit(5.0) * n)).alias("avg_quality"),
-        (F.count(F.when(qs < 0.6, 1)).cast("double") / n).alias("low_rate"),
+        F.when(
+            n > 0, F.sum("q_int").cast("double") / (F.lit(5.0) * n)
+        ).alias("avg_quality"),
+        F.when(
+            n > 0, F.count(F.when(qs < 0.6, 1)).cast("double") / n
+        ).alias("low_rate"),
         F.avg(lat).alias("avg_latency"),
         F.count(
             F.when(F.col("ts") >= F.col("now") - F.expr("INTERVAL 1 MINUTE"), 1)
         )
         .cast("double")
         .alias("last_min_count"),
-        (F.count(F.when(F.col("anomaly_score") > 0, 1)).cast("double") / n).alias(
-            "anom_rate"
-        ),
+        F.when(
+            n > 0,
+            F.count(F.when(F.col("anomaly_score") > 0, 1)).cast("double")
+            / n,
+        ).alias("anom_rate"),
     )
 
     def alert(name, metric, threshold, severity, violated):

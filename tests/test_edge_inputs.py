@@ -1395,3 +1395,50 @@ def test_alert_fanout_unknown_severity_degrades(spark):
     assert (
         got[0]["slack"]["attachments"][0]["color"] == _SLACK_DEFAULT_COLOR
     )
+
+
+def test_m10_m14_m15_empty_table_stable(spark, tmp_path):
+    """The r10-queued ANSI guards (VERDICT r10 Next #2): m10/m14's rate
+    columns and m15's single-pass metrics divide by the trailing-window
+    count, which is 0 over an empty events table — default-ANSI Spark 4
+    raises DIVIDE_BY_ZERO there instead of returning NULL. With m18's
+    guard template every rate is explicitly NULL (unknowable, not 0),
+    counts are 0, and m15 emits exactly the one alert whose predicate an
+    empty window CAN decide: low_throughput (0 < threshold)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iot_big_data_engineering_spark.operators.monitoring import (
+        m10_hourly_quality,
+        m14_anomaly_rate,
+        m15_alerts,
+    )
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(empty, str(tmp_path / "events.parquet"))
+
+    r10 = m10_hourly_quality(spark, str(tmp_path)).collect()
+    assert len(r10) == 1
+    assert r10[0].avg_quality is None
+    assert r10[0].total_records == 0
+    assert r10[0].low_quality_count == 0
+    assert r10[0].low_quality_rate is None
+
+    r14 = m14_anomaly_rate(spark, str(tmp_path)).collect()
+    assert len(r14) == 1
+    assert r14[0].total_records == 0
+    assert r14[0].anomaly_count == 0
+    assert r14[0].anomaly_rate is None
+
+    r15 = m15_alerts(spark, str(tmp_path)).collect()
+    assert [a.alert_type for a in r15] == ["low_throughput"]
+    assert r15[0].metric_value == 0.0
