@@ -1459,10 +1459,10 @@ _ADV15_ITERS = 3
 _ADV15_TOPN = 20
 
 
-def _adv15_iter_sql(prev: str, out: str) -> str:
+def _adv15_iter_sql(prev: str, out: str, base: int = _ADV15_BASE) -> str:
     return f"""{out} AS (
   SELECT e.dst AS node,
-         {_ADV15_BASE} + (85 * sum(r.r // e.deg)) // 100 AS r
+         {base} + (85 * sum(r.r // e.deg)) // 100 AS r
   FROM edges_d e JOIN {prev} r ON e.src = r.node
   GROUP BY e.dst
 )"""
@@ -1559,7 +1559,10 @@ def _check_pagerank_overflow(n_nodes: int, scale: int = _ADV15_S) -> None:
 
 
 def pagerank_fixed_point(
-    edges: DataFrame, iters: int = 3, checkpoint_every: int | None = None
+    edges: DataFrame,
+    iters: int = 3,
+    checkpoint_every: int | None = None,
+    scale: int = _ADV15_S,
 ) -> DataFrame:
     """Damped power iteration over an (src, dst) edge frame in scaled
     int64 arithmetic — returns (node, r). Every node must appear as a
@@ -1572,7 +1575,14 @@ def pagerank_fixed_point(
     accumulate one join+aggregate of lineage per iteration until plan
     compilation dominates. Checkpointing changes the plan only, never
     the int64 values (property-tested in test_plans); the
-    registered 3-iteration adv15 form runs unchecked."""
+    registered 3-iteration adv15 form runs unchecked.
+
+    ``scale``: rank fixed-point units (default 10^12, adv15's exact
+    form). The int64 ceiling is 85·N·scale < 2^63, so lowering the
+    scale trades rank precision for node capacity — scale=10^9 admits
+    ~1.08e8 nodes (the adv15b production form for sf ≥ 1 graphs). The
+    arithmetic is the identical integer expression at every scale; the
+    default reproduces adv15's registered values bit-for-bit."""
     if checkpoint_every is not None and checkpoint_every < 1:
         # 0 would ZeroDivisionError at the modulo below, and a caller
         # meaning "never" should pass None (round-10 review finding #4)
@@ -1593,10 +1603,11 @@ def pagerank_fixed_point(
     # one cheap count on the persisted deg (materialized regardless by
     # the first iteration) turns a silent sf≥1 int64 wrap into a loud
     # pre-iteration failure (r9 ADVICE)
-    _check_pagerank_overflow(deg.count())
+    _check_pagerank_overflow(deg.count(), scale)
+    base = (15 * scale) // 100  # (1-d)·scale with d = 0.85
     ranks = deg.select(
         F.col("src").alias("node"),
-        F.lit(_ADV15_S).cast("bigint").alias("r"),
+        F.lit(scale).cast("bigint").alias("r"),
     )
     for i in range(iters):
         ranks = (
@@ -1607,7 +1618,7 @@ def pagerank_fixed_point(
             .groupBy("dst")
             .agg(
                 (
-                    F.lit(_ADV15_BASE).cast("bigint")
+                    F.lit(base).cast("bigint")
                     + F.expr("85 * sum(contrib) DIV 100")
                 ).alias("r")
             )
@@ -1620,6 +1631,101 @@ def pagerank_fixed_point(
         ):
             ranks = ranks.localCheckpoint()  # truncate lineage, keep values
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# ADV15B — PAGERANK AT PRODUCTION NODE SCALE (adv15 past the int64
+# ceiling, VERDICT r10 Next #7): adv15's exact 10^12 fixed point caps
+# the graph at _PAGERANK_MAX_NODES ≈ 108k nodes (sf0.1 fits, sf1's
+# ~160k does NOT — the guard fails loudly there). The production form
+# drops the rank scale to 10^9: the int64 ceiling 85·N·S < 2^63 then
+# admits N ≤ ~1.08e8 nodes — every TPC-H sf through ~600 (1e8
+# customers+suppliers) — while the arithmetic stays the IDENTICAL
+# integer expression (init = S, contrib = r DIV deg, next =
+# 0.15·S + 85·Σ DIV 100), so the compared surface remains exact int64
+# on both engines: no rounding, no float, no cross-engine hazard. The
+# price is rank granularity (3 fewer significant digits), which a
+# top-20 surface cannot observe unless two nodes' exact ranks differ
+# by < 10^-9 of total mass.
+#
+# Plan shape: identical to adv15 (persisted degree-annotated edges,
+# one join+aggregate per iteration); only literals differ.
+#
+# Ref parity anchor: same as adv15
+# (src/spark/batch/SensorDataAnalytics.scala:158-172,
+# src/api/sensor_api.py:323-335).
+# ---------------------------------------------------------------------------
+_ADV15B_S = 1_000_000_000  # rank scale: 10^9 — N ≤ (2^63−1)/(85·10^9)
+_ADV15B_BASE = (15 * _ADV15B_S) // 100
+
+
+def _custsupp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected customer↔supplier edge list (adv15's graph),
+    rebuilt here so adv15's r10-gated registered body stays
+    byte-identical (rotation hygiene): both direction branches consume
+    one persisted distinct pair relation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e0 = track(
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    return e0.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionAll(
+        e0.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+
+
+@register(
+    "adv15b_pagerank_scale9",
+    oracle=f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM e0
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+edges_d AS (
+  SELECT edges.src, edges.dst, deg.deg
+  FROM edges JOIN deg ON edges.src = deg.src
+),
+r0 AS (SELECT src AS node, CAST({_ADV15B_S} AS BIGINT) AS r FROM deg),
+{_adv15_iter_sql("r0", "r1", _ADV15B_BASE)},
+{_adv15_iter_sql("r1", "r2", _ADV15B_BASE)},
+{_adv15_iter_sql("r2", "r3", _ADV15B_BASE)}
+SELECT node, CAST(node % 2 AS INTEGER) AS is_supplier,
+       CAST(r AS BIGINT) AS rank_fp
+FROM r3
+ORDER BY rank_fp DESC, node ASC
+LIMIT {_ADV15_TOPN}
+""",
+    doc=(
+        "ADV15B: adv15's damped PageRank at the 10^9 production rank "
+        "scale — int64-safe to ~1.08e8 nodes, exact on both engines"
+    ),
+)
+def adv15b_pagerank_scale9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = pagerank_fixed_point(
+        _custsupp_edges(spark, sf_dir), iters=_ADV15_ITERS, scale=_ADV15B_S
+    )
+    return (
+        ranked.select(
+            "node",
+            (F.col("node") % 2).cast("int").alias("is_supplier"),
+            F.col("r").cast("bigint").alias("rank_fp"),
+        )
+        .orderBy(F.col("rank_fp").desc(), F.col("node").asc())
+        .limit(_ADV15_TOPN)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1235,3 +1235,38 @@ def test_adv15_registered_plan_no_cartesian(spark):
     assert_no_cartesian(df)
     p = plan_str(df)
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_adv15b_scale9_matches_python_replay_on_star(spark):
+    """adv15b's production rank scale (10^9 — VERDICT r10 Next #7) must
+    run the IDENTICAL integer recursion as adv15, just at the lower
+    scale: bit-equal to a pure-Python replay on the hand star graph,
+    and the sf1-sized node count that adv15's 10^12 scale rejects is
+    admitted at 10^9 (capacity asserted in the overflow test above)."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _ADV15B_BASE,
+        _ADV15B_S,
+        pagerank_fixed_point,
+    )
+
+    pairs = [(0, 1), (0, 2), (0, 3)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.r
+        for r in pagerank_fixed_point(edges, iters=3, scale=_ADV15B_S).collect()
+    }
+
+    adj = {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]}
+    deg = {n: len(v) for n, v in adj.items()}
+    r = {n: _ADV15B_S for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for v in adj:
+            s = sum(r[u] // deg[u] for u in adj if v in adj[u])
+            nxt[v] = _ADV15B_BASE + (85 * s) // 100
+        r = nxt
+    assert got == r
+    assert r[0] > r[1] == r[2] == r[3]
