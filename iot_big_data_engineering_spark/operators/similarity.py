@@ -1870,10 +1870,10 @@ def mips_augment(e: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 _S13_TAU = 0.2  # cosine floor: ~25-35 matches/query at the gate SFs
 
-
-@register(
-    "s13_range_search",
-    oracle=f"""
+# Shared by s13 (brute force) and s13b (IVF cell-pruned): the pruning
+# bound is exact, so BOTH forms are value-compared against the same
+# full match set — the approximate-index query with an exact answer.
+_S13_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
@@ -1885,7 +1885,12 @@ scored AS (
 )
 SELECT query_id, vec_id, cosine
 FROM scored WHERE cosine >= {_S13_TAU}
-""",
+"""
+
+
+@register(
+    "s13_range_search",
+    oracle=_S13_ORACLE,
     doc=(
         "S13: cosine range search (radius query) for 5 query vectors — "
         "the complete match set above the threshold, no rank/limit"
@@ -1914,3 +1919,177 @@ def range_search(
         )
         .filter(F.col("cosine") >= tau)
     )
+
+
+# ---------------------------------------------------------------------------
+# S13B — IVF CELL-PRUNED RANGE SEARCH (s13's 100 TB serving path,
+# VERDICT r10 Next #5): s13's exact anchor scans the WHOLE corpus per
+# radius query — correct, but at 100 TB the serving path must skip the
+# cells that provably cannot contain a match. s13b reuses s2's IVF
+# machinery (k-means cells, map-only Arrow assignment) plus one extra
+# per-cell statistic: the cell's ANGULAR RADIUS r_c = max over members
+# of angle(v, centroid_c). The spherical triangle inequality then gives
+# an exact per-cell bound — for any member v of cell c,
+#   angle(q, v) ≥ angle(q, centroid_c) − r_c
+#   ⇒ cos(q, v) ≤ cos(max(0, angle(q, centroid_c) − r_c))
+# — so any cell whose bound falls below τ (minus a float-slack margin
+# dwarfing the fround boundary width) is skipped with ZERO recall loss.
+# The pruning is exact, not heuristic: s13b registers against s13's own
+# full-match-set oracle and is set-equality-tested against brute force
+# (recall ≡ 1.0, trivially clearing the demanded ≥ 0.8 certificate).
+#
+# Plan shape at 100 TB: index build is s2's (one kernel pass assigning
+# cell + ccos, amortized across queries; `cell` becomes the storage
+# partition key); the per-cell radius is a |cells|-row aggregate with
+# map-side partials; probe selection is driver-side over the collected
+# query set (|Q|·nlist doubles — ANN query sets are small by
+# construction, the corpus never is); the candidate scan is a broadcast
+# join on cell — at real scale a partition-pruned read of only the
+# surviving cells, each scanned with s13's identical filter. Tight
+# corpora (near-dup shards, clustered embeddings) prune hardest; an
+# isotropic-random corpus (the gate data) has wide cells and prunes
+# little — the certificate there is correctness, the win is structural.
+#
+# Ref parity anchor: same serving-layer predicate scan as s13
+# (src/api/sensor_api.py:356-380), with the index-backed access path.
+# ---------------------------------------------------------------------------
+def assign_cells_ccos(e: DataFrame, cent) -> DataFrame:
+    """assign_cells plus ``ccos`` = cosine(normalized row, assigned
+    centroid) — the per-row ingredient of the per-cell angular radius.
+    Same map-only Arrow kernel shape as assign_cells; zero-norm rows
+    normalize to themselves and score ccos = 0 (radius π/2 — maximally
+    conservative: their cell is never pruned on their account, and the
+    final exact filter drops them via the NULL-cosine guard)."""
+    import pandas as pd  # noqa: F401 — Arrow batch interface
+
+    np = _np()
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    bc = e.sparkSession.sparkContext.broadcast(cent)
+    out_schema = StructType(
+        list(e.schema.fields)
+        + [StructField("cell", LongType()), StructField("ccos", DoubleType())]
+    )
+
+    def kernel(batches):
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _normalize_rows(
+                np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            )
+            sims = m @ c.T
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmax(sims, axis=1)
+            pdf["ccos"] = np.max(sims, axis=1)
+            yield pdf
+
+    return e.mapInPandas(kernel, schema=out_schema)
+
+
+# float-slack margin for the cell bound: the final filter admits rows
+# down to cos ≈ τ − 5e-7 (fround's half-quantum), and the driver-side
+# arccos/cos round-trip carries ~1e-12 of libm error — 1e-6 dominates
+# both with an order of magnitude to spare, and over-keeping a cell
+# costs only a wasted scan, never a wrong row (the exact filter runs
+# inside every probed cell).
+_S13B_TAU_MARGIN = 1e-6
+
+
+def _range_probe_cells(cent, min_ccos, qn, tau: float):
+    """Boolean (nq, ncells) keep-matrix: cell c survives for query q iff
+    cos(max(0, angle(q, centroid_c) − r_c)) ≥ τ − margin, with
+    r_c = arccos(min member ccos) plus an angular epsilon. Pure driver
+    numpy over (|Q|, nlist) — unit-testable without a corpus."""
+    np = _np()
+    radius = np.arccos(np.clip(min_ccos, -1.0, 1.0)) + 1e-9
+    theta = np.arccos(np.clip(qn @ cent.T, -1.0, 1.0))  # (nq, ncells)
+    best = np.cos(np.maximum(theta - radius[None, :], 0.0))
+    return best >= (tau - _S13B_TAU_MARGIN)
+
+
+def ivf_range_search(
+    e: DataFrame,
+    q: DataFrame,
+    tau: float = _S13_TAU,
+    nlist: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """s13b core: the exact τ-match set through the cell-pruned access
+    path — bit-identical rows to :func:`range_search` on any corpus
+    (the bound proof in the header). `q` must carry (query_id, qv)."""
+    np = _np()
+    spark = e.sparkSession
+    empty = spark.createDataFrame(
+        [], "query_id long, vec_id long, cosine double"
+    )
+    qrows = q.collect()  # |Q|-bounded by construction (ANN query sets)
+    if not qrows:
+        return empty
+    e = track(e.persist())  # k-means + assignment both consume it
+    cent = kmeans_centroids(e, nlist=nlist, iters=iters)
+    if cent.shape[0] == 0:
+        return empty
+    # two consumers (radius aggregate + candidate scan) — persist, or
+    # the kernel assignment pass runs twice
+    indexed = track(assign_cells_ccos(e, cent).persist())
+    min_ccos = np.ones(cent.shape[0])  # absent cell → radius 0 (empty,
+    # pruning it can drop no member)
+    for r in indexed.groupBy("cell").agg(
+        F.min("ccos").alias("m")
+    ).collect():  # |cells|-row aggregate, map-side partials
+        min_ccos[r.cell] = r.m
+    qn = _normalize_rows(
+        np.asarray([r.qv for r in qrows], dtype=np.float64)
+    )
+    keep = _range_probe_cells(cent, min_ccos, qn, tau)
+    probe_rows = [
+        (r.query_id, list(r.qv), int(c))
+        for i, r in enumerate(qrows)
+        for c in np.nonzero(keep[i])[0]
+    ]
+    if not probe_rows:
+        return empty
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cell long"
+    )
+    return (
+        indexed.join(F.broadcast(probes), "cell")  # partition-pruned at
+        # scale: cell is the storage partition key
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            # the IDENTICAL exact filter as s13 — pruning only ever
+            # removes whole cells the bound proves empty of matches
+            fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+
+
+@register(
+    "s13b_range_search_ivf",
+    oracle=_S13_ORACLE,
+    doc=(
+        "S13B: s13's cosine range search through the IVF cell-pruned "
+        "access path — exact pruning bound, same full match set"
+    ),
+)
+def s13b_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw load, no repartition: the Arrow kernels want task count to
+    # track input splits (s2's rationale — Python worker spin-up costs
+    # more than a tiny corpus's parallelism buys)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_range_search(e, q)

@@ -816,3 +816,120 @@ def test_cosine_zero_norm_query_rank_path(spark):
     )
     assert [r.vec_id for r in rows] == [10, 11]
     assert all(r.cosine is None for r in rows)
+
+
+def test_s13b_ivf_range_equals_bruteforce(spark):
+    """The cell-pruning bound is EXACT (spherical triangle inequality +
+    a margin dwarfing the fround boundary), so s13b must return the
+    bit-identical match set as s13's brute force on the real corpus —
+    recall ≡ 1.0, trivially clearing the demanded ≥ 0.8 certificate."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _emb,
+        ivf_range_search,
+        range_search,
+    )
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "v")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in range_search(e, q).collect()
+    }
+    pruned = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in ivf_range_search(e, q).collect()
+    }
+    assert exact == pruned
+    assert len(exact) > 0  # non-vacuous at the gate τ
+
+
+def test_s13b_probe_cells_prune_and_keep(spark):
+    """Driver-side bound unit test on hand geometry: a tight cell 90°
+    away from the query cannot reach τ = 0.5 and must be pruned; the
+    query's own tight cell must be kept; a WIDE far cell (radius ~90°)
+    must be kept — conservative, never lossy."""
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _range_probe_cells,
+    )
+
+    cent = np.array([[1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])
+    #                 own cell     tight 90°    wide 90°
+    min_ccos = np.array([0.9999, 0.9999, 0.0])  # radius ≈ 0.8°, 0.8°, 90°
+    qn = np.array([[1.0, 0.0]])
+    keep = _range_probe_cells(cent, min_ccos, qn, tau=0.5)
+    assert keep.tolist() == [[True, False, True]]
+
+
+def test_s13b_clustered_corpus_prunes_and_stays_exact(spark):
+    """End-to-end on a clustered corpus (3 tight clusters on orthogonal
+    axes): the probed-cell set must SHRINK (the structural win the
+    isotropic gate data can't show) while the match set stays equal to
+    brute force."""
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _normalize_rows,
+        _range_probe_cells,
+        assign_cells_ccos,
+        ivf_range_search,
+        kmeans_centroids,
+        range_search,
+    )
+
+    rows = []
+    for axis in range(3):  # clusters on e0, e1, e2 of R^4
+        for j in range(20):
+            v = [0.0, 0.0, 0.0, 0.0]
+            v[axis] = 1.0
+            v[3] = 0.01 * (j % 5)  # tiny in-cluster spread
+            # interleave ids across clusters so the deterministic
+            # lowest-vec_id k-means seeds span all three clusters
+            rows.append((axis + 3 * j, v))
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, qv array<double>"
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in range_search(e, q, tau=0.5).collect()
+    }
+    pruned = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in ivf_range_search(e, q, tau=0.5, nlist=8, iters=2).collect()
+    }
+    assert exact == pruned
+    assert len(exact) == 19  # the cluster minus self
+
+    # replay probe selection to assert real pruning happened
+    cent = kmeans_centroids(e, nlist=8, iters=2)
+    indexed = assign_cells_ccos(e, cent)
+    min_ccos = np.ones(cent.shape[0])
+    for r in indexed.groupBy("cell").agg(F.min("ccos").alias("m")).collect():
+        min_ccos[r.cell] = r.m
+    qn = _normalize_rows(np.array([[1.0, 0.0, 0.0, 0.0]]))
+    keep = _range_probe_cells(cent, min_ccos, qn, tau=0.5)
+    assert 0 < keep.sum() < cent.shape[0]  # some cells pruned, not all
+
+
+def test_s13b_empty_query_and_corpus_stable(spark):
+    from iot_big_data_engineering_spark.operators.similarity import (
+        ivf_range_search,
+    )
+
+    e = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, v array<double>")
+    qe = spark.createDataFrame([], "query_id long, qv array<double>")
+    out = ivf_range_search(e, qe)
+    assert out.columns == ["query_id", "vec_id", "cosine"]
+    assert out.collect() == []
+
+    ee = spark.createDataFrame([], "vec_id long, v array<double>")
+    qq = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, qv array<double>"
+    )
+    out2 = ivf_range_search(ee, qq)
+    assert out2.columns == ["query_id", "vec_id", "cosine"]
+    assert out2.collect() == []
