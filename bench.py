@@ -156,10 +156,15 @@ HEADLINE = [
     "j23b_frequent_pairs_log",
     "s13_range_search",
     # round 10, post-pin batch (registered after the idle r10 pin was
-    # written; they enter the pinned record with r11's pin): the
-    # embedding-column audit and the Prometheus-surface metrics export
+    # written; they enter the pinned record with r11's pin — VERDICT r10
+    # Next #6): the embedding-column audit and the Prometheus-surface
+    # metrics export
     "dq8_embedding_audit",
     "m18_metrics_export",
+    # round 11 additions: the production-scale PageRank twin and the
+    # IVF cell-pruned range search (exact bound, s13's serving path)
+    "adv15b_pagerank_scale9",
+    "s13b_range_search_ivf",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

@@ -147,142 +147,139 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round; this list pins the round-10 window (VERDICT r9 demand #1: gate
-# the 14 round-9 additions and retire the r6-vintage tail). The slots:
-# - the 14 round-9 additions that have NEVER faced the external gate
-#   (VERDICT r9 What's-missing #1) — each mirror-green vs its DuckDB
-#   oracle at BOTH gate SFs with dedicated unit tests. dp16/st14 carry
-#   this round's ADVICE fix (all-NULL-text sources now REPORTED via a
-#   left join instead of silently dropped — oracle updated identically
-#   on both engines) and adv15 carries the int64-overflow runtime guard
-#   (ADVICE #1), so what the gate certifies is the post-fix form;
-# - the 26 r6-vintage queries promised by the r9 deferral note — after
-#   r10 nothing in the registry holds evidence older than r7, completing
-#   VERDICT r8 demand #4's age milestone on schedule;
-# - the first 10 (alphabetically) of the 48 r7-vintage queries — the
-#   oldest evidence remaining after the two blocks above; the other 38
-#   r7-vintage queries are the r11 rotation cohort.
+# round; this list pins the round-11 window (VERDICT r10 Next #1-#3: gate
+# the 5 round-10 additions, land the queued ANSI division guards with
+# their rotation, finish the vintage retirement). The slots:
+# - the 5 round-10 additions that have NEVER faced the external gate
+#   (dq8, j23b, m18, s13, t17b — VERDICT r10 What's-missing #1), pinned
+#   to lead as promised. t17b/j23b carry this round's ADVICE fix (oracle
+#   keys through sql_fround, identical floor expression on both engines)
+#   and s13 carries the central zero-norm cosine guard, so what the gate
+#   certifies is the post-fix form;
+# - the 2 round-11 additions (adv15b production-scale PageRank — VERDICT
+#   r10 Next #7; s13b IVF cell-pruned range search — Next #5), using 2 of
+#   the 7 free slots;
+# - the 38 remaining r7-vintage queries (Next #3) — after r11 nothing in
+#   the registry holds evidence older than r8;
+# - 5 re-certification slots for gated queries whose source changed this
+#   round: m10/m14 (+ m15 inside the r7 block) carry the queued ANSI
+#   empty-window guards (Next #2), s1/s2/s3 (+ d6/s13 already above) the
+#   zero-norm cosine guard (ADVICE r10 medium).
 #
 # REGISTRATION BUDGET (VERDICT r8 demand #3, r9 demand #2): new
 # @register per round must not exceed the NEXT window's free slots after
-# the carried backlog and the oldest-vintage rotation. Entering r11 the
-# carried rotation cohort is the 38 remaining r7-vintage queries, so
-# round 10 may add at most 50 - 38 = 12 new queries;
+# the carried backlog and the oldest-vintage rotation. Entering r12 the
+# rotation cohort is the 47 r8-vintage queries left in _WINDOW_DEFERRED,
+# so round 11 added only 2 new queries (3 r12 slots stay free);
 # tests/test_registry_window.py::test_registration_budget enforces the
 # arithmetic mechanically each run.
 #
 # Everything else (_WINDOW_DEFERRED) holds a green driver row earned on
-# current data in its current form (r7/r8/r9);
+# current data in its current form (r8/r9/r10);
 # test_registry_window.py asserts the two lists exactly tile the
 # registry so a new query can never silently miss the rotation.
 _WINDOW_FIRST = [
-    # --- the 14 never-gated round-9 additions ---
-    "adv15_pagerank", "d12_duplicate_span_ratio", "dp15_bigram_lm_screen",
-    "dp16_dataset_card", "dp17_dsir_importance", "dq6_snapshot_drift",
-    "dq7_expectation_audit", "j23_frequent_pairs", "s12_mips_topk",
-    "st14_streaming_dataset_card", "t16_script_mix", "t17_collocations_pmi",
-    "t18_bm25_topk", "w8_markov_transitions",
-    # --- the 26 promised r6-vintage rotations (r9 deferral note) ---
-    "j11_brand_revenue", "j11b_supplier_value_share",
-    "j12_customer_order_presence", "j12b_priority_by_returnflag",
-    "j13_events_enriched", "j13b_order_count_distribution",
-    "j16_supplier_part_counts", "j17_small_quantity_revenue",
-    "j1_pricing_summary", "j20_excess_stock_suppliers",
-    "j21_lone_late_supplier", "j22_dormant_customers",
-    "j3_shipping_priority", "j5_region_supplier_volume", "j8_market_share",
-    "j9_profit_by_nation", "mm5_payload_dedup", "mm6_shard_plan",
-    "s4_label_centroids", "st3_streaming_watermarked_windows",
-    "st4_stream_static_join", "st5_streaming_dedup",
-    "st6_stateful_running_totals", "t8_bpe_token_stats",
-    "u3_key_overlap_multiset", "w4_value_deciles",
-    # --- 10 of the 48 r7-vintage queries (alphabetical; rest lead r11) ---
-    "a18_sketch_cube", "a19_resample_ffill", "a1_windowed_analytics_approx",
-    "a20_seasonality_profile", "a2_daily_analytics_approx",
-    "a2_monthly_analytics", "a2_weekly_analytics", "adv1_sessionize",
-    "adv6_percentiles", "d3_jaccard_pairs",
+    # --- the 5 never-gated round-10 additions (pinned to lead r11) ---
+    "dq8_embedding_audit", "j23b_frequent_pairs_log", "m18_metrics_export",
+    "s13_range_search", "t17b_collocations_pmi_log",
+    # --- the 2 round-11 additions (2 of 7 free slots; budget held) ---
+    "adv15b_pagerank_scale9", "s13b_range_search_ivf",
+    # --- the 38 r7-vintage carries (completes the vintage retirement:
+    # after r11 nothing in the registry predates r8). m15 rides its
+    # rotation WITH the queued ANSI empty-window division guard ---
+    "d5_simhash_neardup", "d6_embedding_neardup", "d7_dedup_clusters_full",
+    "d8b_jaccard_join_df_prefix", "dc1_benchmark_contamination",
+    "dp2_corpus_clean_neardup", "dp4_cleaning_audit", "dp5_sequence_packing",
+    "dp9_leakage_safe_split", "dq1_key_skew_audit", "dq2_join_size_preflight",
+    "dq3_referential_audit", "j10b_returned_revenue_topk",
+    "j14_promo_revenue", "j15_top_supplier", "j18_large_orders",
+    "j19_bracket_revenue", "j2_min_price_per_brand", "j4_priority_late_ship",
+    "j6_forecast_revenue", "j7_nation_volume_shipping", "m15_alerts",
+    "m16_burn_rate", "mm4_payload_features", "s5_scalar_quantization",
+    "st10_streaming_histogram_rollup", "st1_streaming_microbatch_analytics",
+    "st2_streaming_session_windows", "st7_stream_stream_join",
+    "t10_repetition_profile", "t11_inverted_index", "t12_rarity_score",
+    "t6_tfidf_top_terms", "t9_pii_scan", "u4_snapshot_diff",
+    "w5_trailing_hour_aggs", "w6_cohort_retention",
+    "w6b_cohort_retention_approx",
+    # --- re-certification slots: m10/m14 carry the queued ANSI
+    # empty-window guards (VERDICT r10 Next #2); s1/s2/s3 carry the
+    # central zero-norm cosine guard (ADVICE r10) — every gated query
+    # whose source changed this round re-enters the window ---
+    "m10_hourly_quality", "m14_anomaly_rate", "s1_knn_bruteforce",
+    "s2_knn_ivf", "s3_knn_lsh",
 ]
+
 
 # Queries NOT in this round's 50-slot window — every one already carries
 # a green driver row earned on post-regeneration data in its current
-# form (r7, r8 or r9 — see CORRECTNESS_r0{7,8,9}.json and the rotation
-# rationale above) and is value-checked against its DuckDB oracle on
-# current data by the local mirror (tests/test_oracle_parity.py) every
-# round. The 38 r7-vintage members lead the r11 rotation. Membership is
-# asserted exhaustive + disjoint by tests/test_registry_window.py.
+# form (r8, r9 or r10 — see CORRECTNESS_r0{8,9}.json / CORRECTNESS_r10.json)
+# and is value-checked against its DuckDB oracle on current data by the
+# local mirror (tests/test_oracle_parity.py) every round. After r11 the
+# oldest evidence in this list is r8 (47 queries) — the r12 rotation
+# cohort. adv15 stays deferred: its registered body and generated oracle
+# are byte-identical this round (the pagerank scale parametrization is a
+# literal-to-argument swap whose default reproduces the gated values
+# bit-for-bit, pinned by the star/stationary/checkpoint replay tests).
+# Membership is asserted exhaustive + disjoint by
+# tests/test_registry_window.py.
 _WINDOW_DEFERRED = [
     "a15_daily_sensor_summary", "a16_vehicle_daily_summary",
     "a17_incremental_rollup", "a17b_rollup_backfill",
-    "a17c_rollup_compaction", "a1_windowed_analytics",
-    "a21_histogram_quantile_rollup", "a22_cms_heavy_hitters",
-    "a23_incremental_join_view", "a2_daily_analytics",
-    "a3_sensor_type_measurements", "a4_vehicle_analytics",
-    "a4_vehicle_analytics_approx", "a5_quality_histogram",
-    "a6_anomaly_analytics", "a7_summary_report", "a7_summary_report_approx",
-    "a8_sensor_type_report", "a9_vehicle_topk",
+    "a17c_rollup_compaction", "a18_sketch_cube", "a19_resample_ffill",
+    "a1_windowed_analytics", "a1_windowed_analytics_approx",
+    "a20_seasonality_profile", "a21_histogram_quantile_rollup",
+    "a22_cms_heavy_hitters", "a23_incremental_join_view",
+    "a2_daily_analytics", "a2_daily_analytics_approx", "a2_monthly_analytics",
+    "a2_weekly_analytics", "a3_sensor_type_measurements",
+    "a4_vehicle_analytics", "a4_vehicle_analytics_approx",
+    "a5_quality_histogram", "a6_anomaly_analytics", "a7_summary_report",
+    "a7_summary_report_approx", "a8_sensor_type_report", "a9_vehicle_topk",
     "adv10_unpivot_daily_metrics", "adv11_range_join",
-    "adv12_robust_outliers", "adv13_salted_join",
-    "adv14_scd2_snapshot_merge", "adv2_asof_join", "adv3_pivot_daily_counts",
-    "adv4_salted_agg", "adv5_value_histogram", "adv6b_approx_percentiles",
-    "adv8_hash_sample_stats", "adv9_latest_per_key", "d10_dedup_delta",
-    "d11_neardup_keep_best", "d1_exact_dedup_stats",
-    "d2_exact_dedup_keep_first", "d4_minhash_lsh_dedup",
-    "d5_simhash_neardup", "d6_embedding_neardup", "d7_dedup_clusters",
-    "d7_dedup_clusters_full", "d8_jaccard_join_prefix",
-    "d8b_jaccard_join_df_prefix", "d9_semantic_dedup",
-    "dc1_benchmark_contamination", "dp10_boilerplate_removal",
-    "dp11_split_decontamination", "dp12_quality_weighted_sample",
-    "dp13_reproducible_shuffle", "dp14_temperature_mix", "dp1_corpus_clean",
-    "dp2_corpus_clean_neardup", "dp3_training_mix", "dp4_cleaning_audit",
-    "dp5_sequence_packing", "dp7_training_shards", "dp8_document_chunking",
-    "dp9_leakage_safe_split", "dq1_key_skew_audit",
-    "dq2_join_size_preflight", "dq3_referential_audit",
-    "dq4_semijoin_prefilter", "dq5_table_profile", "g1_rollup_order_stats",
-    "g2_cube_event_stats", "g3_groupingsets_order_stats", "j10_order_rollup",
-    "j10b_returned_revenue_topk", "j14_promo_revenue", "j15_top_supplier",
-    "j18_large_orders", "j19_bracket_revenue", "j2_min_price_per_brand",
-    "j4_priority_late_ship", "j6_forecast_revenue",
-    "j7_nation_volume_shipping", "m10_hourly_quality", "m11_liveness",
-    "m12_latency", "m13_throughput", "m14_anomaly_rate", "m15_alerts",
-    "m16_burn_rate", "m17_alert_incidents", "mm1_media_manifest",
-    "mm2_media_type_stats", "mm3_frame_sample", "mm4_payload_features",
-    "mm7_stratified_sample", "mm8_phash_neardup",
-    "o1_filtered_scan_paginated", "o1b_filtered_scan_keyset",
-    "o4_anomaly_listing", "p10_json_extract", "p7_vehicle_scan",
-    "p8_date_bucket", "s10_knn_pq", "s11_knn_tombstone_delete",
-    "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_lsh",
-    "s5_scalar_quantization", "s6_knn_ivf_sq8", "s7_knn_filtered",
-    "s8_knn_ivf_delta_add", "s9_knn_index_reload",
-    "st10_streaming_histogram_rollup", "st11_streaming_cms_maintenance",
+    "adv12_robust_outliers", "adv13_salted_join", "adv14_scd2_snapshot_merge",
+    "adv15_pagerank", "adv1_sessionize", "adv2_asof_join",
+    "adv3_pivot_daily_counts", "adv4_salted_agg", "adv5_value_histogram",
+    "adv6_percentiles", "adv6b_approx_percentiles", "adv8_hash_sample_stats",
+    "adv9_latest_per_key", "d10_dedup_delta", "d11_neardup_keep_best",
+    "d12_duplicate_span_ratio", "d1_exact_dedup_stats",
+    "d2_exact_dedup_keep_first", "d3_jaccard_pairs", "d4_minhash_lsh_dedup",
+    "d7_dedup_clusters", "d8_jaccard_join_prefix", "d9_semantic_dedup",
+    "dp10_boilerplate_removal", "dp11_split_decontamination",
+    "dp12_quality_weighted_sample", "dp13_reproducible_shuffle",
+    "dp14_temperature_mix", "dp15_bigram_lm_screen", "dp16_dataset_card",
+    "dp17_dsir_importance", "dp1_corpus_clean", "dp3_training_mix",
+    "dp7_training_shards", "dp8_document_chunking", "dq4_semijoin_prefilter",
+    "dq5_table_profile", "dq6_snapshot_drift", "dq7_expectation_audit",
+    "g1_rollup_order_stats", "g2_cube_event_stats",
+    "g3_groupingsets_order_stats", "j10_order_rollup", "j11_brand_revenue",
+    "j11b_supplier_value_share", "j12_customer_order_presence",
+    "j12b_priority_by_returnflag", "j13_events_enriched",
+    "j13b_order_count_distribution", "j16_supplier_part_counts",
+    "j17_small_quantity_revenue", "j1_pricing_summary",
+    "j20_excess_stock_suppliers", "j21_lone_late_supplier",
+    "j22_dormant_customers", "j23_frequent_pairs", "j3_shipping_priority",
+    "j5_region_supplier_volume", "j8_market_share", "j9_profit_by_nation",
+    "m11_liveness", "m12_latency", "m13_throughput", "m17_alert_incidents",
+    "mm1_media_manifest", "mm2_media_type_stats", "mm3_frame_sample",
+    "mm5_payload_dedup", "mm6_shard_plan", "mm7_stratified_sample",
+    "mm8_phash_neardup", "o1_filtered_scan_paginated",
+    "o1b_filtered_scan_keyset", "o4_anomaly_listing", "p10_json_extract",
+    "p7_vehicle_scan", "p8_date_bucket", "s10_knn_pq",
+    "s11_knn_tombstone_delete", "s12_mips_topk", "s4_label_centroids",
+    "s6_knn_ivf_sq8", "s7_knn_filtered", "s8_knn_ivf_delta_add",
+    "s9_knn_index_reload", "st11_streaming_cms_maintenance",
     "st12_streaming_scd2_maintenance", "st13_streaming_join_view",
-    "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
-    "st7_stream_stream_join", "st8_streaming_incremental_rollup",
-    "st9_streaming_alert_incidents", "t10_repetition_profile",
-    "t11_inverted_index", "t12_rarity_score", "t13_vocab_growth",
-    "t14_zipf_profile", "t15_vocab_coverage", "t1_token_stats",
-    "t2_doc_quality", "t3_langid_confusion", "t4_fingerprints",
-    "t5_top_terms", "t6_tfidf_top_terms", "t7_documents_profile",
-    "t9_pii_scan", "u1_active_keys_union", "u2_key_overlap",
-    "u4_snapshot_diff", "w1_top_orders_per_customer",
-    "w2_user_running_value", "w3_event_gaps", "w5_trailing_hour_aggs",
-    "w6_cohort_retention", "w6b_cohort_retention_approx", "w7_event_funnel",
-    # added mid-round-10, BEFORE the round's final full test run (the
-    # dp10 lesson) — the log-space production twins demanded by VERDICT
-    # r9 Next #5: each mirror-green vs its DuckDB oracle at BOTH gate
-    # SFs with a rank-equivalence property test against the exact form;
-    # they lead the r11 rotation together with the 38 r7-vintage
-    # queries above, inside the registration budget (2 of ≤12 slots)
-    "t17b_collocations_pmi_log", "j23b_frequent_pairs_log",
-    # s13: the range-search (radius query) serving primitive — the
-    # missing other half of the vector API next to top-k (3rd of ≤12)
-    "s13_range_search",
-    # dq8: the vector-column preflight the dq family was missing —
-    # the embeddings table's NULL/dim/zero-norm/non-finite/norm-range
-    # audit every ANN consumer assumes has already run (4th of ≤12)
-    "dq8_embedding_audit",
-    # m18: the reference's /metrics scrape as a relational surface
-    # (m11-m14 pivoted to Prometheus gauge samples; the exposition
-    # serializer is render_prometheus) — 5th of ≤12
-    "m18_metrics_export",
+    "st14_streaming_dataset_card", "st3_streaming_watermarked_windows",
+    "st4_stream_static_join", "st5_streaming_dedup",
+    "st6_stateful_running_totals", "st8_streaming_incremental_rollup",
+    "st9_streaming_alert_incidents", "t13_vocab_growth", "t14_zipf_profile",
+    "t15_vocab_coverage", "t16_script_mix", "t17_collocations_pmi",
+    "t18_bm25_topk", "t1_token_stats", "t2_doc_quality",
+    "t3_langid_confusion", "t4_fingerprints", "t5_top_terms",
+    "t7_documents_profile", "t8_bpe_token_stats", "u1_active_keys_union",
+    "u2_key_overlap", "u3_key_overlap_multiset", "w1_top_orders_per_customer",
+    "w2_user_running_value", "w3_event_gaps", "w4_value_deciles",
+    "w7_event_funnel", "w8_markov_transitions",
 ]
 
 
