@@ -933,3 +933,20 @@ def test_s13b_empty_query_and_corpus_stable(spark):
     out2 = ivf_range_search(ee, qq)
     assert out2.columns == ["query_id", "vec_id", "cosine"]
     assert out2.collect() == []
+
+
+def test_s13b_plan_broadcast_candidate_scan(spark):
+    """s13b's candidate scan must be the broadcast join on cell (the
+    partition-pruned read at scale) — never a SortMergeJoin that
+    shuffles the corpus; the only hash exchange in the whole job is the
+    |cells|-row radius aggregate."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s13b_range_search_ivf,
+    )
+    from iot_big_data_engineering_spark.plans.checks import plan_str
+
+    from .conftest import SF_SMOKE
+
+    p = plan_str(s13b_range_search_ivf(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
