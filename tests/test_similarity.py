@@ -950,3 +950,54 @@ def test_s13b_plan_broadcast_candidate_scan(spark):
     p = plan_str(s13b_range_search_ivf(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_s13b_bound_never_prunes_a_match_randomized():
+    """Soundness certificate for the s13b pruning bound, 200 seeded
+    random geometries: for ANY corpus/centroid/query configuration
+    (including zero-norm rows and near-boundary cosines), every vector
+    whose fround-6 cosine clears τ must live in a cell the probe
+    selection KEEPS. Pure driver math — replays the assignment kernel's
+    argmax/max in numpy, so the property runs in milliseconds per
+    trial. (Completeness is not asserted: over-keeping a cell is the
+    bound's allowed slack; the end-to-end equality tests above pin the
+    final result set.)"""
+    import numpy as np
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _normalize_rows,
+        _range_probe_cells,
+    )
+
+    rng = np.random.default_rng(1311)
+    for trial in range(200):
+        n = int(rng.integers(5, 60))
+        d = int(rng.integers(2, 9))
+        ncell = int(rng.integers(1, 7))
+        tau = float(rng.uniform(0.05, 0.95))
+        x = rng.normal(size=(n, d))
+        # mix in degenerate rows: zero vectors and tiny/huge scales
+        if n > 3:
+            x[0] = 0.0
+            x[1] *= 1e-9
+            x[2] *= 1e9
+        cent = _normalize_rows(rng.normal(size=(ncell, d)))
+        xn = _normalize_rows(x)
+        sims = xn @ cent.T
+        cells = np.argmax(sims, axis=1)
+        ccos = np.max(sims, axis=1)
+        min_ccos = np.ones(ncell)
+        for c, s in zip(cells, ccos):
+            min_ccos[c] = min(min_ccos[c], s)
+        nq = int(rng.integers(1, 6))
+        q = rng.normal(size=(nq, d))
+        qn = _normalize_rows(q)
+        keep = _range_probe_cells(cent, min_ccos, qn, tau)
+        cos = qn @ xn.T  # (nq, n) true cosines of normalized pairs
+        fr = np.floor(cos * 1e6 + 0.5) / 1e6
+        qi, vi = np.nonzero(fr >= tau)
+        for a, b in zip(qi, vi):
+            assert keep[a, cells[b]], (
+                f"trial {trial}: match (q{a}, v{b}) cos={cos[a, b]:.8f} "
+                f"pruned with cell {cells[b]} (tau={tau})"
+            )
