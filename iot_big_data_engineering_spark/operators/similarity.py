@@ -614,7 +614,9 @@ def numpy_topk(e: DataFrame, queries: list[tuple[int, list[float]]], k: int = K)
     spark = e.sparkSession
     qids = [q[0] for q in queries]
     qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # zero-norm-safe normalization (r11's dq8 hazard class): a raw
+    # divide would emit NaN rows that rank nondeterministically
+    qnorm = _normalize_rows(qmat)
     bc = spark.sparkContext.broadcast((qids, qnorm))
 
     def score(batches):
@@ -622,8 +624,7 @@ def numpy_topk(e: DataFrame, queries: list[tuple[int, list[float]]], k: int = K)
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.stack(pdf["v"].to_numpy())
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m = _normalize_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
             sims = m @ qn.T  # (batch, nq)
             yield pd.DataFrame(
                 {
