@@ -805,10 +805,12 @@ SELECT '{c}.{ck} -> {p}.{pk}' AS edge,
        (SELECT count(*) FROM {c}
         WHERE {ck} IS NOT NULL
           AND {ck} NOT IN (SELECT {pk} FROM {p})) AS orphan_rows,
-       round((SELECT count(*) FROM {c}
-              WHERE {ck} IS NOT NULL
-                AND {ck} NOT IN (SELECT {pk} FROM {p}))
-             / CAST((SELECT count(*) FROM {c}) AS DOUBLE), 6) AS orphan_share
+       CASE WHEN (SELECT count(*) FROM {c}) > 0
+            THEN round((SELECT count(*) FROM {c}
+                        WHERE {ck} IS NOT NULL
+                          AND {ck} NOT IN (SELECT {pk} FROM {p}))
+                       / CAST((SELECT count(*) FROM {c}) AS DOUBLE), 6)
+       END AS orphan_share
 """
         for c, ck, p, pk in _DQ3_EDGES
     ),
@@ -837,9 +839,17 @@ def dq3_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"{c}.{ck} -> {p}.{pk}").alias("edge"),
                 "child_rows",
                 "orphan_rows",
-                fround(
-                    F.col("orphan_rows").cast("double") / F.col("child_rows"),
-                    _R,
+                # empty-child guard: both counts are non-NULL, so the
+                # ratio would raise ANSI DIVIDE_BY_ZERO on an empty
+                # table (the m10/m18 hazard class, r11 audit) — the
+                # share is unknowable there, export NULL on both engines
+                F.when(
+                    F.col("child_rows") > 0,
+                    fround(
+                        F.col("orphan_rows").cast("double")
+                        / F.col("child_rows"),
+                        _R,
+                    ),
                 ).alias("orphan_share"),
             )
         )

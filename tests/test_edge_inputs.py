@@ -1442,3 +1442,28 @@ def test_m10_m14_m15_empty_table_stable(spark, tmp_path):
     r15 = m15_alerts(spark, str(tmp_path)).collect()
     assert [a.alert_type for a in r15] == ["low_throughput"]
     assert r15[0].metric_value == 0.0
+
+
+def test_dq3_empty_tables_stable(spark, tmp_path):
+    """r11 division audit: dq3's orphan_share divides two non-NULL
+    counts, so an EMPTY child table raised ANSI DIVIDE_BY_ZERO (the
+    m10/m18 hazard class) — guarded, the audit now reports every edge
+    with zero counts and a NULL share (unknowable, not 0)."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ3_EDGES,
+        dq3_referential_audit,
+    )
+    from iot_big_data_engineering_spark.sources.tables import (
+        TESTDATA_SCHEMAS,
+    )
+
+    for t in {"orders", "customer", "lineitem", "supplier", "part",
+              "nation", "region"}:
+        spark.createDataFrame([], TESTDATA_SCHEMAS[t]).coalesce(1) \
+            .write.parquet(str(tmp_path / f"{t}.parquet"))
+    rows = dq3_referential_audit(spark, str(tmp_path)).collect()
+    assert len(rows) == len(_DQ3_EDGES)
+    for r in rows:
+        assert r.child_rows == 0
+        assert r.orphan_rows == 0
+        assert r.orphan_share is None
