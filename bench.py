@@ -175,6 +175,25 @@ HEADLINE = [
 ]
 
 
+def _steal_canary() -> float:
+    """Fixed-work CPU timer (3× 2000² float64 matmul, deterministic
+    input): wall seconds for identical work, so co-tenant CPU steal —
+    INVISIBLE in loadavg, which only counts this host's runnable
+    threads — shows up as proportional inflation against the quiet
+    reference. r11's pin adjudication needed exactly this: three runs
+    in 'idle' (loadavg < 0.3) windows measured matched-query totals
+    18-33% apart, and only solo re-measurement distinguished steal
+    from regression. Recorded at start AND end of every bench run so
+    the pinned record carries machine-state evidence on both edges."""
+    import numpy as np
+
+    a = np.full((2000, 2000), 0.5)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a @ a
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -186,6 +205,7 @@ def main() -> None:
         load_at_start = round(os.getloadavg()[0], 2)
     except OSError:
         load_at_start = None
+    canary_at_start = _steal_canary()
     spark = get_spark(app_name="bench")
     qs = queries()
 
@@ -284,6 +304,8 @@ def main() -> None:
         detail["loadavg_at_end"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
+    detail["canary_s_at_start"] = canary_at_start
+    detail["canary_s_at_end"] = _steal_canary()
     this_round = _current_round()
     detail["round"] = this_round
     prev_round, prev = _latest_prev_bench(this_round)

@@ -136,3 +136,16 @@ def test_maybe_pin_requires_git_tracked_closure(tmp_path, monkeypatch):
     )
     bench._maybe_pin(str(tmp_path), 8, _detail({"q1": 1.0}))
     assert (tmp_path / "BENCH_DETAIL_r08.json").exists()
+
+
+def test_steal_canary_positive_and_repeatable():
+    """The canary must return positive wall seconds for fixed work and
+    stay within a sane band across two immediate draws on the same
+    machine state (a 10x intra-second swing would mean the canary
+    itself is too short to be a reference)."""
+    import bench
+
+    a = bench._steal_canary()
+    b = bench._steal_canary()
+    assert a > 0 and b > 0
+    assert max(a, b) / min(a, b) < 10
