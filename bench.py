@@ -188,6 +188,8 @@ def _steal_canary() -> float:
     import numpy as np
 
     a = np.full((2000, 2000), 0.5)
+    a @ a  # untimed BLAS/thread-pool warmup, so the process's FIRST
+    # canary draw is comparable to the end-of-run draw
     t0 = time.perf_counter()
     for _ in range(3):
         a @ a
