@@ -615,22 +615,34 @@ def numpy_topk(e: DataFrame, queries: list[tuple[int, list[float]]], k: int = K)
     qids = [q[0] for q in queries]
     qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
     # zero-norm-safe normalization (r11's dq8 hazard class): a raw
-    # divide would emit NaN rows that rank nondeterministically
+    # divide would emit NaN rows that rank nondeterministically.
+    # The norm masks carry the NULL semantics: V.cosine's nullif guard
+    # scores a zero-norm vector NULL (sorted last under DESC), so the
+    # kernel must emit NULL too — not the 0.0 a pass-through row would
+    # score, which on a corpus with negative cosines RANKS DIFFERENTLY
+    # than NULL (ADVICE r11).
+    qok = np.linalg.norm(qmat, axis=1) > 0.0
     qnorm = _normalize_rows(qmat)
-    bc = spark.sparkContext.broadcast((qids, qnorm))
+    bc = spark.sparkContext.broadcast((qids, qnorm, qok))
 
     def score(batches):
-        ids, qn = bc.value
+        ids, qn, qmask = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = _normalize_rows(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+            raw = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            vok = np.linalg.norm(raw, axis=1) > 0.0
+            m = _normalize_rows(raw)
             sims = m @ qn.T  # (batch, nq)
+            # NULL wherever either side is zero-norm — exact parity with
+            # the nullif(norm·norm, 0) guard on the expression path
+            cos = pd.array(sims.T.reshape(-1), dtype="Float64")
+            cos[(~(vok[:, None] & qmask[None, :])).T.reshape(-1)] = pd.NA
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(ids, len(pdf)),
                     "vec_id": np.tile(pdf["vec_id"].to_numpy(), len(ids)),
-                    "cosine": sims.T.reshape(-1),
+                    "cosine": cos,
                 }
             )
 

@@ -30,6 +30,53 @@ def test_numpy_kernel_matches_expression_bruteforce(spark):
     assert exact == vec
 
 
+def test_numpy_kernel_zero_norm_scores_null_like_expression_path(spark):
+    """ADVICE r11: the numpy kernel must give zero-norm rows NULL
+    cosine — the semantics of V.cosine's nullif guard — not the 0.0 a
+    pass-through normalization scores. The distinction is rank-visible
+    exactly when the corpus holds negative cosines: 0.0 outranks them,
+    NULL sorts last. Asserted by full-surface equality against the
+    expression path on such a corpus, for a normal AND a zero-norm
+    query."""
+    from iot_big_data_engineering_spark.functions import vectors as V
+    from iot_big_data_engineering_spark.functions.rounding import fround
+    from pyspark.sql import Window
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [-1.0, 0.0]), (12, [0.0, 0.0])],
+        "vec_id long, v array<double>",
+    )
+    queries = [(0, [1.0, 0.0]), (1, [0.0, 0.0])]
+    got = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in numpy_topk(corpus, queries, k=3).collect()
+    }
+    q = spark.createDataFrame(queries, "query_id long, qv array<double>")
+    w = Window.partitionBy("query_id").orderBy(
+        fround(V.cosine(F.col("qv"), F.col("v")), 6).desc(), F.col("vec_id")
+    )
+    expect = {
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "query_id",
+            "vec_id",
+            fround(V.cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            "rank",
+        )
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == expect
+    # the hazard rows really exercised both modes: the zero-norm corpus
+    # row is NULL-and-last for the real query, and the zero-norm query
+    # scores NULL against everything (vec_id tie-break only)
+    assert (0, 12, None, 3) in got
+    assert {(1, 10, None, 1), (1, 11, None, 2), (1, 12, None, 3)} <= got
+
+
 def test_ivf_planted_duplicate_recall(spark):
     """The testdata embeddings are isotropic-random (no geometric
     clusters), so recall on random neighbors measures the data, not the
