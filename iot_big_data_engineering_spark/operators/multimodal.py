@@ -31,10 +31,19 @@ _R = 6
 def media_type_col() -> F.Column:
     """The deterministic media-type assignment (doc_id mod 3) — ONE
     definition shared by every payload builder so the mapping cannot
-    silently diverge between paths (r8 code-review)."""
+    silently diverge between paths (r8 code-review).
+
+    pmod, NOT `%` (r11 ANSI audit): Spark's `%` is signed (-4 % 3 = -1),
+    so a negative doc_id fed the old `% 3 + 1` form either index 0 —
+    which RAISES under ANSI — or index -1, which element_at silently
+    reads as the LAST array element (the worse, wrong-answer mode).
+    pmod wraps any int64 into [0, 2] so the mapping is total; the
+    oracles' ((doc_id % 3) + 3) % 3 + 1 is the same function under
+    DuckDB's truncating `%`. Unreachable on gate data (generated
+    doc_ids >= 0) but a real hazard on arbitrary corpora."""
     return F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
     )
 
 
@@ -105,7 +114,7 @@ def mm5_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm1_media_manifest",
     oracle="""
 SELECT doc_id,
-       ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS media_type,
+       ['image', 'audio', 'video'][((doc_id % 3 + 3) % 3 + 1)] AS media_type,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
        md5(text) AS checksum
 FROM documents
@@ -128,7 +137,7 @@ def mm1_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm2_media_type_stats",
     oracle=f"""
-SELECT ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS media_type,
+SELECT ['image', 'audio', 'video'][((doc_id % 3 + 3) % 3 + 1)] AS media_type,
        count(*) AS n_items,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        round(avg(CAST(octet_length(encode(text)) AS DOUBLE)), {_R}) AS avg_bytes,
@@ -255,7 +264,7 @@ _FRAME_STEP = 6
     oracle=f"""
 WITH v AS (
   SELECT doc_id, CAST(doc_id % 24 + 1 AS INTEGER) AS n_frames
-  FROM documents WHERE doc_id % 3 = 2
+  FROM documents WHERE (doc_id % 3 + 3) % 3 = 2
 )
 SELECT doc_id,
        n_frames,
@@ -435,7 +444,7 @@ _MM6_BUCKET_W = 1_000  # doc_ids per cumsum bucket
     oracle=f"""
 WITH payloads AS (
   SELECT doc_id,
-         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+         ['image', 'audio', 'video'][((doc_id % 3 + 3) % 3 + 1)::INT] AS media_type,
          octet_length(encode(text)) AS n_bytes
   FROM documents
 ),
@@ -514,7 +523,7 @@ _MM7_RATES = {"image": 50, "audio": 25, "video": 10}  # percent of stratum
     oracle=f"""
 WITH payloads AS (
   SELECT doc_id,
-         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+         ['image', 'audio', 'video'][((doc_id % 3 + 3) % 3 + 1)::INT] AS media_type,
          octet_length(encode(text)) AS n_bytes
   FROM documents
 ),

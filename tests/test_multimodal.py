@@ -306,3 +306,51 @@ def test_mm8_doc_id_zero_corpus_plants_do_not_collide(spark, tmp_path):
     ).fetchall()))
     assert sp == du
     assert sp == [(0, 1, 0)]  # the planted copy pairs at Hamming 0
+
+
+def test_media_type_total_on_negative_doc_ids_both_engines(spark):
+    """r11 ANSI audit: Spark's `%` is signed, so the old `% 3 + 1` index
+    fed element_at index 0 — which RAISES under ANSI — or index -1,
+    which silently reads the LAST element, for negative doc_ids. pmod
+    makes the mapping total; the oracles' ((doc_id % 3 + 3) % 3 + 1) is
+    the same function under DuckDB's truncating `%`. Asserted
+    value-by-value on both engines across the full residue range."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "web", "en") for i in range(-5, 4)],
+        "doc_id long, text string, source string, lang string",
+    )
+    got = {
+        (r.doc_id, r.media_type)
+        for r in with_binary_payload(docs)
+        .select("doc_id", "media_type")
+        .collect()
+    }
+    oracle = duckdb.sql(
+        "SELECT doc_id,"
+        " ['image','audio','video'][((doc_id % 3 + 3) % 3 + 1)] AS mt"
+        " FROM (SELECT unnest(range(-5, 4)) AS doc_id)"
+    ).fetchall()
+    assert got == {(int(d), m) for d, m in oracle}
+    as_map = dict(got)
+    for i in range(-5, 4):
+        # Python's % floors, i.e. agrees with pmod on every sign
+        assert as_map[i] == ["image", "audio", "video"][i % 3]
+
+
+def test_mm5_plan_prunes_media_type_expression(spark):
+    """mm5's compared surface is media-type-independent: its grouped
+    header-checksum output never references media_type, so Catalyst
+    must PRUNE the expression out of the executed plan entirely — the
+    mechanical proof that this round's media_type_col change (pmod)
+    cannot alter mm5's gated values (r12 window adjudication,
+    SCALE.md)."""
+    from iot_big_data_engineering_spark.operators.multimodal import (
+        mm5_payload_dedup,
+    )
+    from iot_big_data_engineering_spark.plans.checks import plan_str
+
+    p = plan_str(mm5_payload_dedup(spark, SF_SMOKE))
+    assert "media_type" not in p, p
+    assert "pmod" not in p, p
