@@ -147,85 +147,79 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round; this list pins the round-11 window (VERDICT r10 Next #1-#3: gate
-# the 5 round-10 additions, land the queued ANSI division guards with
-# their rotation, finish the vintage retirement). The slots:
-# - the 5 round-10 additions that have NEVER faced the external gate
-#   (dq8, j23b, m18, s13, t17b — VERDICT r10 What's-missing #1), pinned
-#   to lead as promised. t17b/j23b carry this round's ADVICE fix (oracle
-#   keys through sql_fround, identical floor expression on both engines)
-#   and s13 carries the central zero-norm cosine guard, so what the gate
-#   certifies is the post-fix form;
-# - the 2 round-11 additions (adv15b production-scale PageRank — VERDICT
-#   r10 Next #7; s13b IVF cell-pruned range search — Next #5), using 2 of
-#   the 7 free slots;
-# - the 38 remaining r7-vintage queries (Next #3) — after r11 nothing in
-#   the registry holds evidence older than r8;
-# - 5 re-certification slots for gated queries whose source changed this
-#   round: m10/m14 (+ m15 inside the r7 block) carry the queued ANSI
-#   empty-window guards (Next #2), s1/s2/s3 (+ d6/s13 already above) the
-#   zero-norm cosine guard (ADVICE r10 medium).
+# round; this list pins the round-12 window. The slots:
+# - the 47 r8-vintage rotation cohort (every deferred query whose newest
+#   driver evidence is CORRECTNESS_r08) — with the never-gated backlog at
+#   ZERO after r11, vintage rotation is the whole window for the first
+#   time. The mm-family members here (mm1/mm2/mm3/mm7) also carry this
+#   round's media_type_col pmod fix (the r11 ANSI audit's queued
+#   element_at hazard), landing with their rotation per the m10
+#   precedent;
+# - 3 re-certification slots for the OTHER gated consumers of the pmod
+#   fix: mm4 (r11 evidence), mm6 (r10), mm8 (r9) — every gated query
+#   whose executed plan contains the changed expression re-enters the
+#   window. mm5 also calls with_binary_payload but its grouped
+#   header-checksum surface never references media_type and Catalyst
+#   PRUNES the expression from its executed plan (pinned by
+#   test_mm5_plan_prunes_media_type_expression), so its r10 evidence
+#   stands and it rotates normally in r14.
 #
 # REGISTRATION BUDGET (VERDICT r8 demand #3, r9 demand #2): new
 # @register per round must not exceed the NEXT window's free slots after
-# the carried backlog and the oldest-vintage rotation. Entering r12 the
-# rotation cohort is the 47 r8-vintage queries left in _WINDOW_DEFERRED,
-# so round 11 added only 2 new queries (3 r12 slots stay free);
-# tests/test_registry_window.py::test_registration_budget enforces the
-# arithmetic mechanically each run.
+# the carried backlog and the oldest-vintage rotation. The 3 r12 free
+# slots all went to the mm re-certifications, so round 12 registers ZERO
+# new queries; entering r13 the rotation cohort is the 47 r9-vintage
+# queries (3 slots free, ONE of which is already reserved for t8's
+# queued ANSI fertility-division fix + re-certification — SCALE.md r11
+# ANSI audit). tests/test_registry_window.py::test_registration_budget
+# enforces the arithmetic mechanically each run.
 #
 # Everything else (_WINDOW_DEFERRED) holds a green driver row earned on
-# current data in its current form (r8/r9/r10);
+# current data in its current form (r9/r10/r11);
 # test_registry_window.py asserts the two lists exactly tile the
 # registry so a new query can never silently miss the rotation.
 _WINDOW_FIRST = [
-    # --- the 5 never-gated round-10 additions (pinned to lead r11) ---
-    "dq8_embedding_audit", "j23b_frequent_pairs_log", "m18_metrics_export",
-    "s13_range_search", "t17b_collocations_pmi_log",
-    # --- the 2 round-11 additions (2 of 7 free slots; budget held) ---
-    "adv15b_pagerank_scale9", "s13b_range_search_ivf",
-    # --- the 38 r7-vintage carries (completes the vintage retirement:
-    # after r11 nothing in the registry predates r8). m15 rides its
-    # rotation WITH the queued ANSI empty-window division guard ---
-    "d5_simhash_neardup", "d6_embedding_neardup", "d7_dedup_clusters_full",
-    "d8b_jaccard_join_df_prefix", "dc1_benchmark_contamination",
-    "dp2_corpus_clean_neardup", "dp4_cleaning_audit", "dp5_sequence_packing",
-    "dp9_leakage_safe_split", "dq1_key_skew_audit", "dq2_join_size_preflight",
-    "dq3_referential_audit", "j10b_returned_revenue_topk",
-    "j14_promo_revenue", "j15_top_supplier", "j18_large_orders",
-    "j19_bracket_revenue", "j2_min_price_per_brand", "j4_priority_late_ship",
-    "j6_forecast_revenue", "j7_nation_volume_shipping", "m15_alerts",
-    "m16_burn_rate", "mm4_payload_features", "s5_scalar_quantization",
-    "st10_streaming_histogram_rollup", "st1_streaming_microbatch_analytics",
-    "st2_streaming_session_windows", "st7_stream_stream_join",
-    "t10_repetition_profile", "t11_inverted_index", "t12_rarity_score",
-    "t6_tfidf_top_terms", "t9_pii_scan", "u4_snapshot_diff",
-    "w5_trailing_hour_aggs", "w6_cohort_retention",
-    "w6b_cohort_retention_approx",
-    # --- re-certification slots: m10/m14 carry the queued ANSI
-    # empty-window guards (VERDICT r10 Next #2); s1/s2/s3 carry the
-    # central zero-norm cosine guard (ADVICE r10) — every gated query
-    # whose source changed this round re-enters the window ---
-    "m10_hourly_quality", "m14_anomaly_rate", "s1_knn_bruteforce",
-    "s2_knn_ivf", "s3_knn_lsh",
+    # --- the 47 r8-vintage rotation cohort (alphabetical) ---
+    "a17_incremental_rollup", "a17b_rollup_backfill",
+    "adv10_unpivot_daily_metrics", "adv12_robust_outliers",
+    "adv13_salted_join", "adv3_pivot_daily_counts", "adv4_salted_agg",
+    "adv5_value_histogram", "adv6b_approx_percentiles",
+    "adv8_hash_sample_stats", "adv9_latest_per_key", "d1_exact_dedup_stats",
+    "d2_exact_dedup_keep_first", "d4_minhash_lsh_dedup", "d7_dedup_clusters",
+    "d8_jaccard_join_prefix", "d9_semantic_dedup", "dp10_boilerplate_removal",
+    "dp3_training_mix", "dp7_training_shards", "g1_rollup_order_stats",
+    "g2_cube_event_stats", "m17_alert_incidents", "mm1_media_manifest",
+    "mm2_media_type_stats", "mm3_frame_sample", "mm7_stratified_sample",
+    "p10_json_extract", "s6_knn_ivf_sq8", "s7_knn_filtered",
+    "s8_knn_ivf_delta_add", "s9_knn_index_reload",
+    "st8_streaming_incremental_rollup", "st9_streaming_alert_incidents",
+    "t13_vocab_growth", "t1_token_stats", "t2_doc_quality",
+    "t3_langid_confusion", "t4_fingerprints", "t5_top_terms",
+    "t7_documents_profile", "u1_active_keys_union", "u2_key_overlap",
+    "w1_top_orders_per_customer", "w2_user_running_value", "w3_event_gaps",
+    "w7_event_funnel",
+    # --- re-certification slots: the non-rotating gated consumers of
+    # the media_type_col pmod fix (r11 ANSI audit) ---
+    "mm4_payload_features", "mm6_shard_plan", "mm8_phash_neardup",
 ]
 
 
 # Queries NOT in this round's 50-slot window — every one already carries
 # a green driver row earned on post-regeneration data in its current
-# form (r8, r9 or r10 — see CORRECTNESS_r0{8,9}.json / CORRECTNESS_r10.json)
-# and is value-checked against its DuckDB oracle on current data by the
-# local mirror (tests/test_oracle_parity.py) every round. After r11 the
-# oldest evidence in this list is r8 (47 queries) — the r12 rotation
-# cohort. adv15 stays deferred: its registered body and generated oracle
-# are byte-identical this round (the pagerank scale parametrization is a
-# literal-to-argument swap whose default reproduces the gated values
-# bit-for-bit, pinned by the star/stationary/checkpoint replay tests).
-# Membership is asserted exhaustive + disjoint by
-# tests/test_registry_window.py.
+# form (r9, r10 or r11 — see CORRECTNESS_r0{9}.json / CORRECTNESS_r1{0,1}
+# .json) and is value-checked against its DuckDB oracle on current data
+# by the local mirror (tests/test_oracle_parity.py) every round. After
+# r12 the oldest evidence in this list is r9 (47 queries) — the r13
+# rotation cohort. t8_bpe_token_stats (r10-vintage) carries the queued
+# ANSI fertility-division fix, which lands in r13 with one of its 3 free
+# slots as a re-certification seat (SCALE.md r11 ANSI audit). mm5 stays
+# deferred despite this round's media_type_col change:
+# its executed plan PRUNES the changed expression entirely
+# (test_mm5_plan_prunes_media_type_expression), so its r10 evidence
+# covers the code that actually runs. Membership is asserted exhaustive
+# + disjoint by tests/test_registry_window.py.
 _WINDOW_DEFERRED = [
     "a15_daily_sensor_summary", "a16_vehicle_daily_summary",
-    "a17_incremental_rollup", "a17b_rollup_backfill",
     "a17c_rollup_compaction", "a18_sketch_cube", "a19_resample_ffill",
     "a1_windowed_analytics", "a1_windowed_analytics_approx",
     "a20_seasonality_profile", "a21_histogram_quantile_rollup",
@@ -235,51 +229,52 @@ _WINDOW_DEFERRED = [
     "a4_vehicle_analytics", "a4_vehicle_analytics_approx",
     "a5_quality_histogram", "a6_anomaly_analytics", "a7_summary_report",
     "a7_summary_report_approx", "a8_sensor_type_report", "a9_vehicle_topk",
-    "adv10_unpivot_daily_metrics", "adv11_range_join",
-    "adv12_robust_outliers", "adv13_salted_join", "adv14_scd2_snapshot_merge",
-    "adv15_pagerank", "adv1_sessionize", "adv2_asof_join",
-    "adv3_pivot_daily_counts", "adv4_salted_agg", "adv5_value_histogram",
-    "adv6_percentiles", "adv6b_approx_percentiles", "adv8_hash_sample_stats",
-    "adv9_latest_per_key", "d10_dedup_delta", "d11_neardup_keep_best",
-    "d12_duplicate_span_ratio", "d1_exact_dedup_stats",
-    "d2_exact_dedup_keep_first", "d3_jaccard_pairs", "d4_minhash_lsh_dedup",
-    "d7_dedup_clusters", "d8_jaccard_join_prefix", "d9_semantic_dedup",
-    "dp10_boilerplate_removal", "dp11_split_decontamination",
-    "dp12_quality_weighted_sample", "dp13_reproducible_shuffle",
-    "dp14_temperature_mix", "dp15_bigram_lm_screen", "dp16_dataset_card",
-    "dp17_dsir_importance", "dp1_corpus_clean", "dp3_training_mix",
-    "dp7_training_shards", "dp8_document_chunking", "dq4_semijoin_prefilter",
-    "dq5_table_profile", "dq6_snapshot_drift", "dq7_expectation_audit",
-    "g1_rollup_order_stats", "g2_cube_event_stats",
-    "g3_groupingsets_order_stats", "j10_order_rollup", "j11_brand_revenue",
+    "adv11_range_join", "adv14_scd2_snapshot_merge", "adv15_pagerank",
+    "adv15b_pagerank_scale9", "adv1_sessionize", "adv2_asof_join",
+    "adv6_percentiles", "d10_dedup_delta", "d11_neardup_keep_best",
+    "d12_duplicate_span_ratio", "d3_jaccard_pairs", "d5_simhash_neardup",
+    "d6_embedding_neardup", "d7_dedup_clusters_full",
+    "d8b_jaccard_join_df_prefix", "dc1_benchmark_contamination",
+    "dp11_split_decontamination", "dp12_quality_weighted_sample",
+    "dp13_reproducible_shuffle", "dp14_temperature_mix",
+    "dp15_bigram_lm_screen", "dp16_dataset_card", "dp17_dsir_importance",
+    "dp1_corpus_clean", "dp2_corpus_clean_neardup", "dp4_cleaning_audit",
+    "dp5_sequence_packing", "dp8_document_chunking", "dp9_leakage_safe_split",
+    "dq1_key_skew_audit", "dq2_join_size_preflight", "dq3_referential_audit",
+    "dq4_semijoin_prefilter", "dq5_table_profile", "dq6_snapshot_drift",
+    "dq7_expectation_audit", "dq8_embedding_audit",
+    "g3_groupingsets_order_stats", "j10_order_rollup",
+    "j10b_returned_revenue_topk", "j11_brand_revenue",
     "j11b_supplier_value_share", "j12_customer_order_presence",
     "j12b_priority_by_returnflag", "j13_events_enriched",
-    "j13b_order_count_distribution", "j16_supplier_part_counts",
-    "j17_small_quantity_revenue", "j1_pricing_summary",
+    "j13b_order_count_distribution", "j14_promo_revenue", "j15_top_supplier",
+    "j16_supplier_part_counts", "j17_small_quantity_revenue",
+    "j18_large_orders", "j19_bracket_revenue", "j1_pricing_summary",
     "j20_excess_stock_suppliers", "j21_lone_late_supplier",
-    "j22_dormant_customers", "j23_frequent_pairs", "j3_shipping_priority",
-    "j5_region_supplier_volume", "j8_market_share", "j9_profit_by_nation",
-    "m11_liveness", "m12_latency", "m13_throughput", "m17_alert_incidents",
-    "mm1_media_manifest", "mm2_media_type_stats", "mm3_frame_sample",
-    "mm5_payload_dedup", "mm6_shard_plan", "mm7_stratified_sample",
-    "mm8_phash_neardup", "o1_filtered_scan_paginated",
-    "o1b_filtered_scan_keyset", "o4_anomaly_listing", "p10_json_extract",
-    "p7_vehicle_scan", "p8_date_bucket", "s10_knn_pq",
-    "s11_knn_tombstone_delete", "s12_mips_topk", "s4_label_centroids",
-    "s6_knn_ivf_sq8", "s7_knn_filtered", "s8_knn_ivf_delta_add",
-    "s9_knn_index_reload", "st11_streaming_cms_maintenance",
-    "st12_streaming_scd2_maintenance", "st13_streaming_join_view",
-    "st14_streaming_dataset_card", "st3_streaming_watermarked_windows",
-    "st4_stream_static_join", "st5_streaming_dedup",
-    "st6_stateful_running_totals", "st8_streaming_incremental_rollup",
-    "st9_streaming_alert_incidents", "t13_vocab_growth", "t14_zipf_profile",
-    "t15_vocab_coverage", "t16_script_mix", "t17_collocations_pmi",
-    "t18_bm25_topk", "t1_token_stats", "t2_doc_quality",
-    "t3_langid_confusion", "t4_fingerprints", "t5_top_terms",
-    "t7_documents_profile", "t8_bpe_token_stats", "u1_active_keys_union",
-    "u2_key_overlap", "u3_key_overlap_multiset", "w1_top_orders_per_customer",
-    "w2_user_running_value", "w3_event_gaps", "w4_value_deciles",
-    "w7_event_funnel", "w8_markov_transitions",
+    "j22_dormant_customers", "j23_frequent_pairs", "j23b_frequent_pairs_log",
+    "j2_min_price_per_brand", "j3_shipping_priority", "j4_priority_late_ship",
+    "j5_region_supplier_volume", "j6_forecast_revenue",
+    "j7_nation_volume_shipping", "j8_market_share", "j9_profit_by_nation",
+    "m10_hourly_quality", "m11_liveness", "m12_latency", "m13_throughput",
+    "m14_anomaly_rate", "m15_alerts", "m16_burn_rate", "m18_metrics_export",
+    "mm5_payload_dedup", "o1_filtered_scan_paginated",
+    "o1b_filtered_scan_keyset", "o4_anomaly_listing", "p7_vehicle_scan",
+    "p8_date_bucket", "s10_knn_pq", "s11_knn_tombstone_delete",
+    "s12_mips_topk", "s13_range_search", "s13b_range_search_ivf",
+    "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_lsh", "s4_label_centroids",
+    "s5_scalar_quantization", "st10_streaming_histogram_rollup",
+    "st11_streaming_cms_maintenance", "st12_streaming_scd2_maintenance",
+    "st13_streaming_join_view", "st14_streaming_dataset_card",
+    "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
+    "st3_streaming_watermarked_windows", "st4_stream_static_join",
+    "st5_streaming_dedup", "st6_stateful_running_totals",
+    "st7_stream_stream_join", "t10_repetition_profile", "t11_inverted_index",
+    "t12_rarity_score", "t14_zipf_profile", "t15_vocab_coverage",
+    "t16_script_mix", "t17_collocations_pmi", "t17b_collocations_pmi_log",
+    "t18_bm25_topk", "t6_tfidf_top_terms", "t8_bpe_token_stats",
+    "t9_pii_scan", "u3_key_overlap_multiset", "u4_snapshot_diff",
+    "w4_value_deciles", "w5_trailing_hour_aggs", "w6_cohort_retention",
+    "w6b_cohort_retention_approx", "w8_markov_transitions",
 ]
 
 
