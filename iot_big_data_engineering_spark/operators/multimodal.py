@@ -254,7 +254,10 @@ def fake_decode_stats(df: DataFrame) -> DataFrame:
 # would be a mapInPandas kernel over this manifest joined back to the
 # payload — frames fan out rows, bytes stay put until the kernel needs
 # them. Oracle-checked because the stub decode is deterministic
-# (n_frames = doc_id % 24 + 1 for videos).
+# (n_frames = pmod(doc_id, 24) + 1 for videos — the kernel's pandas `%`
+# FLOORS, so the oracle must wrap DuckDB's truncating `%` the same way
+# the media_type expressions do; r12 sweep of the r11 element_at/%-sign
+# hazard class).
 # ---------------------------------------------------------------------------
 _FRAME_STEP = 6
 
@@ -263,7 +266,7 @@ _FRAME_STEP = 6
     "mm3_frame_sample",
     oracle=f"""
 WITH v AS (
-  SELECT doc_id, CAST(doc_id % 24 + 1 AS INTEGER) AS n_frames
+  SELECT doc_id, CAST((doc_id % 24 + 24) % 24 + 1 AS INTEGER) AS n_frames
   FROM documents WHERE (doc_id % 3 + 3) % 3 = 2
 )
 SELECT doc_id,

@@ -354,3 +354,31 @@ def test_mm5_plan_prunes_media_type_expression(spark):
     p = plan_str(mm5_payload_dedup(spark, SF_SMOKE))
     assert "media_type" not in p, p
     assert "pmod" not in p, p
+
+
+def test_fake_decode_n_frames_total_on_negative_doc_ids(spark):
+    """Same sweep, second site: the decode stub's n_frames uses pandas'
+    FLOORED `%` (always in [1, 24]), so the mm3 oracle must wrap
+    DuckDB's truncating `%` — ((doc_id % 24 + 24) % 24 + 1) — or the
+    two engines diverge on negative doc_ids. Asserted value-by-value
+    against DuckDB on a residue-spanning negative range."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (abs(i) + 1), "web", "en") for i in range(-30, 5)],
+        "doc_id long, text string, source string, lang string",
+    )
+    got = {
+        (r.doc_id, r.n_frames)
+        for r in fake_decode_stats(with_binary_payload(docs))
+        .filter(F.col("media_type") == "video")
+        .select("doc_id", "n_frames")
+        .collect()
+    }
+    oracle = duckdb.sql(
+        "SELECT doc_id, CAST((doc_id % 24 + 24) % 24 + 1 AS INTEGER) AS nf"
+        " FROM (SELECT unnest(range(-30, 5)) AS doc_id)"
+        " WHERE (doc_id % 3 + 3) % 3 = 2"
+    ).fetchall()
+    assert got == {(int(d), int(n)) for d, n in oracle}
+    assert all(1 <= n <= 24 for _, n in got)
