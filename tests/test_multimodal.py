@@ -352,6 +352,8 @@ def test_mm5_plan_prunes_media_type_expression(spark):
     from iot_big_data_engineering_spark.plans.checks import plan_str
 
     p = plan_str(mm5_payload_dedup(spark, SF_SMOKE))
+    # non-vacuity: this really is the whole formatted physical plan
+    assert "header_checksum" in p and "Scan" in p, p
     assert "media_type" not in p, p
     assert "pmod" not in p, p
 
