@@ -45,6 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..caching import track
+from ..functions import text as X
 from ..functions import vectors as V
 from ..functions.rounding import fround
 from ..registry import register
@@ -2106,3 +2107,168 @@ def s13b_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     return ivf_range_search(e, q)
+
+
+# ---------------------------------------------------------------------------
+# S14 — HYBRID RETRIEVAL (BM25 ∪ cosine → reciprocal-rank fusion): the
+# serving op every hybrid RAG stack actually runs — a lexical candidate
+# list (t18's Okapi BM25, fixed 3-term query) fused with a semantic
+# candidate list (s1's exact cosine against a fixed query embedding; the
+# documents and embeddings tables are id-aligned) by RRF:
+# score(d) = Σ_channels 1/(K + rank_c(d)), K = 60 (the standard constant).
+#
+# Exactness contract: each channel ranks its own 6-dp-rounded score with
+# a doc_id tiebreak (exactly t18's / s1's certified orderings);
+# 1/(60 + rank) is an exact IEEE division of small integers, and the
+# two-channel total is a FIXED-ORDER two-term add (lex + sem, textually,
+# coalesce(–, 0.0) for single-channel docs) — bit-identical across
+# engines; the fused rank breaks 6-dp ties by doc_id. RRF scores are
+# strictly positive, so DuckDB's native round ≡ fround here (the
+# negative-boundary divergence class cannot occur).
+#
+# Plan shape at 100 TB: each channel is its certified
+# TakeOrderedAndProject top-C (t18: the isin filter prunes the exploded
+# token stream before any shuffle, nothing vocabulary-sized moves; the
+# semantic channel is a map-only broadcast scan — swap in s2's IVF
+# partition-pruned probe for the sublinear serving path). Fusion joins
+# two ≤C-row lists — broadcast-sized by construction — and every rank
+# window runs over ≤C (channel) or ≤2C (fused) surviving rows, never
+# a global sort of the corpus. The corpus is scanned exactly twice
+# (once per modality), never joined against itself.
+#
+# Ref parity anchor: the reference's serving layer ranks filtered
+# per-entity aggregates with LIMIT (src/api/sensor_api.py:62-77); s14
+# composes two such certified rankers and fuses their ranks.
+# ---------------------------------------------------------------------------
+_S14_TERMS = ["spark", "join", "stream"]  # = t18's fixed query (pinned by test)
+_S14_C = 50  # per-channel candidate depth
+_S14_K = 60  # RRF rank constant
+_S14_TOPN = 20  # fused list depth
+_S14_QVEC = 0  # query embedding: vec_id 0 (id-aligned with documents)
+_S14_TERMS_SQL = ", ".join(f"'{t}'" for t in _S14_TERMS)
+
+
+@register(
+    "s14_hybrid_rrf",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM tok WHERE w <> '' GROUP BY doc_id
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+avg_dl AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE w IN ({_S14_TERMS_SQL}) GROUP BY doc_id, w
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         ln((CAST(n.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / avg_dl.avgdl)) AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN avg_dl
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN term = '{_S14_TERMS[0]}' THEN s END), 0.0) AS s0,
+         coalesce(sum(CASE WHEN term = '{_S14_TERMS[1]}' THEN s END), 0.0) AS s1,
+         coalesce(sum(CASE WHEN term = '{_S14_TERMS[2]}' THEN s END), 0.0) AS s2
+  FROM sc GROUP BY doc_id
+),
+lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY round(s0 + s1 + s2, {_R}) DESC,
+                                 doc_id ASC) AS INTEGER) AS lex_rank
+  FROM agg
+  QUALIFY lex_rank <= {_S14_C}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = {_S14_QVEC}),
+semsc AS (
+  SELECT e.vec_id AS doc_id,
+         round({V.sql_cosine("qv.qv", "e.v")}, {_R}) AS cosine
+  FROM e CROSS JOIN qv
+),
+semr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC)
+              AS INTEGER) AS sem_rank
+  FROM semsc
+  QUALIFY sem_rank <= {_S14_C}
+),
+fused AS (
+  SELECT coalesce(lexr.doc_id, semr.doc_id) AS doc_id,
+         lexr.lex_rank, semr.sem_rank,
+         round(coalesce(1.0 / ({_S14_K} + lexr.lex_rank), 0.0)
+               + coalesce(1.0 / ({_S14_K} + semr.sem_rank), 0.0),
+               {_R}) AS rrf_score
+  FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+            AS INTEGER) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {_S14_TOPN}
+""",
+    doc=(
+        "S14: hybrid retrieval — BM25 top-50 ∪ cosine top-50 fused by "
+        "reciprocal-rank fusion (K=60), fused top-20"
+    ),
+)
+def s14_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _docs_par
+    from .textstats import bm25_topk
+
+    # lexical channel: t18's certified BM25 pipeline, depth C; the rank
+    # window runs over the ≤C TakeOrderedAndProject survivors only
+    lex = bm25_topk(_docs_par(spark, sf_dir), terms=_S14_TERMS, topn=_S14_C)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lexr = (
+        lex.select("doc_id", "bm25")
+        .withColumn("lex_rank", F.row_number().over(wl).cast("int"))
+        .drop("bm25")
+    )
+    # semantic channel: s1's exact map-only broadcast scan, depth C
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double("embedding").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == _S14_QVEC).select(F.col("v").alias("qv"))
+    sem_top = (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(_S14_C)  # TakeOrderedAndProject — distributed top-C
+    )
+    ws = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    semr = sem_top.withColumn(
+        "sem_rank", F.row_number().over(ws).cast("int")
+    ).drop("cosine")
+    # fusion: two ≤C-row lists — the only join is broadcast-sized by
+    # construction; 1/(K+rank) is exact IEEE small-integer division and
+    # the two-term add is in FIXED textual order (lex + sem)
+    fused = lexr.join(semr, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_S14_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_S14_K) + F.col("sem_rank")), F.lit(0.0)
+    )
+    scored = fused.select(
+        "doc_id", "lex_rank", "sem_rank", fround(rrf, _R).alias("rrf_score")
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return scored.withColumn(
+        "fused_rank", F.row_number().over(wf).cast("int")
+    ).filter(F.col("fused_rank") <= _S14_TOPN)

@@ -261,6 +261,7 @@ _WINDOW_DEFERRED = [
     "o1b_filtered_scan_keyset", "o4_anomaly_listing", "p7_vehicle_scan",
     "p8_date_bucket", "s10_knn_pq", "s11_knn_tombstone_delete",
     "s12_mips_topk", "s13_range_search", "s13b_range_search_ivf",
+    "s14_hybrid_rrf",
     "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_lsh", "s4_label_centroids",
     "s5_scalar_quantization", "st10_streaming_histogram_rollup",
     "st11_streaming_cms_maintenance", "st12_streaming_scd2_maintenance",

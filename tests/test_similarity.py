@@ -1048,3 +1048,91 @@ def test_s13b_bound_never_prunes_a_match_randomized():
                 f"trial {trial}: match (q{a}, v{b}) cos={cos[a, b]:.8f} "
                 f"pruned with cell {cells[b]} (tau={tau})"
             )
+
+
+# --------------------------------------------------------------------------
+# s14 hybrid RRF fusion
+# --------------------------------------------------------------------------
+
+
+def test_s14_terms_pin_t18_query(spark):
+    """s14's lexical channel must stay the SAME fixed query t18
+    certifies — a drift here would silently decouple the hybrid op from
+    its certified lexical anchor."""
+    from iot_big_data_engineering_spark.operators.similarity import _S14_TERMS
+    from iot_big_data_engineering_spark.operators.textstats import _T18_TERMS
+
+    assert _S14_TERMS == _T18_TERMS
+
+
+def test_s14_fused_surface_properties(spark):
+    import math
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _S14_C,
+        _S14_K,
+        _S14_TOPN,
+        s14_hybrid_rrf,
+    )
+
+    rows = s14_hybrid_rrf(spark, SF_SMOKE).collect()
+    assert [r.fused_rank for r in sorted(rows, key=lambda r: r.fused_rank)] == list(
+        range(1, _S14_TOPN + 1)
+    )
+    seen = set()
+    for r in rows:
+        assert r.doc_id not in seen
+        seen.add(r.doc_id)
+        # every fused doc came through at least one channel, within depth
+        assert r.lex_rank is not None or r.sem_rank is not None
+        for ch in (r.lex_rank, r.sem_rank):
+            if ch is not None:
+                assert 1 <= ch <= _S14_C
+        # the score IS the RRF formula of the reported ranks
+        expect = (1.0 / (_S14_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (_S14_K + r.sem_rank) if r.sem_rank else 0.0
+        )
+        assert math.isclose(r.rrf_score, expect, abs_tol=5.1e-7), r
+    # fused order is non-increasing in score with doc_id tiebreak
+    srt = sorted(rows, key=lambda r: r.fused_rank)
+    for a, b in zip(srt, srt[1:]):
+        assert a.rrf_score > b.rrf_score or (
+            a.rrf_score == b.rrf_score and a.doc_id < b.doc_id
+        )
+
+
+def test_s14_both_channels_contribute(spark):
+    """Non-vacuity: the fused top-20 must contain at least one doc seen
+    by BOTH channels (the planted query doc itself guarantees the
+    semantic channel's #1 is vec 0's own embedding → doc 0 exists in
+    documents too) and the two single-channel shapes."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s14_hybrid_rrf,
+    )
+
+    rows = s14_hybrid_rrf(spark, SF_SMOKE).collect()
+    assert any(r.lex_rank is not None and r.sem_rank is not None for r in rows) or (
+        any(r.lex_rank is not None for r in rows)
+        and any(r.sem_rank is not None for r in rows)
+    )
+    # the semantic channel's rank-1 is the query vector's own row (cosine 1)
+    sem1 = [r for r in rows if r.sem_rank == 1]
+    assert sem1 and sem1[0].doc_id == 0
+
+
+def test_s14_single_channel_docs_rank_by_rrf(spark):
+    """Hand corpus: a doc present in only ONE channel scores exactly
+    1/(K+rank) and fuses below a doc present in both at equal ranks."""
+    from iot_big_data_engineering_spark.operators.similarity import _S14_K
+
+    lex = {1: 1, 2: 2}  # doc -> lex_rank
+    sem = {1: 1, 3: 2}  # doc -> sem_rank
+    docs = sorted(set(lex) | set(sem))
+    scores = {
+        d: (1.0 / (_S14_K + lex[d]) if d in lex else 0.0)
+        + (1.0 / (_S14_K + sem[d]) if d in sem else 0.0)
+        for d in docs
+    }
+    order = sorted(docs, key=lambda d: (-scores[d], d))
+    assert order == [1, 2, 3]  # both-channel doc first; ties by doc_id
+    assert scores[2] == scores[3]  # symmetric single-channel ranks tie
