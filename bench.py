@@ -165,6 +165,10 @@ HEADLINE = [
     # IVF cell-pruned range search (exact bound, s13's serving path)
     "adv15b_pagerank_scale9",
     "s13b_range_search_ivf",
+    # round 12 addition: hybrid BM25+cosine RRF fusion (st15, the other
+    # r12 registration, is excluded with the rest of the st* flows —
+    # its wall is micro-batch commit latency, not plan cost)
+    "s14_hybrid_rrf",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

@@ -166,13 +166,16 @@ _LOADED = False
 #
 # REGISTRATION BUDGET (VERDICT r8 demand #3, r9 demand #2): new
 # @register per round must not exceed the NEXT window's free slots after
-# the carried backlog and the oldest-vintage rotation. The 3 r12 free
-# slots all went to the mm re-certifications, so round 12 registers ZERO
-# new queries; entering r13 the rotation cohort is the 47 r9-vintage
-# queries (3 slots free, ONE of which is already reserved for t8's
-# queued ANSI fertility-division fix + re-certification — SCALE.md r11
-# ANSI audit). tests/test_registry_window.py::test_registration_budget
-# enforces the arithmetic mechanically each run.
+# the carried backlog and the oldest-vintage rotation. The 3 r12 window
+# free slots all went to the mm re-certifications; round 12 registers
+# exactly TWO new queries (s14 hybrid RRF retrieval, st15 stateful
+# session eviction), sized to the NEXT window: entering r13 the rotation
+# cohort is the 47 r9-vintage queries, one slot is reserved for t8's
+# queued ANSI fertility-division fix + re-certification (SCALE.md r11
+# ANSI audit), and the 2 remaining slots drain the 2 never-gated
+# additions — 47 + 1 + 2 = 50, an exact tiling.
+# tests/test_registry_window.py::test_registration_budget enforces the
+# arithmetic mechanically each run.
 #
 # Everything else (_WINDOW_DEFERRED) holds a green driver row earned on
 # current data in its current form (r9/r10/r11);
@@ -204,13 +207,15 @@ _WINDOW_FIRST = [
 ]
 
 
-# Queries NOT in this round's 50-slot window — every one already carries
-# a green driver row earned on post-regeneration data in its current
-# form (r9, r10 or r11 — see CORRECTNESS_r0{9}.json / CORRECTNESS_r1{0,1}
-# .json) and is value-checked against its DuckDB oracle on current data
-# by the local mirror (tests/test_oracle_parity.py) every round. After
-# r12 the oldest evidence in this list is r9 (47 queries) — the r13
-# rotation cohort. t8_bpe_token_stats (r10-vintage) carries the queued
+# Queries NOT in this round's 50-slot window — every one except the two
+# round-12 additions (s14_hybrid_rrf, st15_stateful_session_eviction —
+# never-gated, mirror-green, pinned to lead the r13 window) already
+# carries a green driver row earned on post-regeneration data in its
+# current form (r9, r10 or r11 — see CORRECTNESS_r0{9}.json /
+# CORRECTNESS_r1{0,1}.json) and is value-checked against its DuckDB
+# oracle on current data by the local mirror
+# (tests/test_oracle_parity.py) every round. After r12 the oldest
+# evidence in this list is r9 (47 queries) — the r13 rotation cohort. t8_bpe_token_stats (r10-vintage) carries the queued
 # ANSI fertility-division fix, which lands in r13 with one of its 3 free
 # slots as a re-certification seat (SCALE.md r11 ANSI audit). mm5 stays
 # deferred despite this round's media_type_col change:
@@ -266,6 +271,7 @@ _WINDOW_DEFERRED = [
     "s5_scalar_quantization", "st10_streaming_histogram_rollup",
     "st11_streaming_cms_maintenance", "st12_streaming_scd2_maintenance",
     "st13_streaming_join_view", "st14_streaming_dataset_card",
+    "st15_stateful_session_eviction",
     "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
     "st3_streaming_watermarked_windows", "st4_stream_static_join",
     "st5_streaming_dedup", "st6_stateful_running_totals",

@@ -1804,3 +1804,155 @@ def st14_streaming_dataset_card(
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming query #15 — STATEFUL SESSIONS WITH TIMEOUT
+# EVICTION (streaming/sessions.py): the production form of the custom
+# stateful operator. st6 documents that production would bound its
+# per-key state with GroupStateTimeout; st15 IS that form —
+# applyInPandasWithState + EventTimeTimeout, where the watermark passing
+# a key's gap horizon EVICTS its state row (emitting the closed
+# session), so state is bounded by the keys active inside one gap
+# horizon instead of every key ever seen. That bound is the property
+# that makes per-key state viable at 100 TB.
+#
+# The flow replays the events table as FOUR deterministic micro-batches:
+# two time-ranged slices split at the corpus midpoint (sessions straddle
+# the boundary, so the gate certifies cross-batch state carry), then two
+# far-future single-event sentinel files (reserved user_ids -1/-2) whose
+# only job is to push the watermark past every real key's horizon — the
+# first advances the watermark, the second triggers a batch in which
+# every surviving real key fires its timeout callback. Sentinel keys
+# themselves never emit (their own timeouts stay beyond the final
+# watermark) and are filtered out regardless. File order is pinned by
+# explicit mtimes (the file source processes oldest-first), and each
+# batch's time-range floor exceeds the prior batch's watermark, so no
+# event is ever late and setTimeoutTimestamp is always legal.
+#
+# The run RAISES (RuntimeError — python -O strips asserts) unless >= 4
+# data batches ran, every real user's final session was emitted BY THE
+# TIMEOUT PATH (state eviction actually exercised, once per key), and
+# at least one session closed in-batch (the gap-split path exercised).
+# Oracle = the batch gap-sessionization recompute (adv1's shape, 60 min
+# gap), so any dropped/double-emitted/mis-merged session across batch
+# or state-machine boundaries fails the driver's value hash.
+# ---------------------------------------------------------------------------
+_ST15_GAP_MIN = 60  # keep in sync with sessions.GAP_MIN (pinned by test)
+_ST15_ORACLE = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {_ST15_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "st15_stateful_session_eviction",
+    oracle=_ST15_ORACLE,
+    doc=(
+        "§2.7/§2.8 stateful sessions with EventTimeTimeout eviction — "
+        "state bounded to the active-key set"
+    ),
+)
+def st15_stateful_session_eviction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import uuid
+    from datetime import timedelta
+
+    from .sessions import GAP_MIN, sessionize_with_eviction
+
+    if GAP_MIN != _ST15_GAP_MIN:  # RuntimeError, not assert: -O strips
+        raise RuntimeError("st15 oracle gap diverged from sessions.GAP_MIN")
+    tmp = tempfile.mkdtemp(prefix="iotx_st15_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        mid = b.lo + (b.hi - b.lo) / 2
+        gap = timedelta(minutes=GAP_MIN)
+        sent1 = b.hi + gap + timedelta(hours=1)
+        sent2 = sent1 + gap + timedelta(hours=1)
+        batches = [
+            ev.filter(F.col("ts") < F.lit(mid)),
+            ev.filter(F.col("ts") >= F.lit(mid)),
+            spark.createDataFrame([(-1, sent1)], "user_id long, ts timestamp"),
+            spark.createDataFrame([(-2, sent2)], "user_id long, ts timestamp"),
+        ]
+        t0 = time.time()
+        for i, sl in enumerate(batches):
+            part_dir = os.path.join(tmp, f"part{i}")
+            sl.coalesce(1).write.parquet(part_dir)
+            parts = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            if len(parts) != 1:
+                raise RuntimeError(f"st15 slice {i}: expected 1 file, {parts}")
+            dst = os.path.join(in_dir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(part_dir, parts[0]), dst)
+            # pin the replay order: the file source takes oldest-first,
+            # and path order agrees as a tiebreak
+            os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .withWatermark("ts", "1 second")
+        )
+        name = f"st15_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessionize_with_eviction(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(data_batches) < 4:
+            raise RuntimeError(
+                f"st15 needs >= 4 data micro-batches (2 slices + 2 "
+                f"sentinels) to certify cross-batch state carry and "
+                f"watermark-driven eviction; got {len(data_batches)}"
+            )
+        out = spark.table(name)
+        real = F.col("user_id") >= 0
+        n_users = ev.select("user_id").distinct().count()
+        n_evicted = out.filter(real & F.col("via_timeout")).count()
+        if n_evicted != n_users:
+            raise RuntimeError(
+                f"st15 eviction certificate: every real user's final "
+                f"session must close via the timeout path exactly once "
+                f"({n_evicted} evictions for {n_users} users)"
+            )
+        if out.filter(real & ~F.col("via_timeout")).count() < 1:
+            raise RuntimeError(
+                "st15 gap certificate: no session closed in-batch — the "
+                "gap-split path never ran"
+            )
+        # the memory sink lives in the session, so the returned frame
+        # stays valid after the scratch tree (input slices, checkpoint)
+        # is deleted; via_timeout is the certificate column, not part of
+        # the compared sessionization surface
+        return out.filter(real).select(
+            "user_id", "session_id", "session_start", "session_end", "n_events"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,129 @@
+"""st15 — stateful sessions with event-time timeout eviction.
+
+The registered flow is value-compared against the batch gap-sessionize
+oracle by test_oracle_parity; these tests pin the edge semantics on a
+HAND corpus (gap boundary exactly at GAP — strict >, duplicate
+timestamps, single-event users, sessions straddling the micro-batch
+boundary) and the constants coupling."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from iot_big_data_engineering_spark.streaming.pipeline import (
+    _ST15_GAP_MIN,
+    _ST15_ORACLE,
+    st15_stateful_session_eviction,
+)
+from iot_big_data_engineering_spark.streaming.sessions import GAP_MIN
+
+from .conftest import SF_SMOKE
+
+_GAP_US = GAP_MIN * 60 * 1_000_000
+
+
+def test_gap_constant_pinned():
+    assert GAP_MIN == _ST15_GAP_MIN
+
+
+def _run_hand_corpus(spark, tmp_path, rows):
+    """rows: (event_id, ts_us, user_id). Writes a full events-shaped
+    parquet so load_table sees the real schema."""
+    d = tmp_path / "events_sf"
+    os.makedirs(d, exist_ok=True)
+    import datetime as dt
+
+    data = [
+        (
+            eid,
+            dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us),
+            uid,
+            "click",
+            1.0,
+            "{}",
+        )
+        for eid, us, uid in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = {
+        (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events)
+        for r in st15_stateful_session_eviction(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    want = {
+        (u, s, st.replace(tzinfo=None), en.replace(tzinfo=None), n)
+        for u, s, st, en, n in con.execute(_ST15_ORACLE).fetchall()
+    }
+    got = {
+        (u, s, st.replace(tzinfo=None), en.replace(tzinfo=None), n)
+        for u, s, st, en, n in got
+    }
+    assert got == want
+    return got
+
+
+def test_gap_boundary_is_strict_and_dup_ts_merge(spark, tmp_path):
+    """An inter-event gap of EXACTLY GAP stays one session (strict >,
+    matching the SQL oracle); GAP + 1 µs splits; duplicate timestamps
+    count as distinct events of one session; a single-event user closes
+    via eviction."""
+    rows = [
+        # user 1: 3 events at 0, GAP (same session), then 2·GAP + 1 µs
+        # after the second (new session)
+        (1, 0, 1),
+        (2, _GAP_US, 1),
+        (3, 2 * _GAP_US + 1, 1),
+        # user 2: duplicate timestamps — one session, n_events 3
+        (4, 100, 2),
+        (5, 100, 2),
+        (6, 100 + 7, 2),
+        # user 3: single event
+        (7, 42, 3),
+    ]
+    got = _run_hand_corpus(spark, tmp_path, rows)
+    by_user = {}
+    for u, s, st, en, n in got:
+        by_user.setdefault(u, []).append((s, n))
+    assert sorted(by_user[1]) == [(1, 2), (2, 1)]  # strict > at the boundary
+    assert by_user[2] == [(1, 3)]
+    assert by_user[3] == [(1, 1)]
+
+
+def test_sessions_straddle_microbatch_boundary(spark, tmp_path):
+    """A session whose events fall on both sides of the corpus midpoint
+    (the micro-batch split) must come out as ONE session — the
+    cross-batch state-carry certificate in miniature."""
+    hour_us = 3_600_000_000
+    rows = [
+        # user 1: events every GAP/2 across 4 hours — ONE session that
+        # must straddle the midpoint slice
+        *[(10 + i, i * (_GAP_US // 2), 1) for i in range(9)],
+        # user 2: one session early, one session late (clear gap)
+        (30, 0, 2),
+        (31, 10 * hour_us, 2),
+    ]
+    got = _run_hand_corpus(spark, tmp_path, rows)
+    u1 = [g for g in got if g[0] == 1]
+    assert len(u1) == 1 and u1[0][4] == 9
+    u2 = sorted(g[1] for g in got if g[0] == 2)
+    assert u2 == [1, 2]
+
+
+def test_st15_raises_on_gap_drift(spark, monkeypatch):
+    import iot_big_data_engineering_spark.streaming.sessions as S
+
+    monkeypatch.setattr(S, "GAP_MIN", GAP_MIN + 1)
+    with pytest.raises(RuntimeError, match="gap diverged"):
+        st15_stateful_session_eviction(spark, SF_SMOKE)
