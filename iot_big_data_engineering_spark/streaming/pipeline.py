@@ -1886,6 +1886,11 @@ def st15_stateful_session_eviction(
         os.makedirs(in_dir)
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
         b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        if b.lo is None:  # RuntimeError, not assert: -O strips asserts
+            raise RuntimeError(
+                "st15 certifies cross-batch state carry and eviction; an "
+                "empty events table cannot exercise either path"
+            )
         mid = b.lo + (b.hi - b.lo) / 2
         gap = timedelta(minutes=GAP_MIN)
         sent1 = b.hi + gap + timedelta(hours=1)

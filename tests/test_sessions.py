@@ -127,3 +127,15 @@ def test_st15_raises_on_gap_drift(spark, monkeypatch):
     monkeypatch.setattr(S, "GAP_MIN", GAP_MIN + 1)
     with pytest.raises(RuntimeError, match="gap diverged"):
         st15_stateful_session_eviction(spark, SF_SMOKE)
+
+
+def test_st15_raises_on_empty_events(spark, tmp_path):
+    d = tmp_path / "empty_sf"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    with pytest.raises(RuntimeError, match="empty events"):
+        st15_stateful_session_eviction(spark, str(d))

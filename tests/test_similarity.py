@@ -1136,3 +1136,33 @@ def test_s14_single_channel_docs_rank_by_rrf(spark):
     order = sorted(docs, key=lambda d: (-scores[d], d))
     assert order == [1, 2, 3]  # both-channel doc first; ties by doc_id
     assert scores[2] == scores[3]  # symmetric single-channel ranks tie
+
+
+def test_s14_no_lexical_hits_falls_back_to_semantic_only(spark, tmp_path):
+    """Hand corpus whose documents contain NONE of the fixed query terms:
+    the lexical channel is empty, the full-outer fusion degrades to the
+    semantic ranking alone, and every rrf_score is exactly
+    1/(K + sem_rank) — the single-channel shape the RRF coalesce
+    guards."""
+    import os
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _S14_K,
+        s14_hybrid_rrf,
+    )
+
+    d = tmp_path / "s14_sf"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "web", 16) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.5], i % 2) for i in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    rows = s14_hybrid_rrf(spark, str(d)).collect()
+    assert rows and all(r.lex_rank is None for r in rows)
+    for r in rows:
+        assert r.sem_rank is not None
+        assert abs(r.rrf_score - 1.0 / (_S14_K + r.sem_rank)) < 5.1e-7
