@@ -1270,3 +1270,28 @@ def test_adv15b_scale9_matches_python_replay_on_star(spark):
         r = nxt
     assert got == r
     assert r[0] > r[1] == r[2] == r[3]
+
+
+def test_s14_plan_shape(spark):
+    """s14's scale contract, pinned: every ranking runs as a distributed
+    TakeOrderedAndProject (two channel top-50s + the fused top-20 —
+    never a global sort of the corpus), the 1-row query-vector cross
+    join broadcasts (no CartesianProduct), and the scalar/df/dl joins of
+    the BM25 channel are broadcast hash joins. The fusion join's inputs
+    are the ≤50-row channel lists by construction, so whatever strategy
+    Catalyst picks for the FullOuter is bounded."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s14_hybrid_rrf,
+    )
+    from iot_big_data_engineering_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+        plan_str,
+    )
+
+    df = s14_hybrid_rrf(spark, SF_SMOKE)
+    p = plan_str(df)
+    assert p.count("TakeOrderedAndProject") >= 3, p
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row qv cross join
