@@ -1166,3 +1166,46 @@ def test_s14_no_lexical_hits_falls_back_to_semantic_only(spark, tmp_path):
     for r in rows:
         assert r.sem_rank is not None
         assert abs(r.rrf_score - 1.0 / (_S14_K + r.sem_rank)) < 5.1e-7
+
+
+def test_s14_rrf_arithmetic_exhaustive_cross_engine():
+    """The fused score's entire input domain is (lex_rank, sem_rank) ∈
+    ({1..C} ∪ {missing})² — small enough to certify EXHAUSTIVELY:
+    DuckDB's round(coalesce(1.0/(K+r1),0.0) + coalesce(1.0/(K+r2),0.0))
+    (note: 1.0/int promotes to DOUBLE, not DECIMAL — typeof-checked)
+    must equal fround's floor(x·10⁶ + 0.5)/10⁶ on every pair. This is a
+    stronger guarantee than any corpus sample: NO rank combination can
+    hash-diverge."""
+    import math
+
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _S14_C,
+        _S14_K,
+    )
+
+    con = duckdb.connect()
+    assert (
+        con.execute(f"SELECT typeof(1.0 / ({_S14_K} + 1))").fetchone()[0]
+        == "DOUBLE"
+    )
+    ranks = list(range(1, _S14_C + 1)) + [None]
+    pairs = ", ".join(
+        f"({r1 if r1 is not None else 'NULL'}, "
+        f"{r2 if r2 is not None else 'NULL'})"
+        for r1 in ranks
+        for r2 in ranks
+        if r1 is not None or r2 is not None
+    )
+    got = con.execute(
+        f"SELECT r1, r2, round(coalesce(1.0/({_S14_K}+r1), 0.0)"
+        f" + coalesce(1.0/({_S14_K}+r2), 0.0), 6)"
+        f" FROM (VALUES {pairs}) t(r1, r2)"
+    ).fetchall()
+    assert len(got) == len(ranks) ** 2 - 1
+    for r1, r2, dd in got:
+        d = (1.0 / (_S14_K + r1) if r1 else 0.0) + (
+            1.0 / (_S14_K + r2) if r2 else 0.0
+        )
+        assert float(dd) == math.floor(d * 1e6 + 0.5) / 1e6, (r1, r2, dd)
