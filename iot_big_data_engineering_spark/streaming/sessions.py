@@ -110,7 +110,12 @@ def _update(
             sess += 1
             start_us, last_us, cnt = t, t, 1
         else:
-            last_us, cnt = t, cnt + 1
+            # max() is defensive: within a batch ts_sorted is ascending,
+            # and across batches the time-ranged slice layout puts every
+            # new t at or after the carried last — but a carried last
+            # must never move BACKWARD, or later gap checks would split
+            # against the wrong anchor
+            last_us, cnt = max(last_us, t), cnt + 1
     state.update((sess, start_us, last_us, cnt))
     # safe by the slice layout: last >= this batch's slice floor, which
     # exceeds the watermark (= previous slice's max − delay)
