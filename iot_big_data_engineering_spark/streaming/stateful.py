@@ -6,8 +6,12 @@ drift tracking or cross-batch dedup at 100 TB).
 
 State is one compact row per vehicle (count, value sum, last-seen ts);
 each micro-batch updates state from its Arrow batches and emits the new
-running totals. GroupStateTimeout would evict idle keys in production —
-bounding state to the active-device set.
+running totals. The timeout-eviction production form this header used
+to promise exists now: ``streaming/sessions.py`` (st15) carries
+``GroupStateTimeout.EventTimeTimeout`` and removes a key's state when
+the watermark passes its gap horizon — bounding state to the
+active-device set. st6 keeps ``NoTimeout`` deliberately: its contract
+is lifetime running totals, where eviction would change the answer.
 """
 
 from __future__ import annotations
