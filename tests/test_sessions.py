@@ -139,3 +139,113 @@ def test_st15_raises_on_empty_events(spark, tmp_path):
     ).coalesce(1).write.parquet(str(d / "events.parquet"))
     with pytest.raises(RuntimeError, match="empty events"):
         st15_stateful_session_eviction(spark, str(d))
+
+
+def test_st15_state_survives_stop_restart(spark, tmp_path):
+    """The restart certificate (st10's precedent, applied to the custom
+    stateful operator): phase 1 streams the two real time slices and is
+    STOPPED; phase 2 restarts from the same checkpoint with only the
+    far-future sentinel files as new input, so every emitted eviction in
+    phase 2 closes a session whose state was built BEFORE the kill —
+    recovered state, recovered watermark, recovered file-source offsets.
+    The assembled file-sink output must equal the batch sessionization
+    oracle exactly (the parquet sink's commit log gives exactly-once
+    across the restart, where a memory sink would lose phase-1 rows)."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.sources.tables import load_table
+    from iot_big_data_engineering_spark.streaming.sessions import (
+        sessionize_with_eviction,
+    )
+
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "ts")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = b.lo + (b.hi - b.lo) / 2
+    gap = dt.timedelta(minutes=GAP_MIN)
+    sent1 = b.hi + gap + dt.timedelta(hours=1)
+    sent2 = sent1 + gap + dt.timedelta(hours=1)
+
+    def _write(i, df):
+        part = tmp_path / f"part{i}"
+        df.coalesce(1).write.parquet(str(part))
+        src = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        assert len(src) == 1
+        dst = in_dir / f"{i:02d}.parquet"
+        os.rename(part / src[0], dst)
+        os.utime(dst, (1_700_000_000 + 10 * i,) * 2)
+
+    _write(0, ev.filter(F.col("ts") < F.lit(mid)))
+    _write(1, ev.filter(F.col("ts") >= F.lit(mid)))
+
+    def _start(available_now):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir))
+            .withWatermark("ts", "1 second")
+        )
+        w = (
+            sessionize_with_eviction(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    # ---- phase 1: both real slices, then the kill ----
+    q1 = _start(available_now=False)
+    deadline = _time.monotonic() + 120.0
+    while (
+        sum(1 for p in q1.recentProgress if p["numInputRows"] > 0) < 2
+        and _time.monotonic() < deadline
+    ):
+        _time.sleep(0.2)
+    n1 = sum(1 for p in q1.recentProgress if p["numInputRows"] > 0)
+    q1.stop()
+    assert n1 >= 1, "phase 1 processed no data batch before the kill"
+
+    # ---- phase 2: only the sentinels are new; restart from checkpoint ----
+    _write(2, spark.createDataFrame([(-1, sent1)], "user_id long, ts timestamp"))
+    _write(3, spark.createDataFrame([(-2, sent2)], "user_id long, ts timestamp"))
+    q2 = _start(available_now=True)
+    q2.awaitTermination()
+    n2 = sum(1 for p in q2.recentProgress if p["numInputRows"] > 0)
+    assert n2 >= 1, "phase 2 processed no data — nothing crossed the restart"
+
+    out = spark.read.schema(
+        "user_id long, session_id long, session_start timestamp, "
+        "session_end timestamp, n_events long, via_timeout boolean"
+    ).parquet(out_dir)
+    rows = out.filter(F.col("user_id") >= 0).collect()
+    n_users = ev.select("user_id").distinct().count()
+    evicted = [r for r in rows if r.via_timeout]
+    assert len(evicted) == n_users  # every final session closed via state
+    # built before OR carried across the kill — eviction exactly once
+    got = {
+        (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events)
+        for r in rows
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_SMOKE}/events.parquet'"
+    )
+    want = {
+        (u, s, st.replace(tzinfo=None), en.replace(tzinfo=None), n)
+        for u, s, st, en, n in con.execute(_ST15_ORACLE).fetchall()
+    }
+    assert {
+        (u, s, st.replace(tzinfo=None), en.replace(tzinfo=None), n)
+        for u, s, st, en, n in got
+    } == want
