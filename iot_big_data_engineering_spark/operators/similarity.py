@@ -2226,19 +2226,30 @@ QUALIFY fused_rank <= {_S14_TOPN}
     ),
 )
 def s14_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rrf_fuse(
+        _s14_lex_channel(spark, sf_dir),
+        _s14_sem_channel_exact(spark, sf_dir),
+    )
+
+
+def _s14_lex_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lex_rank): t18's certified BM25 pipeline, depth C; the
+    rank window runs over the ≤C TakeOrderedAndProject survivors only."""
     from .dedup import _docs_par
     from .textstats import bm25_topk
 
-    # lexical channel: t18's certified BM25 pipeline, depth C; the rank
-    # window runs over the ≤C TakeOrderedAndProject survivors only
     lex = bm25_topk(_docs_par(spark, sf_dir), terms=_S14_TERMS, topn=_S14_C)
     wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    lexr = (
+    return (
         lex.select("doc_id", "bm25")
         .withColumn("lex_rank", F.row_number().over(wl).cast("int"))
         .drop("bm25")
     )
-    # semantic channel: s1's exact map-only broadcast scan, depth C
+
+
+def _s14_sem_channel_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sem_rank): s1's exact map-only broadcast scan, depth C —
+    the registered form's semantic channel (the anchor)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double("embedding").alias("v")
     )
@@ -2253,17 +2264,27 @@ def s14_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_S14_C)  # TakeOrderedAndProject — distributed top-C
     )
     ws = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
-    semr = sem_top.withColumn(
+    return sem_top.withColumn(
         "sem_rank", F.row_number().over(ws).cast("int")
     ).drop("cosine")
-    # fusion: two ≤C-row lists — the only join is broadcast-sized by
-    # construction; 1/(K+rank) is exact IEEE small-integer division and
-    # the two-term add is in FIXED textual order (lex + sem)
+
+
+def rrf_fuse(
+    lexr: DataFrame,
+    semr: DataFrame,
+    topn: int = _S14_TOPN,
+    k_rrf: int = _S14_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists —
+    (doc_id, lex_rank) ⊕ (doc_id, sem_rank) → fused top-n. The fusion
+    join's inputs are channel top-C lists (broadcast-sized by
+    construction); 1/(K+rank) is exact IEEE small-integer division and
+    the two-term add is in FIXED textual order (lex + sem)."""
     fused = lexr.join(semr, "doc_id", "full_outer")
     rrf = F.coalesce(
-        F.lit(1.0) / (F.lit(_S14_K) + F.col("lex_rank")), F.lit(0.0)
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("lex_rank")), F.lit(0.0)
     ) + F.coalesce(
-        F.lit(1.0) / (F.lit(_S14_K) + F.col("sem_rank")), F.lit(0.0)
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("sem_rank")), F.lit(0.0)
     )
     scored = fused.select(
         "doc_id", "lex_rank", "sem_rank", fround(rrf, _R).alias("rrf_score")
@@ -2271,4 +2292,34 @@ def s14_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
     return scored.withColumn(
         "fused_rank", F.row_number().over(wf).cast("int")
-    ).filter(F.col("fused_rank") <= _S14_TOPN)
+    ).filter(F.col("fused_rank") <= topn)
+
+
+def hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s14's 100 TB serving form (library; the registered s14 is the
+    exact anchor): the semantic channel runs through s2's IVF
+    partition-pruned probe instead of the full-corpus scan — sublinear
+    reads at equal fusion semantics. IVF recall < 1 on cell-boundary
+    neighbors means the semantic candidate SET may differ from the
+    exact channel's (the documented ANN trade, property-tested against
+    the anchor); every doc both channels agree on fuses to the
+    identical score, because rrf_fuse and the rank tiebreaks are
+    shared. Registration deferred to a free window seat (r14 earliest —
+    the r13 window is exactly tiled); the same twin discipline as
+    s13 → s13b."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double("embedding").alias("v")
+    )
+    # query_id -1 is NOT a corpus id, so ivf_probe_search's self-exclusion
+    # filter never fires and the query's own corpus row stays eligible —
+    # aligning the channel with the exact anchor, which includes it
+    q = e.filter(F.col("vec_id") == _S14_QVEC).select(
+        F.lit(-1).cast("long").alias("query_id"), F.col("v").alias("qv")
+    )
+    semr = (
+        ivf_topk(e, q, k=_S14_C)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank"))
+        .withColumn("sem_rank", F.col("rank").cast("int"))
+        .drop("rank")
+    )
+    return rrf_fuse(_s14_lex_channel(spark, sf_dir), semr)

@@ -1209,3 +1209,51 @@ def test_s14_rrf_arithmetic_exhaustive_cross_engine():
             1.0 / (_S14_K + r2) if r2 else 0.0
         )
         assert float(dd) == math.floor(d * 1e6 + 0.5) / 1e6, (r1, r2, dd)
+
+
+def test_hybrid_rrf_ivf_library_form(spark):
+    """The 100 TB serving twin of s14 (library; registration deferred to
+    a free window seat): the semantic channel runs through the IVF
+    probe. Anchored properties — the shared lexical channel is
+    bit-identical to the registered s14's; the IVF channel's #1 is the
+    query's own corpus row (cell self-routing, the s2 planted-copy
+    property); within the IVF candidate set the relative order equals
+    the exact anchor's (the rerank is exact); the fused score is the
+    shared RRF formula; and the whole surface is run-to-run
+    deterministic."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _S14_K,
+        _S14_QVEC,
+        hybrid_rrf_ivf,
+        s14_hybrid_rrf,
+    )
+
+    rows = hybrid_rrf_ivf(spark, SF_SMOKE).collect()
+    again = hybrid_rrf_ivf(spark, SF_SMOKE).collect()
+    key = lambda r: (r.doc_id, r.lex_rank, r.sem_rank, r.rrf_score, r.fused_rank)
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+    anchor = {r.doc_id: r for r in s14_hybrid_rrf(spark, SF_SMOKE).collect()}
+    sem1 = [r for r in rows if r.sem_rank == 1]
+    assert sem1 and sem1[0].doc_id == _S14_QVEC  # self-routing
+    for r in rows:
+        expect = (1.0 / (_S14_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (_S14_K + r.sem_rank) if r.sem_rank else 0.0
+        )
+        assert abs(r.rrf_score - expect) < 5.1e-7, r
+        # the lexical channel is the SAME pipeline: identical rank wherever
+        # the anchor fused the same doc
+        if r.doc_id in anchor and anchor[r.doc_id].lex_rank is not None:
+            assert r.lex_rank == anchor[r.doc_id].lex_rank, r
+    # within the IVF candidate set the order matches the exact anchor's:
+    # docs ranked by BOTH sem channels keep their relative order
+    both = [
+        (r.sem_rank, anchor[r.doc_id].sem_rank)
+        for r in rows
+        if r.sem_rank is not None
+        and r.doc_id in anchor
+        and anchor[r.doc_id].sem_rank is not None
+    ]
+    both.sort()
+    exact_orders = [e for _, e in both]
+    assert exact_orders == sorted(exact_orders), both
