@@ -2323,3 +2323,153 @@ def hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rank")
     )
     return rrf_fuse(_s14_lex_channel(spark, sf_dir), semr)
+
+
+# ---------------------------------------------------------------------------
+# S15 — MMR DIVERSIFIED RERANK (library; r14 registration candidate —
+# the r13 window is exactly tiled, so this ships tested with its oracle
+# ready and registers when a seat frees, like hybrid_rrf_ivf):
+# Maximal Marginal Relevance over the bounded candidate list the
+# retrieval stack already serves — score(d) = λ·rel(d) −
+# (1−λ)·max_{s∈selected} sim(d, s), greedily for k picks. The rerank
+# every retrieval stack applies when near-duplicate hits crowd out
+# coverage (Carbonell & Goldstein 1998).
+#
+# Distribution contract: relevance top-C and the C×C candidate
+# similarity matrix are computed DISTRIBUTED (the corpus is scanned
+# once for the top-C TakeOrderedAndProject, candidates self-join at C²
+# = 2,500 rows); only the ≤C²-row ROUNDED similarity table and the ≤C
+# candidate list are collected for the greedy loop — bounded by the
+# constant C, never by the corpus (the same bounded-collect contract as
+# ivf_topk's probe selection).
+#
+# Exactness contract: every similarity is fround-6dp'd IN SPARK before
+# the greedy loop, so python and DuckDB iterate over bit-identical
+# doubles; λ and (1−λ) are the separate literals 0.7 and 0.3 on both
+# engines (1−0.7 in double is 0.30000000000000004 — never computed);
+# the per-step argmax compares the same unrounded double expression
+# with a doc_id tiebreak; scores can be negative (rel ∈ [−1,1]), so the
+# output rounds through sql_fround in the oracle, never DuckDB's
+# half-away-from-zero round (the t17b discipline). The oracle unrolls
+# the k greedy steps as generated CTEs — no recursion, no engine
+# iteration semantics to match.
+# ---------------------------------------------------------------------------
+_S15_K = 10      # picks
+_S15_LAM = 0.7   # relevance weight (λ); diversity weight is the
+_S15_OML = 0.3   # SEPARATE literal 0.3, never 1−λ (double 1−0.7 ≠ 0.3)
+
+
+def _s15_oracle() -> str:
+    from ..functions.rounding import sql_fround
+
+    cand_cos = sql_fround(V.sql_cosine("qv.qv", "e.v"), _R)
+    pair_cos = sql_fround(V.sql_cosine("a.v", "b.v"), _R)
+    steps = []
+    finals = []
+    for i in range(1, _S15_K + 1):
+        if i == 1:
+            steps.append(
+                f"s1 AS MATERIALIZED (SELECT doc_id, rel, v, ({_S15_LAM} * rel - "
+                f"{_S15_OML} * 0.0) AS score FROM cand "
+                f"ORDER BY score DESC, doc_id LIMIT 1)"
+            )
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT doc_id FROM s{j}" for j in range(1, i)
+            )
+            steps.append(
+                f"s{i} AS MATERIALIZED (SELECT c.doc_id, c.rel, c.v, ({_S15_LAM} * c.rel"
+                f" - {_S15_OML} * (SELECT max(sim) FROM sims WHERE"
+                f" da = c.doc_id AND db IN ({prev}))) AS score"
+                f" FROM cand c WHERE c.doc_id NOT IN ({prev})"
+                f" ORDER BY score DESC, doc_id LIMIT 1)"
+            )
+        finals.append(
+            f"SELECT CAST({i} AS INTEGER) AS mmr_rank, doc_id,"
+            f" rel AS relevance, {sql_fround('score', _R)} AS mmr_score"
+            f" FROM s{i}"
+        )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+        f"qv AS (SELECT v AS qv FROM e WHERE vec_id = {_S14_QVEC}),\n"
+        "cand AS MATERIALIZED (\n"
+        f"  SELECT e.vec_id AS doc_id, {cand_cos} AS rel, e.v\n"
+        "  FROM e CROSS JOIN qv\n"
+        f"  ORDER BY rel DESC, doc_id LIMIT {_S14_C}\n"
+        "),\n"
+        "sims AS MATERIALIZED (\n"
+        f"  SELECT a.doc_id AS da, b.doc_id AS db, {pair_cos} AS sim\n"
+        "  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id\n"
+        "),\n"
+        + ",\n".join(steps)
+        + "\n"
+        + "\nUNION ALL ".join(finals)
+    )
+
+
+_S15_ORACLE = _s15_oracle()
+
+
+def s15_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR top-k for the fixed query embedding over the top-C relevance
+    candidates (registered-shape signature; oracle = _S15_ORACLE)."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double("embedding").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == _S14_QVEC).select(F.col("v").alias("qv"))
+    cand = (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("rel"),
+            "v",
+        )
+        .orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        .limit(_S14_C)  # TakeOrderedAndProject — distributed top-C
+    )
+    cand = track(cand.persist())  # feeds the pair join twice + collect
+    pair = (
+        cand.alias("a")
+        .join(cand.alias("b"), F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            fround(
+                V.cosine(F.col("a.v"), F.col("b.v")), _R
+            ).alias("sim"),
+        )
+    )
+    # bounded collects: ≤C candidates and ≤C² rounded sims (C = 50)
+    rel = {r.doc_id: r.rel for r in cand.select("doc_id", "rel").collect()}
+    sim = {(r.da, r.db): r.sim for r in pair.collect()}
+    selected: list[int] = []
+    out = []
+    remaining = set(rel)
+    for rank in range(1, _S15_K + 1):
+        if not remaining:
+            break
+        best = None
+        for d in remaining:
+            maxsim = max(
+                (sim[(d, s)] for s in selected if sim.get((d, s)) is not None),
+                default=0.0,
+            )
+            score = _S15_LAM * rel[d] - _S15_OML * maxsim
+            # argmax with doc_id tiebreak — the same total order as the
+            # oracle's ORDER BY score DESC, doc_id LIMIT 1
+            if best is None or score > best[0] or (
+                score == best[0] and d < best[1]
+            ):
+                best = (score, d)
+        score, d = best
+        selected.append(d)
+        remaining.discard(d)
+        out.append(
+            (rank, d, rel[d], math.floor(score * 1e6 + 0.5) / 1e6)
+        )
+    return spark.createDataFrame(
+        out,
+        "mmr_rank int, doc_id long, relevance double, mmr_score double",
+    )

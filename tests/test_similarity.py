@@ -1257,3 +1257,53 @@ def test_hybrid_rrf_ivf_library_form(spark):
     both.sort()
     exact_orders = [e for _, e in both]
     assert exact_orders == sorted(exact_orders), both
+
+
+def test_s15_mmr_matches_generated_oracle(spark):
+    """s15 is library-only until a window seat frees (r14 earliest); this
+    test runs the registration-shaped compare the mirror would run —
+    Spark vs the generated unrolled-CTE DuckDB oracle, value-exact."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        _S15_ORACLE,
+        s15_mmr_rerank,
+    )
+
+    from .oracle import compare, run_oracle
+
+    df = s15_mmr_rerank(spark, SF_SMOKE)
+    cols, types, rows = run_oracle(_S15_ORACLE, SF_SMOKE)
+    compare(df, cols, types, rows)
+
+
+def test_s15_mmr_diversity_beats_near_duplicate(spark, tmp_path):
+    """The point of MMR, pinned on a hand corpus: after the two top
+    picks, a DIVERSE candidate (lower max-similarity to the selected
+    set) must outrank a NEAR-DUPLICATE of an already-selected doc even
+    though the duplicate's raw relevance is equal — pure relevance
+    ranking would return the redundant doc."""
+    import os
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s15_mmr_rerank,
+    )
+
+    d = tmp_path / "s15_sf"
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),       # the query doc itself (rel 1.0)
+        (1, [0.96, 0.28, 0.0], 0),     # top non-self candidate
+        (2, [0.96, 0.281, 0.001], 0),  # near-duplicate of doc 1
+        (3, [0.95, -0.31, 0.0], 0),    # equally relevant but DIVERSE
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    got = [
+        r.doc_id
+        for r in s15_mmr_rerank(spark, str(d))
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    # relevance order is [0, 1, 2, 3] (2 barely behind 1); MMR demotes
+    # the near-duplicate 2 below the diverse 3
+    assert got == [0, 1, 3, 2], got
