@@ -2137,8 +2137,9 @@ def s13b_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (once per modality), never joined against itself.
 #
 # Ref parity anchor: the reference's serving layer ranks filtered
-# per-entity aggregates with LIMIT (src/api/sensor_api.py:62-77); s14
-# composes two such certified rankers and fuses their ranks.
+# per-entity aggregates with LIMIT (src/api/sensor_api.py:197,
+# :283-284, :333-334); s14 composes two such certified rankers and
+# fuses their ranks.
 # ---------------------------------------------------------------------------
 _S14_TERMS = ["spark", "join", "stream"]  # = t18's fixed query (pinned by test)
 _S14_C = 50  # per-channel candidate depth
@@ -2195,6 +2196,10 @@ lexr AS (
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 qv AS (SELECT v AS qv FROM e WHERE vec_id = {_S14_QVEC}),
 semsc AS (
+  -- round() here is rewritten to the floor half-up formula (== sql_fround)
+  -- by registry._rewrite_rounds at registration, so the negative-cosine
+  -- half-boundary class (ADVICE r12) is excluded by construction: DuckDB's
+  -- native half-away-from-zero round never runs on this oracle.
   SELECT e.vec_id AS doc_id,
          round({V.sql_cosine("qv.qv", "e.v")}, {_R}) AS cosine
   FROM e CROSS JOIN qv

@@ -323,6 +323,18 @@ def t7_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
 
 
+def _fertility_ratio():
+    """Per-document subword-per-word ratio with the ANSI divide-by-zero
+    guard (Spark 4 raises DIVIDE_BY_ZERO by default): a document whose
+    whitespace-token count is 0 contributes NULL — avg() skips NULLs
+    identically in Spark and DuckDB, and an all-zero group yields NULL
+    fertility on both sides. The oracle carries the identical CASE."""
+    return F.when(
+        F.col("ws_count") > 0,
+        F.col("bpe_count").cast("double") / F.col("ws_count"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # T8 — BPE-ish subword token stats per (lang, source): the second counter
 # of the token-counting pair (whitespace words in t1, bounded subword
@@ -343,13 +355,19 @@ SELECT lang, source,
        CAST(sum(bpe_count) AS BIGINT) AS total_bpe_tokens,
        round(avg(CAST(bpe_count AS DOUBLE)), {_R}) AS avg_bpe_tokens,
        round(avg(CAST(ws_count AS DOUBLE)), {_R}) AS avg_ws_tokens,
-       round(avg(CAST(bpe_count AS DOUBLE) / ws_count), {_R}) AS fertility
+       round(avg(CASE WHEN ws_count > 0
+                      THEN CAST(bpe_count AS DOUBLE) / ws_count END),
+             {_R}) AS fertility
 FROM d
 GROUP BY lang, source
 """,
     doc="T8: BPE-ish subword counting + fertility vs whitespace words",
 )
 def t8_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fertility uses _fertility_ratio() (module level below) — the ANSI
+    # divide-by-zero guard is factored out so tests can drive the
+    # ws_count == 0 branch directly (unreachable through the current
+    # text helpers, where token_count('') is 1 by construction).
     d = _docs(spark, sf_dir).select(
         "lang",
         "source",
@@ -361,9 +379,7 @@ def t8_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bpe_count").cast("bigint").alias("total_bpe_tokens"),
         fround(F.avg(F.col("bpe_count").cast("double")), _R).alias("avg_bpe_tokens"),
         fround(F.avg(F.col("ws_count").cast("double")), _R).alias("avg_ws_tokens"),
-        fround(
-            F.avg(F.col("bpe_count").cast("double") / F.col("ws_count")), _R
-        ).alias("fertility"),
+        fround(F.avg(_fertility_ratio()), _R).alias("fertility"),
     )
 
 

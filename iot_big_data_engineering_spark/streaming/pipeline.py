@@ -1891,6 +1891,13 @@ def st15_stateful_session_eviction(
                 "st15 certifies cross-batch state carry and eviction; an "
                 "empty events table cannot exercise either path"
             )
+        if b.lo == b.hi:  # ADVICE r12: lo == hi makes slice 0 (ts < mid)
+            # empty, and the >=4-data-micro-batches check below would
+            # blame batching; name the degenerate corpus instead
+            raise RuntimeError(
+                "st15 needs >=2 distinct event times to split a two-batch "
+                "replay; the events table has a single timestamp"
+            )
         mid = b.lo + (b.hi - b.lo) / 2
         gap = timedelta(minutes=GAP_MIN)
         sent1 = b.hi + gap + timedelta(hours=1)

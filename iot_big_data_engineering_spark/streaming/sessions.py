@@ -90,9 +90,19 @@ def _update(
         yield _emit(user_id, [(sess, start_us, last_us, cnt)], True)
         state.remove()
         return
-    ts_chunks = [
-        pdf["ts"].astype("int64") // 1000 for pdf in pdfs if len(pdf)
-    ]
+    # raise-don't-guess (ADVICE r12): astype('int64') silently maps NaT
+    # to INT64_MIN, which would open a garbage session and diverge from
+    # the oracle's NULL-ordering — a null event time is a corrupt input
+    # here, not a degenerate one.
+    ts_chunks = []
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        if pdf["ts"].isna().any():
+            raise RuntimeError(
+                f"sessionize: null event timestamp for user_id={user_id}"
+            )
+        ts_chunks.append(pdf["ts"].astype("int64") // 1000)
     if not ts_chunks:  # defensive: no data and no timeout — nothing to do
         return
     ts_sorted = sorted(int(t) for chunk in ts_chunks for t in chunk)

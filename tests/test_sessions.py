@@ -249,3 +249,39 @@ def test_st15_state_survives_stop_restart(spark, tmp_path):
         (u, s, st.replace(tzinfo=None), en.replace(tzinfo=None), n)
         for u, s, st, en, n in got
     } == want
+
+
+def test_st15_raises_on_single_timestamp_corpus(spark, tmp_path):
+    """lo == hi would make the ts < mid slice empty and fail the
+    >=4-data-micro-batches check with a message blaming batching; the
+    guard (ADVICE r12) names the degenerate corpus instead."""
+    import datetime as dt
+
+    d = tmp_path / "one_ts_sf"
+    os.makedirs(d, exist_ok=True)
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(i, t, i % 3, "click", 1.0, "{}") for i in range(9)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    with pytest.raises(RuntimeError, match="single timestamp"):
+        st15_stateful_session_eviction(spark, str(d))
+
+
+def test_update_raises_on_null_event_time():
+    """astype('int64') maps NaT to INT64_MIN silently (ADVICE r12) — a
+    null event time must fail loudly, not open a garbage session."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.streaming.sessions import _update
+
+    class _NoState:
+        hasTimedOut = False
+        exists = False
+
+    pdf = pd.DataFrame(
+        {"user_id": [7, 7], "ts": [pd.Timestamp("2024-01-01"), pd.NaT]}
+    )
+    with pytest.raises(RuntimeError, match="null event timestamp"):
+        list(_update((7,), [pdf], _NoState()))

@@ -1630,3 +1630,70 @@ def test_j23b_rank_equiv_on_random_baskets(spark):
             .collect()
         )
         _assert_rank_equiv([(r.p1, r.p2) for r in got], scored, 20)
+
+
+# ---------------------------------------------------------------------------
+# t8 ANSI fertility-division guard (round-13; queued by the r11 ANSI audit)
+# ---------------------------------------------------------------------------
+def test_t8_fertility_guard_zero_word_rows(spark):
+    """Drive the ws_count == 0 branch of _fertility_ratio directly —
+    unreachable through the text helpers today (token_count('') is 1 by
+    construction), so this pins the guard against a helper change that
+    reintroduces zero counts: under default-ANSI Spark 4 an unguarded
+    bpe_count / ws_count would raise DIVIDE_BY_ZERO here."""
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _fertility_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10, 5), ("a", 7, 0), ("b", 3, 0)],
+        "grp string, bpe_count int, ws_count int",
+    )
+    rows = {
+        r.grp: r.fertility
+        for r in df.groupBy("grp")
+        .agg(F.avg(_fertility_ratio()).alias("fertility"))
+        .collect()
+    }
+    # zero-word row skipped from the mean; all-zero group -> NULL
+    assert rows["a"] == 2.0
+    assert rows["b"] is None
+
+
+def test_t8_empty_and_null_text_cross_engine(spark, tmp_path):
+    """Empty, whitespace-only, and NULL text documents through the full
+    registered t8 form on both engines: empty/whitespace text tokenizes
+    to [''] (count 1) in both, NULL text yields NULL counts skipped by
+    avg() in both, and the guarded fertility CASE matches."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t8_bpe_token_stats,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    df = pd.DataFrame(
+        [
+            (1, "hello world mix12", "en", "s", 17),
+            (2, "", "en", "s", 0),
+            (3, "   ", "en", "s", 3),
+            (4, None, "en", "s", 0),
+            (5, None, "fr", "s", 0),
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    sp = sorted(map(tuple, t8_bpe_token_stats(spark, str(tmp_path)).collect()))
+    con = duckdb.connect()
+    con.register("documents", df)
+    du = sorted(
+        map(tuple, con.execute(
+            all_queries()["t8_bpe_token_stats"].oracle
+        ).fetchall())
+    )
+    assert sp == du
+    # the all-NULL-text group must survive with NULL aggregates, not drop
+    assert any(r[0] == "fr" and r[6] is None for r in sp)
