@@ -169,6 +169,10 @@ HEADLINE = [
     # r12 registration, is excluded with the rest of the st* flows —
     # its wall is micro-batch commit latency, not plan cost)
     "s14_hybrid_rrf",
+    # round 13 additions: the exact-bound IVF twin of s14 and the MMR
+    # diversified rerank over the bounded candidate list
+    "s16_hybrid_rrf_ivf",
+    "s15_mmr_rerank",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

@@ -2149,9 +2149,10 @@ _S14_QVEC = 0  # query embedding: vec_id 0 (id-aligned with documents)
 _S14_TERMS_SQL = ", ".join(f"'{t}'" for t in _S14_TERMS)
 
 
-@register(
-    "s14_hybrid_rrf",
-    oracle=f"""
+# Shared by s14 (exact channels) and s16 (IVF-pruned semantic channel):
+# s16's pruning bound proves its fused output row-identical to s14's, so
+# both register against the SAME oracle — the s13 → s13b twin discipline.
+_S14_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
 ),
@@ -2224,7 +2225,12 @@ SELECT doc_id, lex_rank, sem_rank, rrf_score,
             AS INTEGER) AS fused_rank
 FROM fused
 QUALIFY fused_rank <= {_S14_TOPN}
-""",
+"""
+
+
+@register(
+    "s14_hybrid_rrf",
+    oracle=_S14_ORACLE,
     doc=(
         "S14: hybrid retrieval — BM25 top-50 ∪ cosine top-50 fused by "
         "reciprocal-rank fusion (K=60), fused top-20"
@@ -2309,9 +2315,10 @@ def hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact channel's (the documented ANN trade, property-tested against
     the anchor); every doc both channels agree on fuses to the
     identical score, because rrf_fuse and the rank tiebreaks are
-    shared. Registration deferred to a free window seat (r14 earliest —
-    the r13 window is exactly tiled); the same twin discipline as
-    s13 → s13b."""
+    shared. Stays library-only by design: the REGISTERED index-backed
+    form is s16_hybrid_rrf_ivf below, whose exact pruning bound makes
+    it oracle-checkable; this recall<1 probe is the cheaper serving
+    path when a fixed read budget beats guaranteed exactness."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double("embedding").alias("v")
     )
@@ -2331,9 +2338,110 @@ def hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S15 — MMR DIVERSIFIED RERANK (library; r14 registration candidate —
-# the r13 window is exactly tiled, so this ships tested with its oracle
-# ready and registers when a seat frees, like hybrid_rrf_ivf):
+# S16 — HYBRID RRF THROUGH THE EXACT-BOUND IVF ACCESS PATH (registered
+# round 13; r14 window lead). The semantic channel reads the corpus
+# through IVF cell pruning like hybrid_rrf_ivf, but with s13b's angular
+# bound making the pruned top-C PROVABLY equal to the exact channel's:
+#
+#   phase 1 — probe the query's nprobe closest cells; the candidate
+#     C-th rounded cosine τr is a LOWER bound on the true C-th (a
+#     subset's k-th best never exceeds the full set's);
+#   phase 2 — keep every cell the s13b bound admits at τ = τr − 1e-6
+#     (cos(max(0, θ(q, centroid) − radius)) ≥ τ − margin). Every doc
+#     whose ROUNDED cosine ≥ τr has unrounded cosine ≥ τr − 5e-7 > τ,
+#     so it lives in a kept cell; every true top-C doc has rounded
+#     cosine ≥ τr (the phase-1 bound) — therefore the top-C over the
+#     kept-cell scan, ranked by the identical (fround cosine DESC,
+#     doc_id ASC) order, is row-identical to the full-scan top-C, and
+#     no excluded doc can even tie at τr (its rounded value is < τr by
+#     the margin arithmetic). Fewer than C phase-1 candidates → τ = −2
+#     keeps every cell (degenerates to the exact scan, still correct).
+#
+# At 100 TB: `cell` is the storage partition key, so phase 1 reads
+# nprobe/nlist of the corpus and phase 2 only the admitted cells —
+# clustered real-world embeddings prune hard, the isotropic gate corpus
+# prunes little (s13b's documented structural-win/correctness-certificate
+# split). All driver-side state is (nlist × dim) centroids, |cells| radius
+# rows, and two ≤C candidate lists — bounded by constants, never corpus
+# size. Same fused output as s14 ⇒ same oracle (_S14_ORACLE).
+#
+# Ref parity anchor: src/api/sensor_api.py:197, :283-284, :333-334 —
+# ranked filtered LIMIT serving, here through an index-backed access path.
+# ---------------------------------------------------------------------------
+_S16_NLIST = 16
+_S16_NPROBE = 4
+
+
+def _s14_sem_channel_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sem_rank): the exact top-C through the cell-pruned access
+    path — row-identical to _s14_sem_channel_exact by the bound above."""
+    np = _np()
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double("embedding").alias("v")
+    )
+    e = track(e.persist())  # k-means + cell assignment + query lookup
+    qv = e.filter(F.col("vec_id") == _S14_QVEC).select(F.col("v").alias("qv"))
+    cent = kmeans_centroids(e, nlist=_S16_NLIST, iters=1)
+    if cent.shape[0] == 0:  # empty corpus → empty channel, stable schema
+        return spark.createDataFrame([], "doc_id long, sem_rank int")
+    # two consumers (radius aggregate + both phase scans)
+    indexed = track(assign_cells_ccos(e, cent).persist())
+    qrows = qv.collect()  # 1-row by construction (vec_id is unique)
+    if not qrows:
+        raise RuntimeError(
+            f"s16: query embedding vec_id={_S14_QVEC} missing from corpus"
+        )
+    qn = _normalize_rows(np.asarray([qrows[0].qv], dtype=np.float64))
+    order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[0]
+    probe1 = [int(c) for c in order[:_S16_NPROBE]]
+
+    def _topc(cells: list[int]) -> DataFrame:
+        return (
+            indexed.filter(F.col("cell").isin(cells))
+            .crossJoin(F.broadcast(qv))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+            .limit(_S14_C)  # TakeOrderedAndProject — distributed top-C
+        )
+
+    cand1 = _topc(probe1).collect()  # ≤C rows, bounded by construction
+    if len(cand1) == _S14_C and cand1[-1].cosine is not None:
+        tau = cand1[-1].cosine - _S13B_TAU_MARGIN
+    else:
+        tau = -2.0  # keep every cell — exact by trivial inclusion
+    min_ccos = np.ones(cent.shape[0])  # absent cell → radius 0
+    for r in indexed.groupBy("cell").agg(F.min("ccos").alias("m")).collect():
+        min_ccos[r.cell] = r.m  # |cells|-row aggregate, map-side partials
+    keep = _range_probe_cells(cent, min_ccos, qn, tau)[0]
+    cells = [int(c) for c in np.nonzero(keep)[0]]
+    sem_top = _topc(cells)
+    ws = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    return sem_top.withColumn(
+        "sem_rank", F.row_number().over(ws).cast("int")  # over ≤C rows
+    ).drop("cosine")
+
+
+@register(
+    "s16_hybrid_rrf_ivf",
+    oracle=_S14_ORACLE,
+    doc=(
+        "S16: s14's hybrid RRF with the semantic channel through the "
+        "exact-bound IVF cell-pruned access path — same fused rows"
+    ),
+)
+def s16_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rrf_fuse(
+        _s14_lex_channel(spark, sf_dir),
+        _s14_sem_channel_ivf_exact(spark, sf_dir),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S15 — MMR DIVERSIFIED RERANK (built + oracled r12, registered round 13
+# for the r14 window's second free seat):
 # Maximal Marginal Relevance over the bounded candidate list the
 # retrieval stack already serves — score(d) = λ·rel(d) −
 # (1−λ)·max_{s∈selected} sim(d, s), greedily for k picks. The rerank
@@ -2415,6 +2523,14 @@ def _s15_oracle() -> str:
 _S15_ORACLE = _s15_oracle()
 
 
+@register(
+    "s15_mmr_rerank",
+    oracle=_S15_ORACLE,
+    doc=(
+        "S15: MMR diversified rerank — λ·rel − (1−λ)·max-sim greedy "
+        "top-10 over the relevance top-50, oracle = unrolled CTE steps"
+    ),
+)
 def s15_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR top-k for the fixed query embedding over the top-C relevance
     candidates (registered-shape signature; oracle = _S15_ORACLE)."""

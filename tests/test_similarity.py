@@ -1212,8 +1212,9 @@ def test_s14_rrf_arithmetic_exhaustive_cross_engine():
 
 
 def test_hybrid_rrf_ivf_library_form(spark):
-    """The 100 TB serving twin of s14 (library; registration deferred to
-    a free window seat): the semantic channel runs through the IVF
+    """The recall<1 fixed-read-budget serving twin of s14 (library by
+    design; the registered index-backed form is s16, whose exact bound
+    is oracle-checkable): the semantic channel runs through the IVF
     probe. Anchored properties — the shared lexical channel is
     bit-identical to the registered s14's; the IVF channel's #1 is the
     query's own corpus row (cell self-routing, the s2 planted-copy
@@ -1307,3 +1308,43 @@ def test_s15_mmr_diversity_beats_near_duplicate(spark, tmp_path):
     # relevance order is [0, 1, 2, 3] (2 barely behind 1); MMR demotes
     # the near-duplicate 2 below the diverse 3
     assert got == [0, 1, 3, 2], got
+
+
+def test_s16_row_identical_to_s14_and_shares_oracle(spark):
+    """The registered IVF form's defining guarantee: the exact-bound
+    pruned semantic channel makes the WHOLE fused output row-identical
+    to s14's full-scan form — and the registry holds the literally same
+    oracle for both (the s13 -> s13b twin discipline)."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s14_hybrid_rrf,
+        s16_hybrid_rrf_ivf,
+    )
+    from iot_big_data_engineering_spark.registry import all_queries
+
+    key = lambda r: (
+        r.doc_id, r.lex_rank, r.sem_rank, r.rrf_score, r.fused_rank,
+    )
+    a = sorted(map(key, s14_hybrid_rrf(spark, SF_SMOKE).collect()))
+    b = sorted(map(key, s16_hybrid_rrf_ivf(spark, SF_SMOKE).collect()))
+    assert a == b
+    qs = all_queries()
+    assert qs["s16_hybrid_rrf_ivf"].oracle == qs["s14_hybrid_rrf"].oracle
+
+
+def test_s16_sem_channel_exact_under_narrow_phase1(spark, monkeypatch):
+    """Force the weakest phase-1 candidate set (nprobe = 1): tau comes
+    from a single cell's top-C, the bound must still admit every cell
+    holding a true top-C doc, and the channel must stay row-identical
+    to the exact full scan."""
+    import iot_big_data_engineering_spark.operators.similarity as S
+
+    monkeypatch.setattr(S, "_S16_NPROBE", 1)
+    exact = [
+        (r.doc_id, r.sem_rank)
+        for r in S._s14_sem_channel_exact(spark, SF_SMOKE).collect()
+    ]
+    pruned = [
+        (r.doc_id, r.sem_rank)
+        for r in S._s14_sem_channel_ivf_exact(spark, SF_SMOKE).collect()
+    ]
+    assert sorted(exact) == sorted(pruned)
