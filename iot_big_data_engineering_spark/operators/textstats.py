@@ -3653,3 +3653,152 @@ def dsir_importance(
         .orderBy(F.col("dsir_logweight").desc(), F.col("doc_id").asc())
         .limit(topn)
     )
+
+
+# ---------------------------------------------------------------------------
+# DP18 — PII REDACTION (library; r15 registration candidate — the r14
+# window is exactly tiled by the r10 rotation + s15 + s16, so this ships
+# tested with its oracle constant ready, the s15/s16 discipline):
+# t9 SCANS for PII, this op REWRITES it — the transform half every
+# training-data pipeline pairs with the audit half. Four sequential
+# regexp_replace stages (email → url → phone → long-id, each over the
+# previous stage's text) with STAGE-CONSISTENT counts: each class is
+# counted in the text as-of-its-stage, so a phone inside an already
+# redacted URL is neither double-counted nor double-masked — the
+# sequential semantics both engines replay identically (the patterns are
+# t9's, already certified count-identical across Java regex and RE2).
+#
+# 100 TB: one scan, four chained codegen'd regexp stages, no shuffle at
+# all before the (optional) downstream consumer — the ideal map-only
+# transform. Compared surface carries md5 + length of the redacted text,
+# not the text itself, so the driver hash stays small while pinning
+# every byte of the rewrite.
+# ---------------------------------------------------------------------------
+_DP18_STAGES = [
+    ("emails", _PII_EMAIL, "<EMAIL>"),
+    ("urls", _PII_URL, "<URL>"),
+    ("phones", _PII_PHONE, "<PHONE>"),
+    ("long_ids", _PII_LONG_ID, "<ID>"),
+]
+
+
+def _dp18_oracle() -> str:
+    ctes = ["s0 AS (SELECT doc_id, lang, text AS t0 FROM documents)"]
+    for i, (name, pat, repl) in enumerate(_DP18_STAGES):
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, lang, "
+            + ", ".join(n for n, _, _ in _DP18_STAGES[:i])
+            + (", " if i else "")
+            + f"CAST(len(regexp_extract_all(t{i}, '{pat}')) AS INTEGER) "
+            f"AS {name}, "
+            f"regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1} "
+            f"FROM s{i})"
+        )
+    n = len(_DP18_STAGES)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT doc_id, lang, emails, urls, phones, long_ids,\n"
+        f"       md5(t{n}) AS redacted_md5,\n"
+        f"       CAST(len(t{n}) AS INTEGER) AS redacted_chars\n"
+        f"FROM s{n}"
+    )
+
+
+_DP18_ORACLE = _dp18_oracle()
+
+
+def dp18_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang", F.col("text").alias("t"))
+    counts = []
+    for name, pat, repl in _DP18_STAGES:
+        d = d.withColumn(name, F.regexp_count(F.col("t"), F.lit(pat)))
+        d = d.withColumn("t", F.regexp_replace(F.col("t"), pat, repl))
+        counts.append(name)
+    return d.select(
+        "doc_id",
+        "lang",
+        *counts,
+        F.md5(F.col("t")).alias("redacted_md5"),
+        F.length(F.col("t")).alias("redacted_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T19 — ONE BPE MERGE STEP (library; r15 registration candidate, same
+# shipping discipline as dp18): the distributed heart of BPE tokenizer
+# TRAINING — count adjacent character pairs across the corpus and rank
+# the merge candidates. The classic scale move is the word-frequency
+# pre-aggregation: pairs are counted over the DISTINCT alnum vocabulary
+# weighted by word frequency, so the pair explode and its shuffle run at
+# |vocab| scale, not |corpus tokens| scale — at 100 TB that is the
+# difference between a vocabulary-sized aggregate and re-shuffling the
+# entire tokenized corpus. Top-K via TakeOrderedAndProject; the rank
+# window runs over the ≤K survivors only.
+#
+# Words are restricted to non-trivial ASCII-alnum tokens (^[A-Za-z0-9]+$,
+# length ≥ 2): BPE pre-tokenizers scope merges inside word boundaries,
+# and the restriction also pins the one cross-engine hazard — Spark
+# split('', '') → [] vs DuckDB string_split('', '') → [''] — out of the
+# domain by construction (probed r13).
+# ---------------------------------------------------------------------------
+_T19_TOPK = 20
+
+
+_T19_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({X.sql_tokens("text")}) AS w FROM documents
+),
+wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok
+  WHERE regexp_full_match(w, '[A-Za-z0-9]+') AND len(w) >= 2
+  GROUP BY w
+),
+ch AS (SELECT n, string_split(w, '') AS c FROM wc),
+pairs AS (
+  SELECT n,
+         unnest(list_transform(list_zip(c[1:len(c)-1], c[2:len(c)]),
+                               p -> p[1] || ' ' || p[2])) AS pair
+  FROM ch
+),
+agg AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY pair
+)
+SELECT pair, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC)
+            AS INTEGER) AS merge_rank
+FROM agg
+QUALIFY merge_rank <= {_T19_TOPK}
+"""
+
+
+def t19_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(X.tokens("text")).alias("w"))
+        .filter(F.col("w").rlike("^[A-Za-z0-9]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))  # vocab-scale pre-aggregation
+    )
+    pairs = words.select(
+        "n",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(split(w, ''), 1, length(w) - 1)"),
+                F.expr("slice(split(w, ''), 2, length(w) - 1)"),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pair"),
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(_T19_TOPK)  # TakeOrderedAndProject — distributed top-K
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return top.withColumn(
+        "merge_rank", F.row_number().over(w).cast("int")  # over ≤K rows
+    ).select("pair", "pair_count", "merge_rank")

@@ -114,3 +114,81 @@ _NAMES = (
 @pytest.mark.parametrize("name", _NAMES)
 def test_partition_invariance(spark, name):
     _assert_invariant(spark, _ALL[name])
+
+
+# ---------------------------------------------------------------------------
+# Session-timezone invariance (round 13; VERDICT r12 Next #7) — the
+# fourth probe axis. The UTC discipline SURVEY §7.4-6 assumes is
+# "wall-in, wall-out": testdata timestamps load as NTZ wall-clocks cast
+# to TimestampType, so every wall-clock COMPUTATION round-trips through
+# any session zone (interpret in Z, extract in Z) — date_trunc/window
+# bucketing stays wall-aligned, ts differences cancel the offset, and
+# every non-timestamp value must be bit-identical. The one
+# definitionally session-relative thing is the INSTANT a passed-through
+# NTZ wall denotes (instant = wall − offset(Z) by construction), so the
+# probe renders timestamp echo columns back to their wall-clock (an NTZ
+# cast, which inverts the load-time cast in the same zone) before
+# comparing; a query that leaked epoch arithmetic into a compared
+# NUMBER (unix_timestamp, raw internal micros) or misaligned a bucket
+# still fails. Probing with Asia/Kathmandu (+05:45, no DST — the offset
+# no whole-hour bucket alignment could mask) turns the argument into a
+# measurement.
+# ---------------------------------------------------------------------------
+_TZ_PROBE = "Asia/Kathmandu"
+
+
+def _walls(df):
+    """Render TimestampType echo columns back to the session-zone
+    wall-clock (NTZ cast) so only the definitional instant
+    re-interpretation is normalized — everything else stays strict."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    return df.select(
+        *[
+            F.col(f.name).cast("timestamp_ntz").alias(f.name)
+            if isinstance(f.dataType, T.TimestampType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+# the partition-audit curated set plus the most timestamp-heavy compared
+# surfaces (date bucketing, hourly windows, trailing ranges, session gaps)
+_TZ_CURATED = _CURATED + [
+    "a2_daily_analytics",     # date_trunc daily rollup
+    "m10_hourly_quality",     # hourly window + injectable anchor
+    "w5_trailing_hour_aggs",  # range-between on epoch seconds (internal)
+    "p8_date_bucket",         # date-bucket predicate
+    "adv1_sessionize",        # gap sessionization over ts diffs
+    "w3_event_gaps",          # lead/lag ts deltas
+]
+
+
+@contextmanager
+def _session_tz(spark, tz):
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+@pytest.mark.parametrize("name", _TZ_CURATED)
+def test_session_timezone_invariance(spark, name):
+    query = _ALL[name]
+    spark.catalog.clearCache()
+    base = _canon(_walls(query.fn(spark, SF_SMOKE)))
+    with _session_tz(spark, _TZ_PROBE):
+        spark.catalog.clearCache()
+        probed = _canon(_walls(query.fn(spark, SF_SMOKE)))
+    assert len(base) == len(probed), (
+        f"{query.name}: row count varies with session timezone "
+        f"({len(base)} vs {len(probed)})"
+    )
+    for i, (b, p) in enumerate(zip(base, probed)):
+        assert b == p, (
+            f"{query.name}: row {i} varies with session timezone:\n"
+            f"  UTC-default: {b!r}\n  {_TZ_PROBE}: {p!r}"
+        )

@@ -1697,3 +1697,123 @@ def test_t8_empty_and_null_text_cross_engine(spark, tmp_path):
     assert sp == du
     # the all-NULL-text group must survive with NULL aggregates, not drop
     assert any(r[0] == "fr" and r[6] is None for r in sp)
+
+
+# ---------------------------------------------------------------------------
+# dp18 PII redaction + t19 BPE merge step (round-13 library ops; r15
+# registration candidates — oracle constants ready)
+# ---------------------------------------------------------------------------
+def test_dp18_hand_counts_and_sequential_semantics(spark, tmp_path):
+    """Stage order is part of the semantics: the email inside a URL is
+    masked by the EMAIL stage (it runs first), the digits-only id inside
+    a URL is masked by the URL stage so the LONG_ID stage never sees it
+    — neither double-counts."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp18_pii_redaction,
+    )
+
+    rows = [
+        (1, "mail a@b.com or http://x.io/p?q=1 call 555-123-4567 id 1234567890"),
+        (2, "http://a.com/999888777 plain 999888777"),
+        (3, "nothing sensitive here"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="en", source="s", n_chars=10
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in dp18_pii_redaction(spark, str(tmp_path)).collect()}
+    assert (got[1].emails, got[1].urls, got[1].phones, got[1].long_ids) == (
+        1, 1, 1, 1,
+    )
+    # URL stage swallowed its embedded id; only the plain one remains
+    assert (got[2].urls, got[2].long_ids) == (1, 1)
+    assert (got[3].emails, got[3].urls, got[3].phones, got[3].long_ids) == (
+        0, 0, 0, 0,
+    )
+
+
+def test_dp18_matches_oracle_on_edge_corpus(spark, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _DP18_ORACLE,
+        dp18_pii_redaction,
+    )
+
+    rows = [
+        (1, "a@b.com c@d.org http://x.io/a@b.com 555-123-4567", "en"),
+        (2, "", "en"),
+        (3, None, "fr"),
+        (4, "ids 123456789 and 98765432100 over http://u.v/99", "de"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).assign(
+        source="s", n_chars=10
+    )
+    df.to_parquet(str(tmp_path / "documents.parquet"))
+    sp = sorted(map(tuple, dp18_pii_redaction(spark, str(tmp_path)).collect()))
+    con = duckdb.connect()
+    con.register("documents", df)
+    du = sorted(map(tuple, con.execute(_DP18_ORACLE).fetchall()))
+    assert sp == du
+    # NULL text flows through as NULL everywhere, never a crash or drop
+    assert any(r[0] == 3 and r[6] is None for r in sp)
+
+
+def test_t19_hand_counts(spark, tmp_path):
+    """aba(×1) + ab(×2) → pair 'a b' weight 3, 'b a' weight 1; the
+    1-char word, the non-alnum word and empty text are out of domain."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t19_bpe_merge_step,
+    )
+
+    rows = [(1, "aba ab x a-b"), (2, "ab"), (3, "")]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="en", source="s", n_chars=10
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        (r.pair, r.pair_count, r.merge_rank)
+        for r in t19_bpe_merge_step(spark, str(tmp_path))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == [("a b", 3, 1), ("b a", 1, 2)]
+
+
+def test_t19_matches_oracle_on_gate_data(spark):
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _T19_ORACLE,
+        t19_bpe_merge_step,
+    )
+
+    sp = sorted(map(tuple, t19_bpe_merge_step(spark, SF_SMOKE).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    du = sorted(map(tuple, con.execute(_T19_ORACLE).fetchall()))
+    assert sp == du
+
+
+def test_dp18_matches_oracle_on_gate_data(spark):
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _DP18_ORACLE,
+        dp18_pii_redaction,
+    )
+
+    sp = sorted(map(tuple, dp18_pii_redaction(spark, SF_SMOKE).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    du = sorted(map(tuple, con.execute(_DP18_ORACLE).fetchall()))
+    assert sp == du
