@@ -1295,3 +1295,27 @@ def test_s14_plan_shape(spark):
     assert_no_cartesian(df)
     assert_broadcast_join(df)
     assert "BroadcastNestedLoopJoin" in p, p  # the 1-row qv cross join
+
+
+def test_s16_plan_shape(spark):
+    """s16's scale contract, pinned: same distributed-ranking shape as
+    s14 (channel top-50s + fused top-20 as TakeOrderedAndProject, no
+    CartesianProduct, broadcast hash joins on the BM25 side) PLUS the
+    index-path structure — both phase scans filter on the `cell` column
+    (partition pruning at scale) before any cosine is computed."""
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s16_hybrid_rrf_ivf,
+    )
+    from iot_big_data_engineering_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+        plan_str,
+    )
+
+    df = s16_hybrid_rrf_ivf(spark, SF_SMOKE)
+    p = plan_str(df)
+    assert p.count("TakeOrderedAndProject") >= 3, p
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row qv cross join
+    assert "cell IN" in p or "cell#" in p, p  # the pruned access path
