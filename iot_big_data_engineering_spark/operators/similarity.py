@@ -2388,9 +2388,11 @@ def _s14_sem_channel_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed = track(assign_cells_ccos(e, cent).persist())
     qrows = qv.collect()  # 1-row by construction (vec_id is unique)
     if not qrows:
-        raise RuntimeError(
-            f"s16: query embedding vec_id={_S14_QVEC} missing from corpus"
-        )
+        # missing query embedding → empty semantic channel, so the fused
+        # output degrades to lexical-only EXACTLY like s14's exact
+        # channel (and the shared oracle, whose semsc CTE goes empty) —
+        # raising here would diverge from the certified degradation path
+        return spark.createDataFrame([], "doc_id long, sem_rank int")
     qn = _normalize_rows(np.asarray([qrows[0].qv], dtype=np.float64))
     order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[0]
     probe1 = [int(c) for c in order[:_S16_NPROBE]]

@@ -1348,3 +1348,32 @@ def test_s16_sem_channel_exact_under_narrow_phase1(spark, monkeypatch):
         for r in S._s14_sem_channel_ivf_exact(spark, SF_SMOKE).collect()
     ]
     assert sorted(exact) == sorted(pruned)
+
+
+def test_s16_missing_query_embedding_degrades_like_s14(spark, tmp_path):
+    """vec_id 0 absent from the corpus: both forms (and the shared
+    oracle) must degrade to a lexical-only fused list — s16's IVF
+    channel returns empty rather than raising."""
+    import shutil
+
+    import pandas as pd
+
+    d = tmp_path / "noq_sf"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", d / "documents.parquet")
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    emb[emb.vec_id != 0].to_parquet(d / "embeddings.parquet")
+
+    from iot_big_data_engineering_spark.operators.similarity import (
+        s14_hybrid_rrf,
+        s16_hybrid_rrf_ivf,
+    )
+
+    key = lambda r: (
+        r.doc_id, r.lex_rank, r.sem_rank, r.rrf_score, r.fused_rank,
+    )
+    a = sorted(map(key, s14_hybrid_rrf(spark, str(d)).collect()))
+    b = sorted(map(key, s16_hybrid_rrf_ivf(spark, str(d)).collect()))
+    assert a == b
+    assert a, "lexical-only degradation should still return fused rows"
+    assert all(r[2] is None for r in a)  # no semantic ranks anywhere
