@@ -2531,3 +2531,117 @@ def markov_transitions(e: DataFrame) -> DataFrame:
             F.col("transitions").cast("double") / F.col("from_total"), 6
         ).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U5 — CROSS-SOURCE EXACT-DUPLICATE OVERLAP MATRIX (library; registration
+# candidate when a window seat frees — ships tested with its oracle
+# constant ready, the dp18/t19 discipline): the provenance question every
+# multi-source training mix has to answer before weighting sources — how
+# many exact-duplicate documents does each PAIR of sources share, and how
+# much does each source duplicate within itself. d1 measures the corpus's
+# overall duplication; u5 attributes it to the source matrix. The matrix
+# is TOTAL — every (a <= b) cell is emitted, zero cells included — so the
+# compared surface pins the source enumeration even on a duplicate-free
+# corpus (the gate data has none; the hand-corpus test carries the
+# non-zero semantics).
+#
+# Scale: one md5 scan, pre-aggregated to ONE row per (source, hash) —
+# the self-join's fanout per hash is bounded by |sources| (a constant),
+# never by document count, and md5 keys are uniform so the shuffle is
+# skew-free by construction. Both aggregates combine map-side; the final
+# sort orders |sources|² rows. NULL-text docs are excluded up front (md5
+# NULL joins nothing; counting two NULL texts as "duplicates" would be
+# semantics by accident).
+# ---------------------------------------------------------------------------
+_U5_ORACLE = """
+WITH hs AS (
+  SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY source, md5(text)
+),
+srcs AS (SELECT DISTINCT source FROM hs),
+cell AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source <= b.source
+),
+cross_pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS shared_hashes
+  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+within_source AS (
+  SELECT source AS source_a, source AS source_b,
+         CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS shared_hashes
+  FROM hs GROUP BY source
+)
+SELECT cell.source_a, cell.source_b,
+       coalesce(cross_pairs.shared_hashes,
+                within_source.shared_hashes, 0) AS shared_hashes
+FROM cell
+LEFT JOIN cross_pairs USING (source_a, source_b)
+LEFT JOIN within_source USING (source_a, source_b)
+ORDER BY source_a, source_b
+"""
+
+
+def u5_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hs = (
+        d.select("source", F.md5("text").alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    hs = track(hs.persist())  # consumed by the pair join (twice) + within
+    cross_pairs = (
+        hs.alias("a")
+        .join(
+            hs.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_hashes"))
+    )
+    within = (
+        hs.groupBy(F.col("source").alias("source_a"))
+        .agg(
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("shared_hashes")
+        )
+        .select(
+            "source_a", F.col("source_a").alias("source_b"), "shared_hashes"
+        )
+    )
+    # total matrix: every (a <= b) cell present, zeros included — the
+    # source list is |sources|-bounded, so the cell frame broadcasts
+    srcs = hs.select("source").distinct()
+    cell = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") <= F.col("source_b"),
+        )
+    )
+    filled = cross_pairs.unionByName(within)
+    return (
+        cell.join(F.broadcast(filled), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("shared_hashes", F.lit(0)).cast("bigint").alias(
+                "shared_hashes"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
