@@ -487,6 +487,21 @@ def compact_rollup_state(
     hash-checks exactly that through the driver gate."""
     import shutil
 
+    # all-empty state (every delivery so far was an empty delta — empty
+    # corpus, no coverage yet): the partition dirs hold no data files, so
+    # schema inference on the read below would throw UNABLE_TO_INFER_SCHEMA
+    # (maintain_rollup_state schema-pins its own read for the same reason,
+    # but the compactor has no delta to take a schema from). Nothing to
+    # compact is a no-op by definition — the merged value is vacuously
+    # unchanged, which is the whole compaction contract.
+    has_files = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(state_path)
+        for f in files
+    )
+    if not has_files:
+        return
+
     tmp_path = state_path + "_compacting"
     (
         merge_states(spark.read.parquet(state_path).drop("period_id"))

@@ -216,6 +216,19 @@ _WINDOW_FIRST = [
 # round-13 registrations (s16_hybrid_rrf_ivf, s15_mmr_rerank).
 # Membership is asserted exhaustive + disjoint by
 # tests/test_registry_window.py.
+#
+# QUEUED EMPTY-CORPUS FIXES (r13 audit, tests/test_empty_corpus_audit.py
+# — the t8 sequencing: a gated query's code/oracle changes only with its
+# own window seat, so each fix lands with its rotation):
+# - dq7_expectation_audit (r10-vintage → r14 seat): oracle-side
+#   coalesce(sum(..), 0) for n_failed — Spark emits 0 over zero rows,
+#   SQL sum() emits NULL; unreachable on gate data (expectations always
+#   scan rows there).
+# - st1_streaming_microbatch_analytics (r11-vintage → r15 seat):
+#   schema-pin the sink re-read (UNABLE_TO_INFER_SCHEMA when every
+#   micro-batch was empty).
+# - s9_knn_index_reload (r12-vintage → its next rotation): schema-pin
+#   the persisted-index reload, same failure shape.
 _WINDOW_DEFERRED = [
     "a17_incremental_rollup", "a17b_rollup_backfill", "a18_sketch_cube",
     "a19_resample_ffill", "a1_windowed_analytics_approx",

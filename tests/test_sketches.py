@@ -326,3 +326,34 @@ def test_a23_merged_equals_direct_join_recompute(spark):
     )
     want = sorted(direct.collect(), key=key)
     assert got == want and len(got) > 0
+
+
+def test_compaction_noop_on_all_empty_state(spark, tmp_path):
+    """r13 empty-corpus audit finding: an all-empty state table (every
+    delivery was an empty delta) holds no data files, so the compactor's
+    schema inference would raise UNABLE_TO_INFER_SCHEMA — compaction of
+    nothing is a no-op by definition, and a later real delivery must
+    still merge cleanly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iot_big_data_engineering_spark.operators.sketches import (
+        compact_rollup_state,
+        maintain_rollup_state,
+    )
+    from iot_big_data_engineering_spark.sources.sensor_view import (
+        quality_checked,
+    )
+    from tests.conftest import SF_SMOKE
+
+    state = str(tmp_path / "state")
+    q = quality_checked(spark, SF_SMOKE)
+    empty = q.filter(F.lit(False))
+    merged = maintain_rollup_state(spark, state, empty, 0)
+    assert merged.count() == 0
+    compact_rollup_state(spark, state)  # must not raise, must not swap
+    assert os.path.isdir(state)
+    # a real delivery after the no-op compaction merges normally
+    merged = maintain_rollup_state(spark, state, q, 1)
+    assert merged.count() > 0
