@@ -229,6 +229,20 @@ _WINDOW_FIRST = [
 #   micro-batch was empty).
 # - s9_knn_index_reload (r12-vintage → its next rotation): schema-pin
 #   the persisted-index reload, same failure shape.
+#
+# QUEUED NULL-TEXT FIXES (same audit module's companion sweep; both
+# r12-vintage → their r16 rotation seats):
+# - t4_fingerprints: Spark NULL-propagates the char fold on NULL text
+#   (sequence(1, NULL) → NULL) while DuckDB's range(1, NULL) is the
+#   EMPTY list (folds to seed 0). Fix = CASE WHEN text IS NULL THEN
+#   NULL in t4's oracle, scoped so dp17's use of the shared
+#   sql_fingerprint helper (over never-NULL tokens) keeps its oracle
+#   text byte-identical.
+# - mm3_frame_sample: fake_decode_stats' payload .map(len) crashes the
+#   Python worker on a None payload (NULL source text). Fix = nullable
+#   Int32 byte stats (len(p) if p is not None else None); n_frames is
+#   doc_id-derived and stays non-null, matching the oracle's id-driven
+#   video enumeration.
 _WINDOW_DEFERRED = [
     "a17_incremental_rollup", "a17b_rollup_backfill", "a18_sketch_cube",
     "a19_resample_ffill", "a1_windowed_analytics_approx",

@@ -113,3 +113,88 @@ def test_empty_corpus_parity(spark, name, empty_sf):
     df = query.fn(spark, empty_sf)
     cols, types, rows = run_oracle(query.oracle, empty_sf)
     compare(df, cols, types, rows)
+
+
+# ---------------------------------------------------------------------------
+# Companion sweep: ALL-NULL-TEXT corpus (rows exist, the text VALUE is
+# NULL — a different hazard class from "no rows": per-row expression NULL
+# propagation vs SQL fold/aggregate NULL behavior). Scoped to queries
+# whose oracle reads the documents table. The r13 exploratory sweep:
+# 58/60 matched; the two divergences are queued for their owners' r16
+# rotation seats (r12-vintage — the window discipline) and documented in
+# the registry comment.
+# ---------------------------------------------------------------------------
+_NULLTEXT_QUEUED = {
+    "t4_fingerprints": (
+        "NULL text: Spark sequence(1, NULL) NULL-propagates the whole "
+        "fold; DuckDB range(1, NULL) is the EMPTY list and folds to the "
+        "seed 0 — oracle-side CASE (scoped so dp17's shared helper text "
+        "is untouched) queued for t4's r16 rotation seat"
+    ),
+    "mm3_frame_sample": (
+        "NULL text -> NULL payload: fake_decode_stats' .map(len) crashes "
+        "the Python worker on None — nullable-Int32 byte stats queued "
+        "for mm3's r16 rotation seat"
+    ),
+}
+
+_NULLTEXT_CURATED = [
+    "t1_token_stats",
+    "t2_doc_quality",
+    "t7_documents_profile",
+    "t8_bpe_token_stats",
+    "t9_pii_scan",
+    "d1_exact_dedup_stats",
+    "dp1_corpus_clean",
+    "dp16_dataset_card",
+    "mm1_media_manifest",
+    "mm2_media_type_stats",
+    "t4_fingerprints",   # exercises the queued skip until the fix lands
+    "mm3_frame_sample",  # exercises the queued skip until the fix lands
+]
+
+
+@pytest.fixture(scope="session")
+def nulltext_sf(tmp_path_factory):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("nulltext_sf")
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        if f == "documents.parquet":
+            t = pq.read_table(os.path.join(src, f))
+            i = t.schema.get_field_index("text")
+            t = t.set_column(
+                i, t.schema.field(i), pa.nulls(len(t), t.schema.field(i).type)
+            )
+            pq.write_table(t, str(d / f))
+        else:
+            shutil.copy(os.path.join(src, f), str(d / f))
+    return str(d)
+
+
+_NT_NAMES = [
+    n
+    for n, q in _ALL.items()
+    if q.oracle is not None
+    and "documents" in q.oracle
+    and (os.environ.get("SPARK_GRAFT_EMPTY_AUDIT") or n in _NULLTEXT_CURATED)
+]
+
+
+@pytest.mark.parametrize("name", _NT_NAMES)
+def test_nulltext_corpus_parity(spark, name, nulltext_sf):
+    from .oracle import compare, run_oracle
+
+    if name in _NULLTEXT_QUEUED:
+        pytest.skip(_NULLTEXT_QUEUED[name])
+    query = _ALL[name]
+    spark.catalog.clearCache()
+    df = query.fn(spark, nulltext_sf)
+    cols, types, rows = run_oracle(query.oracle, nulltext_sf)
+    compare(df, cols, types, rows)
