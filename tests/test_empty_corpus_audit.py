@@ -198,3 +198,104 @@ def test_nulltext_corpus_parity(spark, name, nulltext_sf):
     df = query.fn(spark, nulltext_sf)
     cols, types, rows = run_oracle(query.oracle, nulltext_sf)
     compare(df, cols, types, rows)
+
+
+# ---------------------------------------------------------------------------
+# Companion sweep: UNICODE corpus (CJK, emoji surrogate pairs, ZWJ
+# sequences, combining marks, latin-1, control whitespace). The r13
+# exploratory sweep: 60/60 documents-cohort queries match on this corpus
+# — the unicode surface (codepoint lengths, regex classes, md5-over-UTF8)
+# is parity-clean across engines. The ONE known boundary is excluded by
+# construction and pinned separately below: a document whose text starts
+# or ends with U+00A0 (non-breaking space) diverges through trim() —
+# Spark trims ASCII whitespace only, DuckDB also strips U+00A0 — which
+# shifts every downstream token/chunk/md5 for that document. Gate data
+# is ASCII; the engine's documented text domain is ASCII-whitespace-
+# boundary documents (interior NBSP is fine — both engines keep it).
+# ---------------------------------------------------------------------------
+_UNICODE_TEXTS = [
+    "plain ascii words here",
+    "Grüße aus München Straße",
+    "中文 文本 处理 测试",
+    "mixed ascii 中文 and Grüße tokens",
+    "emoji \U0001f600 test \U0001f680\U0001f680 done",
+    "combining é mark",
+    "tab\tand\nnewline\rchars",
+    "math ∑∫≈ symbols µ",
+    "zwj family \U0001f468‍\U0001f469‍\U0001f467 end",
+    "interior nbsp stays a-token",  # NBSP inside: both keep it
+]
+
+_UNICODE_CURATED = [
+    "t1_token_stats",
+    "t2_doc_quality",
+    "t4_fingerprints",      # ascii() over multibyte chars
+    "t5_top_terms",
+    "t16_script_mix",
+    "d1_exact_dedup_stats",
+    "dp8_document_chunking",
+    "mm1_media_manifest",   # octet_length/md5 over multibyte UTF-8
+    "mm5_payload_dedup",    # byte-slice header checksum
+]
+
+
+@pytest.fixture(scope="session")
+def unicode_sf(tmp_path_factory):
+    import shutil
+
+    import pandas as pd
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("unicode_sf")
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(_UNICODE_TEXTS) + 1),
+            "text": _UNICODE_TEXTS,
+            "lang": ["en"] * len(_UNICODE_TEXTS),
+            "source": ["s%d" % (i % 3) for i in range(len(_UNICODE_TEXTS))],
+            "n_chars": [len(t) for t in _UNICODE_TEXTS],
+        }
+    ).to_parquet(str(d / "documents.parquet"))
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copy(os.path.join(src, f), str(d / f))
+    return str(d)
+
+
+_U_NAMES = [
+    n
+    for n, q in _ALL.items()
+    if q.oracle is not None
+    and "documents" in q.oracle
+    and (os.environ.get("SPARK_GRAFT_EMPTY_AUDIT") or n in _UNICODE_CURATED)
+]
+
+
+@pytest.mark.parametrize("name", _U_NAMES)
+def test_unicode_corpus_parity(spark, name, unicode_sf):
+    from .oracle import compare, run_oracle
+
+    query = _ALL[name]
+    spark.catalog.clearCache()
+    df = query.fn(spark, unicode_sf)
+    cols, types, rows = run_oracle(query.oracle, unicode_sf)
+    compare(df, cols, types, rows)
+
+
+def test_nbsp_boundary_trim_divergence_is_the_known_class(spark):
+    """Pin the ONE unicode boundary so an engine-semantics change is
+    noticed: Spark's trim() strips ASCII whitespace only, DuckDB's also
+    strips U+00A0 — a leading/trailing-NBSP document diverges through
+    the shared tokens()/sql_tokens() helpers (trim-rooted), which is why
+    the sweep corpus above excludes boundary NBSP and the documented
+    text domain is ASCII-whitespace-boundary documents."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    s = " x "
+    got_spark = spark.range(1).select(F.trim(F.lit(s))).first()[0]
+    got_duck = duckdb.connect().execute("SELECT trim(?)", [s]).fetchone()[0]
+    assert got_spark == s          # NBSP kept: ASCII-only trim
+    assert got_duck == "x"         # NBSP stripped: unicode-space trim
+    assert got_spark != got_duck   # the divergence class, pinned
