@@ -1781,18 +1781,22 @@ _DQ7_PRI_SQL = ", ".join(f"'{p}'" for p in _DQ7_PRIORITIES)
     "dq7_expectation_audit",
     oracle=f"""
 WITH rowchk AS (
+  -- coalesce on every fail counter: sum() over ZERO rows is NULL in SQL
+  -- while the Spark side's cnt() coalesces to 0 — an empty orders table
+  -- must audit as 0-failed/passed on both engines (r13 empty-corpus
+  -- audit; fix landed with dq7's r14 window seat)
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS f_null,
-         CAST(sum(CASE WHEN o_totalprice < 0.0
+         CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS f_null,
+         CAST(coalesce(sum(CASE WHEN o_totalprice < 0.0
                          OR o_totalprice > {_DQ7_PRICE_MAX} THEN 1 ELSE 0
-                  END) AS BIGINT) AS f_range,
-         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{_DQ7_DATE_LO}'
+                  END), 0) AS BIGINT) AS f_range,
+         CAST(coalesce(sum(CASE WHEN o_orderdate < TIMESTAMP '{_DQ7_DATE_LO}'
                          OR o_orderdate >= TIMESTAMP '{_DQ7_DATE_HI}'
-                  THEN 1 ELSE 0 END) AS BIGINT) AS f_date,
-         CAST(sum(CASE WHEN o_orderpriority IS NULL
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS f_date,
+         CAST(coalesce(sum(CASE WHEN o_orderpriority IS NULL
                          OR o_orderpriority NOT IN ({_DQ7_PRI_SQL})
-                  THEN 1 ELSE 0 END) AS BIGINT) AS f_dom
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS f_dom
   FROM orders
 ),
 uniq AS (

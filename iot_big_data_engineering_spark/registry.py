@@ -147,88 +147,92 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round; this list pins the round-13 window, exactly as pre-declared in
-# the r12 closure and VERDICT r12 Next #1. The slots:
-# - the 47 r9-vintage rotation cohort (every deferred query whose newest
-#   driver evidence is CORRECTNESS_r09) — the full oldest-vintage cohort,
-#   as in r12;
-# - 1 re-certification seat for t8_bpe_token_stats, which lands the
-#   queued ANSI fertility-division guard this round (SCALE.md r11 ANSI
-#   audit; VERDICT r12 weak #1) — changed gated queries re-enter the
-#   window with their change, the m10/m14/m15 precedent;
-# - 2 seats draining the never-gated backlog: s14_hybrid_rrf and
-#   st15_stateful_session_eviction (registered r12, mirror-green, pinned
-#   to lead this window).
-# 47 + 1 + 2 = 50, an exact tiling; the backlog leaves r13 at zero.
+# round; this list pins the round-14 window, exactly as pre-declared in
+# the r13 closure and VERDICT r13 Next #1. The slots:
+# - the 48 r10-vintage rotation cohort (every deferred query whose newest
+#   driver evidence is CORRECTNESS_r10) — the full oldest-vintage cohort.
+#   dq7_expectation_audit is in it, and its queued empty-corpus oracle
+#   fix (coalesce(sum(..), 0) for the four rowchk fail counters) lands
+#   WITH this seat — the t8 sequencing: a gated query's code/oracle
+#   changes only with its own window seat;
+# - 2 seats draining the never-gated backlog: s15_mmr_rerank and
+#   s16_hybrid_rrf_ivf (registered r13, mirror-green, pinned to lead
+#   this window; s16 additionally makes its NULLS LAST ordering
+#   assumption explicit with this seat — ADVICE r13 #2).
+# 48 + 2 = 50, an exact tiling; the backlog leaves r14 at zero.
 #
 # REGISTRATION BUDGET (VERDICT r8 demand #3, r9 demand #2): new
 # @register per round must not exceed the NEXT window's free slots after
-# the carried backlog and the oldest-vintage rotation. Entering r14 the
-# oldest vintage is r10 with 48 queries (49 minus t8, which re-certifies
-# here and becomes r13-vintage), and the never-gated backlog is 0 — so
-# the r14 window has exactly 2 free slots, and round 13 registers
-# exactly TWO new queries (s16_hybrid_rrf_ivf, s15_mmr_rerank — the two
-# r12-built library ops, already tested + oracled), sized to that
-# window: 48 + 2 = 50, an exact tiling.
+# the carried backlog and the oldest-vintage rotation. Entering r15 the
+# oldest vintage is r11 with 49 queries, and the never-gated backlog is
+# 0 — so the r15 window has exactly 1 free slot, and round 14 registers
+# exactly ONE new query (t19_bpe_merge_step — the r13-built library op,
+# already tested + oracled; VERDICT r13 Next #3 picked it over
+# dp18/u5 for its genuinely new vocab-scale shuffle shape), sized to
+# that window: 49 + 1 = 50, an exact tiling.
 # tests/test_registry_window.py::test_registration_budget enforces the
 # arithmetic mechanically each run.
 #
 # Everything else (_WINDOW_DEFERRED) holds a green driver row earned on
-# current data in its current form (r10/r11/r12);
-# test_registry_window.py asserts the two lists exactly tile the
+# current data in its current form (r11/r12/r13) — except the round-14
+# registration t19_bpe_merge_step, which waits for its pre-declared r15
+# seat; test_registry_window.py asserts the two lists exactly tile the
 # registry so a new query can never silently miss the rotation.
 _WINDOW_FIRST = [
-    # --- the 47 r9-vintage rotation cohort (alphabetical) ---
-    "a15_daily_sensor_summary", "a16_vehicle_daily_summary",
-    "a17c_rollup_compaction", "a1_windowed_analytics",
-    "a21_histogram_quantile_rollup", "a22_cms_heavy_hitters",
-    "a23_incremental_join_view", "a2_daily_analytics",
-    "a3_sensor_type_measurements", "a4_vehicle_analytics",
-    "a4_vehicle_analytics_approx", "a5_quality_histogram",
-    "a6_anomaly_analytics", "a7_summary_report", "a7_summary_report_approx",
-    "a8_sensor_type_report", "a9_vehicle_topk", "adv11_range_join",
-    "adv14_scd2_snapshot_merge", "adv2_asof_join", "d10_dedup_delta",
-    "d11_neardup_keep_best", "dp11_split_decontamination",
-    "dp12_quality_weighted_sample", "dp13_reproducible_shuffle",
-    "dp14_temperature_mix", "dp1_corpus_clean", "dp8_document_chunking",
-    "dq4_semijoin_prefilter", "dq5_table_profile",
-    "g3_groupingsets_order_stats", "j10_order_rollup", "m11_liveness",
-    "m12_latency", "m13_throughput", "o1_filtered_scan_paginated",
-    "o1b_filtered_scan_keyset", "o4_anomaly_listing", "p7_vehicle_scan",
-    "p8_date_bucket", "s10_knn_pq", "s11_knn_tombstone_delete",
-    "st11_streaming_cms_maintenance", "st12_streaming_scd2_maintenance",
-    "st13_streaming_join_view", "t14_zipf_profile", "t15_vocab_coverage",
-    # --- re-certification seat: the queued ANSI fertility-division
-    # guard lands with this round (r11 ANSI audit; VERDICT r12 weak #1) ---
-    "t8_bpe_token_stats",
-    # --- the 2 never-gated r12 additions, pinned to lead this window ---
-    "s14_hybrid_rrf", "st15_stateful_session_eviction",
+    # --- the 48 r10-vintage rotation cohort (alphabetical; dq7's
+    # empty-corpus oracle fix lands with this seat) ---
+    "a18_sketch_cube", "a19_resample_ffill", "a1_windowed_analytics_approx",
+    "a20_seasonality_profile", "a2_daily_analytics_approx",
+    "a2_monthly_analytics", "a2_weekly_analytics", "adv15_pagerank",
+    "adv1_sessionize", "adv6_percentiles", "d12_duplicate_span_ratio",
+    "d3_jaccard_pairs", "dp15_bigram_lm_screen", "dp16_dataset_card",
+    "dp17_dsir_importance", "dq6_snapshot_drift", "dq7_expectation_audit",
+    "j11_brand_revenue", "j11b_supplier_value_share",
+    "j12_customer_order_presence", "j12b_priority_by_returnflag",
+    "j13_events_enriched", "j13b_order_count_distribution",
+    "j16_supplier_part_counts", "j17_small_quantity_revenue",
+    "j1_pricing_summary", "j20_excess_stock_suppliers",
+    "j21_lone_late_supplier", "j22_dormant_customers", "j23_frequent_pairs",
+    "j3_shipping_priority", "j5_region_supplier_volume", "j8_market_share",
+    "j9_profit_by_nation", "mm5_payload_dedup", "s12_mips_topk",
+    "s4_label_centroids", "st14_streaming_dataset_card",
+    "st3_streaming_watermarked_windows", "st4_stream_static_join",
+    "st5_streaming_dedup", "st6_stateful_running_totals", "t16_script_mix",
+    "t17_collocations_pmi", "t18_bm25_topk", "u3_key_overlap_multiset",
+    "w4_value_deciles", "w8_markov_transitions",
+    # --- the 2 never-gated r13 additions, pinned to lead this window ---
+    "s15_mmr_rerank", "s16_hybrid_rrf_ivf",
 ]
 
 
 # Queries NOT in this round's 50-slot window — every one already carries
 # a green driver row earned on post-regeneration data in its current
-# form (r10, r11 or r12 — see CORRECTNESS_r1{0,1,2}.json) and is
+# form (r11, r12 or r13 — see CORRECTNESS_r1{1,2,3}.json) and is
 # value-checked against its DuckDB oracle on current data by the local
-# mirror (tests/test_oracle_parity.py) every round. After r13 the oldest
-# evidence here is r10 (48 queries after t8's re-certification) — the
-# r14 rotation cohort, leaving exactly 2 free r14 seats for the two
-# round-13 registrations (s16_hybrid_rrf_ivf, s15_mmr_rerank).
-# Membership is asserted exhaustive + disjoint by
-# tests/test_registry_window.py.
+# mirror (tests/test_oracle_parity.py) every round — except
+# t19_bpe_merge_step (registered r14 into r15's single free seat;
+# mirror-green at both gate SFs, never driver-gated yet). After r14 the
+# oldest evidence here is r11 (49 queries) — the r15 rotation cohort,
+# leaving exactly 1 free r15 seat for t19. Membership is asserted
+# exhaustive + disjoint by tests/test_registry_window.py.
 #
 # QUEUED EMPTY-CORPUS FIXES (r13 audit, tests/test_empty_corpus_audit.py
 # — the t8 sequencing: a gated query's code/oracle changes only with its
 # own window seat, so each fix lands with its rotation):
-# - dq7_expectation_audit (r10-vintage → r14 seat): oracle-side
-#   coalesce(sum(..), 0) for n_failed — Spark emits 0 over zero rows,
-#   SQL sum() emits NULL; unreachable on gate data (expectations always
-#   scan rows there).
+# - dq7_expectation_audit: LANDED r14 with its seat (oracle-side
+#   coalesce(sum(..), 0) for the four rowchk fail counters).
 # - st1_streaming_microbatch_analytics (r11-vintage → r15 seat):
 #   schema-pin the sink re-read (UNABLE_TO_INFER_SCHEMA when every
-#   micro-batch was empty).
-# - s9_knn_index_reload (r12-vintage → its next rotation): schema-pin
-#   the persisted-index reload, same failure shape.
+#   micro-batch was empty). READY DIFF staged for the r15 rotation:
+#   in streaming/pipeline.py's st1 sink re-read, replace
+#   `spark.read.parquet(out_dir)` with
+#   `spark.read.schema(_ST1_SINK_SCHEMA).parquet(out_dir)` where
+#   _ST1_SINK_SCHEMA pins the sink's written schema (the a17c compactor
+#   pattern, operators/sketches.py:492), then un-skip its
+#   test_empty_corpus_audit row and delete the _QUEUED entry.
+# - s9_knn_index_reload (r12-vintage → its r16 rotation): schema-pin
+#   the persisted-index reload, same failure shape and same ready-diff
+#   pattern (`spark.read.schema(<index schema>).parquet(index_dir)`).
 #
 # QUEUED NULL-TEXT FIXES (same audit module's companion sweep; both
 # r12-vintage → their r16 rotation seats):
@@ -243,64 +247,74 @@ _WINDOW_FIRST = [
 #   Int32 byte stats (len(p) if p is not None else None); n_frames is
 #   doc_id-derived and stays non-null, matching the oracle's id-driven
 #   video enumeration.
+#
+# NBSP DOMAIN RESTRICTION TRIGGER (VERDICT r13 Next #8): tokens() /
+# sql_tokens() agree on ASCII-whitespace-boundary text only (Spark trim
+# strips ASCII whitespace; DuckDB trim also strips U+00A0 — pinned by
+# test_unicode_corpus_audit.py). IF a future gate corpus ever carries
+# NBSP-boundary documents, the fix is a symmetric regexp boundary trim
+# in BOTH engines' token helpers — that touches ~60 oracles at once and
+# is a planned multi-round migration scheduled through rotation seats,
+# NOT a single-round seat-budget violation.
 _WINDOW_DEFERRED = [
-    "a17_incremental_rollup", "a17b_rollup_backfill", "a18_sketch_cube",
-    "a19_resample_ffill", "a1_windowed_analytics_approx",
-    "a20_seasonality_profile", "a2_daily_analytics_approx",
-    "a2_monthly_analytics", "a2_weekly_analytics",
-    "adv10_unpivot_daily_metrics", "adv12_robust_outliers",
-    "adv13_salted_join", "adv15_pagerank", "adv15b_pagerank_scale9",
-    "adv1_sessionize", "adv3_pivot_daily_counts", "adv4_salted_agg",
-    "adv5_value_histogram", "adv6_percentiles", "adv6b_approx_percentiles",
-    "adv8_hash_sample_stats", "adv9_latest_per_key",
-    "d12_duplicate_span_ratio", "d1_exact_dedup_stats",
-    "d2_exact_dedup_keep_first", "d3_jaccard_pairs", "d4_minhash_lsh_dedup",
-    "d5_simhash_neardup", "d6_embedding_neardup", "d7_dedup_clusters",
-    "d7_dedup_clusters_full", "d8_jaccard_join_prefix",
+    "a15_daily_sensor_summary", "a16_vehicle_daily_summary",
+    "a17_incremental_rollup", "a17b_rollup_backfill",
+    "a17c_rollup_compaction", "a1_windowed_analytics",
+    "a21_histogram_quantile_rollup", "a22_cms_heavy_hitters",
+    "a23_incremental_join_view", "a2_daily_analytics",
+    "a3_sensor_type_measurements", "a4_vehicle_analytics",
+    "a4_vehicle_analytics_approx", "a5_quality_histogram",
+    "a6_anomaly_analytics", "a7_summary_report", "a7_summary_report_approx",
+    "a8_sensor_type_report", "a9_vehicle_topk",
+    "adv10_unpivot_daily_metrics", "adv11_range_join",
+    "adv12_robust_outliers", "adv13_salted_join",
+    "adv14_scd2_snapshot_merge", "adv15b_pagerank_scale9", "adv2_asof_join",
+    "adv3_pivot_daily_counts", "adv4_salted_agg", "adv5_value_histogram",
+    "adv6b_approx_percentiles", "adv8_hash_sample_stats",
+    "adv9_latest_per_key", "d10_dedup_delta", "d11_neardup_keep_best",
+    "d1_exact_dedup_stats", "d2_exact_dedup_keep_first",
+    "d4_minhash_lsh_dedup", "d5_simhash_neardup", "d6_embedding_neardup",
+    "d7_dedup_clusters", "d7_dedup_clusters_full", "d8_jaccard_join_prefix",
     "d8b_jaccard_join_df_prefix", "d9_semantic_dedup",
     "dc1_benchmark_contamination", "dp10_boilerplate_removal",
-    "dp15_bigram_lm_screen", "dp16_dataset_card", "dp17_dsir_importance",
+    "dp11_split_decontamination", "dp12_quality_weighted_sample",
+    "dp13_reproducible_shuffle", "dp14_temperature_mix", "dp1_corpus_clean",
     "dp2_corpus_clean_neardup", "dp3_training_mix", "dp4_cleaning_audit",
-    "dp5_sequence_packing", "dp7_training_shards", "dp9_leakage_safe_split",
-    "dq1_key_skew_audit", "dq2_join_size_preflight", "dq3_referential_audit",
-    "dq6_snapshot_drift", "dq7_expectation_audit", "dq8_embedding_audit",
+    "dp5_sequence_packing", "dp7_training_shards", "dp8_document_chunking",
+    "dp9_leakage_safe_split", "dq1_key_skew_audit",
+    "dq2_join_size_preflight", "dq3_referential_audit",
+    "dq4_semijoin_prefilter", "dq5_table_profile", "dq8_embedding_audit",
     "g1_rollup_order_stats", "g2_cube_event_stats",
-    "j10b_returned_revenue_topk", "j11_brand_revenue",
-    "j11b_supplier_value_share", "j12_customer_order_presence",
-    "j12b_priority_by_returnflag", "j13_events_enriched",
-    "j13b_order_count_distribution", "j14_promo_revenue", "j15_top_supplier",
-    "j16_supplier_part_counts", "j17_small_quantity_revenue",
-    "j18_large_orders", "j19_bracket_revenue", "j1_pricing_summary",
-    "j20_excess_stock_suppliers", "j21_lone_late_supplier",
-    "j22_dormant_customers", "j23_frequent_pairs", "j23b_frequent_pairs_log",
-    "j2_min_price_per_brand", "j3_shipping_priority", "j4_priority_late_ship",
-    "j5_region_supplier_volume", "j6_forecast_revenue",
-    "j7_nation_volume_shipping", "j8_market_share", "j9_profit_by_nation",
-    "m10_hourly_quality", "m14_anomaly_rate", "m15_alerts", "m16_burn_rate",
-    "m17_alert_incidents", "m18_metrics_export", "mm1_media_manifest",
-    "mm2_media_type_stats", "mm3_frame_sample", "mm4_payload_features",
-    "mm5_payload_dedup", "mm6_shard_plan", "mm7_stratified_sample",
-    "mm8_phash_neardup", "p10_json_extract", "s12_mips_topk",
-    "s13_range_search", "s13b_range_search_ivf", "s15_mmr_rerank", "s16_hybrid_rrf_ivf", "s1_knn_bruteforce",
-    "s2_knn_ivf", "s3_knn_lsh", "s4_label_centroids",
+    "g3_groupingsets_order_stats", "j10_order_rollup",
+    "j10b_returned_revenue_topk", "j14_promo_revenue", "j15_top_supplier",
+    "j18_large_orders", "j19_bracket_revenue", "j23b_frequent_pairs_log",
+    "j2_min_price_per_brand", "j4_priority_late_ship", "j6_forecast_revenue",
+    "j7_nation_volume_shipping", "m10_hourly_quality", "m11_liveness",
+    "m12_latency", "m13_throughput", "m14_anomaly_rate", "m15_alerts",
+    "m16_burn_rate", "m17_alert_incidents", "m18_metrics_export",
+    "mm1_media_manifest", "mm2_media_type_stats", "mm3_frame_sample",
+    "mm4_payload_features", "mm6_shard_plan", "mm7_stratified_sample",
+    "mm8_phash_neardup", "o1_filtered_scan_paginated",
+    "o1b_filtered_scan_keyset", "o4_anomaly_listing", "p10_json_extract",
+    "p7_vehicle_scan", "p8_date_bucket", "s10_knn_pq",
+    "s11_knn_tombstone_delete", "s13_range_search", "s13b_range_search_ivf",
+    "s14_hybrid_rrf", "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_lsh",
     "s5_scalar_quantization", "s6_knn_ivf_sq8", "s7_knn_filtered",
     "s8_knn_ivf_delta_add", "s9_knn_index_reload",
-    "st10_streaming_histogram_rollup", "st14_streaming_dataset_card",
-    "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
-    "st3_streaming_watermarked_windows", "st4_stream_static_join",
-    "st5_streaming_dedup", "st6_stateful_running_totals",
-    "st7_stream_stream_join", "st8_streaming_incremental_rollup",
-    "st9_streaming_alert_incidents", "t10_repetition_profile",
-    "t11_inverted_index", "t12_rarity_score", "t13_vocab_growth",
-    "t16_script_mix", "t17_collocations_pmi", "t17b_collocations_pmi_log",
-    "t18_bm25_topk", "t1_token_stats", "t2_doc_quality",
+    "st10_streaming_histogram_rollup", "st11_streaming_cms_maintenance",
+    "st12_streaming_scd2_maintenance", "st13_streaming_join_view",
+    "st15_stateful_session_eviction", "st1_streaming_microbatch_analytics",
+    "st2_streaming_session_windows", "st7_stream_stream_join",
+    "st8_streaming_incremental_rollup", "st9_streaming_alert_incidents",
+    "t10_repetition_profile", "t11_inverted_index", "t12_rarity_score",
+    "t13_vocab_growth", "t14_zipf_profile", "t15_vocab_coverage",
+    "t17b_collocations_pmi_log", "t1_token_stats", "t2_doc_quality",
     "t3_langid_confusion", "t4_fingerprints", "t5_top_terms",
-    "t6_tfidf_top_terms", "t7_documents_profile", "t9_pii_scan",
-    "u1_active_keys_union", "u2_key_overlap", "u3_key_overlap_multiset",
-    "u4_snapshot_diff", "w1_top_orders_per_customer", "w2_user_running_value",
-    "w3_event_gaps", "w4_value_deciles", "w5_trailing_hour_aggs",
+    "t6_tfidf_top_terms", "t7_documents_profile", "t8_bpe_token_stats",
+    "t9_pii_scan", "u1_active_keys_union", "u2_key_overlap",
+    "u4_snapshot_diff", "w1_top_orders_per_customer",
+    "w2_user_running_value", "w3_event_gaps", "w5_trailing_hour_aggs",
     "w6_cohort_retention", "w6b_cohort_retention_approx", "w7_event_funnel",
-    "w8_markov_transitions",
 ]
 
 

@@ -9,10 +9,12 @@ divide-by-zero on empty windows before real sparse data ever does.
 
 The exploratory r13 sweep found: 189/199 match outright; six streaming
 flows raise loudly by design (pinned below); a17c's compactor hit
-schema inference over an all-empty state (FIXED this round — no-op
+schema inference over an all-empty state (FIXED r13 — no-op
 compaction); and three queued divergences documented in _QUEUED, each
-waiting for its owner's re-certification seat per the window
-discipline (the t8 precedent).
+landing with its owner's re-certification seat per the window
+discipline (the t8 precedent): dq7's oracle coalesce LANDED r14 with
+its seat; st1 (r15) and s9 (r16) remain queued with ready diffs staged
+in registry.py's deferred-list comment.
 
 Default suite: a curated batch cohort (fast, covers the aggregate /
 rate / join / sketch shapes). ``SPARK_GRAFT_EMPTY_AUDIT=1`` sweeps the
@@ -44,10 +46,9 @@ _RAISE_BY_DESIGN = {
 # its evidence — the t8/r13 sequencing). Skipped-with-reason, not faked
 # green; delete the entry when the fix lands.
 _QUEUED = {
-    "dq7_expectation_audit": (
-        "sum() over zero rows: Spark 0 vs oracle NULL for n_failed — "
-        "oracle-side coalesce(.., 0) queued for dq7's r14 rotation seat"
-    ),
+    # dq7_expectation_audit's oracle coalesce LANDED r14 with its window
+    # seat — its row runs (and is in _CURATED so the default suite keeps
+    # covering the fixed shape).
     "st1_streaming_microbatch_analytics": (
         "UNABLE_TO_INFER_SCHEMA re-reading the empty sink — schema-pinned "
         "read queued for st1's r15 rotation seat"
@@ -73,6 +74,7 @@ _CURATED = [
     "dp16_dataset_card",
     "dq5_table_profile",
     "a22_cms_heavy_hitters",
+    "dq7_expectation_audit",    # the r14 fix: oracle-side coalesce
 ]
 
 
