@@ -173,6 +173,9 @@ HEADLINE = [
     # diversified rerank over the bounded candidate list
     "s16_hybrid_rrf_ivf",
     "s15_mmr_rerank",
+    # round 14 addition: one distributed BPE merge step (vocab-scale
+    # pair aggregation)
+    "t19_bpe_merge_step",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

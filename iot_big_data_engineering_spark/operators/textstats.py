@@ -3685,6 +3685,15 @@ _DP18_STAGES = [
 def _dp18_oracle() -> str:
     ctes = ["s0 AS (SELECT doc_id, lang, text AS t0 FROM documents)"]
     for i, (name, pat, repl) in enumerate(_DP18_STAGES):
+        # patterns/replacements are interpolated into single-quoted SQL
+        # literals below; a quote inside one would silently corrupt the
+        # oracle (ADVICE r13 #1) — refuse rather than emit bad SQL
+        if "'" in pat or "'" in repl:
+            raise ValueError(
+                f"dp18 stage {name!r}: single quote in pattern/replacement "
+                "would corrupt the single-quoted oracle literal; escape it "
+                "('' doubling) before interpolating"
+            )
         ctes.append(
             f"s{i + 1} AS (SELECT doc_id, lang, "
             + ", ".join(n for n, _, _ in _DP18_STAGES[:i])
@@ -3724,7 +3733,8 @@ def dp18_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# T19 — ONE BPE MERGE STEP (library; r15 registration candidate, same
+# T19 — ONE BPE MERGE STEP (registered r14 into the r15 window's single
+# free seat — VERDICT r13 Next #3; built+oracled r13 under the same
 # shipping discipline as dp18): the distributed heart of BPE tokenizer
 # TRAINING — count adjacent character pairs across the corpus and rank
 # the merge candidates. The classic scale move is the word-frequency
@@ -3772,6 +3782,14 @@ QUALIFY merge_rank <= {_T19_TOPK}
 """
 
 
+@register(
+    "t19_bpe_merge_step",
+    oracle=_T19_ORACLE,
+    doc=(
+        "T19: one distributed BPE merge step — adjacent-char pair counts "
+        "over the frequency-weighted vocabulary, top-K merge candidates"
+    ),
+)
 def t19_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 

@@ -308,7 +308,8 @@ _WINDOW_DEFERRED = [
     "st8_streaming_incremental_rollup", "st9_streaming_alert_incidents",
     "t10_repetition_profile", "t11_inverted_index", "t12_rarity_score",
     "t13_vocab_growth", "t14_zipf_profile", "t15_vocab_coverage",
-    "t17b_collocations_pmi_log", "t1_token_stats", "t2_doc_quality",
+    "t17b_collocations_pmi_log", "t19_bpe_merge_step", "t1_token_stats",
+    "t2_doc_quality",
     "t3_langid_confusion", "t4_fingerprints", "t5_top_terms",
     "t6_tfidf_top_terms", "t7_documents_profile", "t8_bpe_token_stats",
     "t9_pii_scan", "u1_active_keys_union", "u2_key_overlap",
