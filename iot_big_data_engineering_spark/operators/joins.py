@@ -2623,8 +2623,11 @@ def u5_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a", F.col("source_a").alias("source_b"), "shared_hashes"
         )
     )
-    # total matrix: every (a <= b) cell present, zeros included — the
-    # source list is |sources|-bounded, so the cell frame broadcasts
+    # total matrix: every (a <= b) cell present, zeros included — both
+    # frames are |sources|²-bounded; the filled (cross_pairs ∪ within)
+    # side carries the broadcast hint below so the left join never
+    # shuffles the cell enumeration (ADVICE r13 #3: comment now names
+    # the side the plan actually broadcasts)
     srcs = hs.select("source").distinct()
     cell = (
         srcs.select(F.col("source").alias("source_a"))

@@ -2405,7 +2405,11 @@ def _s14_sem_channel_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").alias("doc_id"),
                 fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
             )
-            .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+            # desc_nulls_last EXPLICIT (not Spark's desc default): the
+            # phase-1 exactness gate below reads cand1[-1].cosine and
+            # relies on any NULL cosine sorting after every real value
+            # (ADVICE r13 #2 — state the invariant in the sort itself)
+            .orderBy(F.col("cosine").desc_nulls_last(), F.col("doc_id").asc())
             .limit(_S14_C)  # TakeOrderedAndProject — distributed top-C
         )
 
@@ -2420,7 +2424,9 @@ def _s14_sem_channel_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = _range_probe_cells(cent, min_ccos, qn, tau)[0]
     cells = [int(c) for c in np.nonzero(keep)[0]]
     sem_top = _topc(cells)
-    ws = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    ws = Window.orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("doc_id").asc()
+    )
     return sem_top.withColumn(
         "sem_rank", F.row_number().over(ws).cast("int")  # over ≤C rows
     ).drop("cosine")
