@@ -231,8 +231,12 @@ _WINDOW_FIRST = [
 #   pattern, operators/sketches.py:492), then un-skip its
 #   test_empty_corpus_audit row and delete the _QUEUED entry.
 # - s9_knn_index_reload (r12-vintage → its r16 rotation): schema-pin
-#   the persisted-index reload, same failure shape and same ready-diff
-#   pattern (`spark.read.schema(<index schema>).parquet(index_dir)`).
+#   BOTH persisted-index reloads in operators/similarity.py::
+#   s9_knn_index_reload — the centroid read (`.schema("cell long,
+#   centroid array<double>")`) and the assignments read
+#   (`.schema(indexed.schema)` captured before the write) — same
+#   failure shape (zero data files → UNABLE_TO_INFER_SCHEMA) and same
+#   fix pattern as a17c's compactor.
 #
 # QUEUED NULL-TEXT FIXES (same audit module's companion sweep; both
 # r12-vintage → their r16 rotation seats):
