@@ -13,8 +13,9 @@ schema inference over an all-empty state (FIXED r13 — no-op
 compaction); and three queued divergences documented in _QUEUED, each
 landing with its owner's re-certification seat per the window
 discipline (the t8 precedent): dq7's oracle coalesce LANDED r14 with
-its seat; st1 (r15) and s9 (r16) remain queued with ready diffs staged
-in registry.py's deferred-list comment.
+its seat; st1's schema-pinned sink re-read LANDED r15 with its seat;
+s9 (r16) remains queued with its ready diff staged in registry.py's
+deferred-list comment.
 
 Default suite: a curated batch cohort (fast, covers the aggregate /
 rate / join / sketch shapes). ``SPARK_GRAFT_EMPTY_AUDIT=1`` sweeps the
@@ -47,12 +48,9 @@ _RAISE_BY_DESIGN = {
 # green; delete the entry when the fix lands.
 _QUEUED = {
     # dq7_expectation_audit's oracle coalesce LANDED r14 with its window
-    # seat — its row runs (and is in _CURATED so the default suite keeps
-    # covering the fixed shape).
-    "st1_streaming_microbatch_analytics": (
-        "UNABLE_TO_INFER_SCHEMA re-reading the empty sink — schema-pinned "
-        "read queued for st1's r15 rotation seat"
-    ),
+    # seat; st1's schema-pinned sink re-read LANDED r15 with its seat —
+    # both rows run (and sit in _CURATED so the default suite keeps
+    # covering the fixed shapes).
     "s9_knn_index_reload": (
         "UNABLE_TO_INFER_SCHEMA reloading the empty persisted index — "
         "schema-pinned reload queued for s9's next rotation seat"
@@ -60,8 +58,11 @@ _QUEUED = {
 }
 
 # Curated default cohort: the aggregate/rate/join/sketch shapes the
-# hazard class targets, all batch (fast), including the round's fix.
+# hazard class targets, all batch (fast) except st1 — the one streaming
+# member, kept because its r15 fix (schema-pinned sink re-read) is
+# exactly an empty-corpus shape — including each round's fix.
 _CURATED = [
+    "st1_streaming_microbatch_analytics",  # the r15 fix: pinned re-read
     "a17c_rollup_compaction",   # the r13 finding: no-op compaction
     "a17_incremental_rollup",
     "t8_bpe_token_stats",       # the r13 ANSI-guard query
