@@ -2405,9 +2405,11 @@ def _s14_sem_channel_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").alias("doc_id"),
                 fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
             )
-            # desc_nulls_last EXPLICIT (not Spark's desc default): the
-            # phase-1 exactness gate below reads cand1[-1].cosine and
-            # relies on any NULL cosine sorting after every real value
+            # desc_nulls_last stated explicitly rather than relying on
+            # Spark's desc default (which is already NULLS LAST — this is
+            # plan-identical, not a behavior change): the phase-1
+            # exactness gate below reads cand1[-1].cosine and relies on
+            # any NULL cosine sorting after every real value
             # (ADVICE r13 #2 — state the invariant in the sort itself)
             .orderBy(F.col("cosine").desc_nulls_last(), F.col("doc_id").asc())
             .limit(_S14_C)  # TakeOrderedAndProject — distributed top-C

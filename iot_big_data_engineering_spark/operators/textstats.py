@@ -3686,14 +3686,16 @@ def _dp18_oracle() -> str:
     ctes = ["s0 AS (SELECT doc_id, lang, text AS t0 FROM documents)"]
     for i, (name, pat, repl) in enumerate(_DP18_STAGES):
         # patterns/replacements are interpolated into single-quoted SQL
-        # literals below; a quote inside one would silently corrupt the
-        # oracle (ADVICE r13 #1) — refuse rather than emit bad SQL
-        if "'" in pat or "'" in repl:
-            raise ValueError(
-                f"dp18 stage {name!r}: single quote in pattern/replacement "
-                "would corrupt the single-quoted oracle literal; escape it "
-                "('' doubling) before interpolating"
-            )
+        # literals below; escape quotes by '' doubling at interpolation
+        # time so a quote-bearing stage emits VALID equivalent SQL (a
+        # quote is a literal char in both engines' regex/replacement —
+        # only the SQL literal needs the doubling). ADVICE r13 #1 asked
+        # for a refusal here, but an import-time raise would take down
+        # the whole operators package (ADVICE r14 #1) — escaping removes
+        # the failure mode instead of relocating it. Current stages are
+        # quote-free, so the emitted oracle text is byte-unchanged.
+        pat = pat.replace("'", "''")
+        repl = repl.replace("'", "''")
         ctes.append(
             f"s{i + 1} AS (SELECT doc_id, lang, "
             + ", ".join(n for n, _, _ in _DP18_STAGES[:i])

@@ -150,9 +150,12 @@ _CURATED = [
     "dc1_benchmark_contamination",
 ]
 
-# Full cohort (flag): every registered dedup/dp/dc query plus the
-# payload-dedup twin whose oracle reads the synthetic tables — the r13
-# probe's surface.
+# Full cohort (flag): every d*-prefixed query whose oracle reads the
+# synthetic tables (dedup/dp/dc by naming, and deliberately also the
+# documents/embeddings-reading dq* audits — extra coverage is the point
+# of the full sweep) plus the payload-dedup twin mm5. ADVICE r14 #2: the
+# predicate is intentionally this broad; a future d*-prefixed query
+# auto-enrolls here, which is the safe default for a skew audit.
 _NAMES = [
     n
     for n, q in _ALL.items()

@@ -1733,6 +1733,42 @@ def test_dp18_hand_counts_and_sequential_semantics(spark, tmp_path):
     )
 
 
+def test_dp18_quote_bearing_stage_emits_valid_equivalent_sql(tmp_path):
+    """A single quote in a stage pattern/replacement must NOT corrupt the
+    single-quoted oracle literals (ADVICE r13 #1) — and must not raise at
+    import either, which would take the whole operators package down with
+    one bad stage (ADVICE r14 #1). The builder escapes by '' doubling at
+    interpolation time; this pins that a quote-bearing stage round-trips
+    through DuckDB with the quote treated as the literal regex char."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators import textstats as T
+
+    saved = T._DP18_STAGES
+    try:
+        T._DP18_STAGES = [
+            ("emails", "o'x", "<Q'R>"),
+            ("urls", saved[1][1], saved[1][2]),
+            ("phones", saved[2][1], saved[2][2]),
+            ("long_ids", saved[3][1], saved[3][2]),
+        ]
+        sql = T._dp18_oracle()
+        df = pd.DataFrame(
+            {"doc_id": [1], "text": ["ao'x o'x plain"], "lang": ["en"]}
+        )
+        con = duckdb.connect()
+        con.register("documents", df)
+        row = con.execute(sql).fetchone()
+        # both o'x occurrences matched and replaced with <Q'R>
+        assert row[2] == 2
+        assert row[7] == len("a<Q'R> <Q'R> plain")
+    finally:
+        T._DP18_STAGES = saved
+    # the live stage set is quote-free, so escaping is a byte-level no-op
+    assert T._dp18_oracle() == T._DP18_ORACLE
+
+
 def test_dp18_matches_oracle_on_edge_corpus(spark, tmp_path):
     import duckdb
     import pandas as pd
