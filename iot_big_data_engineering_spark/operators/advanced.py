@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..caching import track
 from ..functions import hashing, vectors as V
-from ..functions.rounding import fround
+from ..functions.rounding import fround, sql_fround
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -2077,4 +2077,220 @@ def embedding_audit(e: DataFrame) -> DataFrame:
         .alias("n_zero_norm"),
         fround(F.min(F.sqrt(F.col("n2"))), 6).alias("norm_min"),
         fround(F.max(F.sqrt(F.col("n2"))), 6).alias("norm_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ9 — POPULATION STABILITY INDEX drift (library; r17 seat candidate —
+# the registry is saturated, so per the r14 saturation ruling this ships
+# tested with its oracle constant ready, the dp18/u5 discipline): dq6
+# audits per-COLUMN drift (null ppm, cardinality) between two snapshot
+# halves; this op audits per-DISTRIBUTION drift of a numeric measure —
+# the classic model-monitoring PSI over equi-depth decile bins, the
+# standard "did the data shift under my model/filter?" preflight a
+# training-data pipeline runs between corpus snapshots.
+#
+# Semantics: events are split into two deterministic halves by the
+# shared overflow-exact Knuth stream (side 0 = baseline A, side 1 =
+# current B — the dq6 split, so both audits read the same halves). Per
+# event_type, decile edges are EXACT percentiles of side A (rounded to
+# the shared 6-dp grid so the bin comparisons see identical doubles on
+# both engines); every row of BOTH sides is binned by edges-passed
+# count; per-bin proportions are Laplace-smoothed ((cnt+1)/(n+10), so
+# an empty bin never divides by zero or ln(0) — ANSI-safe by
+# construction); PSI = Σ_bins (pA−pB)·ln(pA/pB), folded in bin order
+# (Spark F.aggregate over the bin-sorted array, DuckDB list_reduce over
+# list(term ORDER BY bin) — the dp17 ordered-fold discipline, so the
+# 10-term double sum is bit-identical). Verdict thresholds are the
+# conventional 0.1 / 0.25 (compared on the ROUNDED psi so the CASE
+# cannot flip across engines). Types with no baseline rows are excluded
+# by contract: drift is measured AGAINST the baseline, and a type that
+# is new in B has no baseline distribution to drift from (its
+# appearance is dq6's cardinality-delta finding, not a PSI).
+#
+# 100 TB: pass 1 is one groupBy(event_type) aggregate over side A —
+# EXACT percentile is the compared surface (the adv6/adv6b twin
+# discipline: exact for the oracle-checked output; the documented scale
+# path swaps approx_percentile(accuracy=10000) into the same plan shape
+# when |group| no longer fits an exact-percentile buffer, identical to
+# how adv6b certifies its sketch inside the exact ±0.01 band). Pass 2
+# broadcasts the |types|-row edge table (KB) and runs ONE
+# map-side-combined count aggregate on (type, bin, side) keys — ≤
+# |types|·20 groups regardless of corpus size. The dense-bin frame and
+# the fold are |types|·10 rows. No window, no driver collect, no
+# corpus-scale shuffle anywhere: the only exchange carries
+# (type, bin) partial counts.
+# ---------------------------------------------------------------------------
+_DQ9_FRACS = [i / 10.0 for i in range(1, 10)]
+_DQ9_BINS = 10
+
+_DQ9_EDGE_LIST = "[" + ", ".join(str(x) for x in _DQ9_FRACS) + "]"
+
+_DQ9_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, value,
+         ({hashing.knuth_hash32_sql('event_id')} % 2) AS side
+  FROM events
+  WHERE value IS NOT NULL
+),
+edges AS (
+  SELECT event_type,
+         list_transform(
+           quantile_cont(value, {_DQ9_EDGE_LIST}),
+           x -> {sql_fround('x')}
+         ) AS eds
+  FROM e WHERE side = 0 GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type, e.side,
+         CAST(len(list_filter(ed.eds, x -> e.value > x)) AS INTEGER) AS bin
+  FROM e JOIN edges ed USING (event_type)
+),
+cnts AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM binned GROUP BY event_type, bin
+),
+dense AS (
+  SELECT ed.event_type, CAST(r.range AS INTEGER) AS bin
+  FROM edges ed CROSS JOIN range({_DQ9_BINS}) r
+),
+filled AS (
+  SELECT d.event_type, d.bin,
+         coalesce(c.cnt_a, 0) AS cnt_a, coalesce(c.cnt_b, 0) AS cnt_b
+  FROM dense d
+  LEFT JOIN cnts c ON d.event_type = c.event_type AND d.bin = c.bin
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(cnt_a) AS BIGINT) AS n_a,
+         CAST(sum(cnt_b) AS BIGINT) AS n_b
+  FROM filled GROUP BY event_type
+),
+terms AS (
+  SELECT f.event_type, f.bin,
+         ((CAST(f.cnt_a AS DOUBLE) + 1.0) / (CAST(t.n_a AS DOUBLE) + 10.0)
+          - (CAST(f.cnt_b AS DOUBLE) + 1.0) / (CAST(t.n_b AS DOUBLE) + 10.0))
+         * ln(((CAST(f.cnt_a AS DOUBLE) + 1.0) / (CAST(t.n_a AS DOUBLE) + 10.0))
+              / ((CAST(f.cnt_b AS DOUBLE) + 1.0) / (CAST(t.n_b AS DOUBLE) + 10.0)))
+           AS term
+  FROM filled f JOIN tot t USING (event_type)
+),
+psi AS (
+  SELECT event_type,
+         {sql_fround("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY bin)), (acc, x) -> acc + x)")}
+           AS psi
+  FROM terms GROUP BY event_type
+)
+SELECT t.event_type, t.n_a, t.n_b, p.psi,
+       CASE WHEN p.psi >= 0.25 THEN 'major'
+            WHEN p.psi >= 0.1 THEN 'moderate'
+            ELSE 'stable' END AS verdict
+FROM tot t JOIN psi p USING (event_type)
+ORDER BY t.event_type
+"""
+
+
+def dq9_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return psi_drift(load_table(spark, sf_dir, "events"))
+
+
+def psi_drift(events: DataFrame) -> DataFrame:
+    """dq9 core over any events-shaped frame — separated for tests
+    (empty tables, single-type, all-one-side, NULL values/ids)."""
+    spark = events.sparkSession
+    e = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        F.pmod(hashing.knuth_hash32(F.col("event_id")), F.lit(2)).alias(
+            "side"
+        ),
+    )
+    edges = (
+        e.filter(F.col("side") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.percentile(
+                    "value", F.array(*[F.lit(x) for x in _DQ9_FRACS])
+                ),
+                lambda c: fround(c, _R),
+            ).alias("eds")
+        )
+    )
+    binned = (
+        # inner join: types with no baseline rows are out by contract
+        e.join(F.broadcast(edges), "event_type")
+        .select(
+            "event_type",
+            "side",
+            F.size(
+                F.filter(F.col("eds"), lambda x: F.col("value") > x)
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_b"),
+        )
+    )
+    dense = edges.select("event_type").crossJoin(
+        F.broadcast(
+            spark.range(_DQ9_BINS).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    filled = dense.join(binned, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("cnt_a", F.lit(0)).cast("bigint").alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).cast("bigint").alias("cnt_b"),
+    )
+    g = filled.groupBy("event_type").agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt_b").cast("bigint").alias("n_b"),
+        F.collect_list(
+            F.struct(
+                F.col("bin").alias("bin"),
+                F.col("cnt_a").alias("ca"),
+                F.col("cnt_b").alias("cb"),
+            )
+        ).alias("bins"),
+    )
+
+    def _term(x):  # (pA − pB) · ln(pA / pB), Laplace-smoothed — see header
+        pa = (x.getField("ca").cast("double") + F.lit(1.0)) / (
+            F.col("n_a").cast("double") + F.lit(10.0)
+        )
+        pb = (x.getField("cb").cast("double") + F.lit(1.0)) / (
+            F.col("n_b").cast("double") + F.lit(10.0)
+        )
+        return (pa - pb) * F.log(pa / pb)
+
+    psi = fround(
+        F.aggregate(
+            F.array_sort(F.col("bins")),
+            F.lit(0.0),
+            lambda acc, x: acc + _term(x),
+        ),
+        _R,
+    )
+    return (
+        g.select(
+            "event_type",
+            "n_a",
+            "n_b",
+            psi.alias("psi"),
+            # compare the ROUNDED psi (same expression), so the verdict
+            # CASE can never flip across engines on a sub-grid delta
+            F.when(psi >= 0.25, F.lit("major"))
+            .when(psi >= 0.1, F.lit("moderate"))
+            .otherwise(F.lit("stable"))
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
     )

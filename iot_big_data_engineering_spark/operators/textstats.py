@@ -3822,3 +3822,127 @@ def t19_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "merge_rank", F.row_number().over(w).cast("int")  # over ≤K rows
     ).select("pair", "pair_count", "merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# DP19 — WEIGHTED RESERVOIR SAMPLE, A-ES / Efraimidis–Spirakis (library;
+# r17 seat candidate — the registry is saturated, so per the r14
+# saturation ruling this ships tested with its oracle constant ready,
+# the dp18/u5 discipline): dp12 keeps documents by per-row Bernoulli
+# RATE (each doc independently, expected size only); this op draws an
+# EXACT-size weighted sample WITHOUT replacement — k docs per source,
+# inclusion probability proportional to token weight — the standard
+# one-pass distributed primitive for "give me exactly k docs per
+# source, long docs proportionally more likely" (epoch subsets, eval
+# panels, human-review draws). A-ES: key_i = u_i^(1/w_i) with
+# u_i ∈ (0,1] uniform; the k largest keys ARE a weighted sample
+# without replacement (Efraimidis & Spirakis 2006) — no rejection, no
+# second pass, no global state.
+#
+# Determinism across engines: u_i = (knuth_hash32(doc_id)+1) / 2^32 —
+# the shared overflow-exact integer stream; +1 keeps u > 0 (ln/pow
+# safe), and the division by a power of two is EXACT in double, so
+# both engines raise pow on bit-identical inputs. The key is rounded
+# to the shared 6-dp grid BEFORE ranking (the t17/dp15/dp17 precedent
+# for ln/exp-family values), with doc_id as the total-order tiebreak,
+# so rank boundaries cannot sit on a sub-grid cross-engine delta.
+# Zero-weight and NULL-weight docs (empty/NULL text) are excluded
+# (w >= 1), which also makes the 1.0/w division ANSI-safe.
+#
+# 100 TB: scoring is map-only. The top-k per source is TWO-STAGE
+# SALTED: stage 1 ranks within (source, salt = h mod 8) — 8-way
+# parallel, skew-proof even when one source dominates the corpus —
+# and keeps k per salt; stage 2 ranks the ≤ 8k survivors per source.
+# Exactness is preserved by construction: any doc in the true global
+# top-k of its source has at most k−1 docs above it overall, hence at
+# most k−1 above it inside its own salt bucket, so stage 1 can never
+# evict it. The stage-2 window therefore covers ≤ 8k rows per source
+# (the bounded-window class the audit admits); the oracle ranks in one
+# window — same result, pinning that salting is an optimization, never
+# a semantics change (the d8/d8b discipline).
+# ---------------------------------------------------------------------------
+_DP19_K = 20
+_DP19_SALT = 8
+
+_DP19_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, {X.sql_token_count("text")} AS w FROM documents
+),
+s AS (
+  SELECT source, doc_id, CAST(w AS BIGINT) AS token_count,
+         {sql_fround(
+             "pow(CAST(("
+             + hashing.knuth_hash32_sql("doc_id")
+             + " + 1) AS DOUBLE) / " + str(hashing.HASH32_MOD) + ".0, "
+             "1.0 / CAST(w AS DOUBLE))"
+         )} AS aes_key
+  FROM d WHERE w >= 1
+),
+r AS (
+  SELECT source, doc_id, token_count, aes_key,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY aes_key DESC, doc_id ASC
+         ) AS INTEGER) AS sel_rank
+  FROM s
+)
+SELECT source, sel_rank, doc_id, token_count, aes_key
+FROM r WHERE sel_rank <= {_DP19_K}
+ORDER BY source, sel_rank
+"""
+
+
+def dp19_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_reservoir(_docs(spark, sf_dir))
+
+
+def weighted_reservoir(
+    docs: DataFrame, k: int = _DP19_K, salt: int = _DP19_SALT
+) -> DataFrame:
+    """dp19 core over any documents-shaped frame — separated for tests
+    (hand-built corpora, empty/NULL text, inclusion-frequency law)."""
+    from pyspark.sql import Window
+
+    h = hashing.knuth_hash32(F.col("doc_id"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(hashing.HASH32_MOD))
+    d = (
+        docs.select(
+            "source",
+            "doc_id",
+            X.token_count("text").cast("bigint").alias("token_count"),
+            F.pmod(h, F.lit(salt)).alias("bkt"),
+            u.alias("u"),
+        )
+        .filter(F.col("token_count") >= 1)
+        .select(
+            "source",
+            "doc_id",
+            "token_count",
+            "bkt",
+            fround(
+                F.pow(
+                    F.col("u"),
+                    F.lit(1.0) / F.col("token_count").cast("double"),
+                ),
+                _R,
+            ).alias("aes_key"),
+        )
+    )
+    w1 = Window.partitionBy("source", "bkt").orderBy(
+        F.col("aes_key").desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        d.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)  # ≤ salt·k rows per source survive
+        .drop("rn1", "bkt")
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        F.col("aes_key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn(
+            "sel_rank", F.row_number().over(w2).cast("int")  # over ≤ salt·k
+        )
+        .filter(F.col("sel_rank") <= k)
+        .select("source", "sel_rank", "doc_id", "token_count", "aes_key")
+        .orderBy("source", "sel_rank")
+    )

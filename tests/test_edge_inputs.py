@@ -1467,3 +1467,146 @@ def test_dq3_empty_tables_stable(spark, tmp_path):
         assert r.child_rows == 0
         assert r.orphan_rows == 0
         assert r.orphan_share is None
+
+
+# ---------------------------------------------------------------------------
+# dq9 PSI drift (round-15 library op; r17 seat candidate — oracle ready)
+# ---------------------------------------------------------------------------
+def _knuth_side(key: int) -> int:
+    return (key * 2654435761) % (2**32) % 2
+
+
+def test_dq9_planted_shift_trips_and_stable_stays(spark):
+    """Two types over the same deterministic id stream: 'steady' draws
+    the SAME value law on both snapshot halves (psi must sit under the
+    0.1 watch threshold), 'shifted' moves every side-B row above every
+    side-A decile (all B mass lands in the top bin — psi must clear the
+    0.25 major threshold). The Knuth split is replayed in Python so the
+    per-side row counts are known a priori."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ9_ORACLE,
+        psi_drift,
+    )
+
+    rows = []
+    for i in range(1, 1001):
+        rows.append((i, "steady", float(i % 100)))
+    for i in range(1001, 2001):
+        v = float(i % 100) if _knuth_side(i) == 0 else 5000.0 + i
+        rows.append((i, "shifted", v))
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    df = spark.createDataFrame(pdf)
+    got = {r.event_type: r for r in psi_drift(df).collect()}
+
+    n_a_steady = sum(1 for i in range(1, 1001) if _knuth_side(i) == 0)
+    st = got["steady"]
+    assert (st.n_a, st.n_b) == (n_a_steady, 1000 - n_a_steady)
+    assert st.psi < 0.1 and st.verdict == "stable"
+    sh = got["shifted"]
+    assert sh.psi >= 0.25 and sh.verdict == "major"
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    du = sorted(map(tuple, con.execute(_DQ9_ORACLE).fetchall()))
+    sp = sorted(map(tuple, psi_drift(df).collect()))
+    assert sp == du
+
+
+def test_dq9_type_without_baseline_rows_is_excluded(spark):
+    """A type whose rows all hash to side B has no baseline distribution
+    — excluded by contract (its appearance is dq6's cardinality finding,
+    not a PSI), identically on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ9_ORACLE,
+        psi_drift,
+    )
+
+    b_only = [i for i in range(1, 200) if _knuth_side(i) == 1][:20]
+    rows = [(i, "new_type", float(i)) for i in b_only]
+    rows += [(1000 + i, "old", float(i % 7)) for i in range(100)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    out = psi_drift(spark.createDataFrame(pdf)).collect()
+    assert {r.event_type for r in out} == {"old"}
+    con = duckdb.connect()
+    con.register("events", pdf)
+    du = sorted(map(tuple, con.execute(_DQ9_ORACLE).fetchall()))
+    assert sorted(map(tuple, out)) == du
+
+
+def test_dq9_empty_and_null_inputs_stable(spark):
+    """Empty events → empty result with the pinned schema (no
+    percentile-over-nothing, no divide-by-zero — the Laplace smoothing
+    and the inner baseline join make every path vacuous); NULL values
+    are excluded before binning and NULL event_ids fall in neither
+    side's count on either engine."""
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ9_ORACLE,
+        psi_drift,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    out = psi_drift(empty)
+    assert out.columns == ["event_type", "n_a", "n_b", "psi", "verdict"]
+    assert out.count() == 0
+
+    # event_id stays INT64 with a true NULL (a pandas None would silently
+    # coerce the column to float64, and float modulo is not the op's
+    # domain — load_table only ever yields integer ids)
+    import pyarrow as pa
+
+    rows = [
+        (i, "t", None if i % 5 == 0 else float(i % 13))
+        for i in range(1, 301)
+    ] + [(None, "t", 1.0)]
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    sp = sorted(
+        map(
+            tuple,
+            psi_drift(
+                spark.createDataFrame(rows, schema)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("events", tab)
+    du = sorted(map(tuple, con.execute(_DQ9_ORACLE).fetchall()))
+    assert sp == du
+
+
+def test_dq9_matches_oracle_on_gate_data(spark):
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ9_ORACLE,
+        dq9_psi_drift,
+    )
+
+    sp = sorted(map(tuple, dq9_psi_drift(spark, SF_SMOKE).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    du = sorted(map(tuple, con.execute(_DQ9_ORACLE).fetchall()))
+    assert sp == du

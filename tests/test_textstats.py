@@ -1853,3 +1853,128 @@ def test_dp18_matches_oracle_on_gate_data(spark):
     )
     du = sorted(map(tuple, con.execute(_DP18_ORACLE).fetchall()))
     assert sp == du
+
+
+# ---------------------------------------------------------------------------
+# dp19 weighted reservoir (round-15 library op; r17 seat candidate —
+# oracle ready)
+# ---------------------------------------------------------------------------
+def test_dp19_salt_invariance_pins_two_stage_exactness(spark):
+    """The header's load-bearing claim: the salted two-stage top-k is an
+    OPTIMIZATION, never a semantics change — stage 1 can never evict a
+    true global top-k member. Pin it by running the same corpus through
+    salt widths 1 (single-stage), 8 (shipped), and 64 and demanding
+    bit-identical outputs."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _docs,
+        weighted_reservoir,
+    )
+
+    docs = _docs(spark, SF_SMOKE)
+    base = sorted(map(tuple, weighted_reservoir(docs, salt=1).collect()))
+    for s in (8, 64):
+        assert (
+            sorted(map(tuple, weighted_reservoir(docs, salt=s).collect()))
+            == base
+        ), f"salt={s} changed the sample"
+    # exactly k rows per source on gate data (every source has > k docs)
+    from collections import Counter
+
+    per_src = Counter(r[0] for r in base)
+    assert all(v == 20 for v in per_src.values())
+
+
+def test_dp19_matches_python_aes_replay_small_weights(spark, tmp_path):
+    """Hand corpus with 1/2/3-token docs: replay A-ES in Python
+    (u = (knuth+1)/2^32 exactly, key = u^(1/w) rounded half-up to 6 dp,
+    rank by key desc then doc_id) and demand the same selection and
+    ranks. Small weights keep keys far from the rounding grid so the
+    replay is engine-stable."""
+    import math
+
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp19_weighted_reservoir,
+    )
+
+    texts = {1: "a", 2: "b b", 3: "c c c", 4: "d", 5: "e e e", 6: "f f"}
+    rows = [
+        (i, t, "en", "s%d" % (i % 2), len(t))
+        for i, t in texts.items()
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+    def key(i: int) -> float:
+        u = ((i * 2654435761) % 2**32 + 1) / 2**32
+        w = len(texts[i].split())
+        return math.floor(u ** (1.0 / w) * 1e6 + 0.5) / 1e6
+
+    expect = []
+    for src in ("s0", "s1"):
+        members = [i for i in texts if "s%d" % (i % 2) == src]
+        members.sort(key=lambda i: (-key(i), i))
+        for rank, i in enumerate(members, 1):
+            expect.append(
+                (src, rank, i, len(texts[i].split()), key(i))
+            )
+    got = sorted(
+        map(tuple, dp19_weighted_reservoir(spark, str(tmp_path)).collect())
+    )
+    assert got == sorted(expect)
+
+
+def test_dp19_excludes_empty_and_null_text_and_empty_corpus(spark, tmp_path):
+    """w >= 1 is the domain gate: NULL text (NULL weight) and docs whose
+    weight cannot reach 1 never enter the draw — and it is what makes
+    1/w ANSI-safe. Empty corpus → empty result, schema pinned."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp19_weighted_reservoir,
+    )
+
+    pd.DataFrame(
+        [
+            (1, "real words here", "en", "s", 15),
+            (2, None, "en", "s", 0),
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = dp19_weighted_reservoir(spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in out] == [1]
+
+    d2 = tmp_path / "empty"
+    d2.mkdir()
+    pd.DataFrame(
+        [], columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype(
+        {"doc_id": "int64", "text": "str", "lang": "str",
+         "source": "str", "n_chars": "int64"}
+    ).to_parquet(str(d2 / "documents.parquet"))
+    df = dp19_weighted_reservoir(spark, str(d2))
+    assert df.columns == [
+        "source", "sel_rank", "doc_id", "token_count", "aes_key"
+    ]
+    assert df.count() == 0
+
+
+def test_dp19_matches_oracle_on_gate_data(spark):
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _DP19_ORACLE,
+        dp19_weighted_reservoir,
+    )
+
+    sp = sorted(
+        map(tuple, dp19_weighted_reservoir(spark, SF_SMOKE).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    du = sorted(map(tuple, con.execute(_DP19_ORACLE).fetchall()))
+    assert sp == du
