@@ -57,7 +57,8 @@ HEADLINE = [
     # exact-Jaccard join, grouping sets
     "adv11_range_join",
     "mm5_payload_dedup",
-    "d8_jaccard_join_prefix",
+    # d8_jaccard_join_prefix was registry-retired r16 (redundant twin);
+    # d8b below carries the identical plan shape in the pinned record
     "g3_groupingsets_order_stats",
     "j11b_supplier_value_share",
     "j12b_priority_by_returnflag",
@@ -176,6 +177,10 @@ HEADLINE = [
     # round 14 addition: one distributed BPE merge step (vocab-scale
     # pair aggregation)
     "t19_bpe_merge_step",
+    # round 16 additions: the retirement-freed-seat registrations — the
+    # map-only PII rewrite and the cross-source duplicate matrix
+    "dp18_pii_redaction",
+    "u5_source_overlap_matrix",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone

@@ -304,7 +304,7 @@ def adv5_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `percentile` and DuckDB `quantile_cont` both use linear interpolation
 # over the sorted values → identical doubles (rounded defensively).
 # At 100 TB swap for approx_percentile (t-digest) — provided as the
-# rows-only twin adv6b.
+# library twin adv6b below (registry-retired r16; band-tested).
 # ---------------------------------------------------------------------------
 @register(
     "adv6_percentiles",
@@ -329,26 +329,13 @@ def adv6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "adv6b_approx_percentiles",
-    # Checkable contract (same pattern as the HLL twins): the sketch value
-    # itself has no SQL oracle, so emit the EXACT percentiles plus flags
-    # asserting the approx_percentile(accuracy=10000) estimate falls inside
-    # the exact [p-0.01, p+0.01] quantile band. The oracle asserts the
-    # flags as literal TRUE — a sketch outside its rank-error guarantee
-    # (1/accuracy = 1e-4 << 0.01) fails the driver hash. Deterministic for
-    # fixed input, so not flaky at a fixed SF.
-    oracle=f"""
-SELECT event_type,
-       round(quantile_cont(value, 0.50), {_R}) AS p50,
-       round(quantile_cont(value, 0.95), {_R}) AS p95,
-       TRUE AS p50_within_band,
-       TRUE AS p95_within_band
-FROM events
-GROUP BY event_type
-""",
-    doc="ADV6 scale twin: approx_percentile sketch, rank-error-bounded",
-)
+# adv6b was RETIRED from the registry r16 per the r14 saturation ruling
+# (registry._RETIRED): it is the approx/sketch twin of adv6 above, whose
+# exact form stays gated. The capability remains as this library
+# function — the sketch-within-rank-band contract (every flag TRUE:
+# approx_percentile's rank error 1/accuracy = 1e-4 must keep the
+# estimate inside the exact [p−0.01, p+0.01] quantile band) is pinned by
+# tests/test_approx_quality.py.
 def adv6b_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
 
@@ -2091,11 +2078,12 @@ def embedding_audit(e: DataFrame) -> DataFrame:
 # training-data pipeline runs between corpus snapshots.
 #
 # Semantics: events are split into two deterministic halves by the
-# shared overflow-exact Knuth stream (side 0 = baseline A, side 1 =
-# current B — the dq6 split, so both audits read the same halves). Per
-# event_type, decile edges are EXACT percentiles of side A (rounded to
-# the shared 6-dp grid so the bin comparisons see identical doubles on
-# both engines); every row of BOTH sides is binned by edges-passed
+# same overflow-exact Knuth-mod-2 TECHNIQUE dq6 uses for its snapshot
+# split — applied here to event_id over events (dq6 splits o_orderkey
+# over orders; the halves are per-audit, not shared — ADVICE r15 #1).
+# Per event_type, decile edges are EXACT percentiles of side A (rounded
+# to the shared 6-dp grid so the bin comparisons see identical doubles
+# on both engines); every row of BOTH sides is binned by edges-passed
 # count; per-bin proportions are Laplace-smoothed ((cnt+1)/(n+10), so
 # an empty bin never divides by zero or ln(0) — ANSI-safe by
 # construction); PSI = Σ_bins (pA−pB)·ln(pA/pB), folded in bin order
@@ -2105,8 +2093,13 @@ def embedding_audit(e: DataFrame) -> DataFrame:
 # conventional 0.1 / 0.25 (compared on the ROUNDED psi so the CASE
 # cannot flip across engines). Types with no baseline rows are excluded
 # by contract: drift is measured AGAINST the baseline, and a type that
-# is new in B has no baseline distribution to drift from (its
-# appearance is dq6's cardinality-delta finding, not a PSI).
+# is new in B has no baseline distribution to drift from — surfacing
+# new types is a cardinality audit's job, not a PSI's. NULL event_type
+# is excluded up front alongside NULL value (ADVICE r15 #3: Spark's
+# orderBy is ASC NULLS FIRST while DuckDB's is NULLS LAST — a NULL-type
+# group would emit an identical row at a DIFFERENT position, breaking
+# any order-sensitive gate comparison; a NULL type is a data-hygiene
+# finding, not a distribution).
 #
 # 100 TB: pass 1 is one groupBy(event_type) aggregate over side A —
 # EXACT percentile is the compared surface (the adv6/adv6b twin
@@ -2131,7 +2124,7 @@ WITH e AS (
   SELECT event_type, value,
          ({hashing.knuth_hash32_sql('event_id')} % 2) AS side
   FROM events
-  WHERE value IS NOT NULL
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
 ),
 edges AS (
   SELECT event_type,
@@ -2200,7 +2193,9 @@ def psi_drift(events: DataFrame) -> DataFrame:
     """dq9 core over any events-shaped frame — separated for tests
     (empty tables, single-type, all-one-side, NULL values/ids)."""
     spark = events.sparkSession
-    e = events.filter(F.col("value").isNotNull()).select(
+    e = events.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
         "event_type",
         "value",
         F.pmod(hashing.knuth_hash32(F.col("event_id")), F.lit(2)).alias(

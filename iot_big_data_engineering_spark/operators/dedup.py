@@ -1115,25 +1115,18 @@ ORDER BY doc_a, doc_b
 """
 
 
-@register(
-    "d8_jaccard_join_prefix",
-    oracle=_D8_ORACLE,
-    doc="D8: exact Jaccard>=0.5 join over the full corpus, prefix-filtered",
-)
-def d8_jaccard_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = prefix_jaccard_pairs(_docs_par(spark, sf_dir), _D8_TAU)
-    return pairs.select(
-        "doc_a", "doc_b", fround(F.col("jc"), _R).alias("jaccard")
-    ).orderBy("doc_a", "doc_b")
-
-
+# d8_jaccard_join_prefix (the unordered-prefix variant) was RETIRED r16
+# per the r14 saturation ruling (registry._RETIRED): it shared _D8_ORACLE
+# literally with d8b below and was bit-identical by construction, so the
+# df-ordered variant subsumes it. The order_by_df=False code path stays
+# brute-force-tested in tests/test_dedup.py.
 @register(
     "d8b_jaccard_join_df_prefix",
-    # bit-identical output to d8 — any global token order preserves
-    # AllPairs exactness — so the SAME oracle pins that the df-ordered
+    # any global token order preserves AllPairs exactness, so this oracle
+    # (shared with the retired unordered twin) pins that the df-ordered
     # refinement is an optimization, never a semantics change
     oracle=_D8_ORACLE,
-    doc="D8B: d8 with ascending-document-frequency prefix ordering",
+    doc="D8B: prefix-filtered exact Jaccard>=0.5 join, ascending-df ordering",
 )
 def d8b_jaccard_join_df_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = prefix_jaccard_pairs(

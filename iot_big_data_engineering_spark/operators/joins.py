@@ -2534,9 +2534,10 @@ def markov_transitions(e: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# U5 — CROSS-SOURCE EXACT-DUPLICATE OVERLAP MATRIX (library; registration
-# candidate when a window seat frees — ships tested with its oracle
-# constant ready, the dp18/t19 discipline): the provenance question every
+# U5 — CROSS-SOURCE EXACT-DUPLICATE OVERLAP MATRIX (shipped library-
+# tested r13 with its oracle constant ready; REGISTERED r16 into the
+# second retirement-freed window seat per the r14 saturation ruling):
+# the provenance question every
 # multi-source training mix has to answer before weighting sources — how
 # many exact-duplicate documents does each PAIR of sources share, and how
 # much does each source duplicate within itself. d1 measures the corpus's
@@ -2587,6 +2588,14 @@ ORDER BY source_a, source_b
 """
 
 
+@register(
+    "u5_source_overlap_matrix",
+    oracle=_U5_ORACLE,
+    doc=(
+        "U5: total |sources|x|sources| exact-duplicate overlap matrix "
+        "(cross-source shared md5 hashes; diagonal = within-source dups)"
+    ),
+)
 def u5_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import track
 

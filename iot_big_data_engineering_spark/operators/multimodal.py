@@ -229,19 +229,29 @@ def fake_decode_stats(df: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            n_bytes = pdf["payload"].map(len)
+            # nullable byte stats (landed r16 with mm3's rotation seat):
+            # a NULL source text arrives as a None payload, and .map(len)
+            # on None kills the Python worker — a corrupt/absent payload
+            # must yield NULL dims, not fail the partition (the same
+            # contract as decode_media's undecodable branch). Nullable
+            # Int32, not int32: the None rows must survive the cast.
+            n_bytes = pdf["payload"].map(
+                lambda p: len(p) if p is not None else None
+            ).astype("Int64")  # NA-propagating arithmetic below
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "width": (n_bytes % 640 + 1).astype("int32"),
-                    "height": (n_bytes % 480 + 1).astype("int32"),
+                    "n_bytes": n_bytes.astype("Int32"),
+                    "width": (n_bytes % 640 + 1).astype("Int32"),
+                    "height": (n_bytes % 480 + 1).astype("Int32"),
+                    # n_frames stays doc_id-derived and non-null — the
+                    # oracle's id-driven video enumeration matches
                     "n_frames": (
                         (pdf["doc_id"] % 24 + 1).where(
                             pdf["media_type"] == "video", 1
                         )
-                    ).astype("int32"),
+                    ).astype("Int32"),
                 }
             )
 

@@ -1391,11 +1391,22 @@ def s9_knn_index_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.parquet(cent_path)
 
         # ---- serving side: everything below reads only the two tables ----
+        # both reloads are SCHEMA-PINNED (the a17c/st1 pattern): an
+        # all-empty corpus writes zero data files, and schema inference
+        # over an empty directory raises UNABLE_TO_INFER_SCHEMA — the
+        # serving side must come up (empty) regardless. The centroid pin
+        # is the literal write schema; the assignments pin is captured
+        # from the pre-write frame so it tracks the source's actual
+        # physical types (r13 empty-corpus audit finding, landed r16
+        # with this query's rotation seat).
         cent_rows = (
-            spark.read.parquet(cent_path).orderBy("cell").collect()
+            spark.read.schema("cell long, centroid array<double>")
+            .parquet(cent_path)
+            .orderBy("cell")
+            .collect()
         )  # nlist rows — bounded
         cent2 = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
-        indexed2 = spark.read.parquet(assign_path)
+        indexed2 = spark.read.schema(indexed.schema).parquet(assign_path)
 
         def _fingerprint(df: DataFrame):
             # count + order-independent XOR of per-row hashes (XOR, not

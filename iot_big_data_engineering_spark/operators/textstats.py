@@ -124,13 +124,20 @@ def t3_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# T4 — document fingerprint (rolling polynomial hash)
+# T4 — document fingerprint (rolling polynomial hash). The oracle wraps
+# the shared sql_fingerprint helper in a NULL-text CASE (landed r16 with
+# t4's rotation seat): Spark's sequence(1, length(NULL)) NULL-propagates
+# the whole char fold, while DuckDB's range(1, NULL) is the EMPTY list
+# and folds to the seed 0 — the CASE pins both engines to NULL. Scoped
+# HERE, not in the helper: dp17 applies sql_fingerprint to tokens that
+# are never NULL, and its registered oracle text stays byte-identical.
 # ---------------------------------------------------------------------------
 @register(
     "t4_fingerprints",
     oracle=f"""
 SELECT doc_id,
-       {X.sql_fingerprint("text")} AS fingerprint
+       CASE WHEN text IS NULL THEN NULL
+            ELSE {X.sql_fingerprint("text")} END AS fingerprint
 FROM documents
 """,
     doc="T4: rolling-hash fingerprint per document",
@@ -3656,9 +3663,9 @@ def dsir_importance(
 
 
 # ---------------------------------------------------------------------------
-# DP18 — PII REDACTION (library; r15 registration candidate — the r14
-# window is exactly tiled by the r10 rotation + s15 + s16, so this ships
-# tested with its oracle constant ready, the s15/s16 discipline):
+# DP18 — PII REDACTION (shipped library-tested r13 with its oracle
+# constant ready — the s15/s16 discipline; REGISTERED r16 into the first
+# retirement-freed window seat per the r14 saturation ruling):
 # t9 SCANS for PII, this op REWRITES it — the transform half every
 # training-data pipeline pairs with the audit half. Four sequential
 # regexp_replace stages (email → url → phone → long-id, each over the
@@ -3718,6 +3725,15 @@ def _dp18_oracle() -> str:
 _DP18_ORACLE = _dp18_oracle()
 
 
+@register(
+    "dp18_pii_redaction",
+    oracle=_DP18_ORACLE,
+    doc=(
+        "DP18: sequential PII redaction (email→url→phone→long-id) with "
+        "stage-consistent counts; compared surface = md5 + length of the "
+        "redacted text"
+    ),
+)
 def dp18_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "lang", F.col("text").alias("t"))
     counts = []
@@ -3846,8 +3862,12 @@ def t19_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the shared 6-dp grid BEFORE ranking (the t17/dp15/dp17 precedent
 # for ln/exp-family values), with doc_id as the total-order tiebreak,
 # so rank boundaries cannot sit on a sub-grid cross-engine delta.
-# Zero-weight and NULL-weight docs (empty/NULL text) are excluded
-# (w >= 1), which also makes the 1.0/w division ANSI-safe.
+# NULL-text docs are excluded (NULL weight fails w >= 1, which also
+# makes the 1.0/w division ANSI-safe). EMPTY text is NOT excluded: the
+# shared whitespace tokenizer yields [''] for '' on both engines, so an
+# empty/whitespace-only doc enters the draw with weight 1 — the same
+# corpus-wide token_count('') = 1 convention t1/t2 use (ADVICE r15 #2;
+# pinned cross-engine by test_dp19_empty_text_enters_with_weight_one).
 #
 # 100 TB: scoring is map-only. The top-k per source is TWO-STAGE
 # SALTED: stage 1 ranks within (source, salt = h mod 8) — 8-way

@@ -146,139 +146,128 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
-# SATURATION PLAN structures (VERDICT r14 Next #3 ruling; executed in
-# r16, recorded here in r15 so the arithmetic is mechanically testable —
-# tests/test_registry_window.py::test_r16_retirement_plan_arithmetic).
-# Retiring a query = delete its @register + move its name into a
-# _RETIRED dict with this one-line note; the freed rotation seat goes to
-# the paired addition. Max 2 retirements per round per the ruling.
-_PLANNED_R16_RETIREMENTS = {
+# RETIRED queries (r14 saturation ruling, plan recorded r15, EXECUTED
+# r16 — tests/test_registry_window.py::test_r16_retirement_plan_arithmetic
+# asserts these names are gone from the registry while their exact
+# siblings stay registered). A retirement deletes the @register only;
+# the twin keeps the externally-verified semantics, and any library core
+# the retiree exercised stays directly tested. Max 2 per round per the
+# ruling; the freed r16 rotation seats went to dp18_pii_redaction and
+# u5_source_overlap_matrix (their first driver rows).
+_RETIRED = {
     "d8_jaccard_join_prefix": (
-        "redundant precision twin: shares _D8_ORACLE literally with "
-        "d8b_jaccard_join_df_prefix (gated r15), bit-identical output "
-        "by construction — the df-ordered variant subsumes it"
+        "retired r16: redundant precision twin — shared _D8_ORACLE "
+        "literally with d8b_jaccard_join_df_prefix (gated r15), "
+        "bit-identical output by construction; the df-ordered variant "
+        "subsumes it, and the shared core prefix_jaccard_pairs("
+        "order_by_df=False) stays brute-force-tested in test_dedup.py"
     ),
     "adv6b_approx_percentiles": (
-        "approx/sketch twin of adv6_percentiles (gated r14) — the "
-        "numerical-variant class the r14 saturation ruling names"
+        "retired r16: approx/sketch twin of adv6_percentiles (gated "
+        "r14) — the numerical-variant class the r14 saturation ruling "
+        "names; the sketch-within-rank-band capability stays as an "
+        "unregistered library function with its band test"
     ),
 }
-_PLANNED_R16_ADDITIONS = [
-    "dp18_pii_redaction",       # map-only transform shape; ruling's first pick
-    "u5_source_overlap_matrix",  # cross-source dup provenance
-]
+# Sibling map for the retirement-discipline test: each retiree's exact
+# twin must remain registered.
+_RETIRED_TWINS = {
+    "d8_jaccard_join_prefix": "d8b_jaccard_join_df_prefix",
+    "adv6b_approx_percentiles": "adv6_percentiles",
+}
 
 # The driver's correctness gate checks the FIRST 50 registered queries per
-# round; this list pins the round-15 window, exactly as pre-declared in
-# the r14 closure and VERDICT r14 Next #1. The slots:
-# - the 49 r11-vintage rotation cohort (every deferred query whose newest
-#   driver evidence is CORRECTNESS_r11) — the full oldest-vintage cohort.
-#   st1_streaming_microbatch_analytics is in it, and its queued
-#   empty-corpus fix (schema-pinned sink re-read, the a17c pattern)
-#   lands WITH this seat — the t8 sequencing: a gated query's
-#   code/oracle changes only with its own window seat;
-# - 1 seat draining the never-gated backlog: t19_bpe_merge_step
-#   (registered r14 into exactly this seat, mirror-green at both gate
-#   SFs, pinned to lead this window).
-# 49 + 1 = 50, an exact tiling; the backlog leaves r15 at zero.
+# round; this list pins the round-16 window, exactly as pre-declared in
+# the r15 closure and VERDICT r15 Next #1. The slots:
+# - 2 seats freed by the executed retirements (see _RETIRED above),
+#   taken by dp18_pii_redaction and u5_source_overlap_matrix — their
+#   FIRST driver rows (both shipped library-tested with ready oracles
+#   r13, dry-run-certified at both gate SFs r15, pinned to lead);
+# - the 48 surviving members of the r12-vintage rotation cohort (every
+#   deferred query whose newest driver evidence is CORRECTNESS_r12),
+#   alphabetical. Three of them carry their queued edge-case fixes WITH
+#   their seats (the t8/dq7/st1 sequencing — a gated query's code or
+#   oracle changes only with its own window seat):
+#     s9_knn_index_reload — schema-pinned reloads of BOTH persisted
+#       index tables (empty-corpus audit, r13 finding);
+#     t4_fingerprints — oracle-side NULL-text CASE (NULL-text audit);
+#     mm3_frame_sample — nullable-Int32 byte stats in fake_decode_stats
+#       (NULL-text audit).
+# 2 + 48 = 50, an exact tiling; nobody's re-certification stretches
+# past 4 rounds.
 #
 # REGISTRATION BUDGET (VERDICT r8 demand #3, r9 demand #2): new
 # @register per round must not exceed the NEXT window's free slots after
-# the carried backlog and the oldest-vintage rotation. Entering r16 the
-# oldest vintage is r12 with 50 queries and the never-gated backlog is 0
-# — 0 free slots — so round 15 registers ZERO new queries (pre-declared;
-# VERDICT r14 Next #3). SATURATION PLAN, per the same ruling: r16 opens
-# exactly TWO seats by retiring two redundant precision-twin members OF
-# the r12 rotation cohort whose exact siblings remain gated —
-#   - d8_jaccard_join_prefix (r12-vintage; shares its oracle LITERALLY
-#     with d8b_jaccard_join_df_prefix, gated r15 — bit-identical output
-#     by construction, so retiring the unordered variant loses no
-#     externally-verified semantics), and
-#   - adv6b_approx_percentiles (r12-vintage; the approx/sketch twin of
-#     adv6_percentiles, gated r14 — the a7_approx/w6b class the ruling
-#     names).
-# These two are the ONLY retirements whose vintage arithmetic opens r16
-# seats at all (the ruling's four named candidates are r13/r15-vintage
-# after this round and would not free a seat before r17/r19); the ruling
-# marks its list as candidates, caps retirements at 2/round, and directs
-# the freed seats to dp18_pii_redaction first, then
-# u5_source_overlap_matrix — giving r16 = 48 r12-vintage + dp18 + u5,
-# another exact tiling with nobody's re-certification stretched past 4
-# rounds. tests/test_registry_window.py::test_registration_budget and
-# ::test_r16_retirement_plan_arithmetic enforce the numbers mechanically.
+# the carried backlog and the oldest-vintage rotation. Entering r17 the
+# oldest vintage is r13 with 50 queries and the never-gated backlog is 0
+# — 0 free slots — so round 16 registers exactly the TWO queries the
+# executed retirements freed seats for (dp18/u5, both in this window —
+# backlog stays zero). A further r17 seating of the ready library ops
+# dq9_psi_drift / dp19_weighted_reservoir requires its own ≤2-twin
+# retirement from the r13 cohort (in-cohort candidates named in the r15
+# verdict: a7_summary_report_approx, a4_vehicle_analytics_approx) —
+# decided and recorded in the r16 closure, same discipline.
 #
 # Everything else (_WINDOW_DEFERRED) holds a green driver row earned on
-# current data in its current form (r12/r13/r14);
+# current data in its current form (r13/r14/r15);
 # test_registry_window.py asserts the two lists exactly tile the
 # registry so a new query can never silently miss the rotation.
 _WINDOW_FIRST = [
-    # --- the 1 never-gated r14 registration, pinned to lead this window ---
-    "t19_bpe_merge_step",
-    # --- the 49 r11-vintage rotation cohort (alphabetical; st1's
-    # empty-corpus schema-pin fix lands with this seat) ---
-    "adv15b_pagerank_scale9", "d5_simhash_neardup", "d6_embedding_neardup",
-    "d7_dedup_clusters_full", "d8b_jaccard_join_df_prefix",
-    "dc1_benchmark_contamination", "dp2_corpus_clean_neardup",
-    "dp4_cleaning_audit", "dp5_sequence_packing", "dp9_leakage_safe_split",
-    "dq1_key_skew_audit", "dq2_join_size_preflight", "dq3_referential_audit",
-    "dq8_embedding_audit", "j10b_returned_revenue_topk", "j14_promo_revenue",
-    "j15_top_supplier", "j18_large_orders", "j19_bracket_revenue",
-    "j23b_frequent_pairs_log", "j2_min_price_per_brand",
-    "j4_priority_late_ship", "j6_forecast_revenue",
-    "j7_nation_volume_shipping", "m10_hourly_quality", "m14_anomaly_rate",
-    "m15_alerts", "m16_burn_rate", "m18_metrics_export", "s13_range_search",
-    "s13b_range_search_ivf", "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_lsh",
-    "s5_scalar_quantization", "st10_streaming_histogram_rollup",
-    "st1_streaming_microbatch_analytics", "st2_streaming_session_windows",
-    "st7_stream_stream_join", "t10_repetition_profile", "t11_inverted_index",
-    "t12_rarity_score", "t17b_collocations_pmi_log", "t6_tfidf_top_terms",
-    "t9_pii_scan", "u4_snapshot_diff", "w5_trailing_hour_aggs",
-    "w6_cohort_retention", "w6b_cohort_retention_approx",
+    # --- the 2 retirement-freed seats: first driver rows ---
+    "dp18_pii_redaction",
+    "u5_source_overlap_matrix",
+    # --- the 48 surviving r12-vintage rotation cohort (alphabetical;
+    # s9/t4/mm3 queued fixes land with these seats) ---
+    "a17_incremental_rollup", "a17b_rollup_backfill",
+    "adv10_unpivot_daily_metrics", "adv12_robust_outliers",
+    "adv13_salted_join", "adv3_pivot_daily_counts", "adv4_salted_agg",
+    "adv5_value_histogram", "adv8_hash_sample_stats", "adv9_latest_per_key",
+    "d1_exact_dedup_stats", "d2_exact_dedup_keep_first",
+    "d4_minhash_lsh_dedup", "d7_dedup_clusters", "d9_semantic_dedup",
+    "dp10_boilerplate_removal", "dp3_training_mix", "dp7_training_shards",
+    "g1_rollup_order_stats", "g2_cube_event_stats", "m17_alert_incidents",
+    "mm1_media_manifest", "mm2_media_type_stats", "mm3_frame_sample",
+    "mm4_payload_features", "mm6_shard_plan", "mm7_stratified_sample",
+    "mm8_phash_neardup", "p10_json_extract", "s6_knn_ivf_sq8",
+    "s7_knn_filtered", "s8_knn_ivf_delta_add", "s9_knn_index_reload",
+    "st8_streaming_incremental_rollup", "st9_streaming_alert_incidents",
+    "t13_vocab_growth", "t1_token_stats", "t2_doc_quality",
+    "t3_langid_confusion", "t4_fingerprints", "t5_top_terms",
+    "t7_documents_profile", "u1_active_keys_union", "u2_key_overlap",
+    "w1_top_orders_per_customer", "w2_user_running_value", "w3_event_gaps",
+    "w7_event_funnel",
 ]
 
 
 # Queries NOT in this round's 50-slot window — every one already carries
 # a green driver row earned on post-regeneration data in its current
-# form (r12, r13 or r14 — see CORRECTNESS_r1{2,3,4}.json) and is
+# form (r13, r14 or r15 — see CORRECTNESS_r1{3,4,5}.json) and is
 # value-checked against its DuckDB oracle on current data by the local
-# mirror (tests/test_oracle_parity.py) every round. After r15 the oldest
-# evidence here is r12 (50 queries) — the r16 rotation cohort, which
-# after the planned d8/adv6b retirements (see the saturation-plan
-# comment above) leaves exactly 2 free r16 seats for dp18_pii_redaction
-# and u5_source_overlap_matrix. Membership is asserted exhaustive +
-# disjoint by tests/test_registry_window.py.
+# mirror (tests/test_oracle_parity.py) every round. After r16 the oldest
+# evidence here is r13 (50 queries) — the r17 rotation cohort.
+# Membership is asserted exhaustive + disjoint by
+# tests/test_registry_window.py.
 #
-# QUEUED EMPTY-CORPUS FIXES (r13 audit, tests/test_empty_corpus_audit.py
-# — the t8 sequencing: a gated query's code/oracle changes only with its
-# own window seat, so each fix lands with its rotation):
+# QUEUED-FIX LEDGER (all landed; kept as the sequencing record — the
+# t8 discipline: a gated query's code/oracle changes only with its own
+# window seat):
 # - dq7_expectation_audit: LANDED r14 with its seat (oracle-side
-#   coalesce(sum(..), 0) for the four rowchk fail counters).
+#   coalesce for the four rowchk fail counters).
 # - st1_streaming_microbatch_analytics: LANDED r15 with its seat
-#   (schema-pinned sink re-read captured from the pre-start streaming
-#   plan, plus the single-batch guard relaxed to >1 so an all-empty
-#   corpus returns the empty analytics frame instead of raising —
-#   streaming/pipeline.py).
-# - s9_knn_index_reload (r12-vintage → its r16 rotation): schema-pin
-#   BOTH persisted-index reloads in operators/similarity.py::
-#   s9_knn_index_reload — the centroid read (`.schema("cell long,
-#   centroid array<double>")`) and the assignments read
-#   (`.schema(indexed.schema)` captured before the write) — same
-#   failure shape (zero data files → UNABLE_TO_INFER_SCHEMA) and same
-#   fix pattern as a17c's compactor.
-#
-# QUEUED NULL-TEXT FIXES (same audit module's companion sweep; both
-# r12-vintage → their r16 rotation seats):
-# - t4_fingerprints: Spark NULL-propagates the char fold on NULL text
-#   (sequence(1, NULL) → NULL) while DuckDB's range(1, NULL) is the
-#   EMPTY list (folds to seed 0). Fix = CASE WHEN text IS NULL THEN
-#   NULL in t4's oracle, scoped so dp17's use of the shared
-#   sql_fingerprint helper (over never-NULL tokens) keeps its oracle
-#   text byte-identical.
-# - mm3_frame_sample: fake_decode_stats' payload .map(len) crashes the
-#   Python worker on a None payload (NULL source text). Fix = nullable
-#   Int32 byte stats (len(p) if p is not None else None); n_frames is
-#   doc_id-derived and stays non-null, matching the oracle's id-driven
-#   video enumeration.
+#   (schema-pinned sink re-read from the pre-start streaming plan;
+#   empty corpus returns the empty analytics frame).
+# - s9_knn_index_reload: LANDED r16 with its seat (schema-pinned BOTH
+#   persisted-index reloads — centroids "cell long, centroid
+#   array<double>", assignments via the pre-write indexed.schema — the
+#   a17c/st1 pattern for zero-data-file reloads).
+# - t4_fingerprints: LANDED r16 with its seat (oracle-side CASE WHEN
+#   text IS NULL THEN NULL — Spark sequence(1, NULL) NULL-propagates
+#   the char fold while DuckDB range(1, NULL) folds to seed 0; scoped
+#   to t4 so dp17's use of the shared sql_fingerprint helper over
+#   never-NULL tokens keeps its oracle text byte-identical).
+# - mm3_frame_sample: LANDED r16 with its seat (nullable-Int32 byte
+#   stats in fake_decode_stats — len(p) if p is not None else None;
+#   n_frames stays doc_id-derived and non-null).
 #
 # NBSP DOMAIN RESTRICTION TRIGGER (VERDICT r13 Next #8): tokens() /
 # sql_tokens() agree on ASCII-whitespace-boundary text only (Spark trim
@@ -290,63 +279,65 @@ _WINDOW_FIRST = [
 # NOT a single-round seat-budget violation.
 _WINDOW_DEFERRED = [
     "a15_daily_sensor_summary", "a16_vehicle_daily_summary",
-    "a17_incremental_rollup", "a17b_rollup_backfill",
     "a17c_rollup_compaction", "a18_sketch_cube", "a19_resample_ffill",
     "a1_windowed_analytics", "a1_windowed_analytics_approx",
     "a20_seasonality_profile", "a21_histogram_quantile_rollup",
     "a22_cms_heavy_hitters", "a23_incremental_join_view",
-    "a2_daily_analytics", "a2_daily_analytics_approx", "a2_monthly_analytics",
-    "a2_weekly_analytics", "a3_sensor_type_measurements",
-    "a4_vehicle_analytics", "a4_vehicle_analytics_approx",
-    "a5_quality_histogram", "a6_anomaly_analytics", "a7_summary_report",
-    "a7_summary_report_approx", "a8_sensor_type_report", "a9_vehicle_topk",
-    "adv10_unpivot_daily_metrics", "adv11_range_join",
-    "adv12_robust_outliers", "adv13_salted_join", "adv14_scd2_snapshot_merge",
-    "adv15_pagerank", "adv1_sessionize", "adv2_asof_join",
-    "adv3_pivot_daily_counts", "adv4_salted_agg", "adv5_value_histogram",
-    "adv6_percentiles", "adv6b_approx_percentiles", "adv8_hash_sample_stats",
-    "adv9_latest_per_key", "d10_dedup_delta", "d11_neardup_keep_best",
-    "d12_duplicate_span_ratio", "d1_exact_dedup_stats",
-    "d2_exact_dedup_keep_first", "d3_jaccard_pairs", "d4_minhash_lsh_dedup",
-    "d7_dedup_clusters", "d8_jaccard_join_prefix", "d9_semantic_dedup",
-    "dp10_boilerplate_removal", "dp11_split_decontamination",
+    "a2_daily_analytics", "a2_daily_analytics_approx",
+    "a2_monthly_analytics", "a2_weekly_analytics",
+    "a3_sensor_type_measurements", "a4_vehicle_analytics",
+    "a4_vehicle_analytics_approx", "a5_quality_histogram",
+    "a6_anomaly_analytics", "a7_summary_report", "a7_summary_report_approx",
+    "a8_sensor_type_report", "a9_vehicle_topk", "adv11_range_join",
+    "adv14_scd2_snapshot_merge", "adv15_pagerank", "adv15b_pagerank_scale9",
+    "adv1_sessionize", "adv2_asof_join", "adv6_percentiles",
+    "d10_dedup_delta", "d11_neardup_keep_best", "d12_duplicate_span_ratio",
+    "d3_jaccard_pairs", "d5_simhash_neardup", "d6_embedding_neardup",
+    "d7_dedup_clusters_full", "d8b_jaccard_join_df_prefix",
+    "dc1_benchmark_contamination", "dp11_split_decontamination",
     "dp12_quality_weighted_sample", "dp13_reproducible_shuffle",
     "dp14_temperature_mix", "dp15_bigram_lm_screen", "dp16_dataset_card",
-    "dp17_dsir_importance", "dp1_corpus_clean", "dp3_training_mix",
-    "dp7_training_shards", "dp8_document_chunking", "dq4_semijoin_prefilter",
-    "dq5_table_profile", "dq6_snapshot_drift", "dq7_expectation_audit",
-    "g1_rollup_order_stats", "g2_cube_event_stats",
-    "g3_groupingsets_order_stats", "j10_order_rollup", "j11_brand_revenue",
+    "dp17_dsir_importance", "dp1_corpus_clean", "dp2_corpus_clean_neardup",
+    "dp4_cleaning_audit", "dp5_sequence_packing", "dp8_document_chunking",
+    "dp9_leakage_safe_split", "dq1_key_skew_audit",
+    "dq2_join_size_preflight", "dq3_referential_audit",
+    "dq4_semijoin_prefilter", "dq5_table_profile", "dq6_snapshot_drift",
+    "dq7_expectation_audit", "dq8_embedding_audit",
+    "g3_groupingsets_order_stats", "j10_order_rollup",
+    "j10b_returned_revenue_topk", "j11_brand_revenue",
     "j11b_supplier_value_share", "j12_customer_order_presence",
     "j12b_priority_by_returnflag", "j13_events_enriched",
-    "j13b_order_count_distribution", "j16_supplier_part_counts",
-    "j17_small_quantity_revenue", "j1_pricing_summary",
-    "j20_excess_stock_suppliers", "j21_lone_late_supplier",
-    "j22_dormant_customers", "j23_frequent_pairs", "j3_shipping_priority",
-    "j5_region_supplier_volume", "j8_market_share", "j9_profit_by_nation",
-    "m11_liveness", "m12_latency", "m13_throughput", "m17_alert_incidents",
-    "mm1_media_manifest", "mm2_media_type_stats", "mm3_frame_sample",
-    "mm4_payload_features", "mm5_payload_dedup", "mm6_shard_plan",
-    "mm7_stratified_sample", "mm8_phash_neardup",
-    "o1_filtered_scan_paginated", "o1b_filtered_scan_keyset",
-    "o4_anomaly_listing", "p10_json_extract", "p7_vehicle_scan",
+    "j13b_order_count_distribution", "j14_promo_revenue",
+    "j15_top_supplier", "j16_supplier_part_counts",
+    "j17_small_quantity_revenue", "j18_large_orders", "j19_bracket_revenue",
+    "j1_pricing_summary", "j20_excess_stock_suppliers",
+    "j21_lone_late_supplier", "j22_dormant_customers", "j23_frequent_pairs",
+    "j23b_frequent_pairs_log", "j2_min_price_per_brand",
+    "j3_shipping_priority", "j4_priority_late_ship",
+    "j5_region_supplier_volume", "j6_forecast_revenue",
+    "j7_nation_volume_shipping", "j8_market_share", "j9_profit_by_nation",
+    "m10_hourly_quality", "m11_liveness", "m12_latency", "m13_throughput",
+    "m14_anomaly_rate", "m15_alerts", "m16_burn_rate", "m18_metrics_export",
+    "mm5_payload_dedup", "o1_filtered_scan_paginated",
+    "o1b_filtered_scan_keyset", "o4_anomaly_listing", "p7_vehicle_scan",
     "p8_date_bucket", "s10_knn_pq", "s11_knn_tombstone_delete",
-    "s12_mips_topk", "s14_hybrid_rrf", "s15_mmr_rerank", "s16_hybrid_rrf_ivf",
-    "s4_label_centroids", "s6_knn_ivf_sq8", "s7_knn_filtered",
-    "s8_knn_ivf_delta_add", "s9_knn_index_reload",
+    "s12_mips_topk", "s13_range_search", "s13b_range_search_ivf",
+    "s14_hybrid_rrf", "s15_mmr_rerank", "s16_hybrid_rrf_ivf",
+    "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_lsh", "s4_label_centroids",
+    "s5_scalar_quantization", "st10_streaming_histogram_rollup",
     "st11_streaming_cms_maintenance", "st12_streaming_scd2_maintenance",
     "st13_streaming_join_view", "st14_streaming_dataset_card",
-    "st15_stateful_session_eviction", "st3_streaming_watermarked_windows",
+    "st15_stateful_session_eviction", "st1_streaming_microbatch_analytics",
+    "st2_streaming_session_windows", "st3_streaming_watermarked_windows",
     "st4_stream_static_join", "st5_streaming_dedup",
-    "st6_stateful_running_totals", "st8_streaming_incremental_rollup",
-    "st9_streaming_alert_incidents", "t13_vocab_growth", "t14_zipf_profile",
-    "t15_vocab_coverage", "t16_script_mix", "t17_collocations_pmi",
-    "t18_bm25_topk", "t1_token_stats", "t2_doc_quality",
-    "t3_langid_confusion", "t4_fingerprints", "t5_top_terms",
-    "t7_documents_profile", "t8_bpe_token_stats", "u1_active_keys_union",
-    "u2_key_overlap", "u3_key_overlap_multiset", "w1_top_orders_per_customer",
-    "w2_user_running_value", "w3_event_gaps", "w4_value_deciles",
-    "w7_event_funnel", "w8_markov_transitions",
+    "st6_stateful_running_totals", "st7_stream_stream_join",
+    "t10_repetition_profile", "t11_inverted_index", "t12_rarity_score",
+    "t14_zipf_profile", "t15_vocab_coverage", "t16_script_mix",
+    "t17_collocations_pmi", "t17b_collocations_pmi_log", "t18_bm25_topk",
+    "t19_bpe_merge_step", "t6_tfidf_top_terms", "t8_bpe_token_stats",
+    "t9_pii_scan", "u3_key_overlap_multiset", "u4_snapshot_diff",
+    "w4_value_deciles", "w5_trailing_hour_aggs", "w6_cohort_retention",
+    "w6b_cohort_retention_approx", "w8_markov_transitions",
 ]
 
 

@@ -36,17 +36,22 @@ def test_hll_distinct_counts_close_to_exact(spark):
 
 
 def test_approx_percentiles_close_to_exact(spark):
-    """adv6b now embeds the rank-band check in its own output (the sketch
+    """adv6b embeds the rank-band check in its own output (the sketch
     guarantees RANK error ≤ 1/accuracy, so the estimate must fall inside
     the exact [p−0.01, p+0.01] quantile band): every flag must be TRUE and
-    the exact columns must agree with adv6's."""
+    the exact columns must agree with adv6's. adv6b was registry-retired
+    r16 (redundant sketch twin of the gated adv6) but the capability stays
+    as a library function — imported directly here."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        adv6b_approx_percentiles,
+    )
     from iot_big_data_engineering_spark.registry import queries
 
     qs = queries()
     exact = {r.event_type: r for r in qs["adv6_percentiles"](spark, SF_SMOKE).collect()}
     approx = {
         r.event_type: r
-        for r in qs["adv6b_approx_percentiles"](spark, SF_SMOKE).collect()
+        for r in adv6b_approx_percentiles(spark, SF_SMOKE).collect()
     }
     assert exact.keys() == approx.keys()
     for k, a in approx.items():

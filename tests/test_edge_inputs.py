@@ -1517,8 +1517,8 @@ def test_dq9_planted_shift_trips_and_stable_stays(spark):
 
 def test_dq9_type_without_baseline_rows_is_excluded(spark):
     """A type whose rows all hash to side B has no baseline distribution
-    — excluded by contract (its appearance is dq6's cardinality finding,
-    not a PSI), identically on both engines."""
+    — excluded by contract (surfacing new types is a cardinality audit's
+    job, not a PSI's), identically on both engines."""
     import duckdb
     import pandas as pd
 
@@ -1543,8 +1543,12 @@ def test_dq9_empty_and_null_inputs_stable(spark):
     """Empty events → empty result with the pinned schema (no
     percentile-over-nothing, no divide-by-zero — the Laplace smoothing
     and the inner baseline join make every path vacuous); NULL values
-    are excluded before binning and NULL event_ids fall in neither
-    side's count on either engine."""
+    are excluded before binning, NULL event_ids fall in neither side's
+    count, and NULL event_types are excluded up front on BOTH engines
+    (ADVICE r15 #3: without the filter the NULL-type group emits an
+    identical row at a different sort position — Spark orders NULLS
+    FIRST, DuckDB NULLS LAST — so the op's ORDER BY would diverge
+    under an order-sensitive comparison)."""
     import duckdb
 
     from iot_big_data_engineering_spark.operators.advanced import (
@@ -1567,13 +1571,17 @@ def test_dq9_empty_and_null_inputs_stable(spark):
 
     # event_id stays INT64 with a true NULL (a pandas None would silently
     # coerce the column to float64, and float modulo is not the op's
-    # domain — load_table only ever yields integer ids)
+    # domain — load_table only ever yields integer ids). The NULL-type
+    # rows span both hash sides so the exclusion is exercised on the
+    # baseline (edge-building) path AND the binned path.
     import pyarrow as pa
 
     rows = [
         (i, "t", None if i % 5 == 0 else float(i % 13))
         for i in range(1, 301)
-    ] + [(None, "t", 1.0)]
+    ] + [(None, "t", 1.0)] + [
+        (1000 + i, None, float(i)) for i in range(40)
+    ]
     tab = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -1581,14 +1589,9 @@ def test_dq9_empty_and_null_inputs_stable(spark):
             "value": pa.array([r[2] for r in rows], pa.float64()),
         }
     )
-    sp = sorted(
-        map(
-            tuple,
-            psi_drift(
-                spark.createDataFrame(rows, schema)
-            ).collect(),
-        )
-    )
+    sp_rows = psi_drift(spark.createDataFrame(rows, schema)).collect()
+    assert {r.event_type for r in sp_rows} == {"t"}  # NULL type gone
+    sp = sorted(map(tuple, sp_rows))
     con = duckdb.connect()
     con.register("events", tab)
     du = sorted(map(tuple, con.execute(_DQ9_ORACLE).fetchall()))

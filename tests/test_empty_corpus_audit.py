@@ -10,12 +10,11 @@ divide-by-zero on empty windows before real sparse data ever does.
 The exploratory r13 sweep found: 189/199 match outright; six streaming
 flows raise loudly by design (pinned below); a17c's compactor hit
 schema inference over an all-empty state (FIXED r13 — no-op
-compaction); and three queued divergences documented in _QUEUED, each
-landing with its owner's re-certification seat per the window
-discipline (the t8 precedent): dq7's oracle coalesce LANDED r14 with
-its seat; st1's schema-pinned sink re-read LANDED r15 with its seat;
-s9 (r16) remains queued with its ready diff staged in registry.py's
-deferred-list comment.
+compaction); and three queued divergences, each landing with its
+owner's re-certification seat per the window discipline (the t8
+precedent): dq7's oracle coalesce LANDED r14, st1's schema-pinned sink
+re-read LANDED r15, and s9's schema-pinned index reloads LANDED r16 —
+the queue is empty and every row in this sweep runs.
 
 Default suite: a curated batch cohort (fast, covers the aggregate /
 rate / join / sketch shapes). ``SPARK_GRAFT_EMPTY_AUDIT=1`` sweeps the
@@ -45,17 +44,12 @@ _RAISE_BY_DESIGN = {
 # Known empty-corpus divergences queued for their owners' next window
 # seats (changing a gated query's code or oracle outside its seat resets
 # its evidence — the t8/r13 sequencing). Skipped-with-reason, not faked
-# green; delete the entry when the fix lands.
-_QUEUED = {
-    # dq7_expectation_audit's oracle coalesce LANDED r14 with its window
-    # seat; st1's schema-pinned sink re-read LANDED r15 with its seat —
-    # both rows run (and sit in _CURATED so the default suite keeps
-    # covering the fixed shapes).
-    "s9_knn_index_reload": (
-        "UNABLE_TO_INFER_SCHEMA reloading the empty persisted index — "
-        "schema-pinned reload queued for s9's next rotation seat"
-    ),
-}
+# green; delete the entry when the fix lands. EMPTY since r16: dq7's
+# oracle coalesce LANDED r14 with its seat, st1's schema-pinned sink
+# re-read LANDED r15, and s9's schema-pinned index reloads LANDED r16 —
+# all three rows run (and sit in _CURATED so the default suite keeps
+# covering the fixed shapes).
+_QUEUED: dict[str, str] = {}
 
 # Curated default cohort: the aggregate/rate/join/sketch shapes the
 # hazard class targets, all batch (fast) except st1 — the one streaming
@@ -76,6 +70,7 @@ _CURATED = [
     "dq5_table_profile",
     "a22_cms_heavy_hitters",
     "dq7_expectation_audit",    # the r14 fix: oracle-side coalesce
+    "s9_knn_index_reload",      # the r16 fix: schema-pinned index reloads
 ]
 
 
@@ -127,19 +122,11 @@ def test_empty_corpus_parity(spark, name, empty_sf):
 # rotation seats (r12-vintage — the window discipline) and documented in
 # the registry comment.
 # ---------------------------------------------------------------------------
-_NULLTEXT_QUEUED = {
-    "t4_fingerprints": (
-        "NULL text: Spark sequence(1, NULL) NULL-propagates the whole "
-        "fold; DuckDB range(1, NULL) is the EMPTY list and folds to the "
-        "seed 0 — oracle-side CASE (scoped so dp17's shared helper text "
-        "is untouched) queued for t4's r16 rotation seat"
-    ),
-    "mm3_frame_sample": (
-        "NULL text -> NULL payload: fake_decode_stats' .map(len) crashes "
-        "the Python worker on None — nullable-Int32 byte stats queued "
-        "for mm3's r16 rotation seat"
-    ),
-}
+# EMPTY since r16: both r13-sweep divergences landed with their owners'
+# r16 rotation seats — t4's oracle-side NULL-text CASE (scoped so dp17's
+# shared sql_fingerprint text is untouched) and mm3's nullable-Int32
+# byte stats in fake_decode_stats. Both rows run below.
+_NULLTEXT_QUEUED: dict[str, str] = {}
 
 _NULLTEXT_CURATED = [
     "t1_token_stats",
@@ -152,8 +139,8 @@ _NULLTEXT_CURATED = [
     "dp16_dataset_card",
     "mm1_media_manifest",
     "mm2_media_type_stats",
-    "t4_fingerprints",   # exercises the queued skip until the fix lands
-    "mm3_frame_sample",  # exercises the queued skip until the fix lands
+    "t4_fingerprints",   # the r16 fix: oracle-side NULL-text CASE
+    "mm3_frame_sample",  # the r16 fix: nullable byte stats
 ]
 
 

@@ -221,21 +221,6 @@ def test_j20_plan_broadcast_semi_and_partial_agg(spark):
     assert "partial" in p.lower(), p
 
 
-def test_d8_prefix_join_is_equi_not_allpairs(spark):
-    """The similarity join's candidate stage must be an EQUI-join on the
-    exploded prefix hash — a CartesianProduct / NestedLoop would mean the
-    prefix filter degenerated to all-pairs. The doc_a < doc_b inequality
-    may only ride as a join residual next to the `p` equi-key."""
-    from iot_big_data_engineering_spark.operators.dedup import (
-        d8_jaccard_join_prefix,
-    )
-
-    df = d8_jaccard_join_prefix(spark, SF_SMOKE)
-    assert_no_cartesian(df)
-    p = plan_str(df, mode="simple")
-    assert "NestedLoop" not in p, p
-
-
 def test_g3_groupingsets_single_scan_partial_agg(spark):
     """GROUPING SETS must plan as one scan + Expand + partial/final hash
     aggregate — not one job per grouping set."""
@@ -329,8 +314,10 @@ def test_mm6_shard_plan_two_phase_cumsum(spark):
 
 
 def test_d8b_df_ordered_join_is_equi_not_allpairs(spark):
-    """The df-ordered refinement must keep the candidate stage an
-    EQUI-join on the exploded prefix hash, like d8."""
+    """The similarity join's candidate stage must be an EQUI-join on the
+    exploded prefix hash — a CartesianProduct / NestedLoop would mean
+    the prefix filter degenerated to all-pairs. The doc_a < doc_b
+    inequality may only ride as a join residual next to the equi-key."""
     from iot_big_data_engineering_spark.operators.dedup import (
         d8b_jaccard_join_df_prefix,
     )

@@ -79,51 +79,30 @@ def test_registration_budget():
 def test_r16_retirement_plan_arithmetic():
     """The r14 saturation ruling authorizes opening seats (from r16) by
     retiring redundant precision twins whose exact siblings remain gated
-    — at most two per round. This models the recorded r16 plan before it
-    executes: both retirements must be live registered queries sitting in
-    the NEXT rotation cohort (only that vintage frees a seat next round),
-    each twinned with a still-registered exact sibling, and the freed
-    seats must exactly absorb the planned additions. When r16 executes
-    the plan (delete the @register, move the name to a _RETIRED note),
-    this test flips to asserting the retired names are GONE."""
-    import os
-
-    import correctness_diff as cd
-
-    plan = registry._PLANNED_R16_RETIREMENTS
-    adds = registry._PLANNED_R16_ADDITIONS
-    assert len(plan) <= 2, "ruling caps retirements at 2 per round"
-    assert len(adds) <= len(plan), "additions must fit the freed seats"
+    — at most two per round. r15 recorded the plan as testable
+    structures; r16 EXECUTED it, so this test now asserts the executed
+    state: the retired names are GONE from the registry, each carries a
+    note in registry._RETIRED, each exact sibling remains registered,
+    and the freed seats were taken by the planned additions — which sit
+    in the live window (their first driver rows)."""
+    retired = registry._RETIRED
+    assert len(retired) <= 2, "ruling caps retirements at 2 per round"
     names = set(registry.all_queries())
-    twins = {
-        "d8_jaccard_join_prefix": "d8b_jaccard_join_df_prefix",
-        "adv6b_approx_percentiles": "adv6_percentiles",
-    }
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds = cd.load_rounds(here)
-    newest_green: dict[str, int] = {}
-    for n, statuses in sorted(rounds.items()):
-        if n < cd._REGEN_ROUND:
-            continue
-        for q, s in statuses.items():
-            if s in ("green", "rows_only"):
-                newest_green[q] = n
-    deferred = registry._WINDOW_DEFERRED
-    vintages = [newest_green[q] for q in deferred if q in newest_green]
-    oldest = min(vintages)
-    oldest_cohort = {q for q in deferred if newest_green.get(q) == oldest}
-    for retiree, note in plan.items():
-        assert retiree in names, f"{retiree} not registered"
-        assert retiree in oldest_cohort, (
-            f"{retiree} (vintage r{newest_green.get(retiree)}) is not in "
-            f"the next rotation cohort (r{oldest}) — retiring it would "
-            "not free a seat next round"
-        )
-        assert twins[retiree] in names, (
-            f"{retiree}'s exact sibling {twins[retiree]} must remain "
-            "registered (the ruling's twin condition)"
-        )
+    for retiree, note in retired.items():
+        assert retiree not in names, f"{retiree} must be deregistered"
+        assert retiree not in registry._WINDOW_FIRST
+        assert retiree not in registry._WINDOW_DEFERRED
         assert note, "each retirement carries a one-line note"
-    # the post-retirement next window must tile exactly:
-    # (cohort - retirements) + planned additions == 50
-    assert len(oldest_cohort) - len(plan) + len(adds) == _DRIVER_WINDOW_SLOTS
+        twin = registry._RETIRED_TWINS[retiree]
+        assert twin in names, (
+            f"{retiree}'s exact sibling {twin} must remain registered "
+            "(the ruling's twin condition)"
+        )
+    # the freed seats absorbed exactly the planned additions, in-window
+    additions = ["dp18_pii_redaction", "u5_source_overlap_matrix"]
+    assert len(additions) == len(retired)
+    for add in additions:
+        assert add in names, f"{add} not registered"
+        assert add in registry._WINDOW_FIRST, (
+            f"{add} took a retirement-freed seat and must face the gate"
+        )

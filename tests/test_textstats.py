@@ -1926,10 +1926,11 @@ def test_dp19_matches_python_aes_replay_small_weights(spark, tmp_path):
     assert got == sorted(expect)
 
 
-def test_dp19_excludes_empty_and_null_text_and_empty_corpus(spark, tmp_path):
-    """w >= 1 is the domain gate: NULL text (NULL weight) and docs whose
-    weight cannot reach 1 never enter the draw — and it is what makes
-    1/w ANSI-safe. Empty corpus → empty result, schema pinned."""
+def test_dp19_excludes_null_text_and_empty_corpus(spark, tmp_path):
+    """w >= 1 is the domain gate: NULL text (NULL weight) never enters
+    the draw — and the gate is what makes 1/w ANSI-safe. Empty corpus →
+    empty result, schema pinned. (Empty-STRING text is not excluded —
+    see test_dp19_empty_text_enters_with_weight_one.)"""
     import pandas as pd
 
     from iot_big_data_engineering_spark.operators.textstats import (
@@ -1959,6 +1960,43 @@ def test_dp19_excludes_empty_and_null_text_and_empty_corpus(spark, tmp_path):
         "source", "sel_rank", "doc_id", "token_count", "aes_key"
     ]
     assert df.count() == 0
+
+
+def test_dp19_empty_text_enters_with_weight_one(spark, tmp_path):
+    """ADVICE r15 #2, pinned: the shared whitespace tokenizer returns
+    [''] for an empty (or whitespace-only) string on BOTH engines, so an
+    empty-text doc has token_count = 1 and DOES enter the draw with
+    weight 1 — the w >= 1 gate excludes only NULL text. Both engines
+    must agree on the row and on its A-ES key (u^(1/1) = u)."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _DP19_ORACLE,
+        dp19_weighted_reservoir,
+    )
+
+    pd.DataFrame(
+        [
+            (1, "real words here", "en", "s", 15),
+            (2, "", "en", "s", 0),          # empty: weight 1
+            (3, "   ", "en", "s", 3),       # whitespace-only: weight 1
+            (4, None, "en", "s", 0),        # NULL: excluded
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    sp_rows = dp19_weighted_reservoir(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in sp_rows} == {1, 2, 3}
+    assert {
+        r.doc_id: r.token_count for r in sp_rows
+    }[2] == 1 and {r.doc_id: r.token_count for r in sp_rows}[3] == 1
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    du = sorted(map(tuple, con.execute(_DP19_ORACLE).fetchall()))
+    assert sorted(map(tuple, sp_rows)) == du
 
 
 def test_dp19_matches_oracle_on_gate_data(spark):
