@@ -176,6 +176,32 @@ _RETIRED_TWINS = {
     "adv6b_approx_percentiles": "adv6_percentiles",
 }
 
+# SATURATION PLAN for r17 (r15 verdict Next #4: the seat decision must
+# be recorded in the r16 closure as mechanically-testable structures —
+# the same discipline that staged the executed r16 plan above;
+# tests/test_registry_window.py::test_r17_retirement_plan_arithmetic).
+# Both retirees are approx/sketch twins INSIDE the r13 rotation cohort
+# (the ONLY vintage that frees r17 seats) whose exact siblings sit in
+# the same cohort and stay registered; both were named in-cohort
+# candidates by the r15 verdict. The freed seats go to the two
+# mirror-green library ops shipped r15 with ready oracles (judge-read,
+# plans approved): dq9_psi_drift and dp19_weighted_reservoir. r17
+# window = 48 r13-vintage + dq9 + dp19 — an exact tiling.
+_PLANNED_R17_RETIREMENTS = {
+    "a7_summary_report_approx": (
+        "HLL/sketch twin of a7_summary_report (same r13 cohort, stays "
+        "gated) — the numerical-variant class the r14 ruling names"
+    ),
+    "a4_vehicle_analytics_approx": (
+        "HLL/sketch twin of a4_vehicle_analytics (same r13 cohort, "
+        "stays gated) — same class"
+    ),
+}
+_PLANNED_R17_ADDITIONS = [
+    "dq9_psi_drift",            # per-distribution PSI drift (dq6's sibling)
+    "dp19_weighted_reservoir",  # exact-k A-ES weighted sample w/o replacement
+]
+
 # The driver's correctness gate checks the FIRST 50 registered queries per
 # round; this list pins the round-16 window, exactly as pre-declared in
 # the r15 closure and VERDICT r15 Next #1. The slots:

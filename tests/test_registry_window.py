@@ -106,3 +106,64 @@ def test_r16_retirement_plan_arithmetic():
         assert add in registry._WINDOW_FIRST, (
             f"{add} took a retirement-freed seat and must face the gate"
         )
+
+
+def test_r17_retirement_plan_arithmetic():
+    """The recorded r17 seat decision (r15 verdict Next #4), modeled
+    before it executes — the same discipline that staged the executed
+    r16 plan: both retirees must be live registered queries sitting in
+    the NEXT rotation cohort (only that vintage frees a seat next
+    round), each twinned with a still-registered exact sibling, the
+    additions must exist as importable library callables with ready
+    oracle constants, and the freed seats must exactly absorb them.
+    When r17 executes, this flips to asserting the retired names are
+    GONE (the r16 precedent above)."""
+    import os
+
+    import correctness_diff as cd
+
+    plan = registry._PLANNED_R17_RETIREMENTS
+    adds = registry._PLANNED_R17_ADDITIONS
+    assert len(plan) <= 2, "ruling caps retirements at 2 per round"
+    assert len(adds) <= len(plan), "additions must fit the freed seats"
+    names = set(registry.all_queries())
+    twins = {
+        "a7_summary_report_approx": "a7_summary_report",
+        "a4_vehicle_analytics_approx": "a4_vehicle_analytics",
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = cd.load_rounds(here)
+    newest_green: dict[str, int] = {}
+    for n, statuses in sorted(rounds.items()):
+        if n < cd._REGEN_ROUND:
+            continue
+        for q, s in statuses.items():
+            if s in ("green", "rows_only"):
+                newest_green[q] = n
+    deferred = registry._WINDOW_DEFERRED
+    vintages = [newest_green[q] for q in deferred if q in newest_green]
+    oldest = min(vintages)
+    oldest_cohort = {q for q in deferred if newest_green.get(q) == oldest}
+    for retiree, note in plan.items():
+        assert retiree in names, f"{retiree} not registered"
+        assert retiree in oldest_cohort, (
+            f"{retiree} (vintage r{newest_green.get(retiree)}) is not in "
+            f"the next rotation cohort (r{oldest}) — retiring it would "
+            "not free a seat next round"
+        )
+        assert twins[retiree] in names, (
+            f"{retiree}'s exact sibling {twins[retiree]} must remain "
+            "registered (the ruling's twin condition)"
+        )
+        assert note, "each retirement carries a one-line note"
+    # the additions are seat-ready: importable callables + oracle strings
+    from iot_big_data_engineering_spark.operators import advanced, textstats
+
+    assert callable(advanced.dq9_psi_drift) and advanced._DQ9_ORACLE
+    assert callable(textstats.dp19_weighted_reservoir)
+    assert textstats._DP19_ORACLE
+    for add in adds:
+        assert add not in names, f"{add} must stay unregistered until r17"
+    # the post-retirement next window must tile exactly:
+    # (cohort - retirements) + planned additions == 50
+    assert len(oldest_cohort) - len(plan) + len(adds) == _DRIVER_WINDOW_SLOTS
