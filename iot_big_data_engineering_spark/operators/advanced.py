@@ -2289,3 +2289,191 @@ def psi_drift(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ10 — CATEGORICAL COMPOSITION DRIFT, Jensen–Shannon (library; r18
+# seat candidate — r17's two seats are already committed to dq9/dp19,
+# so this ships tested with its oracle constant ready, the established
+# discipline): the drift dimension the dq family still lacked. dq6
+# audits per-COLUMN deltas (null ppm, cardinality), dq9 audits
+# WITHIN-type value distributions (PSI over decile bins); this op
+# audits the ACROSS-type composition — did the MIX of event types shift
+# between the two snapshot halves? The model-monitoring complement:
+# a pipeline whose per-type value laws are all stable can still break
+# downstream consumers when the type proportions move.
+#
+# Semantics: rows split into two deterministic halves by the shared
+# overflow-exact Knuth-mod-2 stream on event_id (the dq6/dq9 TECHNIQUE,
+# applied per-audit; halves are not shared across audits). NULL
+# event_type is excluded up front (the dq9/ADVICE-r15 lesson, baked in
+# from day one — NULLS FIRST/LAST placement would diverge); rows count
+# regardless of value (composition is about row mix, not values). Per
+# type: Laplace-smoothed proportions p = (cnt+1)/(n+T) with T = the
+# distinct-type count (so both sides' smoothed proportions each sum to
+# exactly 1 and no ln(0)/÷0 exists — ANSI-safe on any input); the JS
+# term is 0.5·p_a·ln(p_a/m) + 0.5·p_b·ln(p_b/m) with m = (p_a+p_b)/2 —
+# a closed-form scalar per type, no fold needed for bit-identity. The
+# TOTAL JS divergence folds the per-type terms in type-sorted order
+# (the dp17/dq9/t20 ordered-fold discipline) and rides every row as a
+# constant column, with verdicts on both grains: per-type |p_b − p_a|
+# share deltas (1 ppt watch / 5 ppt alert) and the conventional
+# total-JS thresholds (0.01 watch / 0.05 alert), each compared on the
+# ROUNDED value so the CASE cannot flip across engines.
+#
+# 100 TB: ONE map-side-combined count aggregate on (type, side) keys —
+# ≤ 2·|types| groups regardless of corpus size; everything after runs
+# on |types|-row frames (scalar totals attach via broadcast crossJoin,
+# the established 1-row pattern; the fold state is |types|-bounded).
+# No window, no corpus-scale shuffle beyond the count partials, no
+# driver collect.
+# ---------------------------------------------------------------------------
+_DQ10_ORACLE = f"""
+WITH e AS (
+  SELECT event_type,
+         ({hashing.knuth_hash32_sql('event_id')} % 2) AS side
+  FROM events
+  WHERE event_type IS NOT NULL
+),
+cnts AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM e GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+         CAST(sum(cnt_b) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM cnts
+),
+p AS (
+  SELECT c.event_type, c.cnt_a, c.cnt_b,
+         (CAST(c.cnt_a AS DOUBLE) + 1.0)
+           / (CAST(t.n_a AS DOUBLE) + CAST(t.n_types AS DOUBLE)) AS p_a,
+         (CAST(c.cnt_b AS DOUBLE) + 1.0)
+           / (CAST(t.n_b AS DOUBLE) + CAST(t.n_types AS DOUBLE)) AS p_b
+  FROM cnts c CROSS JOIN tot t
+),
+terms AS (
+  SELECT event_type, cnt_a, cnt_b, p_a, p_b,
+         0.5 * p_a * ln(p_a / ((p_a + p_b) / 2.0))
+           + 0.5 * p_b * ln(p_b / ((p_a + p_b) / 2.0)) AS js_term
+  FROM p
+),
+total AS (
+  SELECT {sql_fround(
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+      " list(js_term ORDER BY event_type)), (acc, x) -> acc + x)"
+  )} AS js_total
+  FROM terms
+)
+SELECT tm.event_type, tm.cnt_a, tm.cnt_b,
+       {sql_fround("tm.p_a")} AS p_a,
+       {sql_fround("tm.p_b")} AS p_b,
+       {sql_fround("tm.p_b - tm.p_a")} AS share_delta,
+       {sql_fround("tm.js_term")} AS js_term,
+       tt.js_total,
+       CASE WHEN abs({sql_fround("tm.p_b - tm.p_a")}) >= 0.05 THEN 'alert'
+            WHEN abs({sql_fround("tm.p_b - tm.p_a")}) >= 0.01 THEN 'watch'
+            ELSE 'stable' END AS type_verdict,
+       CASE WHEN tt.js_total >= 0.05 THEN 'alert'
+            WHEN tt.js_total >= 0.01 THEN 'watch'
+            ELSE 'stable' END AS mix_verdict
+FROM terms tm CROSS JOIN total tt
+ORDER BY tm.event_type
+"""
+
+
+def dq10_composition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return composition_drift(load_table(spark, sf_dir, "events"))
+
+
+def composition_drift(events: DataFrame) -> DataFrame:
+    """dq10 core over any events-shaped frame — separated for tests
+    (hand mixes with closed-form JS, empty tables, NULL types/ids,
+    one-sided types)."""
+    cnts = (
+        events.filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.pmod(hashing.knuth_hash32(F.col("event_id")), F.lit(2)).alias(
+                "side"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_b"),
+        )
+    )
+    tot = cnts.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt_b").cast("bigint").alias("n_b"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    # tot is ONE row — broadcast scalar attach, the established pattern
+    p_a = (F.col("cnt_a").cast("double") + F.lit(1.0)) / (
+        F.col("n_a").cast("double") + F.col("n_types").cast("double")
+    )
+    p_b = (F.col("cnt_b").cast("double") + F.lit(1.0)) / (
+        F.col("n_b").cast("double") + F.col("n_types").cast("double")
+    )
+    m = (p_a + p_b) / F.lit(2.0)
+    js_term = F.lit(0.5) * p_a * F.log(p_a / m) + F.lit(0.5) * p_b * F.log(
+        p_b / m
+    )
+    terms = cnts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "cnt_a",
+        "cnt_b",
+        p_a.alias("p_a_raw"),
+        p_b.alias("p_b_raw"),
+        js_term.alias("js_term_raw"),
+    )
+    # |types|-row frame: the total fold and its broadcast re-attach both
+    # run on bounded data (type-sorted fold — see header)
+    total = terms.agg(
+        fround(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("event_type").alias("event_type"),
+                            F.col("js_term_raw").alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x.getField("t"),
+            ),
+            _R,
+        ).alias("js_total")
+    )
+    delta = fround(F.col("p_b_raw") - F.col("p_a_raw"), _R)
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "cnt_a",
+            "cnt_b",
+            fround(F.col("p_a_raw"), _R).alias("p_a"),
+            fround(F.col("p_b_raw"), _R).alias("p_b"),
+            delta.alias("share_delta"),
+            fround(F.col("js_term_raw"), _R).alias("js_term"),
+            "js_total",
+            F.when(F.abs(delta) >= 0.05, F.lit("alert"))
+            .when(F.abs(delta) >= 0.01, F.lit("watch"))
+            .otherwise(F.lit("stable"))
+            .alias("type_verdict"),
+            F.when(F.col("js_total") >= 0.05, F.lit("alert"))
+            .when(F.col("js_total") >= 0.01, F.lit("watch"))
+            .otherwise(F.lit("stable"))
+            .alias("mix_verdict"),
+        )
+        .orderBy("event_type")
+    )

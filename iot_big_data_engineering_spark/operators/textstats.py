@@ -3966,3 +3966,123 @@ def weighted_reservoir(
         .select("source", "sel_rank", "doc_id", "token_count", "aes_key")
         .orderBy("source", "sel_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# T20 — TOKEN ENTROPY PROFILE (library; r18 seat candidate — the
+# registry is saturated and r17's two seats are already committed to
+# dq9/dp19, so this ships tested with its oracle constant ready, the
+# dp18/u5/dq9/dp19 discipline): per-document Shannon entropy of the
+# unigram distribution plus its two companion concentration signals —
+# normalized entropy (H / ln(distinct)) and top-token share. The
+# Gopher-class quality rules t10 does NOT cover: t10 measures bigram
+# REPETITION (duplicate coverage), this measures distribution
+# CONCENTRATION — a spam doc repeating five tokens uniformly sails past
+# top_bigram_frac yet shows near-zero normalized entropy, and degenerate
+# single-token floods pin top_token_share → 1. Standard corpus-filter
+# signals (Gopher/FineWeb-class pipelines threshold exactly these).
+#
+# Cross-engine determinism: H = ln(n) − (Σ c·ln(c))/n. The Σ over a
+# document's distinct tokens is a float sum, so it folds in TOKEN-SORTED
+# order on both engines (Spark F.aggregate over the array_sort'ed
+# struct list; DuckDB list_reduce over list(term ORDER BY token) — the
+# dp17/dq9 ordered-fold discipline; token strings compare bytewise
+# identically on both engines, pinned by the r13 unicode sweep). All
+# compared doubles round to the shared 6-dp grid; the ln(distinct)
+# normalizer is guarded (distinct > 1, else 0.0 — ANSI-safe, and
+# mirrored in the oracle CASE). Docs with no non-empty token (empty or
+# NULL text) drop out — the t10 inner-join convention.
+#
+# 100 TB: one scan; the explode reduces on (doc_id, token) with
+# map-side combine (one row per DISTINCT token per doc crosses the
+# wire), then one per-doc aggregate whose fold state is bounded by the
+# DOCUMENT's distinct-token count — per-doc state, bounded by document
+# size by domain definition, never by corpus size (the t10/t18 class,
+# admitted by the window/plan audits). No window, no join, no driver
+# collect.
+# ---------------------------------------------------------------------------
+_T20_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({X.sql_tokens("text")}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+perdoc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_c,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                             ORDER BY token)),
+           (acc, x) -> acc + x) AS sum_clnc
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       {sql_fround("ln(CAST(n_tokens AS DOUBLE)) - sum_clnc / n_tokens")}
+         AS entropy,
+       CASE WHEN n_distinct > 1 THEN
+         {sql_fround(
+             "(ln(CAST(n_tokens AS DOUBLE)) - sum_clnc / n_tokens)"
+             " / ln(CAST(n_distinct AS DOUBLE))"
+         )}
+       ELSE 0.0 END AS norm_entropy,
+       {sql_fround("CAST(top_c AS DOUBLE) / n_tokens")} AS top_token_share
+FROM perdoc
+ORDER BY doc_id
+"""
+
+
+def t20_token_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_entropy_profile(_docs(spark, sf_dir))
+
+
+def token_entropy_profile(docs: DataFrame) -> DataFrame:
+    """t20 core over any documents-shaped frame — separated for tests
+    (hand corpora with known closed-form entropies, empty/NULL text)."""
+    tf = (
+        docs.select(
+            "doc_id", F.explode(X.tokens("text")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    perdoc = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_c"),
+        # ordered fold (see header): token-sorted c·ln(c) partial sums
+        # are bit-identical to the oracle's list(... ORDER BY token)
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("token").alias("token"), F.col("c").alias("c"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x.getField("c").cast("double")
+            * F.log(x.getField("c").cast("double")),
+        ).alias("sum_clnc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    h = F.log(n) - F.col("sum_clnc") / n
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        fround(h, _R).alias("entropy"),
+        F.when(
+            F.col("n_distinct") > 1,
+            fround(h / F.log(F.col("n_distinct").cast("double")), _R),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+        fround(F.col("top_c").cast("double") / n, _R).alias(
+            "top_token_share"
+        ),
+    ).orderBy("doc_id")

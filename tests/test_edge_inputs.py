@@ -1613,3 +1613,125 @@ def test_dq9_matches_oracle_on_gate_data(spark):
     )
     du = sorted(map(tuple, con.execute(_DQ9_ORACLE).fetchall()))
     assert sp == du
+
+
+# ---------------------------------------------------------------------------
+# dq10 categorical composition drift (round-16 library op; r18 seat
+# candidate — oracle ready)
+# ---------------------------------------------------------------------------
+def test_dq10_shifted_mix_trips_and_balanced_stays(spark):
+    """Two constructions over the same deterministic id stream: a
+    'balanced' corpus whose type mix is IDENTICAL on both halves by
+    construction (every type gets the same ids-per-side census, so every
+    share_delta is ~0 and the mix verdict is stable), and a 'shifted'
+    corpus where one type exists almost only on side B — its share delta
+    must clear the 5 ppt alert line and the total JS the 0.01 watch
+    line. Cross-engine parity on both."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ10_ORACLE,
+        composition_drift,
+    )
+
+    a_ids = [i for i in range(1, 4001) if _knuth_side(i) == 0]
+    b_ids = [i for i in range(1, 4001) if _knuth_side(i) == 1]
+    # balanced: types x/y each take the same per-side quota
+    rows = [(i, "x", 1.0) for i in a_ids[:500] + b_ids[:500]]
+    rows += [(i, "y", 1.0) for i in a_ids[500:1000] + b_ids[500:1000]]
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    out = {
+        r.event_type: r
+        for r in composition_drift(spark.createDataFrame(pdf)).collect()
+    }
+    assert out["x"].mix_verdict == "stable"
+    assert all(r.type_verdict == "stable" for r in out.values())
+    assert out["x"].cnt_a == out["x"].cnt_b == 500
+    con = duckdb.connect()
+    con.register("events", pdf)
+    du = sorted(map(tuple, con.execute(_DQ10_ORACLE).fetchall()))
+    assert sorted(tuple(r) for r in out.values()) == du
+
+    # shifted: type z rides side B only (plus x/y balanced as above)
+    rows2 = rows + [(i, "z", 1.0) for i in b_ids[1000:1400]]
+    pdf2 = pd.DataFrame(rows2, columns=["event_id", "event_type", "value"])
+    out2 = {
+        r.event_type: r
+        for r in composition_drift(spark.createDataFrame(pdf2)).collect()
+    }
+    assert out2["z"].cnt_a == 0 and out2["z"].cnt_b == 400
+    assert out2["z"].type_verdict == "alert"       # ~28.6 ppt delta
+    assert out2["z"].mix_verdict in ("watch", "alert")
+    assert out2["z"].js_total >= 0.01
+    con2 = duckdb.connect()
+    con2.register("events", pdf2)
+    du2 = sorted(map(tuple, con2.execute(_DQ10_ORACLE).fetchall()))
+    assert sorted(tuple(r) for r in out2.values()) == du2
+
+
+def test_dq10_empty_and_null_inputs_stable(spark):
+    """Empty events → empty result with the pinned schema (the Laplace
+    smoothing means no path divides by zero even with rows; with NO
+    rows every downstream frame is vacuous); NULL event_type is
+    excluded up front (the dq9/ADVICE-r15 NULLS-placement lesson, baked
+    in from day one) and a NULL event_id counts in NEITHER side while
+    keeping its type enumerated — identically on both engines."""
+    import duckdb
+    import pyarrow as pa
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ10_ORACLE,
+        composition_drift,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    out = composition_drift(spark.createDataFrame([], schema))
+    assert out.columns == [
+        "event_type", "cnt_a", "cnt_b", "p_a", "p_b", "share_delta",
+        "js_term", "js_total", "type_verdict", "mix_verdict",
+    ]
+    assert out.count() == 0
+
+    rows = [(i, "t" if i % 3 else None, None) for i in range(1, 301)]
+    rows += [(None, "only_null_id", 1.0)]
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    got = composition_drift(spark.createDataFrame(rows, schema)).collect()
+    by_type = {r.event_type: r for r in got}
+    assert set(by_type) == {"t", "only_null_id"}   # NULL type excluded
+    onl = by_type["only_null_id"]
+    assert (onl.cnt_a, onl.cnt_b) == (0, 0)        # NULL id: neither side
+    con = duckdb.connect()
+    con.register("events", tab)
+    du = sorted(map(tuple, con.execute(_DQ10_ORACLE).fetchall()))
+    assert sorted(map(tuple, got)) == du
+
+
+def test_dq10_matches_oracle_on_gate_data(spark):
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ10_ORACLE,
+        dq10_composition_drift,
+    )
+
+    sp = sorted(map(tuple, dq10_composition_drift(spark, SF_SMOKE).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    du = sorted(map(tuple, con.execute(_DQ10_ORACLE).fetchall()))
+    assert sp == du

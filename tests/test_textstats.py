@@ -2016,3 +2016,101 @@ def test_dp19_matches_oracle_on_gate_data(spark):
     )
     du = sorted(map(tuple, con.execute(_DP19_ORACLE).fetchall()))
     assert sp == du
+
+
+# ---------------------------------------------------------------------------
+# t20 token entropy profile (round-16 library op; r18 seat candidate —
+# oracle ready)
+# ---------------------------------------------------------------------------
+def test_t20_closed_form_entropies(spark, tmp_path):
+    """Hand corpus with analytically known entropies, computed through
+    the SAME float expression shape (ln(n) − Σc·ln(c)/n, then the shared
+    floor-half-up 6-dp rounding) so the expectation is bit-exact:
+    uniform-one-token (H = 0, by convention norm = 0), uniform-distinct
+    (H = ln n, norm = 1), half/half (H = ln 2), and a 3:1 skew. Empty
+    and NULL text drop out (no non-empty token — the t10 convention)."""
+    import math
+
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t20_token_entropy_profile,
+    )
+
+    def fr(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    texts = {
+        1: "a a a a",   # n=4 d=1: H=0, norm=0, top=1
+        2: "a b c d",   # n=4 d=4: H=ln4, norm=1, top=.25
+        3: "a a b b",   # n=4 d=2: H=ln2, norm=1, top=.5
+        4: "a a a b",   # n=4 d=2: H=ln4-(3ln3)/4, norm=H/ln2, top=.75
+        5: "",          # excluded
+        6: None,        # excluded
+    }
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t or "")) for i, t in texts.items()],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in t20_token_entropy_profile(spark, str(tmp_path)).collect()
+    }
+    h4 = math.log(4.0) - (3.0 * math.log(3.0)) / 4.0
+    assert got == {
+        1: (4, 1, fr(math.log(4.0) - (4.0 * math.log(4.0)) / 4.0), 0.0, 1.0),
+        2: (4, 4, fr(math.log(4.0)), fr(math.log(4.0) / math.log(4.0)), 0.25),
+        3: (4, 2, fr(math.log(4.0) - (2 * (2.0 * math.log(2.0))) / 4.0),
+            fr((math.log(4.0) - (2 * (2.0 * math.log(2.0))) / 4.0)
+               / math.log(2.0)), 0.5),
+        4: (4, 2, fr(h4), fr(h4 / math.log(2.0)), 0.75),
+    }
+
+
+def test_t20_concentration_is_not_repetition(spark):
+    """The header's reason-to-exist: a doc that cycles five tokens
+    uniformly has NO dominant bigram (t10's top_bigram_frac stays low)
+    yet shows maximal concentration pressure in t20's signals as the
+    cycle degenerates. Pin the separation on two hand docs."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        repetition_profile,
+        token_entropy_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ("a b c d e " * 40).strip(), "en"),   # 5-token cycle
+            (2, ("a " * 199 + "b").strip(), "en"),    # near-degenerate
+        ],
+        "doc_id long, text string, lang string",
+    )
+    ent = {r.doc_id: r for r in token_entropy_profile(docs).collect()}
+    rep = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    # doc 1: every bigram in the cycle repeats equally -> repetitive by
+    # t10's dup_bigram rule is fine, but its TOP-bigram share is tiny;
+    # entropy sees a perfectly uniform 5-symbol law (norm = 1)
+    assert rep[1].top_bigram_frac < 0.25
+    assert ent[1].norm_entropy == 1.0 and ent[1].n_distinct == 5
+    # doc 2: one token holds 199/200 of the mass -> near-zero normalized
+    # entropy and top share ~ 1; THIS is the doc t20 exists to flag
+    assert ent[2].norm_entropy < 0.05
+    assert ent[2].top_token_share == 0.995
+
+
+def test_t20_matches_oracle_on_gate_data(spark):
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _T20_ORACLE,
+        t20_token_entropy_profile,
+    )
+
+    sp = sorted(
+        map(tuple, t20_token_entropy_profile(spark, SF_SMOKE).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    du = sorted(map(tuple, con.execute(_T20_ORACLE).fetchall()))
+    assert sp == du
