@@ -1735,3 +1735,27 @@ def test_dq10_matches_oracle_on_gate_data(spark):
     )
     du = sorted(map(tuple, con.execute(_DQ10_ORACLE).fetchall()))
     assert sp == du
+
+
+def test_dq10_js_invariants_on_gate_data(spark):
+    """Jensen–Shannon bounds on the gate data: every per-type term is
+    ≥ 0 (JS terms are pointwise non-negative) and the total obeys
+    0 ≤ js_total ≤ ln 2 (+ half a rounding grid); the smoothed
+    proportions each lie in (0, 1) and the js_total constant column is
+    identical on every row."""
+    import math
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq10_composition_drift,
+    )
+
+    rows = dq10_composition_drift(spark, SF_SMOKE).collect()
+    assert rows
+    g = 0.5e-6
+    totals = {r.js_total for r in rows}
+    assert len(totals) == 1
+    assert -g <= totals.pop() <= math.log(2.0) + g
+    for r in rows:
+        assert r.js_term >= -g, r
+        assert 0.0 < r.p_a < 1.0 and 0.0 < r.p_b < 1.0, r
+        assert r.mix_verdict in ("stable", "watch", "alert"), r

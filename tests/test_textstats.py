@@ -2114,3 +2114,27 @@ def test_t20_matches_oracle_on_gate_data(spark):
     )
     du = sorted(map(tuple, con.execute(_T20_ORACLE).fetchall()))
     assert sp == du
+
+
+def test_t20_entropy_invariants_on_gate_data(spark):
+    """Information-theoretic bounds, checked on every gate-data doc:
+    0 ≤ H ≤ ln(n_tokens) (+ half a rounding grid), norm_entropy ∈
+    [0, 1] exactly (the guard pins single-token docs to 0.0 and fround
+    cannot push a true ratio past 1 by more than half a grid step —
+    assert ≤ 1.0 since H/ln(d) ≤ ln(n)/ln(d) reaches 1 only when every
+    count is equal, where the ratio is exact), and top_token_share ∈
+    (0, 1] with share·n ≥ 1."""
+    import math
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t20_token_entropy_profile,
+    )
+
+    rows = t20_token_entropy_profile(spark, SF_SMOKE).collect()
+    assert rows
+    g = 0.5e-6  # half the shared 6-dp rounding grid
+    for r in rows:
+        assert 0.0 - g <= r.entropy <= math.log(r.n_tokens) + g, r
+        assert 0.0 <= r.norm_entropy <= 1.0, r
+        assert 0.0 < r.top_token_share <= 1.0, r
+        assert r.n_distinct <= r.n_tokens, r
