@@ -116,6 +116,32 @@ def test_partition_invariance(spark, name):
     _assert_invariant(spark, _ALL[name])
 
 
+# Seat-bound LIBRARY ops (r17: dq9/dp19; r18 option: t20/dq10) are not
+# in the registry yet, so the registry-wide sweep cannot reach them —
+# but every one carries an ordered float fold (the exact construct
+# class this audit exists for), and each will face the full sweep the
+# round it is seated. Pin layout-invariance NOW, before the seat, so a
+# fold that floats with the scan layout is found while the op is still
+# library-form. Always-on (the curated tier): four queries, sf0.001.
+def _library_seat_candidates():
+    from iot_big_data_engineering_spark.operators import advanced, textstats
+
+    return {
+        "dq9_psi_drift": advanced.dq9_psi_drift,
+        "dq10_composition_drift": advanced.dq10_composition_drift,
+        "dp19_weighted_reservoir": textstats.dp19_weighted_reservoir,
+        "t20_token_entropy_profile": textstats.t20_token_entropy_profile,
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_library_seat_candidates()))
+def test_library_seat_candidate_partition_invariance(spark, name):
+    from types import SimpleNamespace
+
+    fn = _library_seat_candidates()[name]
+    _assert_invariant(spark, SimpleNamespace(name=name, fn=fn))
+
+
 # ---------------------------------------------------------------------------
 # Session-timezone invariance (round 13; VERDICT r12 Next #7) — the
 # fourth probe axis. The UTC discipline SURVEY §7.4-6 assumes is
