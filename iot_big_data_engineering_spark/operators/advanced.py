@@ -2068,9 +2068,10 @@ def embedding_audit(e: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# DQ9 — POPULATION STABILITY INDEX drift (library; r17 seat candidate —
-# the registry is saturated, so per the r14 saturation ruling this ships
-# tested with its oracle constant ready, the dp18/u5 discipline): dq6
+# DQ9 — POPULATION STABILITY INDEX drift (shipped library-tested r15
+# with its oracle constant ready per the r14 saturation ruling, the
+# dp18/u5 discipline; REGISTERED r17 into the seat freed by the
+# a7_summary_report_approx retirement — the recorded plan): dq6
 # audits per-COLUMN drift (null ppm, cardinality) between two snapshot
 # halves; this op audits per-DISTRIBUTION drift of a numeric measure —
 # the classic model-monitoring PSI over equi-depth decile bins, the
@@ -2185,6 +2186,15 @@ ORDER BY t.event_type
 """
 
 
+@register(
+    "dq9_psi_drift",
+    oracle=_DQ9_ORACLE,
+    doc=(
+        "DQ9: per-event-type PSI drift between deterministic Knuth "
+        "halves over exact decile bins of the baseline half; "
+        "Laplace-smoothed, bin-ordered fold, thresholded verdict"
+    ),
+)
 def dq9_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(load_table(spark, sf_dir, "events"))
 

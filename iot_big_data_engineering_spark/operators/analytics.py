@@ -587,6 +587,14 @@ def a1_windowed_analytics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# a4_vehicle_analytics_approx and a7_summary_report_approx were RETIRED
+# r17 (registry._RETIRED): HLL/sketch twins of the still-gated exact
+# queries a4_vehicle_analytics / a7_summary_report, wrapper-only — the
+# approx-distinct-within-band capability (_RSD + _hll_ok) stays
+# registered and gated via a1_windowed_analytics_approx /
+# a2_daily_analytics_approx, the identical pattern over the same view.
+
+
 # ---------------------------------------------------------------------------
 # A2 weekly / monthly rollups — reference SensorDataAnalytics.scala:83-88
 # selects daily/weekly/monthly aggregation layouts; the daily form is A2.
@@ -594,77 +602,6 @@ def a1_windowed_analytics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # date_trunc('month'). Same partial-agg/shuffle shape as A2 with ~7× / ~30×
 # fewer groups — strictly cheaper at 100 TB.
 # ---------------------------------------------------------------------------
-@register(
-    "a4_vehicle_analytics_approx",
-    oracle=SENSOR_ORACLE_CTE
-    + f"""
-SELECT CAST(ts AS DATE) AS processing_date,
-       vehicle_id,
-       count(*) AS total_readings,
-       count(DISTINCT sensor_type) AS sensor_types_used,
-       count(DISTINCT sensor_id) AS unique_sensors,
-       round(avg(quality_score), {_R}) AS avg_quality_score,
-       TRUE AS sensor_types_within_3rsd,
-       TRUE AS sensors_within_3rsd
-FROM sensor_quality_checked
-GROUP BY 1, 2
-""",
-    doc="A4 scale twin: HLL approx distinct per vehicle-day, error-bounded",
-)
-def a4_vehicle_analytics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q = _with_date(quality_checked(spark, sf_dir))
-    at = F.approx_count_distinct("sensor_type", _RSD)
-    asn = F.approx_count_distinct("sensor_id", _RSD)
-    et = F.countDistinct("sensor_type")
-    es = F.countDistinct("sensor_id")
-    return q.groupBy("processing_date", "vehicle_id").agg(
-        F.count("*").alias("total_readings"),
-        et.alias("sensor_types_used"),
-        es.alias("unique_sensors"),
-        fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
-        _hll_ok(at, et).alias("sensor_types_within_3rsd"),
-        _hll_ok(asn, es).alias("sensors_within_3rsd"),
-    )
-
-
-@register(
-    "a7_summary_report_approx",
-    oracle=SENSOR_ORACLE_CTE
-    + f"""
-SELECT count(*) AS total_records,
-       count(DISTINCT vehicle_id) AS unique_vehicles,
-       count(DISTINCT sensor_id) AS unique_sensors,
-       count(DISTINCT sensor_type) AS unique_sensor_types,
-       round(avg(quality_score), {_R}) AS avg_quality_score,
-       count(CASE WHEN anomaly_score > 0 THEN 1 END) AS anomaly_count,
-       TRUE AS vehicles_within_3rsd,
-       TRUE AS sensors_within_3rsd,
-       TRUE AS sensor_types_within_3rsd
-FROM sensor_quality_checked
-""",
-    doc="A7 scale twin: whole-table HLL distincts, error-bounded",
-)
-def a7_summary_report_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q = quality_checked(spark, sf_dir)
-    av = F.approx_count_distinct("vehicle_id", _RSD)
-    asn = F.approx_count_distinct("sensor_id", _RSD)
-    at = F.approx_count_distinct("sensor_type", _RSD)
-    ev = F.countDistinct("vehicle_id")
-    es = F.countDistinct("sensor_id")
-    et = F.countDistinct("sensor_type")
-    return q.agg(
-        F.count("*").alias("total_records"),
-        ev.alias("unique_vehicles"),
-        es.alias("unique_sensors"),
-        et.alias("unique_sensor_types"),
-        fround((F.sum("q_int").cast("double") / (F.lit(5.0) * F.count(F.lit(1)))), _R).alias("avg_quality_score"),
-        F.count(F.when(F.col("anomaly_score") > 0, 1)).alias("anomaly_count"),
-        _hll_ok(av, ev).alias("vehicles_within_3rsd"),
-        _hll_ok(asn, es).alias("sensors_within_3rsd"),
-        _hll_ok(at, et).alias("sensor_types_within_3rsd"),
-    )
-
-
 @register(
     "a2_weekly_analytics",
     oracle=SENSOR_ORACLE_CTE

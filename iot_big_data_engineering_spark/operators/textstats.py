@@ -3841,10 +3841,11 @@ def t19_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# DP19 — WEIGHTED RESERVOIR SAMPLE, A-ES / Efraimidis–Spirakis (library;
-# r17 seat candidate — the registry is saturated, so per the r14
-# saturation ruling this ships tested with its oracle constant ready,
-# the dp18/u5 discipline): dp12 keeps documents by per-row Bernoulli
+# DP19 — WEIGHTED RESERVOIR SAMPLE, A-ES / Efraimidis–Spirakis (shipped
+# library-tested r15 with its oracle constant ready per the r14
+# saturation ruling, the dp18/u5 discipline; REGISTERED r17 into the
+# seat freed by the a4_vehicle_analytics_approx retirement — the
+# recorded plan): dp12 keeps documents by per-row Bernoulli
 # RATE (each doc independently, expected size only); this op draws an
 # EXACT-size weighted sample WITHOUT replacement — k docs per source,
 # inclusion probability proportional to token weight — the standard
@@ -3911,6 +3912,15 @@ ORDER BY source, sel_rank
 """
 
 
+@register(
+    "dp19_weighted_reservoir",
+    oracle=_DP19_ORACLE,
+    doc=(
+        "DP19: exact-k A-ES weighted sample without replacement per "
+        "source (inclusion ∝ token weight); salted two-stage top-k, "
+        "deterministic u from the shared Knuth hash stream"
+    ),
+)
 def dp19_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_reservoir(_docs(spark, sf_dir))
 

@@ -76,31 +76,82 @@ def test_registration_budget():
     )
 
 
-def test_r16_retirement_plan_arithmetic():
-    """The r14 saturation ruling authorizes opening seats (from r16) by
-    retiring redundant precision twins whose exact siblings remain gated
-    — at most two per round. r15 recorded the plan as testable
-    structures; r16 EXECUTED it, so this test now asserts the executed
-    state: the retired names are GONE from the registry, each carries a
-    note in registry._RETIRED, each exact sibling remains registered,
-    and the freed seats were taken by the planned additions — which sit
-    in the live window (their first driver rows)."""
+def _newest_green() -> dict[str, int]:
+    """Newest green/rows_only driver round per query, post-regeneration
+    (the vintage map every rotation/retirement assertion keys on)."""
+    import os
+
+    import correctness_diff as cd
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = cd.load_rounds(here)
+    newest: dict[str, int] = {}
+    for n, statuses in sorted(rounds.items()):
+        if n < cd._REGEN_ROUND:
+            continue
+        for q, s in statuses.items():
+            if s in ("green", "rows_only"):
+                newest[q] = n
+    return newest
+
+
+def test_executed_retirements():
+    """The r14 saturation ruling authorizes opening seats by retiring
+    redundant precision twins whose exact siblings remain gated — at
+    most two per round. r16 executed the first pair (d8/adv6b, staged
+    r15), r17 the second (a7/a4-approx, staged r16); this asserts the
+    cumulative executed state: every retired name is GONE from the
+    registry, carries a note in registry._RETIRED, is twinned with a
+    still-registered exact sibling, and no round retired more than
+    two."""
     retired = registry._RETIRED
-    assert len(retired) <= 2, "ruling caps retirements at 2 per round"
+    assert set(retired) == set(registry._RETIRED_ROUNDS)
+    per_round: dict[int, int] = {}
     names = set(registry.all_queries())
     for retiree, note in retired.items():
         assert retiree not in names, f"{retiree} must be deregistered"
         assert retiree not in registry._WINDOW_FIRST
         assert retiree not in registry._WINDOW_DEFERRED
         assert note, "each retirement carries a one-line note"
+        rnd = registry._RETIRED_ROUNDS[retiree]
+        assert f"retired r{rnd}:" in note, (
+            f"{retiree}'s note must carry its round prefix"
+        )
+        per_round[rnd] = per_round.get(rnd, 0) + 1
         twin = registry._RETIRED_TWINS[retiree]
         assert twin in names, (
             f"{retiree}'s exact sibling {twin} must remain registered "
             "(the ruling's twin condition)"
         )
-    # the freed seats absorbed exactly the planned additions, in-window
-    additions = ["dp18_pii_redaction", "u5_source_overlap_matrix"]
-    assert len(additions) == len(retired)
+    assert all(n <= 2 for n in per_round.values()), (
+        "ruling caps retirements at 2 per round"
+    )
+
+
+def test_r16_retirement_plan_arithmetic():
+    """r16's freed seats were taken by dp18/u5, which faced (and
+    passed) the r16 gate; after the r17 rotation they sit deferred with
+    r16-vintage driver evidence."""
+    newest = _newest_green()
+    for add in ["dp18_pii_redaction", "u5_source_overlap_matrix"]:
+        assert add in set(registry.all_queries())
+        assert newest.get(add) == 16, (
+            f"{add} must hold its first driver row from r16"
+        )
+
+
+def test_r17_retirement_plan_arithmetic():
+    """The recorded r17 seat decision, EXECUTED this round (the r16
+    precedent): a7/a4-approx are gone (asserted with notes/twins by
+    test_executed_retirements above), and the freed seats were taken by
+    the planned additions dq9/dp19 — registered, leading the live
+    window for their first driver rows."""
+    names = set(registry.all_queries())
+    for retiree in ["a7_summary_report_approx", "a4_vehicle_analytics_approx"]:
+        assert retiree in registry._RETIRED
+        assert registry._RETIRED_ROUNDS[retiree] == 17
+        assert retiree not in names
+    additions = ["dq9_psi_drift", "dp19_weighted_reservoir"]
     for add in additions:
         assert add in names, f"{add} not registered"
         assert add in registry._WINDOW_FIRST, (
@@ -108,46 +159,34 @@ def test_r16_retirement_plan_arithmetic():
         )
 
 
-def test_r17_retirement_plan_arithmetic():
-    """The recorded r17 seat decision (r15 verdict Next #4), modeled
-    before it executes — the same discipline that staged the executed
-    r16 plan: both retirees must be live registered queries sitting in
-    the NEXT rotation cohort (only that vintage frees a seat next
-    round), each twinned with a still-registered exact sibling, the
-    additions must exist as importable library callables with ready
-    oracle constants, and the freed seats must exactly absorb them.
-    When r17 executes, this flips to asserting the retired names are
-    GONE (the r16 precedent above)."""
-    import os
-
-    import correctness_diff as cd
-
-    plan = registry._PLANNED_R17_RETIREMENTS
-    adds = registry._PLANNED_R17_ADDITIONS
+def test_r18_retirement_plan_arithmetic():
+    """The recorded r18 seat decision (r16 verdict Next #3, judge
+    pre-endorsed), modeled before it executes — the discipline that
+    staged the executed r16 and r17 plans: both retirees must be live
+    registered queries sitting in the NEXT rotation cohort (only that
+    vintage frees a seat next round), each twinned with a
+    still-registered exact sibling, the additions must exist as
+    importable library callables with ready oracle constants, and the
+    freed seats must exactly absorb them. When r18 executes, this flips
+    to asserting the retired names are GONE (the precedents above)."""
+    plan = registry._PLANNED_R18_RETIREMENTS
+    adds = registry._PLANNED_R18_ADDITIONS
     assert len(plan) <= 2, "ruling caps retirements at 2 per round"
     assert len(adds) <= len(plan), "additions must fit the freed seats"
     names = set(registry.all_queries())
     twins = {
-        "a7_summary_report_approx": "a7_summary_report",
-        "a4_vehicle_analytics_approx": "a4_vehicle_analytics",
+        "a1_windowed_analytics_approx": "a1_windowed_analytics",
+        "a2_daily_analytics_approx": "a2_daily_analytics",
     }
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds = cd.load_rounds(here)
-    newest_green: dict[str, int] = {}
-    for n, statuses in sorted(rounds.items()):
-        if n < cd._REGEN_ROUND:
-            continue
-        for q, s in statuses.items():
-            if s in ("green", "rows_only"):
-                newest_green[q] = n
+    newest = _newest_green()
     deferred = registry._WINDOW_DEFERRED
-    vintages = [newest_green[q] for q in deferred if q in newest_green]
+    vintages = [newest[q] for q in deferred if q in newest]
     oldest = min(vintages)
-    oldest_cohort = {q for q in deferred if newest_green.get(q) == oldest}
+    oldest_cohort = {q for q in deferred if newest.get(q) == oldest}
     for retiree, note in plan.items():
         assert retiree in names, f"{retiree} not registered"
         assert retiree in oldest_cohort, (
-            f"{retiree} (vintage r{newest_green.get(retiree)}) is not in "
+            f"{retiree} (vintage r{newest.get(retiree)}) is not in "
             f"the next rotation cohort (r{oldest}) — retiring it would "
             "not free a seat next round"
         )
@@ -159,11 +198,12 @@ def test_r17_retirement_plan_arithmetic():
     # the additions are seat-ready: importable callables + oracle strings
     from iot_big_data_engineering_spark.operators import advanced, textstats
 
-    assert callable(advanced.dq9_psi_drift) and advanced._DQ9_ORACLE
-    assert callable(textstats.dp19_weighted_reservoir)
-    assert textstats._DP19_ORACLE
+    assert callable(textstats.t20_token_entropy_profile)
+    assert textstats._T20_ORACLE
+    assert callable(advanced.dq10_composition_drift)
+    assert advanced._DQ10_ORACLE
     for add in adds:
-        assert add not in names, f"{add} must stay unregistered until r17"
+        assert add not in names, f"{add} must stay unregistered until r18"
     # the post-retirement next window must tile exactly:
     # (cohort - retirements) + planned additions == 50
     assert len(oldest_cohort) - len(plan) + len(adds) == _DRIVER_WINDOW_SLOTS
