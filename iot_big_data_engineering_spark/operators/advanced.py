@@ -2332,11 +2332,16 @@ def psi_drift(events: DataFrame) -> DataFrame:
 # ROUNDED value so the CASE cannot flip across engines.
 #
 # 100 TB: ONE map-side-combined count aggregate on (type, side) keys —
-# ≤ 2·|types| groups regardless of corpus size; everything after runs
-# on |types|-row frames (scalar totals attach via broadcast crossJoin,
-# the established 1-row pattern; the fold state is |types|-bounded).
-# No window, no corpus-scale shuffle beyond the count partials, no
-# driver collect.
+# ≤ 2·|types| groups regardless of corpus size. The |types|-row count
+# frame is persist()ed (the s9 track() pattern) because it feeds three
+# downstream subtrees (the 1-row totals, the js_total fold, and the
+# output select): without the pin the one-scan claim would rest on
+# Spark's exchange reuse deduping identical aggregate subplans (ADVICE
+# r16 #2). Everything after runs on |types|-row frames — the two
+# scalar attaches (totals, js_total) are broadcast crossJoins, the
+# established 1-row pattern; the fold state is |types|-bounded. No
+# window, no corpus-scale shuffle beyond the count partials, no driver
+# collect.
 # ---------------------------------------------------------------------------
 _DQ10_ORACLE = f"""
 WITH e AS (
@@ -2421,6 +2426,10 @@ def composition_drift(events: DataFrame) -> DataFrame:
             .alias("cnt_b"),
         )
     )
+    # |types| rows; pinned so the corpus-scale count aggregate runs ONCE
+    # for its three consumers (tot, the js_total fold, the output) —
+    # see header (ADVICE r16 #2)
+    cnts = track(cnts.persist())
     tot = cnts.agg(
         F.sum("cnt_a").cast("bigint").alias("n_a"),
         F.sum("cnt_b").cast("bigint").alias("n_b"),

@@ -1413,11 +1413,14 @@ def s9_knn_index_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sum: overflow-free under ANSI mode, order-independent by
             # construction); the vector participates via its string
             # form, deterministic within Spark on both sides
-            # cell is cast long BEFORE hashing: the partitioned write
-            # round-trips the partition column as INT while the built
-            # index carries BIGINT, and xxhash64 is input-type-sensitive
-            # (the dq4 lesson) — without the cast this fingerprint
-            # false-alarmed on identical row CONTENTS
+            # cell is cast long BEFORE hashing because xxhash64 is
+            # input-type-sensitive (the dq4 lesson). Historically the
+            # inferred-schema reload round-tripped the partition column
+            # as INT (false-alarming this fingerprint on identical row
+            # CONTENTS); the r16 schema-pinned read restores BIGINT, so
+            # the cast is retained defensively — it keeps the
+            # fingerprint type-stable even if a reload path ever drops
+            # the pin (ADVICE r16 #1)
             return df.agg(
                 F.count("*").alias("n"),
                 F.expr(

@@ -960,6 +960,46 @@ def test_dp17_d12_plan_shapes(spark):
     assert "TakeOrderedAndProject" in p12, p12
 
 
+def test_t20_dq10_plan_shapes(spark):
+    """Seat-candidate plan pins (VERDICT r16 Next #4, the dp17/d12
+    pattern): t20 must plan as a pruned documents scan feeding
+    partial/final hash aggregates with zero joins and zero windows;
+    dq10 as ONE persisted count aggregate whose scalar attaches are
+    broadcast-only — no sort-merge / shuffled-hash / cartesian join may
+    ever appear. The registry-wide audits inherit these pinned shapes
+    when the two ops take their planned r18 seats."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq10_composition_drift,
+    )
+    from iot_big_data_engineering_spark.operators.textstats import (
+        t20_token_entropy_profile,
+    )
+    from iot_big_data_engineering_spark.plans.checks import (
+        assert_read_schema_only,
+        plan_str,
+    )
+
+    from .conftest import SF_SMOKE
+
+    t20 = t20_token_entropy_profile(spark, SF_SMOKE)
+    p20 = plan_str(t20)
+    assert "Join" not in p20, p20  # catches every physical join flavor
+    assert "Window" not in p20, p20
+    assert "HashAggregate" in p20, p20  # the two-stage reduction
+    assert_read_schema_only(t20, "documents.parquet", {"doc_id", "text"})
+
+    d10 = dq10_composition_drift(spark, SF_SMOKE)
+    p10 = plan_str(d10)
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in p10, p10
+    # the two 1-row scalar attaches (totals, js_total) broadcast
+    assert "BroadcastNestedLoopJoin" in p10, p10
+    assert "Window" not in p10, p10
+    # the (type, side) count aggregate is pinned once for its three
+    # consumers (ADVICE r16 #2)
+    assert "InMemoryTableScan" in p10 or "InMemoryRelation" in p10, p10
+
+
 def test_dq7_planted_violations_accounted_exactly(spark):
     """Plant one violation per expectation class and check each leg's
     exact fail accounting (incl. the all-members-fail uniqueness
