@@ -181,6 +181,10 @@ HEADLINE = [
     # map-only PII rewrite and the cross-source duplicate matrix
     "dp18_pii_redaction",
     "u5_source_overlap_matrix",
+    # round 17 additions: the retirement-freed-seat registrations — the
+    # per-type PSI drift audit and the A-ES weighted reservoir sample
+    "dq9_psi_drift",
+    "dp19_weighted_reservoir",
     # s9 (index persist/reload) is registered + oracled but, like the
     # st* flows, excluded here: its wall is filesystem-commit latency
     # (partitioned index write + reload), not plan cost. s11 (tombstone
