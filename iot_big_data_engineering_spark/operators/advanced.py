@@ -2496,3 +2496,194 @@ def composition_drift(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ11 — CUSUM CHANGEPOINT LOCALIZATION (library; r19 seat candidate —
+# the registry is saturated and the r18 seats are already committed to
+# t20/dq10 (_PLANNED_R18_*), so this ships tested with its oracle
+# constant ready, the established discipline): the drift dimension
+# dq6/dq9/dq10 still lack is TIME. dq9 detects THAT a value
+# distribution shifted between halves and dq10 THAT the type mix
+# shifted; neither says WHEN. dq11 runs the classic offline CUSUM
+# changepoint estimator per event_type over the DAILY mean of value:
+# with daily means x_1..x_D and grand mean x̄, S_k = Σ_{i≤k}(x_i − x̄)
+# and the estimated changepoint is argmax_k |S_k| (k ∈ 1..D−1, tie →
+# earliest k) — the day the level shifted, with the before/after means
+# and the relative shift as the actionable output (Page 1954 / the
+# standard AMOC "at most one changepoint" formulation).
+#
+# Cross-engine determinism: the daily mean is an EXACT DECIMAL(12,2)
+# sum divided once (the adv4/a3/a8 pattern — double summation order
+# can never flip a bit); the per-type day series folds in DAY-SORTED
+# order on both engines (Spark F.aggregate over the array_sort'ed
+# struct list, DuckDB list_reduce over list(... ORDER BY day) — the
+# dp17/dq9/t20 ordered-fold discipline), and every prefix sum S_k is
+# its own ordered fold over slice(xs, 1, k), so all D−1 CUSUM values
+# are bit-identical across engines; argmax compares those identical
+# doubles with k ASC as the total-order tiebreak. Verdicts compare the
+# ROUNDED relative shift (|Δ| / max(|x̄|, 1), 5% watch / 20% alert) so
+# the CASE cannot flip on a sub-grid delta. NULL value/type/ts rows are
+# excluded up front (the dq9/dq10 lesson); types with a single day
+# have no interior k and drop by contract (HAVING D ≥ 2).
+#
+# 100 TB: ONE map-side-combined (type, day) aggregate over the corpus —
+# ≤ |types|·|days| groups regardless of row count; everything after
+# runs on |types|-row frames whose arrays and exploded k-rows are
+# |days|-bounded (the per-type argmax window covers ≤ |days| rows —
+# the audited bounded-window class). The O(D²) slice-folds are driver-
+# free, distributed, and bounded by the DAY-GRAIN, never the corpus.
+# No corpus-scale shuffle beyond the daily partials, no driver collect.
+# ---------------------------------------------------------------------------
+_DQ11_WATCH = 0.05
+_DQ11_ALERT = 0.20
+
+_DQ11_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+daily AS (
+  SELECT event_type, day,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS x
+  FROM e GROUP BY event_type, day
+),
+serie AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         list(day ORDER BY day) AS days,
+         list(x ORDER BY day) AS xs
+  FROM daily GROUP BY event_type HAVING count(*) >= 2
+),
+base AS (
+  SELECT event_type, n_days, days, xs,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+                     (acc, v) -> acc + v) AS total
+  FROM serie
+),
+ks AS (
+  SELECT event_type, n_days, days, xs, total,
+         unnest(range(1, n_days)) AS k
+  FROM base
+),
+sk AS (
+  SELECT event_type, n_days, days, total, k,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_slice(xs, 1, k)),
+                     (acc, v) -> acc + v) AS prefix
+  FROM ks
+),
+sc AS (
+  SELECT event_type, n_days, days, total, k, prefix,
+         prefix - CAST(k AS DOUBLE) * (total / n_days) AS s,
+         prefix / k AS mb,
+         (total - prefix) / (n_days - k) AS ma
+  FROM sk
+),
+best AS (
+  SELECT event_type, n_days, days, k, s, mb, ma,
+         abs(ma - mb) / greatest(abs(total / n_days), 1.0) AS rel,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY abs(s) DESC, k ASC
+         ) AS rn
+  FROM sc
+)
+SELECT event_type, n_days,
+       days[k] AS cp_day,
+       {sql_fround("abs(s)")} AS cusum_max,
+       {sql_fround("mb")} AS mean_before,
+       {sql_fround("ma")} AS mean_after,
+       {sql_fround("ma - mb")} AS mean_shift,
+       {sql_fround("rel")} AS rel_shift,
+       CASE WHEN {sql_fround("rel")} >= {_DQ11_ALERT} THEN 'alert'
+            WHEN {sql_fround("rel")} >= {_DQ11_WATCH} THEN 'watch'
+            ELSE 'stable' END AS cp_verdict
+FROM best WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+def dq11_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_changepoint(load_table(spark, sf_dir, "events"))
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """dq11 core over any events-shaped frame — separated for tests
+    (planted level shifts with known changepoints, empty tables,
+    single-day types, NULL value/type/ts)."""
+    e = events.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        "event_type", F.col("ts").cast("date").alias("day"), "value"
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        # exact decimal sum, ONE double division — see header
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("x")
+    )
+    serie = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "x"))).alias("arr"))
+        .select(
+            "event_type",
+            F.size("arr").cast("bigint").alias("n_days"),
+            F.transform("arr", lambda s: s.getField("day")).alias("days"),
+            F.transform("arr", lambda s: s.getField("x")).alias("xs"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    base = serie.withColumn(
+        "total", F.aggregate("xs", F.lit(0.0), lambda acc, v: acc + v)
+    )
+    ks = base.select(
+        "event_type",
+        "n_days",
+        "days",
+        "xs",
+        "total",
+        F.explode(F.expr("sequence(1L, n_days - 1)")).alias("k"),
+    )
+    # each S_k is an ordered fold over the first k daily means — O(D²)
+    # arithmetic on |days|-bounded arrays, bit-identical to the oracle's
+    # list_slice folds (see header)
+    sk = ks.withColumn(
+        "prefix",
+        F.expr("aggregate(slice(xs, 1, int(k)), 0.0D, (acc, v) -> acc + v)"),
+    )
+    xbar = F.col("total") / F.col("n_days").cast("double")
+    sc_ = sk.withColumn(
+        "s", F.col("prefix") - F.col("k").cast("double") * xbar
+    ).withColumn("mb", F.col("prefix") / F.col("k").cast("double")).withColumn(
+        "ma",
+        (F.col("total") - F.col("prefix"))
+        / (F.col("n_days") - F.col("k")).cast("double"),
+    )
+    rel = F.abs(F.col("ma") - F.col("mb")) / F.greatest(
+        F.abs(xbar), F.lit(1.0)
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("k").asc()
+    )  # ≤ |days| rows per type — the audited bounded-window class
+    best = sc_.withColumn("rel", rel).withColumn(
+        "rn", F.row_number().over(w)
+    ).filter(F.col("rn") == 1)
+    rel_r = fround(F.col("rel"), _R)
+    return best.select(
+        "event_type",
+        "n_days",
+        F.expr("element_at(days, int(k))").alias("cp_day"),
+        fround(F.abs(F.col("s")), _R).alias("cusum_max"),
+        fround(F.col("mb"), _R).alias("mean_before"),
+        fround(F.col("ma"), _R).alias("mean_after"),
+        fround(F.col("ma") - F.col("mb"), _R).alias("mean_shift"),
+        rel_r.alias("rel_shift"),
+        F.when(rel_r >= _DQ11_ALERT, F.lit("alert"))
+        .when(rel_r >= _DQ11_WATCH, F.lit("watch"))
+        .otherwise(F.lit("stable"))
+        .alias("cp_verdict"),
+    ).orderBy("event_type")

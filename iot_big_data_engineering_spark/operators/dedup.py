@@ -1138,6 +1138,186 @@ def d8b_jaccard_join_df_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D13 — exact CONTAINMENT near-dup join (library; r19 seat candidate —
+# the registry is saturated and the r18 seats are already committed to
+# t20/dq10 (_PLANNED_R18_*), so this ships tested with its oracle
+# constant ready, the dp18/u5/dq9/dp19/t20/dq10 discipline): the
+# asymmetry axis the dedup family still lacked. d3/d8b measure
+# SYMMETRIC Jaccard |∩|/|∪| — a 40-shingle document quoted whole
+# inside a 4,000-shingle page scores J ≈ 0.01 and sails past every
+# Jaccard threshold, yet for training-data hygiene the small doc IS a
+# duplicate (its content is fully contained in the big one: boilerplate
+# inclusions, quote-expansions, page-within-crawl). d13 returns the
+# EXACT pairs whose max directional containment
+# max(|∩|/|A|, |∩|/|B|) = |∩|/min(|A|,|B|) ≥ τ (τ = 0.8) over the
+# same word-trigram shingle sets d8b uses.
+#
+# How it scales (the d8 AllPairs argument, asymmetric form): a
+# qualifying pair needs overlap ≥ τ·|s| where s is the SMALLER set, so
+# the first |s| − ⌈τ·|s|⌉ + 1 sorted-hash elements of s (its "prefix")
+# must intersect the larger set SOMEWHERE — if they all missed, the
+# overlap would fit inside the remaining ⌈τ·|s|⌉ − 1 < τ·|s| elements.
+# Candidate generation is therefore an equi-join of the SMALL side's
+# exploded prefix (~(1−τ) of its tokens) against the full exploded
+# token table (linear in corpus size — never all-pairs), with the
+# (size, doc_id) lexicographic tiebreak making each unordered pair a
+# candidate exactly once (probe = smaller set; no upper size bound —
+# that is the asymmetry). The exact verify joins the cached shingle
+# arrays back by doc_id — arrays move once per doc, not once per
+# candidate (the d8 shuffle lesson). Hot-shingle skew: the join keys
+# are AQE-skew-splittable, and the d8b ascending-df reordering composes
+# here unchanged (rarest-first prefixes) when a corpus needs it. The
+# same ceil(τ·|s| − 1e-9) guard as d8 protects integer-boundary τ·|s|
+# from double overshoot.
+#
+# The oracle verifies the SEMANTICS without the optimization: a full
+# shared-shingle co-count join + the containment filter — pinning that
+# prefix filtering is exactness-preserving, never a semantics change
+# (the d8/d8b discipline).
+# ---------------------------------------------------------------------------
+_D13_TAU = 0.8
+
+_D13_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SH} AS sh FROM tok
+),
+sz AS (
+  SELECT doc_id, sh, len(sh) AS sz FROM sh WHERE len(sh) > 0
+),
+ex AS (
+  SELECT doc_id, sz, unnest(sh) AS s FROM sz
+),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sz AS sz_a, b.sz AS sz_b, count(*) AS o
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(o AS BIGINT) AS overlap,
+       CAST(sz_a AS BIGINT) AS sz_a,
+       CAST(sz_b AS BIGINT) AS sz_b,
+       round(CAST(o AS DOUBLE) / sz_a, {_R}) AS containment_a,
+       round(CAST(o AS DOUBLE) / sz_b, {_R}) AS containment_b
+FROM co
+WHERE CAST(o AS DOUBLE) / least(sz_a, sz_b) >= {_D13_TAU}
+ORDER BY doc_a, doc_b
+"""
+
+
+def d13_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = containment_pairs(_docs_par(spark, sf_dir), _D13_TAU)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "overlap",
+        "sz_a",
+        "sz_b",
+        fround(F.col("c_a"), _R).alias("containment_a"),
+        fround(F.col("c_b"), _R).alias("containment_b"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def containment_pairs(docs: DataFrame, tau: float = _D13_TAU) -> DataFrame:
+    """d13 core over any documents-shaped frame — separated for tests
+    (brute-force equivalence, planted subset docs, empty/NULL text).
+    Returns raw (doc_a, doc_b, overlap, sz_a, sz_b, c_a, c_b) with
+    doc_a < doc_b and max(c_a, c_b) >= tau."""
+    # ONE evaluation of the tokenize→shingle→hash→sort tree (the d8
+    # persist rationale: projection collapse would re-run it per use)
+    sig = track(
+        docs.withColumn("toks", X.tokens("text"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.transform(
+                    X.shingles_from_tokens(F.col("toks"), 3),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sh"),
+        )
+        .persist()
+    )
+    # probe: the would-be SMALLER side explodes only its prefix (see
+    # header); index: every doc explodes ALL tokens — linear, and the
+    # shuffle carries (doc_id, sz, hash), never the arrays
+    probe = sig.select(
+        "doc_id",
+        F.size("sh").alias("sz"),
+        F.explode(
+            F.expr(
+                f"slice(sh, 1, int(size(sh) - ceil({tau}d * size(sh) - 1e-9) + 1))"
+            )
+        ).alias("h"),
+    )
+    index = sig.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("h")
+    )
+    p, ix = probe.alias("p"), index.alias("i")
+    # (size, id) lexicographic order makes the probe the unique smaller
+    # side of each unordered pair (equal sizes break by id), so no pair
+    # is generated twice and no doc pairs with itself
+    cond = (F.col("p.h") == F.col("i.h")) & (
+        (F.col("p.sz") < F.col("i.sz"))
+        | (
+            (F.col("p.sz") == F.col("i.sz"))
+            & (F.col("p.doc_id") < F.col("i.doc_id"))
+        )
+    )
+    cand = (
+        p.join(ix, cond)
+        .select(
+            F.col("p.doc_id").alias("doc_s"),
+            F.col("i.doc_id").alias("doc_l"),
+            F.col("p.sz").alias("sz_s"),
+            F.col("i.sz").alias("sz_l"),
+        )
+        # a pair can share several prefix hashes — verify each pair once
+        .dropDuplicates(["doc_s", "doc_l"])
+    )
+    # exact verify: arrays join back from the cached signature table
+    # (MB-scale here → broadcast; shuffle hash joins on doc_id at scale)
+    sh_s = sig.select(F.col("doc_id").alias("doc_s"), F.col("sh").alias("sh_s"))
+    sh_l = sig.select(F.col("doc_id").alias("doc_l"), F.col("sh").alias("sh_l"))
+    o = F.size(F.array_intersect("sh_s", "sh_l")).cast("bigint")
+    verified = (
+        cand.join(sh_s, "doc_s")
+        .join(sh_l, "doc_l")
+        .withColumn("overlap", o)
+        # max containment = o/|smaller| since sz_s <= sz_l; both engines
+        # compare the identical IEEE quotient, the d8 precedent
+        .filter(
+            F.col("overlap").cast("double") / F.col("sz_s") >= F.lit(tau)
+        )
+    )
+    # canonical presentation: doc_a < doc_b by id (NOT by size)
+    a_is_s = F.col("doc_s") < F.col("doc_l")
+    return verified.select(
+        F.when(a_is_s, F.col("doc_s")).otherwise(F.col("doc_l")).alias("doc_a"),
+        F.when(a_is_s, F.col("doc_l")).otherwise(F.col("doc_s")).alias("doc_b"),
+        "overlap",
+        F.when(a_is_s, F.col("sz_s")).otherwise(F.col("sz_l"))
+        .cast("bigint")
+        .alias("sz_a"),
+        F.when(a_is_s, F.col("sz_l")).otherwise(F.col("sz_s"))
+        .cast("bigint")
+        .alias("sz_b"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "overlap",
+        "sz_a",
+        "sz_b",
+        (F.col("overlap").cast("double") / F.col("sz_a")).alias("c_a"),
+        (F.col("overlap").cast("double") / F.col("sz_b")).alias("c_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DC1 — benchmark contamination scan (train/test decontamination).
 # The standard pre-training hygiene step: find corpus documents that share
 # a long verbatim word n-gram with a held-out benchmark/eval set, so they

@@ -53,13 +53,16 @@ def assert_read_schema_only(df: DataFrame, table_file: str, allowed: set[str]) -
             # ReadSchema appears within the same scan block
             for lookahead in lines[i : i + 6]:
                 if "ReadSchema" in lookahead:
-                    schema_part = lookahead.split("ReadSchema:", 1)[1]
+                    schema_part = lookahead.split("ReadSchema:", 1)[1].strip()
+                    # strip the literal struct<...> wrapper — str.lstrip
+                    # is a CHARACTER-set strip and would also eat a
+                    # leading column name drawn from {s,t,r,u,c,<}
+                    # (e.g. "ts"), silently mangling the parse
+                    if schema_part.startswith("struct<"):
+                        schema_part = schema_part[len("struct<"):]
                     cols = {
                         c.split(":")[0].strip()
-                        for c in schema_part.strip()
-                        .lstrip("struct<")
-                        .rstrip(">")
-                        .split(",")
+                        for c in schema_part.rstrip(">").split(",")
                         if c.strip()
                     }
                     extra = cols - allowed

@@ -243,6 +243,156 @@ def test_prefix_join_equals_brute_force(spark):
             assert got == want, (tau, order_by_df, got ^ want)
 
 
+# ---------------------------------------------------------------------------
+# d13 containment near-dup (round-17 library op; r19 seat candidate —
+# oracle ready): the prefix-filtered containment join must return
+# EXACTLY the brute-force max-containment >= tau pairs (the filter is
+# an optimization, never a semantics change — the d8 discipline,
+# asymmetric form).
+# ---------------------------------------------------------------------------
+def _brute_force_containment(texts, tau):
+    """Python reference: distinct word-trigram max-containment over all
+    pairs — (doc_a, doc_b) -> (overlap, sz_a, sz_b)."""
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: s for i, s in ((i, shingles(t)) for i, t in enumerate(texts)) if s}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                o = len(sets[a] & sets[b])
+                if o and o / min(len(sets[a]), len(sets[b])) >= tau:
+                    out[(a, b)] = (o, len(sets[a]), len(sets[b]))
+    return out
+
+
+def test_containment_join_equals_brute_force(spark):
+    """Adversarial corpus: exact dups, a verbatim-inclusion subset, a
+    partial-overlap pair, prefix/suffix sharers, tiny docs — the
+    prefix-filtered containment join must agree pair-for-pair (and
+    count-for-count) with the brute-force reference at several taus,
+    including tau values whose tau·|s| lands on exact integers (the
+    guarded-ceil FP-overshoot class) and tau = 1.0 (prefix length 1)."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",        # 0
+        "the quick brown fox jumps over the lazy dog",        # 1 = dup of 0
+        "the quick brown fox jumps over a sleepy cat",        # 2 shares prefix
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the deep dark quiet ancient wood",  # 3 ⊇ 0
+        "the quick brown fox",                                # 4 too short
+        "completely unrelated text with no overlap at all here",  # 5
+        "alpha beta gamma delta epsilon zeta eta theta",      # 7-ish
+        "alpha beta gamma delta epsilon zeta eta iota",       # near-dup
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for tau in (0.5, 0.75, 0.8, 1.0):
+        want = _brute_force_containment(texts, tau)
+        got = {
+            (r.doc_a, r.doc_b): (r.overlap, r.sz_a, r.sz_b)
+            for r in containment_pairs(docs, tau).collect()
+        }
+        assert got == want, (tau, got, want)
+
+
+def test_d13_flags_subset_that_jaccard_misses(spark):
+    """The header's reason-to-exist: a short doc quoted verbatim inside
+    a much longer one has containment 1.0 but Jaccard far below any
+    useful threshold — d13 must flag the pair, d8's symmetric join at
+    the same tau must not."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        containment_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    snippet = "one two three four five six seven eight nine ten eleven twelve"
+    tail = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, snippet), (2, snippet + " " + tail)],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(docs, 0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.overlap == r.sz_a == 10          # all of doc 1 is inside doc 2
+    assert r.c_a == 1.0 and r.c_b < 0.1
+    assert prefix_jaccard_pairs(docs, 0.8).collect() == []
+
+
+def test_d13_empty_null_and_short_text_excluded(spark):
+    """NULL text, empty text and <3-token docs shingle to nothing and
+    drop out on both engines; an empty corpus returns the empty frame
+    with the pinned schema."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        d13_containment_neardup,
+    )
+    import pandas as pd
+
+    out_cols = [
+        "doc_a", "doc_b", "overlap", "sz_a", "sz_b",
+        "containment_a", "containment_b",
+    ]
+    with __import__("tempfile").TemporaryDirectory() as td:
+        pd.DataFrame(
+            [
+                (1, None, "en", "s", 0),
+                (2, "", "en", "s", 0),
+                (3, "one two", "en", "s", 7),
+                (4, "a proper document with enough tokens to shingle", "en", "s", 47),
+                (5, "a proper document with enough tokens to shingle", "en", "s", 47),
+            ],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        ).to_parquet(td + "/documents.parquet")
+        got = d13_containment_neardup(spark, td).collect()
+        assert [tuple(r)[:2] for r in got] == [(4, 5)]  # only the dup pair
+        assert got[0].containment_a == got[0].containment_b == 1.0
+
+        pd.DataFrame(
+            [], columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ).astype(
+            {"doc_id": "int64", "text": "object", "lang": "object",
+             "source": "object", "n_chars": "int64"}
+        ).to_parquet(td + "/documents.parquet")
+        empty = d13_containment_neardup(spark, td)
+        assert empty.columns == out_cols and empty.collect() == []
+
+
+def test_d13_matches_oracle_on_gate_data(spark):
+    """Gate-data parity in the REGISTERED oracle form: the d13 oracle
+    uses round(), which registration rewrites to the shared floor
+    formula — run the rewritten text (what the driver would execute) so
+    this certificate covers the rewrite too (the dp18/u5 dry-run
+    discipline)."""
+    import duckdb
+
+    from iot_big_data_engineering_spark import registry
+    from iot_big_data_engineering_spark.operators.dedup import (
+        _D13_ORACLE,
+        d13_containment_neardup,
+    )
+
+    from .conftest import SF_SMOKE
+
+    sp = sorted(map(tuple, d13_containment_neardup(spark, SF_SMOKE).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    du = sorted(
+        map(tuple, con.execute(registry._rewrite_rounds(_D13_ORACLE)).fetchall())
+    )
+    assert sp == du
+    assert sp  # planted dup cliques guarantee non-empty containment
+
+
 def test_band_table_shape_and_copy_collision(spark, docs):
     """band_table emits exactly N_BANDS rows per signed doc, and an
     exact text copy collides with its original in EVERY band — the

@@ -1000,6 +1000,40 @@ def test_t20_dq10_plan_shapes(spark):
     assert "InMemoryTableScan" in p10 or "InMemoryRelation" in p10, p10
 
 
+def test_d13_dq11_plan_shapes(spark):
+    """Seat-candidate plan pins for the r19 candidates (the t20/dq10
+    pattern above): d13's candidate generation must stay an equi-join
+    on shingle hashes over the pinned signature table — no cartesian,
+    no broadcast nested loop; dq11 must plan with ZERO joins (one
+    corpus-scale daily aggregate, then |days|-bounded array math and a
+    per-type bounded window) and a pruned events scan."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq11_cusum_changepoint,
+    )
+    from iot_big_data_engineering_spark.operators.dedup import (
+        d13_containment_neardup,
+    )
+    from iot_big_data_engineering_spark.plans.checks import (
+        assert_read_schema_only,
+        plan_str,
+    )
+
+    from .conftest import SF_SMOKE
+
+    d13 = d13_containment_neardup(spark, SF_SMOKE)
+    p13 = plan_str(d13)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in p13, p13
+    # the tokenize→shingle→hash→sort tree is evaluated once and pinned
+    assert "InMemoryTableScan" in p13 or "InMemoryRelation" in p13, p13
+
+    d11 = dq11_cusum_changepoint(spark, SF_SMOKE)
+    p11 = plan_str(d11)
+    assert "Join" not in p11, p11
+    assert "HashAggregate" in p11, p11
+    assert_read_schema_only(d11, "events.parquet", {"event_type", "ts", "value"})
+
+
 def test_dq7_planted_violations_accounted_exactly(spark):
     """Plant one violation per expectation class and check each leg's
     exact fail accounting (incl. the all-members-fail uniqueness
@@ -1799,3 +1833,145 @@ def test_dq10_js_invariants_on_gate_data(spark):
         assert r.js_term >= -g, r
         assert 0.0 < r.p_a < 1.0 and 0.0 < r.p_b < 1.0, r
         assert r.mix_verdict in ("stable", "watch", "alert"), r
+
+
+# ---------------------------------------------------------------------------
+# dq11 CUSUM changepoint localization (round-17 library op; r19 seat
+# candidate — oracle ready)
+# ---------------------------------------------------------------------------
+def test_dq11_planted_level_shift_localized(spark):
+    """A clean level shift (daily mean 10 for days 1-10, 50 for days
+    11-20) must localize to cp_day = day 10 — the last pre-shift day,
+    the argmax-|S_k| convention — with the exact before/after means and
+    an alert verdict; a flat second type stays stable with its tie-
+    broken k = 1. Cross-engine parity on the same frame."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ11_ORACLE,
+        cusum_changepoint,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(1, 21):
+        mean = 10.0 if d <= 10 else 50.0
+        for delta in (-0.5, 0.5):  # two rows/day, exact daily mean
+            eid += 1
+            rows.append(
+                (eid, "shift", dt.datetime(2024, 3, d, 12, 0), mean + delta)
+            )
+            eid += 1
+            rows.append((eid, "flat", dt.datetime(2024, 3, d, 12, 0), 7.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "ts", "value"])
+    out = {
+        r.event_type: r
+        for r in cusum_changepoint(spark.createDataFrame(pdf)).collect()
+    }
+    s = out["shift"]
+    assert s.n_days == 20
+    assert s.cp_day == dt.date(2024, 3, 10)
+    assert s.mean_before == 10.0 and s.mean_after == 50.0
+    assert s.mean_shift == 40.0
+    # x̄ = 30, |S_10| = 10·20 = 200, rel = 40/30
+    assert s.cusum_max == 200.0
+    assert s.cp_verdict == "alert"
+    f = out["flat"]
+    assert f.cusum_max == 0.0 and f.cp_verdict == "stable"
+    assert f.cp_day == dt.date(2024, 3, 1)  # all-zero S ties break to k=1
+    assert f.mean_shift == 0.0
+    con = duckdb.connect()
+    con.register("events", pdf)
+    du = sorted(map(tuple, con.execute(_DQ11_ORACLE).fetchall()))
+    assert sorted(tuple(r) for r in out.values()) == du
+
+
+def test_dq11_empty_null_and_single_day_inputs(spark):
+    """Empty events → empty frame with the pinned schema; NULL
+    value/type/ts rows are excluded up front (the dq9/dq10 lesson), and
+    a type observed on a single day has no interior changepoint and
+    drops by contract (D ≥ 2) — identically on both engines."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ11_ORACLE,
+        cusum_changepoint,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    out = cusum_changepoint(spark.createDataFrame([], schema))
+    assert out.columns == [
+        "event_type", "n_days", "cp_day", "cusum_max", "mean_before",
+        "mean_after", "mean_shift", "rel_shift", "cp_verdict",
+    ]
+    assert out.collect() == []
+
+    t1 = dt.datetime(2024, 3, 1, 12, 0)
+    t2 = dt.datetime(2024, 3, 2, 12, 0)
+    rows = [
+        (1, "ok", t1, 5.0), (2, "ok", t2, 5.0),      # survives, D=2
+        (3, "oneday", t1, 5.0), (4, "oneday", t1, 9.0),  # D=1 → drops
+        (5, None, t1, 5.0), (6, None, t2, 5.0),      # NULL type → excluded
+        (7, "nulls", None, 5.0), (8, "nulls", t1, None),  # D=1 after filters
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "ts", "value"])
+    got = cusum_changepoint(spark.createDataFrame(pdf)).collect()
+    assert [r.event_type for r in got] == ["ok"]
+    con = duckdb.connect()
+    con.register("events", pdf)
+    du = sorted(map(tuple, con.execute(_DQ11_ORACLE).fetchall()))
+    assert sorted(map(tuple, got)) == du
+
+
+def test_dq11_matches_oracle_on_gate_data(spark):
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ11_ORACLE,
+        dq11_cusum_changepoint,
+    )
+
+    sp = sorted(map(tuple, dq11_cusum_changepoint(spark, SF_SMOKE).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    du = sorted(map(tuple, con.execute(_DQ11_ORACLE).fetchall()))
+    assert sp == du
+    assert sp  # every gate type spans 30 days
+
+
+def test_dq11_cusum_invariants_on_gate_data(spark):
+    """Structural bounds on the gate data: cp_day is strictly inside
+    the observed span (never the last day — k ≤ D−1), cusum_max ≥ 0,
+    rel_shift = |mean_shift| / max(|x̄|, 1) ≥ 0, and the verdict CASE
+    matches its own rounded operand."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq11_cusum_changepoint,
+    )
+
+    rows = dq11_cusum_changepoint(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days >= 2, r
+        assert r.cusum_max >= 0.0, r
+        assert r.rel_shift >= 0.0, r
+        want = (
+            "alert" if r.rel_shift >= 0.20
+            else "watch" if r.rel_shift >= 0.05 else "stable"
+        )
+        assert r.cp_verdict == want, r

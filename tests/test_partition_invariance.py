@@ -59,6 +59,10 @@ _CURATED = [
     "w7_event_funnel",            # first() over ordered window
     "mm6_shard_plan",             # two-phase prefix sum over byte offsets
     "g1_rollup_order_stats",      # rollup grouping-set floats
+    # r17 registrations keep their library-era always-on pins (bin-
+    # ordered PSI fold; salted two-stage A-ES rank):
+    "dq9_psi_drift",
+    "dp19_weighted_reservoir",
 ]
 
 
@@ -116,20 +120,22 @@ def test_partition_invariance(spark, name):
     _assert_invariant(spark, _ALL[name])
 
 
-# Seat-bound LIBRARY ops (r17: dq9/dp19; r18 option: t20/dq10) are not
-# in the registry yet, so the registry-wide sweep cannot reach them —
-# but every one carries an ordered float fold (the exact construct
-# class this audit exists for), and each will face the full sweep the
-# round it is seated. Pin layout-invariance NOW, before the seat, so a
-# fold that floats with the scan layout is found while the op is still
-# library-form. Always-on (the curated tier): four queries, sf0.001.
+# Seat-bound LIBRARY ops (r18 plan: t20/dq10; r19 candidates:
+# d13/dq11) are not in the registry yet, so the registry-wide sweep
+# cannot reach them — but every one carries an ordered float fold or a
+# layout-sensitive join (the exact construct classes this audit exists
+# for), and each will face the full sweep the round it is seated. Pin
+# layout-invariance NOW, before the seat, so a fold that floats with
+# the scan layout is found while the op is still library-form.
+# Always-on (the curated tier), sf0.001. dq9/dp19 left this list with
+# their r17 registration (the registry-wide sweep owns them now).
 def _library_seat_candidates():
-    from iot_big_data_engineering_spark.operators import advanced, textstats
+    from iot_big_data_engineering_spark.operators import advanced, dedup, textstats
 
     return {
-        "dq9_psi_drift": advanced.dq9_psi_drift,
         "dq10_composition_drift": advanced.dq10_composition_drift,
-        "dp19_weighted_reservoir": textstats.dp19_weighted_reservoir,
+        "dq11_cusum_changepoint": advanced.dq11_cusum_changepoint,
+        "d13_containment_neardup": dedup.d13_containment_neardup,
         "t20_token_entropy_profile": textstats.t20_token_entropy_profile,
     }
 
