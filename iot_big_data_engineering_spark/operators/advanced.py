@@ -2687,3 +2687,214 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("stable"))
         .alias("cp_verdict"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# DQ12 — BENFORD FIRST-DIGIT AUDIT (library; r20 pipeline candidate —
+# the registry is saturated and the r18/r19 seats are spoken for
+# (_PLANNED_R18_*, d13/dq11), so this ships tested with its oracle
+# constant ready, the established discipline): the data-entry/fraud
+# smell test the dq family still lacked. Naturally occurring monetary
+# amounts follow Benford's law (P(first digit = d) = log10(1 + 1/d));
+# fabricated, truncated, or unit-mangled feeds do not — auditors
+# (Nigrini's MAD test) use exactly this as a first-pass integrity
+# screen. dq12 audits o_totalprice: per first significant digit, the
+# observed vs expected share, plus the corpus-level MAD (mean absolute
+# deviation, the Nigrini statistic), total variation distance, and
+# Pearson chi-square, with the MAD conformity verdict.
+#
+# Cross-engine determinism BY CONSTRUCTION: the digit is extracted
+# WITHOUT logarithms — price → exact DECIMAL(12,2) cents (the adv4
+# pattern) → BIGINT → first character of the integer's decimal string
+# (integer-to-string is identical in both engines; no log10 whose
+# 1-ulp libm divergence could flip a digit at a power of ten). Digit
+# counts are exact integers; the nine expected probabilities are
+# INTERPOLATED CONSTANTS (shortest-round-trip reprs of log10(1+1/d),
+# so both engines parse the identical double — neither engine's libm
+# is consulted); p_obs divides two exact integers once; the three
+# statistics fold the nine digit terms in digit order (the shared
+# ordered-fold discipline). Verdicts compare the ROUNDED MAD against
+# Nigrini's published thresholds (0.006 close / 0.012 acceptable /
+# 0.015 marginal, above = nonconforming). Non-positive amounts are
+# excluded by contract (first-digit law is defined on positive
+# magnitudes); an empty input yields the empty frame (the n > 0
+# guard filters the dense digit scaffold away).
+#
+# 100 TB: ONE map-side-combined count aggregate onto ≤ 9 groups —
+# nothing else touches the corpus, and the aggregate has exactly one
+# consumer (no pin needed). The dense 9-digit scaffold carries the
+# total as a constant-domain window over its 9 rows (integer sum —
+# order-free, the audit's constant-domain bounded class), the single
+# 1-row stats attach broadcasts, and the 9-term folds are
+# constant-size. No corpus-scale shuffle beyond the count partials,
+# no driver collect.
+# ---------------------------------------------------------------------------
+_DQ12_EXP = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+_DQ12_CLOSE, _DQ12_OK, _DQ12_MARGINAL = 0.006, 0.012, 0.015
+
+_DQ12_VALUES = ", ".join(
+    f"({d}, CAST({p!r} AS DOUBLE))" for d, p in _DQ12_EXP.items()
+)
+
+_DQ12_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+obs AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM cents GROUP BY 1
+),
+exp_p AS (
+  SELECT * FROM (VALUES {_DQ12_VALUES}) AS e(digit, p_exp)
+),
+dense AS (
+  SELECT digit, p_exp, n_obs,
+         CAST(sum(n_obs) OVER () AS BIGINT) AS n
+  FROM (
+    SELECT e.digit, e.p_exp, coalesce(o.n_obs, 0) AS n_obs
+    FROM exp_p e LEFT JOIN obs o ON e.digit = o.digit
+  )
+  QUALIFY n > 0
+),
+terms AS (
+  SELECT digit, n_obs, p_exp, n,
+         CAST(n_obs AS DOUBLE) / n AS p_obs,
+         CAST(n_obs AS DOUBLE) / n - p_exp AS dev,
+         (CAST(n_obs AS DOUBLE) - n * p_exp) * (CAST(n_obs AS DOUBLE) - n * p_exp)
+           / (n * p_exp) AS chi_term
+  FROM dense
+),
+stats AS (
+  SELECT
+    {sql_fround(
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list(abs(dev) ORDER BY digit)), (acc, x) -> acc + x) / 9.0"
+    )} AS mad,
+    {sql_fround(
+        "0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list(abs(dev) ORDER BY digit)), (acc, x) -> acc + x)"
+    )} AS tvd,
+    {sql_fround(
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list(chi_term ORDER BY digit)), (acc, x) -> acc + x)"
+    )} AS chi2
+  FROM terms
+)
+SELECT t.digit, t.n_obs,
+       {sql_fround("t.p_obs")} AS p_obs,
+       {sql_fround("t.p_exp")} AS p_exp,
+       {sql_fround("t.dev")} AS dev,
+       s.mad, s.tvd, s.chi2,
+       CASE WHEN s.mad < {_DQ12_CLOSE} THEN 'close'
+            WHEN s.mad < {_DQ12_OK} THEN 'acceptable'
+            WHEN s.mad < {_DQ12_MARGINAL} THEN 'marginal'
+            ELSE 'nonconforming' END AS conformity
+FROM terms t CROSS JOIN stats s
+ORDER BY t.digit
+"""
+
+
+def dq12_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benford_audit(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """dq12 core over any frame and positive numeric column — separated
+    for tests (hand-built conforming/uniform corpora with closed-form
+    statistics, empty inputs, non-positive exclusion)."""
+    spark = df.sparkSession
+    obs = (
+        df.filter(F.col(col).isNotNull() & (F.col(col) > 0))
+        .select(
+            F.substring(
+                (F.col(col).cast("decimal(12,2)") * 100)
+                .cast("bigint")
+                .cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    exp_p = spark.createDataFrame(
+        [(d, p) for d, p in _DQ12_EXP.items()], "digit int, p_exp double"
+    )
+    # the total rides a constant-domain window over the 9-row scaffold
+    # (integer sum — order-free), so the corpus-scale count aggregate
+    # has exactly ONE consumer and needs no pin; n > 0 guards the empty
+    # input (the scaffold filters itself away)
+    dense = (
+        exp_p.join(obs, "digit", "left")
+        .select(
+            "digit",
+            "p_exp",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+        )
+        .withColumn(
+            "n", F.sum("n_obs").over(Window.partitionBy()).cast("bigint")
+        )
+        .filter(F.col("n") > 0)
+    )
+    p_obs = F.col("n_obs").cast("double") / F.col("n")
+    dev = p_obs - F.col("p_exp")
+    chi_term = (
+        (F.col("n_obs").cast("double") - F.col("n") * F.col("p_exp"))
+        * (F.col("n_obs").cast("double") - F.col("n") * F.col("p_exp"))
+        / (F.col("n") * F.col("p_exp"))
+    )
+    terms = dense.select(
+        "digit",
+        "n_obs",
+        "p_exp",
+        p_obs.alias("p_obs_raw"),
+        dev.alias("dev_raw"),
+        chi_term.alias("chi_raw"),
+    )
+
+    def _fold(field):  # digit-ordered 9-term fold (see header)
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("digit").alias("digit"), field.alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("v"),
+        )
+
+    stats = terms.agg(
+        fround(_fold(F.abs(F.col("dev_raw"))) / F.lit(9.0), _R).alias("mad"),
+        fround(F.lit(0.5) * _fold(F.abs(F.col("dev_raw"))), _R).alias("tvd"),
+        fround(_fold(F.col("chi_raw")), _R).alias("chi2"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(stats))  # 1-row stats attach
+        .select(
+            "digit",
+            "n_obs",
+            fround(F.col("p_obs_raw"), _R).alias("p_obs"),
+            fround(F.col("p_exp"), _R).alias("p_exp"),
+            fround(F.col("dev_raw"), _R).alias("dev"),
+            "mad",
+            "tvd",
+            "chi2",
+            F.when(F.col("mad") < _DQ12_CLOSE, F.lit("close"))
+            .when(F.col("mad") < _DQ12_OK, F.lit("acceptable"))
+            .when(F.col("mad") < _DQ12_MARGINAL, F.lit("marginal"))
+            .otherwise(F.lit("nonconforming"))
+            .alias("conformity"),
+        )
+        .orderBy("digit")
+    )

@@ -4050,6 +4050,168 @@ def t20_token_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy_profile(_docs(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# DP20 — TOKEN-MASS QUANTILES (library; r20 pipeline candidate — the
+# registry is saturated and the r18/r19 seats are spoken for
+# (_PLANNED_R18_*, d13/dq11), so this ships tested with its oracle
+# constant ready, the established discipline): sequence-length
+# planning's first question. Doc-count quantiles of length answer
+# "how long is the typical DOCUMENT"; what packing, chunking and
+# context-window decisions actually need is "in how long a document
+# does the typical TOKEN live" — the token-MASS-weighted quantiles of
+# document length. A corpus can be 90% short docs by count while 90%
+# of its tokens sit in books; dp5's packing and dp8's chunking budgets
+# key off the mass view, not the count view (dp16's dataset card
+# reports the count view — this is its mass-weighted complement).
+# Per source, decile k ∈ 1..9 reports the smallest token_count L such
+# that docs with ≤ L tokens hold ≥ k/10 of the source's token mass.
+#
+# Cross-engine determinism BY CONSTRUCTION — the op is pure integer
+# arithmetic end to end: per-(source, length) doc counts, integer
+# masses length·n_docs, an integer cumulative sum, and the decile
+# predicate compared as 10·cum ≥ k·total in BIGINT (no division, no
+# doubles anywhere except the final mass_share report column, which
+# divides two exact integers once and rounds). The NULL-text doc has
+# no token_count and drops (w ≥ 1 — the dp19 filter); EMPTY text
+# enters with the corpus-wide token_count('') = 1 convention.
+#
+# 100 TB: ONE map-side-combined (source, token_count) count aggregate
+# over the corpus — ≤ |sources|·|distinct lengths| groups, bounded by
+# the LENGTH DOMAIN (a document's token count), never by corpus row
+# count. The cumulative window partitions by source over those
+# bounded length rows (the audited bounded-window class), and the
+# decile selection is a groupBy-min over rows already in hand. No
+# corpus-scale shuffle beyond the count partials, no driver collect.
+# ---------------------------------------------------------------------------
+_DP20_ORACLE = f"""
+WITH d AS (
+  SELECT source, {X.sql_token_count("text")} AS w FROM documents
+),
+lens AS (
+  SELECT source, CAST(w AS BIGINT) AS token_count,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM d WHERE w >= 1 GROUP BY source, w
+),
+cum AS (
+  SELECT source, token_count, n_docs,
+         token_count * n_docs AS mass,
+         CAST(sum(token_count * n_docs) OVER (
+           PARTITION BY source ORDER BY token_count
+         ) AS BIGINT) AS cum_mass,
+         CAST(sum(token_count * n_docs) OVER (
+           PARTITION BY source
+         ) AS BIGINT) AS total_mass
+  FROM lens
+),
+ks AS (
+  SELECT source, CAST(r.range AS INTEGER) + 1 AS decile,
+         total_mass
+  FROM (SELECT DISTINCT source, total_mass FROM cum) s
+  CROSS JOIN range(9) r
+),
+hit AS (
+  SELECT k.source, k.decile, k.total_mass,
+         min(c.token_count) AS tokens_le,
+         min_by(c.cum_mass, c.token_count) AS cum_mass
+  FROM ks k JOIN cum c
+    ON c.source = k.source
+   AND 10 * c.cum_mass >= CAST(k.decile AS BIGINT) * c.total_mass
+  GROUP BY k.source, k.decile, k.total_mass
+)
+SELECT source, decile, tokens_le, cum_mass, total_mass,
+       {sql_fround("CAST(cum_mass AS DOUBLE) / total_mass")} AS mass_share
+FROM hit
+ORDER BY source, decile
+"""
+
+
+def dp20_token_mass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_mass_quantiles(_docs(spark, sf_dir))
+
+
+def token_mass_quantiles(docs: DataFrame) -> DataFrame:
+    """dp20 core over any documents-shaped frame — separated for tests
+    (hand corpora with closed-form deciles, empty/NULL text, one-doc
+    sources)."""
+    from pyspark.sql import Window
+
+    lens = (
+        docs.select(
+            "source", X.token_count("text").cast("bigint").alias("token_count")
+        )
+        .filter(F.col("token_count") >= 1)
+        .groupBy("source", "token_count")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("token_count")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )  # ≤ |distinct lengths| rows per source — bounded by the length
+    # domain, not the corpus (see header); integer sum → order-free
+    w_tot = Window.partitionBy("source")
+    # bounded-row frame pinned so the corpus-scale count aggregate runs
+    # ONCE for its two consumers (the decile frame and the theta-join
+    # probe) — the dq10/s9 track() lesson, not exchange-reuse reliance
+    cum = track(
+        lens.select(
+            "source",
+            "token_count",
+            (F.col("token_count") * F.col("n_docs")).alias("mass"),
+            F.sum(F.col("token_count") * F.col("n_docs"))
+            .over(w_cum)
+            .cast("bigint")
+            .alias("cum_mass"),
+            F.sum(F.col("token_count") * F.col("n_docs"))
+            .over(w_tot)
+            .cast("bigint")
+            .alias("total_mass"),
+        ).persist()
+    )
+    ks = (
+        cum.select("source", "total_mass")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                cum.sparkSession.range(1, 10).select(
+                    F.col("id").cast("int").alias("decile")
+                )
+            )
+        )
+    )
+    # the decile predicate stays in BIGINT: 10·cum ≥ k·total — exact
+    hit = (
+        ks.alias("k")
+        .join(
+            cum.alias("c"),
+            (F.col("c.source") == F.col("k.source"))
+            & (
+                F.lit(10) * F.col("c.cum_mass")
+                >= F.col("k.decile").cast("bigint") * F.col("c.total_mass")
+            ),
+        )
+        .groupBy(
+            F.col("k.source").alias("source"),
+            F.col("k.decile").alias("decile"),
+            F.col("k.total_mass").alias("total_mass"),
+        )
+        .agg(
+            F.min("c.token_count").alias("tokens_le"),
+            F.min_by("c.cum_mass", "c.token_count").alias("cum_mass"),
+        )
+    )
+    return hit.select(
+        "source",
+        "decile",
+        "tokens_le",
+        "cum_mass",
+        "total_mass",
+        fround(
+            F.col("cum_mass").cast("double") / F.col("total_mass"), _R
+        ).alias("mass_share"),
+    ).orderBy("source", "decile")
+
+
 def token_entropy_profile(docs: DataFrame) -> DataFrame:
     """t20 core over any documents-shaped frame — separated for tests
     (hand corpora with known closed-form entropies, empty/NULL text)."""

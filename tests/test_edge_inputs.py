@@ -1034,6 +1034,40 @@ def test_d13_dq11_plan_shapes(spark):
     assert_read_schema_only(d11, "events.parquet", {"event_type", "ts", "value"})
 
 
+def test_dp20_dq12_plan_shapes(spark):
+    """Seat-candidate plan pins for the r20 pipeline candidates: dp20's
+    corpus work must be ONE pruned-scan count aggregate with the
+    bounded-row CDF frame pinned (its theta-join and scaffold join run
+    on that cache, never a cartesian); dq12's corpus work is one count
+    aggregate onto ≤ 9 pinned rows with broadcast-only attaches — no
+    sort-merge join or cartesian may ever appear in either."""
+    from iot_big_data_engineering_spark.operators.advanced import (
+        dq12_benford_audit,
+    )
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp20_token_mass_quantiles,
+    )
+    from iot_big_data_engineering_spark.plans.checks import (
+        assert_read_schema_only,
+        plan_str,
+    )
+
+    from .conftest import SF_SMOKE
+
+    d20 = dp20_token_mass_quantiles(spark, SF_SMOKE)
+    p20 = plan_str(d20)
+    assert "CartesianProduct" not in p20, p20
+    assert "InMemoryTableScan" in p20 or "InMemoryRelation" in p20, p20
+    assert_read_schema_only(d20, "documents.parquet", {"source", "text"})
+
+    d12 = dq12_benford_audit(spark, SF_SMOKE)
+    p12 = plan_str(d12)
+    for bad in ("SortMergeJoin", "CartesianProduct"):
+        assert bad not in p12, p12
+    assert "Window" in p12, p12  # the constant-domain 9-row total
+    assert_read_schema_only(d12, "orders.parquet", {"o_totalprice"})
+
+
 def test_dq7_planted_violations_accounted_exactly(spark):
     """Plant one violation per expectation class and check each leg's
     exact fail accounting (incl. the all-members-fail uniqueness
@@ -1975,3 +2009,108 @@ def test_dq11_cusum_invariants_on_gate_data(spark):
             else "watch" if r.rel_shift >= 0.05 else "stable"
         )
         assert r.cp_verdict == want, r
+
+
+# ---------------------------------------------------------------------------
+# dq12 Benford first-digit audit (round-17 library op; r20 pipeline
+# candidate — oracle ready)
+# ---------------------------------------------------------------------------
+def test_dq12_conforming_vs_uniform_digits(spark):
+    """A 10,000-row frame whose digit census is the rounded Benford
+    expectation must grade 'close' (MAD ≈ 3e-5); nine uniform digits
+    must grade 'nonconforming' with the closed-form MAD — computed
+    independently here in Python from the same constants. Cross-engine
+    parity on both frames, including boundary cent values (0.01 and a
+    full 12,2 magnitude)."""
+    import duckdb
+    import math
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ12_EXP,
+        _DQ12_ORACLE,
+        benford_audit,
+    )
+
+    census = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792, 6: 669,
+              7: 580, 8: 512, 9: 458}
+    assert sum(census.values()) == 10_000
+    rows = []
+    for d, n in census.items():
+        rows += [float(d)] * n
+    pdf = pd.DataFrame({"o_totalprice": rows})
+    got = benford_audit(spark.createDataFrame(pdf), "o_totalprice").collect()
+    assert [r.digit for r in got] == list(range(1, 10))
+    assert got[0].conformity == "close"
+    assert {r.n_obs for r in got} == set(census.values())
+    con = duckdb.connect()
+    con.register("orders", pdf)
+    assert sorted(map(tuple, got)) == sorted(
+        map(tuple, con.execute(_DQ12_ORACLE).fetchall())
+    )
+
+    # uniform digits, with cent-boundary magnitudes: 0.01 → digit 1,
+    # 999999999.99 overflows DECIMAL(12,2)? no — 12 digits holds it;
+    # use 9999999.99 → digit 9; 10.0 → digit 1
+    uni = pd.DataFrame(
+        {"o_totalprice": [0.01, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0,
+                          9999999.99]}
+    )
+    got2 = benford_audit(spark.createDataFrame(uni), "o_totalprice").collect()
+    mad = sum(abs(1.0 / 9.0 - p) for p in _DQ12_EXP.values()) / 9.0
+    exp_mad = math.floor(mad * 1e6 + 0.5) / 1e6
+    assert got2[0].mad == exp_mad and exp_mad > 0.015
+    assert got2[0].conformity == "nonconforming"
+    assert all(r.n_obs == 1 for r in got2)
+    con2 = duckdb.connect()
+    con2.register("orders", uni)
+    assert sorted(map(tuple, got2)) == sorted(
+        map(tuple, con2.execute(_DQ12_ORACLE).fetchall())
+    )
+
+
+def test_dq12_empty_and_nonpositive_inputs(spark):
+    """Empty input and all-non-positive input both yield the EMPTY
+    frame with the pinned schema (the n > 0 guard removes the dense
+    digit scaffold) — identically on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ12_ORACLE,
+        benford_audit,
+    )
+
+    cols = ["digit", "n_obs", "p_obs", "p_exp", "dev", "mad", "tvd",
+            "chi2", "conformity"]
+    for vals in ([], [0.0, -12.5, None]):
+        pdf = pd.DataFrame({"o_totalprice": pd.Series(vals, dtype="float64")})
+        out = benford_audit(
+            spark.createDataFrame(pdf, "o_totalprice double"), "o_totalprice"
+        )
+        assert out.columns == cols
+        assert out.collect() == []
+        con = duckdb.connect()
+        con.register("orders", pdf)
+        assert con.execute(_DQ12_ORACLE).fetchall() == []
+
+
+def test_dq12_matches_oracle_on_gate_data(spark):
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators.advanced import (
+        _DQ12_ORACLE,
+        dq12_benford_audit,
+    )
+
+    sp = sorted(map(tuple, dq12_benford_audit(spark, SF_SMOKE).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
+    )
+    du = sorted(map(tuple, con.execute(_DQ12_ORACLE).fetchall()))
+    assert sp == du
+    assert len(sp) == 9
+    # the synthetic near-uniform price generator is exactly what a
+    # Benford audit should flag
+    assert sp[0][-1] in ("marginal", "nonconforming")

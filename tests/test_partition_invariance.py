@@ -135,7 +135,9 @@ def _library_seat_candidates():
     return {
         "dq10_composition_drift": advanced.dq10_composition_drift,
         "dq11_cusum_changepoint": advanced.dq11_cusum_changepoint,
+        "dq12_benford_audit": advanced.dq12_benford_audit,
         "d13_containment_neardup": dedup.d13_containment_neardup,
+        "dp20_token_mass_quantiles": textstats.dp20_token_mass_quantiles,
         "t20_token_entropy_profile": textstats.t20_token_entropy_profile,
     }
 

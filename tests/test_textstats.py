@@ -2116,6 +2116,110 @@ def test_t20_matches_oracle_on_gate_data(spark):
     assert sp == du
 
 
+# ---------------------------------------------------------------------------
+# dp20 token-mass quantiles (round-17 library op; r20 pipeline
+# candidate — oracle ready)
+# ---------------------------------------------------------------------------
+def test_dp20_closed_form_deciles(spark, tmp_path):
+    """Hand corpus with a closed-form mass CDF: ten 1-token docs plus
+    one 90-token doc (total mass 100) puts exactly 10% of the token
+    mass at length ≤ 1 and the rest at 90 — decile 1 must report
+    tokens_le = 1 and every higher decile 90. NULL text drops (no
+    weight); empty text enters with weight 1 (the dp19 convention) —
+    adding one empty doc to a second source shifts its masses by
+    exactly 1."""
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp20_token_mass_quantiles,
+    )
+
+    rows = [(i, "x " * 0 + "w", "en", "a", 1) for i in range(10)]  # 1 token
+    rows.append((10, " ".join(f"t{j}" for j in range(90)), "en", "a", 500))
+    rows.append((11, None, "en", "a", 0))          # NULL text: dropped
+    rows.append((20, "", "en", "b", 0))            # empty text: weight 1
+    rows.append((21, "u v w", "en", "b", 5))       # 3 tokens
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.source, r.decile): r
+        for r in dp20_token_mass_quantiles(spark, str(tmp_path)).collect()
+    }
+    assert got[("a", 1)].tokens_le == 1
+    assert got[("a", 1)].cum_mass == 10 and got[("a", 1)].total_mass == 100
+    for k in range(2, 10):
+        assert got[("a", k)].tokens_le == 90, k
+        assert got[("a", k)].cum_mass == 100
+    # source b: masses {1: 1, 3: 3}, total 4; 10·1 >= k·4 only for k <= 2
+    assert got[("b", 1)].tokens_le == 1 and got[("b", 2)].tokens_le == 1
+    assert all(got[("b", k)].tokens_le == 3 for k in range(3, 10))
+    assert got[("b", 9)].total_mass == 4
+
+
+def test_dp20_empty_and_all_null_inputs(spark, tmp_path):
+    import pandas as pd
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp20_token_mass_quantiles,
+    )
+
+    cols = ["source", "decile", "tokens_le", "cum_mass", "total_mass",
+            "mass_share"]
+    pd.DataFrame(
+        [(1, None, "en", "s", 0), (2, None, "en", "s", 0)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = dp20_token_mass_quantiles(spark, str(tmp_path))
+    assert out.columns == cols and out.collect() == []
+
+
+def test_dp20_matches_oracle_on_gate_data(spark):
+    import duckdb
+
+    from iot_big_data_engineering_spark.operators.textstats import (
+        _DP20_ORACLE,
+        dp20_token_mass_quantiles,
+    )
+
+    sp = sorted(
+        map(tuple, dp20_token_mass_quantiles(spark, SF_SMOKE).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    du = sorted(map(tuple, con.execute(_DP20_ORACLE).fetchall()))
+    assert sp == du
+    assert sp
+
+
+def test_dp20_mass_invariants_on_gate_data(spark):
+    """Integer-CDF structure on the gate data: per source the decile
+    thresholds and cumulative masses are nondecreasing in k, every
+    decile's PRE-ROUNDING share clears k/10 (check the exact integer
+    inequality 10·cum ≥ k·total the op is defined by), and total_mass
+    is constant within a source."""
+    from iot_big_data_engineering_spark.operators.textstats import (
+        dp20_token_mass_quantiles,
+    )
+
+    rows = dp20_token_mass_quantiles(spark, SF_SMOKE).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.decile)
+        assert [r.decile for r in rs] == list(range(1, 10)), src
+        assert len({r.total_mass for r in rs}) == 1, src
+        for a, b in zip(rs, rs[1:]):
+            assert a.tokens_le <= b.tokens_le, src
+            assert a.cum_mass <= b.cum_mass, src
+        for r in rs:
+            assert 10 * r.cum_mass >= r.decile * r.total_mass, r
+
+
 def test_t20_entropy_invariants_on_gate_data(spark):
     """Information-theoretic bounds, checked on every gate-data doc:
     0 ≤ H ≤ ln(n_tokens) (+ half a rounding grid), norm_entropy ∈
