@@ -752,6 +752,7 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 50,
     driver_cap: int = _CC_DRIVER_EDGE_CAP,
+    pre_materialized: bool = False,
 ) -> DataFrame:
     """(src, dst) undirected edges → (node, component) with component =
     min node id reachable. Converges in <= diameter iterations; each
@@ -776,10 +777,14 @@ def connected_components(
     the semantics (component = min reachable node id) are identical."""
     # materialize the edge list once — the unionAll below references it
     # twice, and callers hand us arbitrarily expensive edge plans (d7's is
-    # a similarity join); without this the edge computation runs 2×
-    edges = edges.select(
-        F.col(src).alias(src), F.col(dst).alias(dst)
-    ).localCheckpoint()
+    # a similarity join); without this the edge computation runs 2×.
+    # ``pre_materialized=True`` skips the checkpoint when the CALLER
+    # already materialized the edge frame (dp9 localCheckpoints it for its
+    # own certificate join) — the former unconditional checkpoint copied
+    # those rows a second time for nothing (r17 job-count audit).
+    edges = edges.select(F.col(src).alias(src), F.col(dst).alias(dst))
+    if not pre_materialized:
+        edges = edges.localCheckpoint()
     if edges.count() <= driver_cap:
         return _cc_driver_finish(edges, src, dst)
     sym = (

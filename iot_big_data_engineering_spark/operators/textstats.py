@@ -1563,7 +1563,7 @@ def dp9_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint()
     )
-    comp = connected_components(edges).select(
+    comp = connected_components(edges, pre_materialized=True).select(
         F.col("node").alias("doc_id"), F.col("component")
     )
     splits = track(
@@ -1986,7 +1986,23 @@ def split_decontamination(
         .distinct()
         .persist()
     )
-    n_bad = bad.count()  # drives the report AND materializes the cache
+    # r17 optimization: the removal count and the zero-overlap certificate
+    # used to be TWO more driver-blocking actions (bad.count(), the verify
+    # .count()) — every bench/driver materialization paid four sequential
+    # jobs. Both are 1-row aggregates, so they now ride the final plan as
+    # broadcast scalar attaches (the a17/a21 split-bound recipe): one
+    # preflight job (the broadcast gate's eg.count) plus ONE job for the
+    # whole report, with the independent certificate subtrees scheduled
+    # together instead of serialized behind driver round-trips. Values are
+    # unchanged: n_bad/clean_no_overlap are the same counts, computed
+    # lazily instead of eagerly.
+    n_bad = F.broadcast(bad.agg(F.count("*").cast("bigint").alias("n_bad")))
+    shared_after = (
+        g.filter(F.col("is_train"))
+        .join(bad, "doc_id", "left_anti")  # the CLEANED train grams
+        .join(eg_right, "gram")
+        .agg((F.count("*") == 0).alias("clean_no_overlap"))
+    )
     # LEFT-join the observed per-side counts onto a static {train, eval}
     # spine: a one-sided corpus (every doc hashing to one split) must
     # still emit BOTH rows, as the oracle's scalar-subquery counts do —
@@ -2000,26 +2016,21 @@ def split_decontamination(
         "is_train",
         "left",
     ).select("is_train", F.coalesce("n", F.lit(0)).alias("n"))
-    shared_after = (
-        g.filter(F.col("is_train"))
-        .join(bad, "doc_id", "left_anti")  # the CLEANED train grams
-        .join(eg_right, "gram")
-        .count()
-    )
-    clean = F.lit(shared_after == 0)
     return (
-        splits.select(
+        splits.join(n_bad)  # 1-row scalar attaches
+        .join(F.broadcast(shared_after))
+        .select(
             F.when(F.col("is_train"), "train").otherwise("eval").alias("split"),
             F.col("n").cast("bigint").alias("n_docs_before"),
-            F.when(F.col("is_train"), F.col("n") - n_bad)
+            F.when(F.col("is_train"), F.col("n") - F.col("n_bad"))
             .otherwise(F.col("n"))
             .cast("bigint")
             .alias("n_docs_after"),
-            F.when(F.col("is_train"), F.lit(n_bad))
+            F.when(F.col("is_train"), F.col("n_bad"))
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("n_removed"),
-            clean.alias("clean_no_overlap"),
+            F.col("clean_no_overlap"),
         )
         .orderBy("split")
     )
@@ -2606,17 +2617,21 @@ def bigram_lm_screen(
     )
     c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
     c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    scored = (
-        big.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
-        .select(
-            "doc_id",
-            "lang",
-            (
-                (F.col("c12") + 1) * theta
-                < (F.col("c1") + v + 1)
-            ).alias("is_rare"),
-        )
+    # r17 optimization: resolve the rare verdict PER DISTINCT PAIR first —
+    # c12 ⋈ c1 is a |pairs| × |contexts| count-table join (both bounded by
+    # the (V+1)-class vocabulary, tiny next to the bigram stream) — and
+    # re-join the bigram stream ONCE on (w1, w2). The former form joined
+    # the full stream twice (once on (w1, w2), again on w1): one fewer
+    # full-stream shuffle at scale, one fewer broadcast build locally.
+    # is_rare depends only on (w1, w2), so the verdict per pair is the
+    # identical integer comparison.
+    pair_flag = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        ((F.col("c12") + 1) * theta < (F.col("c1") + v + 1)).alias("is_rare"),
+    )
+    scored = big.join(pair_flag, ["w1", "w2"]).select(
+        "doc_id", "lang", "is_rare"
     )
     return (
         scored.groupBy("doc_id")
