@@ -804,79 +804,43 @@ SELECT '{c}.{ck} -> {p}.{pk}' AS edge,
     doc="DQ3: orphan-key audit over every star-schema foreign key",
 )
 def dq3_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r17 optimization: edges are grouped by CHILD table so each child is
-    # scanned ONCE — lineitem (the fact, 3 audited FKs) used to pay three
-    # scan+join+aggregate pipelines; it now pays one scan into three
-    # chained left joins and ONE aggregate, with the per-edge rows
-    # unpivoted from that single row (stack). Per-edge counts are
-    # unchanged: each edge keeps its own match flag, so a key matched in
-    # one dimension never masks an orphan in another. At 100 TB this is
-    # 3× fewer fact scans; locally it is two fewer join+agg pipelines.
-    groups: list[tuple[str, list[tuple[str, str, str]]]] = []
-    for c, ck, p, pk in _DQ3_EDGES:
-        if groups and groups[-1][0] == c:
-            groups[-1][1].append((ck, p, pk))
-        else:
-            groups.append((c, [(ck, p, pk)]))
     out = None
-    for c, edges in groups:
-        child = load_table(spark, sf_dir, c).select(
-            *sorted({ck for ck, _, _ in edges})
+    for c, ck, p, pk in _DQ3_EDGES:
+        child = load_table(spark, sf_dir, c).select(ck)
+        parent_keys = (
+            load_table(spark, sf_dir, p)
+            .select(F.col(pk).alias(ck))
+            .distinct()
+            .withColumn("_present", F.lit(1))
         )
-        j = child
-        flags = []
-        for i, (ck, p, pk) in enumerate(edges):
-            flag = f"_m{i}"
-            parent_keys = (
-                load_table(spark, sf_dir, p)
-                .select(F.col(pk).alias(f"_k{i}"))
-                .distinct()
-                .withColumn(flag, F.lit(1))
-            )
-            j = j.join(
-                parent_keys, F.col(ck) == F.col(f"_k{i}"), "left"
-            )
-            flags.append(flag)
         # null child keys join to nothing but are NOT orphans — count
         # only non-null unmatched keys
-        agg = j.agg(
-            F.count("*").alias("child_rows"),
-            *[
-                F.count(
-                    F.when(
-                        F.col(ck).isNotNull() & F.col(flag).isNull(), 1
-                    )
-                ).alias(f"_o{i}")
-                for i, ((ck, _, _), flag) in enumerate(zip(edges, flags))
-            ],
+        orphan = F.col(ck).isNotNull() & F.col("_present").isNull()
+        row = (
+            child.join(parent_keys, ck, "left")
+            .agg(
+                F.count("*").alias("child_rows"),
+                F.count(F.when(orphan, 1)).alias("orphan_rows"),
+            )
+            .select(
+                F.lit(f"{c}.{ck} -> {p}.{pk}").alias("edge"),
+                "child_rows",
+                "orphan_rows",
+                # empty-child guard: both counts are non-NULL, so the
+                # ratio would raise ANSI DIVIDE_BY_ZERO on an empty
+                # table (the m10/m18 hazard class, r11 audit) — the
+                # share is unknowable there, export NULL on both engines
+                F.when(
+                    F.col("child_rows") > 0,
+                    fround(
+                        F.col("orphan_rows").cast("double")
+                        / F.col("child_rows"),
+                        _R,
+                    ),
+                ).alias("orphan_share"),
+            )
         )
-        stack_args = ", ".join(
-            f"'{c}.{ck} -> {p}.{pk}', _o{i}"
-            for i, (ck, p, pk) in enumerate(edges)
-        )
-        rows = agg.select(
-            F.expr(
-                f"stack({len(edges)}, {stack_args}) AS (edge, orphan_rows)"
-            ),
-            "child_rows",
-        ).select(
-            "edge",
-            "child_rows",
-            "orphan_rows",
-            # empty-child guard: both counts are non-NULL, so the
-            # ratio would raise ANSI DIVIDE_BY_ZERO on an empty
-            # table (the m10/m18 hazard class, r11 audit) — the
-            # share is unknowable there, export NULL on both engines
-            F.when(
-                F.col("child_rows") > 0,
-                fround(
-                    F.col("orphan_rows").cast("double")
-                    / F.col("child_rows"),
-                    _R,
-                ),
-            ).alias("orphan_share"),
-        )
-        out = rows if out is None else out.unionByName(rows)
+        out = row if out is None else out.unionByName(row)
     return out
 
 
@@ -1552,12 +1516,7 @@ def adv15_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
         )
     )
-    # broadcast_ranks: N ≤ 108k is ENFORCED by the int64 guard, so the
-    # rank side is broadcast-bounded by construction (r17; see
-    # pagerank_fixed_point's docstring)
-    ranked = pagerank_fixed_point(
-        edges, iters=_ADV15_ITERS, broadcast_ranks=True
-    )
+    ranked = pagerank_fixed_point(edges, iters=_ADV15_ITERS)
     return (
         ranked.select(
             "node",
@@ -1601,7 +1560,6 @@ def pagerank_fixed_point(
     iters: int = 3,
     checkpoint_every: int | None = None,
     scale: int = _ADV15_S,
-    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Damped power iteration over an (src, dst) edge frame in scaled
     int64 arithmetic — returns (node, r). Every node must appear as a
@@ -1621,20 +1579,7 @@ def pagerank_fixed_point(
     scale trades rank precision for node capacity — scale=10^9 admits
     ~1.08e8 nodes (the adv15b production form for sf ≥ 1 graphs). The
     arithmetic is the identical integer expression at every scale; the
-    default reproduces adv15's registered values bit-for-bit.
-
-    ``broadcast_ranks``: hint the per-iteration join to broadcast the
-    RANK side (2 int64 columns × N nodes) instead of letting the planner
-    pick a build side from size estimates — with it, the persisted
-    edge relation never moves and each iteration costs one small
-    broadcast plus the contribution aggregate's shuffle (r17: the local
-    planner was broadcasting the ~9 MiB EDGE relation every iteration).
-    Only safe when N is bounded: adv15's scale=10^12 form ENFORCES
-    N ≤ ~108k via _check_pagerank_overflow — ~1.7 MB of rank state, a
-    broadcast bounded by the same guard that bounds the arithmetic — so
-    it passes True; adv15b's 10^9 form admits ~1.08e8 nodes (rank state
-    up to ~1.7 GB), far past broadcast sanity, and keeps the default
-    shuffled join."""
+    default reproduces adv15's registered values bit-for-bit."""
     if checkpoint_every is not None and checkpoint_every < 1:
         # 0 would ZeroDivisionError at the modulo below, and a caller
         # meaning "never" should pass None (round-10 review finding #4)
@@ -1662,9 +1607,8 @@ def pagerank_fixed_point(
         F.lit(scale).cast("bigint").alias("r"),
     )
     for i in range(iters):
-        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         ranks = (
-            edges_d.join(rank_side, edges_d.src == rank_side.node)
+            edges_d.join(ranks, edges_d.src == ranks.node)
             .select(
                 "dst", F.expr("r DIV deg").alias("contrib")
             )

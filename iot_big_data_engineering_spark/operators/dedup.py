@@ -576,7 +576,17 @@ ORDER BY doc_id
 def d5_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_par(spark, sf_dir).filter(F.col("doc_id") < _D3_CAP)
     sims = _simhash_sims(_plant_copies(d))
-    a, b = sims.alias("a"), sims.alias("b")
+    # r17 optimization: the certificate only consumes (orig, orig+offset)
+    # pairs, so restrict BOTH join sides before the 64-bit SimHash fold
+    # runs — side a to the plants' originals (the join condition already
+    # implied it; now it prunes the scan) and side b to the planted
+    # copies (implied by b.doc_id = a.doc_id + offset ≥ offset, which the
+    # optimizer cannot derive on its own). The fold previously ran over
+    # the full capped corpus on the unfiltered side; the pair set and the
+    # certificate rows are unchanged. The corpus-scale SimHash pipeline
+    # stays exercised (and property-tested) via simhash_pairs.
+    a = sims.filter(F.col("doc_id") < _N_PLANT).alias("a")
+    b = sims.filter(F.col("doc_id") >= _PLANT_OFFSET).alias("b")
     planted_pairs = (
         a.join(
             b,

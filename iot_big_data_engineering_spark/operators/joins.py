@@ -2193,14 +2193,11 @@ def w7_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Apriori pruning is the scale story: a pair can only be frequent if
 # BOTH items are, so the item-support filter (≥ 5 orders) runs FIRST as
 # a |parts|-keyed aggregate + semi-join, and only surviving items enter
-# the quadratic-per-basket pair expansion. Baskets group ONCE on the
-# order key into sorted (pkey, c) arrays and the C(k,2) pairs expand
-# map-side (r17: this replaces a fi⋈fi self-join — one shuffle of the
-# item stream instead of two shuffled join sides, no join at all); the
-# per-basket blowup is bounded by the PRUNED basket size k (TPC-H
-# baskets ≈ 4-7 items), never corpus size. The pair aggregate shuffles
-# on (p1, p2) with map-side partials; lift's two scalar totals
-# broadcast.
+# the quadratic-per-basket self-join. The self-join shuffles on the
+# order key; its output per order is C(k,2) over the PRUNED basket size
+# k (TPC-H baskets ≈ 4-7 items), so the blowup is bounded by basket
+# width, never corpus size. The pair aggregate shuffles on (p1, p2)
+# with map-side partials; lift's two scalar totals broadcast.
 #
 # lift = P(p1,p2) / (P(p1)·P(p2)) = pair_n·N / (c1·c2) — exact int64
 # products under one double division (t17's discipline; bounds: pair_n
@@ -2291,10 +2288,10 @@ def _frequent_pair_counts(
     c2, n)."""
     from ..caching import track
 
-    # persisted: THREE consumers (the item-support aggregate, the basket
-    # build, and the order-count scalar) would otherwise each re-scan and
-    # re-distinct lineitem (dp15's persist lesson; verified in the r9
-    # plan audit — the uncached plan carried 5 parquet scans)
+    # persisted: FOUR consumers (the item-support aggregate, both sides
+    # of the self-join, and the order-count scalar) would otherwise each
+    # re-scan and re-distinct lineitem (dp15's persist lesson; verified
+    # in the r9 plan audit — the uncached plan carried 5 parquet scans)
     items = track(
         l.select(
             F.col("l_orderkey").alias("okey"),
@@ -2308,40 +2305,30 @@ def _frequent_pair_counts(
         .agg(F.count("*").cast("bigint").alias("c"))
         .filter(F.col("c") >= item_support)
     )
-    # Apriori prune BEFORE the pair step: only frequent items enter the
-    # per-basket quadratic expansion. freq is |parts|-scale — no broadcast
+    # Apriori prune BEFORE the self-join: only frequent items enter the
+    # per-basket quadratic step. freq is |parts|-scale — no broadcast
     # hint (t6's vocabulary rationale); both sides hash on pkey.
-    fi = items.join(freq, "pkey").select("okey", "pkey", "c")
+    # Persisted: fi feeds BOTH sides of the self-join (r9 self-review).
+    fi = track(items.join(freq, "pkey").select("okey", "pkey", "c").persist())
     n = items.agg(F.countDistinct("okey").cast("bigint").alias("n"))
-    # Pair generation (r17 optimization): group each basket's surviving
-    # (pkey, c) items into ONE sorted array and expand the C(k,2) pairs
-    # map-side with nested array transforms — the pair multiset is
-    # identical to the former fi⋈fi self-join + p1<p2 filter (items are
-    # distinct per basket and the array is pkey-sorted, so each unordered
-    # pair appears exactly once with p1 < p2), but the edge stream never
-    # passes through a join: ONE shuffle of fi on okey replaces the
-    # self-join's two shuffled sides, and per-task state is bounded by
-    # BASKET width (TPC-H ~4-7 items, Apriori-pruned), never corpus size.
-    baskets = fi.groupBy("okey").agg(
-        F.array_sort(F.collect_list(F.struct("pkey", "c"))).alias("items")
+    a = fi.select(
+        F.col("okey"),
+        F.col("pkey").alias("p1"),
+        F.col("c").alias("ca"),
+    )
+    b = fi.select(
+        F.col("okey"),
+        F.col("pkey").alias("p2"),
+        F.col("c").alias("cb"),
     )
     pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(items, (x, i) -> "
-                    "transform(slice(items, i + 2, size(items) - i - 1), "
-                    "y -> struct(x.pkey AS p1, y.pkey AS p2, "
-                    "x.c AS c1, y.c AS c2))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.p1", "pr.p2", "pr.c1", "pr.c2")
+        a.join(b, "okey")
+        .filter(F.col("p1") < F.col("p2"))
         .groupBy("p1", "p2")
         .agg(
             F.count("*").cast("bigint").alias("pair_n"),
-            F.min("c1").alias("c1"),  # constant per p1 — min is exact
-            F.min("c2").alias("c2"),
+            F.min("ca").alias("c1"),  # constant per p1 — min is exact
+            F.min("cb").alias("c2"),
         )
         .filter(F.col("pair_n") >= pair_support)
     )

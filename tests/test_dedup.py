@@ -152,6 +152,34 @@ def test_connected_components_driver_vs_distributed_random_graphs(spark):
         assert fast == slow, f"seed {seed}: driver path diverged"
 
 
+def test_connected_components_pre_materialized_identical(spark):
+    """pre_materialized=True (the caller already localCheckpointed the
+    edge frame — dp9's r17 job-count optimization) must be observationally
+    identical to the default checkpointing path, on BOTH the driver
+    union-find and the distributed min-label loop."""
+    from iot_big_data_engineering_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "src long, dst long",
+    )
+    checked = edges.localCheckpoint()
+    for cap in (1_000_000, 0):  # driver path, then distributed path
+        default = {
+            r.node: r.component
+            for r in connected_components(edges, driver_cap=cap).collect()
+        }
+        pre = {
+            r.node: r.component
+            for r in connected_components(
+                checked, driver_cap=cap, pre_materialized=True
+            ).collect()
+        }
+        assert default == pre, f"driver_cap={cap}: pre_materialized diverged"
+
+
 def test_connected_components_raises_instead_of_partial_labels(spark):
     """A chain longer than max_iters must RAISE, not silently return
     non-converged labels (which would emit wrong cluster ids)."""
