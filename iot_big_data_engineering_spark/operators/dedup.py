@@ -784,7 +784,15 @@ def connected_components(
     Spark itself would broadcast a join side, and the count is free
     because the checkpoint has already materialized the rows. Near-dup
     edge graphs at 100 TB exceed the cap and take the distributed path;
-    the semantics (component = min reachable node id) are identical."""
+    the semantics (component = min reachable node id) are identical.
+
+    ``pre_materialized``: caller contract — pass True ONLY when the edge
+    frame is already checkpointed/cached (dp9 localCheckpoints it for its
+    own certificate join). The flag skips this function's defensive
+    localCheckpoint, so an UNMATERIALIZED expensive edge plan passed with
+    True silently recomputes up to 3× (the count gate plus both unionAll
+    branches) — exactly the duplication the checkpoint exists to prevent
+    (r17 ADVICE #1)."""
     # materialize the edge list once — the unionAll below references it
     # twice, and callers hand us arbitrarily expensive edge plans (d7's is
     # a similarity join); without this the edge computation runs 2×.

@@ -2016,9 +2016,13 @@ def split_decontamination(
         "is_train",
         "left",
     ).select("is_train", F.coalesce("n", F.lit(0)).alias("n"))
+    # explicit crossJoin for the 1-row scalar attaches: a bare .join()
+    # with no condition is an implicit cartesian product that only plans
+    # because spark.sql.crossJoin.enabled defaults to true — under a
+    # legacy-config session it fails analysis (r17 ADVICE #2)
     return (
-        splits.join(n_bad)  # 1-row scalar attaches
-        .join(F.broadcast(shared_after))
+        splits.crossJoin(n_bad)  # 1-row scalar attaches
+        .crossJoin(F.broadcast(shared_after))
         .select(
             F.when(F.col("is_train"), "train").otherwise("eval").alias("split"),
             F.col("n").cast("bigint").alias("n_docs_before"),

@@ -39,6 +39,11 @@ def main() -> None:
             thresh = float(args.pop(0))
         else:
             raise SystemExit(f"unknown flag {flag}")
+    if not args:
+        # flags-only / empty invocation: polling for a window and then
+        # crashing in subprocess.call([]) with an IndexError is useless —
+        # fail fast with the usage text instead (r17 ADVICE #4)
+        raise SystemExit(__doc__)
     t_start = time.time()
     streak = 0
     while time.time() - t_start < max_wait:
