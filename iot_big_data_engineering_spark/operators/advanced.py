@@ -804,6 +804,19 @@ SELECT '{c}.{ck} -> {p}.{pk}' AS edge,
     doc="DQ3: orphan-key audit over every star-schema foreign key",
 )
 def dq3_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The "shared persisted fact projection" rewrite (r16/r17's deferred
+    # 100 TB candidate) was measured r18 and is WRONG AT EVERY SCALE, so
+    # the per-edge form below stands permanently: the three lineitem
+    # edges each scan a DIFFERENT single key column (l_orderkey /
+    # l_suppkey / l_partkey), so under parquet column pruning the three
+    # "passes" together read each column chunk exactly once — the same
+    # bytes one shared 3-column scan reads — while the shared persist
+    # adds a cache materialization and serializes the three otherwise
+    # independent branches behind it. Measured r18 on a 278 MB 32-split
+    # lineitem (above any broadcast/split threshold): per-edge
+    # 1.97/1.56 s vs shared 2.13/1.88 s, values identical; same ordering
+    # under autoBroadcastJoinThreshold=-1 at sf0.1 (1.45/1.37 vs
+    # 1.50/1.56). The r16 "3× fact I/O" framing ignored column pruning.
     out = None
     for c, ck, p, pk in _DQ3_EDGES:
         child = load_table(spark, sf_dir, c).select(ck)

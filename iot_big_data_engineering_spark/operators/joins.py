@@ -2250,7 +2250,21 @@ LIMIT {_J23_TOPN}
     ),
 )
 def j23_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return frequent_pairs(load_table(spark, sf_dir, "lineitem"))
+    return frequent_pairs(
+        load_table(spark, sf_dir, "lineitem"),
+        scale_shape=_j23_scale_shape(sf_dir),
+    )
+
+
+def _j23_scale_shape(sf_dir: str) -> bool:
+    """Input-size gate for the basket-array pair expansion (r17 VERDICT
+    Next #4): a deterministic function of the fact table's on-disk size —
+    both plan forms compute identical values. Unknown size (non-local
+    path) → assume big."""
+    from ..sources import tables as _tables
+
+    b = _tables.table_bytes(sf_dir, "lineitem")
+    return b is None or b >= _tables.SCALE_GATE_MIN_BYTES
 
 
 def frequent_pairs(
@@ -2258,11 +2272,13 @@ def frequent_pairs(
     item_support: int = _J23_ITEM_SUPPORT,
     pair_support: int = _J23_PAIR_SUPPORT,
     topn: int = _J23_TOPN,
+    scale_shape: bool = False,
 ) -> DataFrame:
     """j23 core over any lineitem-shaped frame — separated so tests can
-    drive hand-built baskets through both support floors."""
+    drive hand-built baskets through both support floors (and both plan
+    shapes, via ``scale_shape``)."""
     return (
-        _frequent_pair_counts(l, item_support, pair_support)
+        _frequent_pair_counts(l, item_support, pair_support, scale_shape)
         .select(
             "p1",
             "p2",
@@ -2281,11 +2297,29 @@ def frequent_pairs(
 
 
 def _frequent_pair_counts(
-    l: DataFrame, item_support: int, pair_support: int
+    l: DataFrame,
+    item_support: int,
+    pair_support: int,
+    scale_shape: bool = False,
 ) -> DataFrame:
     """The Apriori-pruned pair-count relation shared by the exact (j23)
     and log-space (j23b) lift scorers — columns (p1, p2, pair_n, c1,
-    c2, n)."""
+    c2, n).
+
+    ``scale_shape`` picks the pair-generation plan (values identical):
+
+    - False (local default): fi ⋈ fi self-join on okey. At bench scale
+      fi broadcasts, so pair generation costs ZERO shuffles — the r17 A/B
+      measured the basket form ~0.6 s slower here (collect_list's
+      ObjectHashAggregate + a real okey shuffle vs a broadcast join).
+    - True (the 100 TB form, input-size-gated by the callers): one
+      groupBy(okey) builds each basket's sorted item array, and the
+      C(k,2) expansion is a map-side nested transform — ONE shuffle of
+      (okey, pkey, c) rows total, where the self-join at scale shuffles
+      BOTH sides (2×) before the same quadratic blowup. Validated r18
+      with broadcasts disabled (the at-scale join shape) where this form
+      measured faster; see OPTIMIZATION_r18.md.
+    """
     from ..caching import track
 
     # persisted: FOUR consumers (the item-support aggregate, both sides
@@ -2311,20 +2345,44 @@ def _frequent_pair_counts(
     # Persisted: fi feeds BOTH sides of the self-join (r9 self-review).
     fi = track(items.join(freq, "pkey").select("okey", "pkey", "c").persist())
     n = items.agg(F.countDistinct("okey").cast("bigint").alias("n"))
-    a = fi.select(
-        F.col("okey"),
-        F.col("pkey").alias("p1"),
-        F.col("c").alias("ca"),
-    )
-    b = fi.select(
-        F.col("okey"),
-        F.col("pkey").alias("p2"),
-        F.col("c").alias("cb"),
-    )
+    if scale_shape:
+        # basket-array expansion: pkey is unique within an okey (items is
+        # distinct) and sort_array orders the struct array by pkey, so
+        # emitting (items[i], items[j]) for i < j yields exactly the
+        # self-join's p1 < p2 pair multiset per basket
+        baskets = fi.groupBy("okey").agg(
+            F.sort_array(F.collect_list(F.struct("pkey", "c"))).alias(
+                "items"
+            )
+        )
+        expanded = baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (a, i) ->"
+                    " transform(slice(items, i + 2, size(items)), b ->"
+                    " struct(a.pkey AS p1, a.c AS ca,"
+                    " b.pkey AS p2, b.c AS cb))))"
+                )
+            ).alias("p")
+        ).select("p.p1", "p.ca", "p.p2", "p.cb")
+    else:
+        a = fi.select(
+            F.col("okey"),
+            F.col("pkey").alias("p1"),
+            F.col("c").alias("ca"),
+        )
+        b = fi.select(
+            F.col("okey"),
+            F.col("pkey").alias("p2"),
+            F.col("c").alias("cb"),
+        )
+        expanded = (
+            a.join(b, "okey")
+            .filter(F.col("p1") < F.col("p2"))
+            .select("p1", "ca", "p2", "cb")
+        )
     pairs = (
-        a.join(b, "okey")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
+        expanded.groupBy("p1", "p2")
         .agg(
             F.count("*").cast("bigint").alias("pair_n"),
             F.min("ca").alias("c1"),  # constant per p1 — min is exact
@@ -2406,7 +2464,10 @@ FROM ranked WHERE rank <= {_J23_TOPN}
     ),
 )
 def j23b_frequent_pairs_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return frequent_pairs_log(load_table(spark, sf_dir, "lineitem"))
+    return frequent_pairs_log(
+        load_table(spark, sf_dir, "lineitem"),
+        scale_shape=_j23_scale_shape(sf_dir),
+    )
 
 
 def _j23b_key() -> Column:
@@ -2433,13 +2494,14 @@ def frequent_pairs_log(
     item_support: int = _J23_ITEM_SUPPORT,
     pair_support: int = _J23_PAIR_SUPPORT,
     topn: int = _J23_TOPN,
+    scale_shape: bool = False,
 ) -> DataFrame:
     """j23b core — the overflow-free log-space lift scorer over the
     shared pair counts; returns (p1, p2, pair_n, c1, c2, rank)."""
     from pyspark.sql import Window
 
     top = (
-        _frequent_pair_counts(l, item_support, pair_support)
+        _frequent_pair_counts(l, item_support, pair_support, scale_shape)
         .select("p1", "p2", "pair_n", "c1", "c2", _j23b_key().alias("k"))
         .orderBy(F.col("k").desc(), F.col("p1").asc(), F.col("p2").asc())
         .limit(topn)  # TakeOrderedAndProject — distributed top-k

@@ -261,14 +261,22 @@ def ivf_topk(
     empty = spark.createDataFrame(
         [], "query_id long, vec_id long, cosine double, rank int"
     )
-    if queries.isEmpty():  # before persist + k-means: an empty query set
-        return empty  # must not pay (and then discard) index training
+    # ONE collect serves both the empty-set gate and probe selection
+    # (r18: the former isEmpty() preflight was a separate job over the
+    # same query plan — for index-derived query sets like s6's that was
+    # a second scan); still before persist + k-means, so an empty query
+    # set does not pay (and then discard) index training
+    qrows = queries.collect()
+    if not qrows:
+        return empty
     e = track(e.persist())
     cent = kmeans_centroids(e, nlist=nlist, iters=iters)
     if cent.shape[0] == 0:  # empty corpus → empty result, stable schema
         return empty
     indexed = assign_cells(e, cent)
-    return ivf_probe_search(indexed, cent, queries, k=k, nprobe=nprobe)
+    return ivf_probe_search(
+        indexed, cent, queries, k=k, nprobe=nprobe, qrows=qrows
+    )
 
 
 def ivf_probe_search(
@@ -278,6 +286,7 @@ def ivf_probe_search(
     k: int = K,
     nprobe: int = 4,
     match_label: bool = False,
+    qrows: list | None = None,
 ) -> DataFrame:
     """Probe selection + candidate scan + exact rerank over an ALREADY
     indexed corpus (`assign_cells` output) and trained centroid matrix —
@@ -297,7 +306,10 @@ def ivf_probe_search(
     empty = spark.createDataFrame(
         [], "query_id long, vec_id long, cosine double, rank int"
     )
-    qrows = queries.collect()
+    # ``qrows``: pre-collected query rows (ivf_topk passes its own single
+    # collect through so the query plan is not executed a second time)
+    if qrows is None:
+        qrows = queries.collect()
     if not qrows:  # empty query set → np.asarray([]) is 1-D and
         return empty  # _normalize_rows would raise AxisError
     if cent.shape[0] == 0:
@@ -2411,7 +2423,9 @@ def _s14_sem_channel_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[0]
     probe1 = [int(c) for c in order[:_S16_NPROBE]]
 
-    def _topc(cells: list[int]) -> DataFrame:
+    def _cell_scored(cells: list[int]) -> DataFrame:
+        """(doc_id, cosine) over the given cells — the scored projection
+        both probe phases rank."""
         return (
             indexed.filter(F.col("cell").isin(cells))
             .crossJoin(F.broadcast(qv))
@@ -2419,27 +2433,71 @@ def _s14_sem_channel_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").alias("doc_id"),
                 fround(V.cosine(F.col("qv"), F.col("v")), _R).alias("cosine"),
             )
-            # desc_nulls_last stated explicitly rather than relying on
-            # Spark's desc default (which is already NULLS LAST — this is
-            # plan-identical, not a behavior change): the phase-1
-            # exactness gate below reads cand1[-1].cosine and relies on
-            # any NULL cosine sorting after every real value
-            # (ADVICE r13 #2 — state the invariant in the sort itself)
-            .orderBy(F.col("cosine").desc_nulls_last(), F.col("doc_id").asc())
-            .limit(_S14_C)  # TakeOrderedAndProject — distributed top-C
         )
 
-    cand1 = _topc(probe1).collect()  # ≤C rows, bounded by construction
-    if len(cand1) == _S14_C and cand1[-1].cosine is not None:
-        tau = cand1[-1].cosine - _S13B_TAU_MARGIN
+    def _topc(scored: DataFrame) -> DataFrame:
+        # desc_nulls_last stated explicitly rather than relying on
+        # Spark's desc default (which is already NULLS LAST — this is
+        # plan-identical, not a behavior change): the phase-1
+        # exactness gate below reads the C-th cosine and relies on
+        # any NULL cosine sorting after every real value
+        # (ADVICE r13 #2 — state the invariant in the sort itself)
+        return scored.orderBy(
+            F.col("cosine").desc_nulls_last(), F.col("doc_id").asc()
+        ).limit(_S14_C)  # TakeOrderedAndProject — distributed top-C
+
+    # r18 optimization (guide §1.2/§5): phase 1's scored cells persist and
+    # feed phase 2 directly, so the cosine fold runs ONCE per probed cell;
+    # and the phase-1 top-C + the per-cell radius aggregate — two
+    # independent subtrees both needed before phase 2 — ride ONE tagged
+    # union action (two sequential driver barriers → one job whose
+    # branches schedule concurrently).
+    scored1 = track(_cell_scored(probe1).persist())
+    merged_rows = (
+        _topc(scored1)
+        .select(
+            F.lit(0).alias("t"),
+            F.col("doc_id").alias("k"),
+            F.col("cosine").alias("val"),
+        )
+        .unionAll(
+            indexed.groupBy("cell")
+            .agg(F.min("ccos").alias("m"))  # |cells| rows, map-side partials
+            .select(F.lit(1).alias("t"), F.col("cell").alias("k"),
+                    F.col("m").alias("val"))
+        )
+        .collect()
+    )
+    # re-establish phase-1 candidate order driver-side (≤C rows): cosine
+    # DESC with NULLs last, doc_id ASC — the same total order _topc states
+    cand1 = sorted(
+        (r for r in merged_rows if r.t == 0),
+        key=lambda r: (
+            r.val is None,
+            -(r.val if r.val is not None else 0.0),
+            r.k,
+        ),
+    )
+    if len(cand1) == _S14_C and cand1[-1].val is not None:
+        tau = cand1[-1].val - _S13B_TAU_MARGIN
     else:
         tau = -2.0  # keep every cell — exact by trivial inclusion
     min_ccos = np.ones(cent.shape[0])  # absent cell → radius 0
-    for r in indexed.groupBy("cell").agg(F.min("ccos").alias("m")).collect():
-        min_ccos[r.cell] = r.m  # |cells|-row aggregate, map-side partials
+    for r in merged_rows:
+        if r.t == 1:
+            min_ccos[r.k] = r.val
     keep = _range_probe_cells(cent, min_ccos, qn, tau)[0]
     cells = [int(c) for c in np.nonzero(keep)[0]]
-    sem_top = _topc(cells)
+    # phase 2 scans ONLY the admitted cells phase 1 did not already score;
+    # the union covers probe1 ∪ kept ⊇ kept, and a top-C over ANY superset
+    # of the kept-cell scan that stays inside the corpus is row-identical
+    # to the exact full-scan top-C (every true top-C doc lives in a kept
+    # cell — the s13b bound above — and cells partition docs, so no
+    # duplicates enter)
+    probe1_set = set(probe1)
+    rest = [c for c in cells if c not in probe1_set]
+    sem_scored = scored1.unionAll(_cell_scored(rest)) if rest else scored1
+    sem_top = _topc(sem_scored)
     ws = Window.orderBy(
         F.col("cosine").desc_nulls_last(), F.col("doc_id").asc()
     )

@@ -2585,6 +2585,12 @@ def bigram_lm_screen(
         .limit(v)
         .select("w")
     )
+    # pair generation stays arrays_zip(slice, slice) DELIBERATELY: the
+    # r17-deferred transform(sequence(...)) single-array rewrite was
+    # measured r18 and REJECTED — higher-order functions evaluate
+    # interpreted while slice/arrays_zip are codegen'd, and the rewrite
+    # lost every interleaved A/B pair (2.10/2.04/2.31 → 2.38/2.78/2.63 s
+    # warm best-of-3; see OPTIMIZATION_r18.md)
     m = F.greatest(F.size("toks") - 1, F.lit(0))
     big0 = (
         t.filter(F.size("toks") >= 2)

@@ -54,6 +54,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.select(*cols)
 
 
+# Input-size gate threshold for scale-shape plan forms (currently
+# j23/j23b's basket-array pair expansion): below this the local
+# (broadcast-join) form wins — measured at sf0.1 in r17/r18 — and above
+# it the fewer-shuffle form wins (validated r18 by forcing shuffle joins
+# via autoBroadcastJoinThreshold=-1, the at-scale join strategy, where
+# the basket form measured 12-15% faster; see OPTIMIZATION_r18.md).
+# 256 MiB is past any sane broadcast and into multi-split scans, where
+# shuffle count is the cost that scales. Tests override the module
+# attribute.
+SCALE_GATE_MIN_BYTES = 256 * 1024 * 1024
+
+
+def table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk size of a table's parquet (file or directory of part
+    files), or None when it cannot be statted (non-local path such as
+    s3://). Used by the input-size gates that pick between a local
+    (broadcast-friendly) plan and the 100 TB (shared-scan / fewer-pass)
+    plan — a deterministic function of the INPUT, never of results, so
+    both branches compute identical values and the gate only chooses the
+    physical shape (r17 VERDICT Next #4)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register each table as a temp view so SQL-form queries can run."""
     for name in names or TABLE_NAMES:

@@ -37,7 +37,7 @@ from iot_big_data_engineering_spark.session import get_spark  # noqa: E402
 def _next_job_id(spark) -> int:
     """Monotonic count of all jobs ever submitted to this context —
     survives UI eviction and job groups (r17 ADVICE #3)."""
-    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
+    return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
 
 
 def main() -> None:
