@@ -1148,7 +1148,14 @@ def s5_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantize_vectors(e: DataFrame) -> DataFrame:
     """(vec_id, v, …) → (vec_id, …, dv): per-dim SQ8 round-trip
     (quantize to the 0..255 grid, dequantize back) against corpus min/max
-    calibration. ``dv`` is what an IVF-SQ8 index actually scores."""
+    calibration. ``dv`` is what an IVF-SQ8 index actually scores.
+
+    The calibration DELIBERATELY stays posexplode + 64-group hash
+    aggregate: the r18 "one wide ungrouped aggregate of 2·dim min/max
+    expressions" rewrite was measured SLOWER warm (0.69-0.95 s →
+    1.14-1.24 s at sf0.1) — 128 agg expressions with per-element null
+    checks lose to the exploded hash aggregate's tight loop — and was
+    reverted (OPTIMIZATION_r18.md)."""
     cal = (
         e.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")
