@@ -2623,10 +2623,19 @@ def bigram_lm_screen(
             .otherwise(F.col("w2_raw"))
             .alias("w2"),
         )
-        .persist()  # three consumers: c1, c12, and the scoring join
+        .persist()  # two consumers: the c12 aggregate and the scoring join
     )
-    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
     c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # r18 optimization (guide §2.3/§1.2): the context counts c1(w1) are
+    # EXACTLY the per-w1 sums of the pair counts (every bigram occurrence
+    # contributes once to both), so they aggregate from the BOUNDED
+    # ≤(V+1)²-row c12 relation instead of a second full pass over the
+    # corpus-scale bigram stream — one fewer scan of `big` at every
+    # scale, same int64 values. No persist needed: the c12 subtree
+    # appears twice in the pair_flag plan (join input + c1's input) and
+    # exchange reuse dedups it — the stream-side map/partial-agg runs
+    # once (plan shows ReusedExchange; plans/r18/dp15_*_after.txt)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # r17 optimization: resolve the rare verdict PER DISTINCT PAIR first —
     # c12 ⋈ c1 is a |pairs| × |contexts| count-table join (both bounded by
     # the (V+1)-class vocabulary, tiny next to the bigram stream) — and
